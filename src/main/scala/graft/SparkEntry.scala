@@ -1,13 +1,46 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator family lives in its own module under graft.ops; each
+  * module exposes `queries` (name -> (SparkSession, sfDir) -> DataFrame) and
+  * `oracles` (name -> DuckDB-runnable ANSI SQL over the same parquet
+  * tables). SparkEntry is the union surface the driver exercises.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  import graft.ops._
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Daily value trend (SURVEY §7.2 — stats_visualization.py:294 shape).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("a4_daily_value_trend")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Aggregates.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Aggregates.oracles
+
+  /** Headline subset used by graft.Bench — the scale-representative
+    * queries (big shuffles, joins, windows, text/similarity paths), not
+    * every correctness micro-query.
+    */
+  def benchQueries: Seq[String] = Seq(
+    "j_star_revenue_by_region",
+    "j_left_order_line_counts",
+    "w1_top_suppliers_per_nation",
+    "a4_daily_value_trend",
+    "a5_daily_share_pct",
+    "a6_daily_pivot",
+    "a_distinct_users_per_type",
+    "d1_dedup_first_per_user",
+    "s1_latest_events",
+  ).filter(queries.contains)
 }

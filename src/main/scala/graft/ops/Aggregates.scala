@@ -1,0 +1,351 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Aggregation + window + time-bucketing core. Covers SURVEY.md §2.4 A1-A8,
+  * §2.5 W1-W3, §2.8 F15-F29 (date/json/bucketing/histogram), §2.9 batch
+  * forms of the daily tumbling windows.
+  *
+  * Scale notes:
+  *  - All groupBys are hash aggregates with map-side partial aggregation —
+  *    the shuffle carries one row per (partition × group), not per input row.
+  *  - Pivots pin their value lists (SURVEY §7.4) so the schema is static:
+  *    no extra distinct-values job, deterministic columns for the oracle.
+  *  - Window top-k (W1) partitions by the group key; with AQE skewed
+  *    partitions split. For per-group rank ≤ k over huge groups, the
+  *    aggregate stays shuffle-bound, not sort-bound (k is tiny).
+  *  - Double sums that feed the oracle hash-compare are rounded (or decimal)
+  *    — reassociation across 32 partitions must not leak into output.
+  */
+object Aggregates {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Pinned pivot domain for events.event_type (stable across sf, TESTDATA). */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  val queries: Map[String, Q] = Map(
+    // A1 (bbc_news_dag.py:26-37): group-by key + count + collect-set +
+    // HAVING — duplicate-group finder. sort_array makes the set column
+    // deterministic for the compare.
+    "a1_dup_groups" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(count("*").as("cnt"),
+          array_join(sort_array(collect_set($"l_linenumber")), ",").as("line_numbers"))
+        .filter($"cnt" > 5)
+        .orderBy("l_orderkey")
+    }),
+
+    // A2 (bbc_news_dag.py:114-122): count(*) per table, one row each.
+    "a2_table_counts" -> ((s, d) => {
+      import s.implicits._
+      val counts = Seq(
+        "customer" -> customer(s, d), "events" -> events(s, d),
+        "lineitem" -> lineitem(s, d), "orders" -> orders(s, d))
+        .map { case (n, df) => df.agg(count("*").as("n_rows")).select(lit(n).as("tbl"), $"n_rows") }
+      counts.reduce(_ union _).orderBy("tbl")
+    }),
+
+    // A3 (stats.py:16,24): value_counts — frequency distribution.
+    "a3_event_type_counts" -> ((s, d) => {
+      import s.implicits._
+      events(s, d).groupBy($"event_type").agg(count("*").as("cnt"))
+        .orderBy(desc("cnt"), asc("event_type"))
+    }),
+
+    // A4/W3 (stats_visualization.py:294): daily mean trend — the flagship.
+    "a4_daily_value_trend" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .withColumn("day", to_date($"ts"))
+        .groupBy($"day")
+        .agg(round(avg($"value"), 6).as("avg_value"), count("*").as("n"))
+        .orderBy("day")
+    }),
+
+    // A5/W2 (stats_visualization.py:83-84): day × category share-of-day
+    // percentages — count / sum over (partition by day).
+    "a5_daily_share_pct" -> ((s, d) => {
+      import s.implicits._
+      val wDay = Window.partitionBy($"day")
+      events(s, d)
+        .withColumn("day", to_date($"ts"))
+        .groupBy($"day", $"event_type")
+        .agg(count("*").as("cnt"))
+        .withColumn("pct", round($"cnt" * 100.0 / sum($"cnt").over(wDay), 6))
+        .orderBy("day", "event_type")
+    }),
+
+    // A6 (stats_visualization.py:392-401): date × category pivot matrix,
+    // pinned columns, densified with 0.
+    "a6_daily_pivot" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .withColumn("day", to_date($"ts"))
+        .groupBy($"day")
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("day")
+    }),
+
+    // A7-as-relational argmax: per user, the event_type they do most
+    // (row_number over count desc — deterministic tie-break by type).
+    "a7_user_top_event" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy(desc("cnt"), asc("event_type"))
+      events(s, d)
+        .groupBy($"user_id", $"event_type").agg(count("*").as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).drop("rn")
+        .orderBy("user_id")
+    }),
+
+    // A8 (stats_visualization.py:171): idxmax — row of the global max.
+    "a8_top_order" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(1)
+    }),
+
+    // W1 (topic_modeling.py:29-40): per-group ranked top-k — top-3
+    // suppliers by exact decimal revenue within each nation.
+    "w1_top_suppliers_per_nation" -> ((s, d) => {
+      import s.implicits._
+      val rev = lineitem(s, d)
+        .select($"l_suppkey",
+          ($"l_extendedprice".cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") - $"l_discount".cast("decimal(4,2)"))).as("r"))
+        .groupBy($"l_suppkey").agg(sum($"r").as("rev"))
+      val w = Window.partitionBy($"n_name").orderBy(desc("rev"), asc("s_suppkey"))
+      supplier(s, d)
+        .join(broadcast(nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .join(rev, $"s_suppkey" === $"l_suppkey", "left")
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"n_name", $"rank", $"s_suppkey", $"s_name",
+          round($"rev".cast("double"), 2).as("revenue"))
+        .orderBy("n_name", "rank")
+    }),
+
+    // W-frame: running daily total of purchases (rowsBetween unbounded
+    // preceding) — cumulative trend series.
+    "w_running_daily_purchases" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .filter($"event_type" === "purchase")
+        .withColumn("day", to_date($"ts"))
+        .groupBy($"day").agg(count("*").as("n"))
+        .withColumn("running_n", sum($"n").over(w))
+        .orderBy("day")
+    }),
+
+    // lag/lead: day-over-day delta of event counts.
+    "w_day_over_day_delta" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.orderBy($"day")
+      events(s, d)
+        .withColumn("day", to_date($"ts"))
+        .groupBy($"day").agg(count("*").as("n"))
+        .withColumn("prev_n", lag($"n", 1).over(w))
+        .withColumn("delta", $"n" - coalesce($"prev_n", lit(0)))
+        .orderBy("day")
+    }),
+
+    // F19 (sentiment_analysis.py:48-53): threshold bucketing with the
+    // VADER ±0.05-style boundary semantics (>= / <=), then distribution.
+    "f19_value_buckets" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .withColumn("bucket",
+          when($"value" >= 150.0, "high")
+            .when($"value" <= 50.0, "low")
+            .otherwise("mid"))
+        .groupBy($"bucket").agg(count("*").as("cnt"), round(avg($"value"), 6).as("avg_value"))
+        .orderBy("bucket")
+    }),
+
+    // F29 (stats_visualization.py:103): histogram binning — fixed-width
+    // buckets, densified against the full bucket domain.
+    "f29_value_histogram" -> ((s, d) => {
+      import s.implicits._
+      val binned = events(s, d)
+        .withColumn("bucket", least(floor($"value" / 25.0), lit(19)).cast("int"))
+        .groupBy($"bucket").agg(count("*").as("cnt"))
+      s.range(0, 20).select($"id".cast("int").as("bucket"))
+        .join(binned, Seq("bucket"), "left")
+        .na.fill(0, Seq("cnt"))
+        .orderBy("bucket")
+    }),
+
+    // F15 (data_preparation.py:161): to_timestamp with errors="coerce" —
+    // malformed strings → null, then null-rate accounting.
+    "f15_parse_coerce" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .withColumn("ts_str",
+          when($"event_id" % 97 === 0, lit("not-a-date"))
+            .otherwise(date_format($"ts", "yyyy-MM-dd HH:mm:ss")))
+        .withColumn("parsed", try_to_timestamp($"ts_str", lit("yyyy-MM-dd HH:mm:ss")))
+        .agg(count("*").as("n"),
+          count($"parsed").as("n_parsed"),
+          sum(when($"parsed".isNull, 1).otherwise(0)).as("n_null"))
+    }),
+
+    // F18 (topic_modeling.py:143): date_format bucketing to hour strings.
+    "f18_hourly_format" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .withColumn("hour", date_format($"ts", "yyyy-MM-dd HH"))
+        .groupBy($"hour").agg(count("*").as("n"))
+        .orderBy("hour")
+    }),
+
+    // F22-inverse: JSON field extraction from the props column.
+    "f22_json_extract" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        .groupBy($"k").agg(count("*").as("n"))
+        .orderBy("k")
+    }),
+
+    // Stats summary (stats.py:9-25): min/max/avg/stddev per event type.
+    // stddev uses Welford-style merge in both engines; round(6) absorbs
+    // partition-order reassociation at this magnitude.
+    "a_stats_summary" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy($"event_type")
+        .agg(count("*").as("n"),
+          round(min($"value"), 6).as("min_v"),
+          round(max($"value"), 6).as("max_v"),
+          round(avg($"value"), 6).as("avg_v"),
+          round(stddev_samp($"value"), 5).as("sd_v"))
+        .orderBy("event_type")
+    }),
+
+    // approx distinct (scale path for COUNT(DISTINCT) — SURVEY §2.4 notes
+    // the reference lacks it; at 100 TB you want the sketch). Exact
+    // count_distinct alongside for the oracle.
+    "a_distinct_users_per_type" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_users"), count("*").as("n"))
+        .orderBy("event_type")
+    }),
+  )
+
+  private val pivotCols =
+    EventTypes.map(t => s"SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS \"$t\"")
+      .mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "a1_dup_groups" ->
+      """SELECT l_orderkey, COUNT(*) AS cnt,
+        |  array_to_string(list_sort(list(DISTINCT l_linenumber)), ',') AS line_numbers
+        |FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 5
+        |ORDER BY l_orderkey""".stripMargin,
+    "a2_table_counts" ->
+      """SELECT 'customer' AS tbl, COUNT(*) AS n_rows FROM customer
+        |UNION ALL SELECT 'events', COUNT(*) FROM events
+        |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |ORDER BY tbl""".stripMargin,
+    "a3_event_type_counts" ->
+      """SELECT event_type, COUNT(*) AS cnt FROM events
+        |GROUP BY event_type ORDER BY cnt DESC, event_type ASC""".stripMargin,
+    "a4_daily_value_trend" ->
+      """SELECT CAST(ts AS DATE) AS day, ROUND(AVG(value), 6) AS avg_value,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a5_daily_share_pct" ->
+      """SELECT day, event_type, cnt,
+        |  ROUND(cnt * 100.0 / SUM(cnt) OVER (PARTITION BY day), 6) AS pct
+        |FROM (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt
+        |      FROM events GROUP BY 1, 2)
+        |ORDER BY day, event_type""".stripMargin,
+    "a6_daily_pivot" ->
+      s"""SELECT CAST(ts AS DATE) AS day, $pivotCols
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a7_user_top_event" ->
+      """SELECT user_id, event_type, cnt FROM (
+        |  SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2)
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "a8_top_order" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1""".stripMargin,
+    "w1_top_suppliers_per_nation" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+        |  FROM lineitem GROUP BY 1)
+        |SELECT n_name, rank, s_suppkey, s_name,
+        |  ROUND(CAST(rev AS DOUBLE), 2) AS revenue
+        |FROM (
+        |  SELECT n_name, s_suppkey, s_name, rev,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY rev DESC, s_suppkey ASC) AS rank
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  LEFT JOIN rev ON s_suppkey = l_suppkey)
+        |WHERE rank <= 3
+        |ORDER BY n_name, rank""".stripMargin,
+    "w_running_daily_purchases" ->
+      """SELECT day, n, SUM(n) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        |FROM (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1)
+        |ORDER BY day""".stripMargin,
+    "w_day_over_day_delta" ->
+      """SELECT day, n, prev_n, n - COALESCE(prev_n, 0) AS delta FROM (
+        |  SELECT day, n, lag(n, 1) OVER (ORDER BY day) AS prev_n
+        |  FROM (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1))
+        |ORDER BY day""".stripMargin,
+    "f19_value_buckets" ->
+      """SELECT CASE WHEN value >= 150.0 THEN 'high'
+        |            WHEN value <= 50.0 THEN 'low'
+        |            ELSE 'mid' END AS bucket,
+        |  COUNT(*) AS cnt, ROUND(AVG(value), 6) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f29_value_histogram" ->
+      """SELECT bucket, COALESCE(cnt, 0) AS cnt
+        |FROM (SELECT CAST(range AS INT) AS bucket FROM range(0, 20))
+        |LEFT JOIN (
+        |  SELECT CAST(LEAST(FLOOR(value / 25.0), 19) AS INT) AS b, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1) ON bucket = b
+        |ORDER BY bucket""".stripMargin,
+    "f15_parse_coerce" ->
+      """SELECT COUNT(*) AS n, COUNT(parsed) AS n_parsed,
+        |  SUM(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS n_null
+        |FROM (SELECT try_strptime(
+        |    CASE WHEN event_id % 97 = 0 THEN 'not-a-date'
+        |         ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END,
+        |    '%Y-%m-%d %H:%M:%S') AS parsed
+        |  FROM events)""".stripMargin,
+    "f18_hourly_format" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f22_json_extract" ->
+      """SELECT CAST(props->>'$.k' AS INT) AS k, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_stats_summary" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(MIN(value), 6) AS min_v, ROUND(MAX(value), 6) AS max_v,
+        |  ROUND(AVG(value), 6) AS avg_v, ROUND(STDDEV_SAMP(value), 5) AS sd_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a_distinct_users_per_type" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

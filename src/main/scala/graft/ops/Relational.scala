@@ -1,0 +1,339 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational core: scans, predicates, projections, sorts/limits, dedup,
+  * set ops, joins. Covers SURVEY.md §2.1 S1-S4/S7, §2.2 P1-P10, §2.3 J1-J4,
+  * §2.6 O1-O5, §2.7 D1-D5.
+  *
+  * Scale notes (100 TB design stance):
+  *  - Every filter/projection here is a Catalyst-pushable expression — at
+  *    scale these become parquet row-group skips + column pruning for free.
+  *  - `orderBy(...).limit(n)` plans as TakeOrderedAndProject: per-partition
+  *    top-n then a single driver merge of n*numPartitions rows — no global
+  *    sort, no full shuffle.
+  *  - Dimension-side joins (region/nation/supplier/part) are broadcast
+  *    explicitly; only fact-fact joins (lineitem⋈orders) shuffle, on their
+  *    join key, which AQE can further coalesce/skew-split.
+  *  - Keyed dedup is expressed as a deterministic window (keep first by
+  *    sort key) rather than `dropDuplicates`, whose survivor is
+  *    partition-order dependent — same shuffle cost, reproducible output.
+  */
+object Relational {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // S1 (data_preparation.py:35-41): newest-N scan — sort desc + limit.
+    // TakeOrderedAndProject; event_id desc as deterministic tie-break.
+    "s1_latest_events" -> ((s, d) => {
+      events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(desc("ts"), desc("event_id"))
+        .limit(1000)
+    }),
+
+    // S2 (topic_modeling.py:122): projection-pruned scan.
+    "s2_projected_scan" -> ((s, d) => {
+      documents(s, d).select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+
+    // S3/P6 (ArticlesSpider.py:26-34): regex-filtered scan + sort + limit.
+    "s3_regex_scan" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .filter($"text".rlike("\\bspark\\b") && $"lang".rlike("^(en|de)$"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(desc("n_chars"), desc("doc_id"))
+        .limit(200)
+    }),
+
+    // S7/S10: CSV sink + source round-trip (stats_visualization.py:157-162,
+    // topic_modeling.py:243-248). Writes under target/ then reads back.
+    "s7_csv_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val out = "target/tmp/s7_csv_roundtrip"
+      region(s, d).write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("r_regionkey INT, r_name STRING")
+        .csv(out)
+        .orderBy($"r_regionkey")
+    }),
+
+    // P3+P4+P5+P10 (pipelines.py:5-16, data_preparation.py:138-140): the
+    // data-quality gate — null/sentinel/min-length filters + substring
+    // predicate, all pushable.
+    "p_quality_gate" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .filter($"text".isNotNull && $"lang".isNotNull &&
+          $"text" =!= "N/A" && $"n_chars" > 100 &&
+          $"text".contains("spark"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // P7 (stats_visualization.py:221-222): sliding 48h lookback anchored at
+    // max(ts) — no wall clock (harness determinism). The 1-row aggregate is
+    // broadcast; at scale this is a parquet-footer-only min/max job.
+    "p7_lookback_48h" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val mx = ev.agg(max($"ts").as("max_ts"))
+      ev.join(broadcast(mx))
+        .filter($"ts" >= $"max_ts" - expr("INTERVAL 48 HOURS"))
+        .groupBy($"event_type")
+        .agg(count("*").as("n"), round(sum($"value"), 4).as("sum_value"))
+        .orderBy($"event_type")
+    }),
+
+    // O2 (stats_visualization.py:246-247): global top-k by score.
+    "o2_top_docs" -> ((s, d) => {
+      documents(s, d)
+        .select("doc_id", "source", "n_chars")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+        .limit(15)
+    }),
+
+    // O3/D4 (stats_visualization.py:422): distinct + sort asc.
+    "d4_distinct_langs" -> ((s, d) => {
+      documents(s, d).select("lang").distinct().orderBy("lang")
+    }),
+
+    // D1 (bbc_news_dag.py:26-48): keyed dedup keeping FIRST row per key by
+    // an explicit order — deterministic version of dropDuplicates("url").
+    // One shuffle on the key; survivor choice is reproducible.
+    "d1_dedup_first_per_user" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      events(s, d)
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .drop("rn")
+        .orderBy("user_id")
+    }),
+
+    // D2/J4 (pipelines.py:33-44): insert-time dedup = left_anti against the
+    // sink's existing keys. Modeled: "new batch" = last day of events,
+    // "existing" = users seen before that day.
+    "d2_antijoin_new_keys" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val mx = ev.agg(date_trunc("DAY", max($"ts")).as("cut"))
+      val withCut = ev.join(broadcast(mx))
+      val keyed = withCut.withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      val batch = keyed.filter($"ts" >= $"cut")
+      val existing = keyed.filter($"ts" < $"cut")
+        .select($"user_id", $"k").distinct()
+      batch.join(existing, Seq("user_id", "k"), "left_anti")
+        .select("event_id", "user_id", "k")
+        .orderBy("event_id")
+    }),
+
+    // Set ops (SURVEY §2.7): INTERSECT / EXCEPT / UNION on key sets.
+    "set_intersect_users" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val clickers = ev.filter($"event_type" === "click").select($"user_id")
+      val buyers = ev.filter($"event_type" === "purchase").select($"user_id")
+      clickers.intersect(buyers).orderBy("user_id")
+    }),
+    "set_except_users" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val viewers = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(count("*").as("c")).filter($"c" >= 15)
+        .select($"user_id")
+      val buyers = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id").agg(count("*").as("c")).filter($"c" >= 15)
+        .select($"user_id")
+      viewers.except(buyers).orderBy("user_id")
+    }),
+    "set_union_sources" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val a = docs.filter($"lang" === "en").select($"source")
+      val b = docs.filter($"lang" === "zh").select($"source")
+      a.union(b).distinct().orderBy("source")
+    }),
+
+    // J1 (topic_modeling.py:260-267): broadcast lookup join articles→dim;
+    // here fact lineitem → part dim, left outer + default fill.
+    "j1_broadcast_lookup" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .join(broadcast(part(s, d)), $"l_partkey" === $"p_partkey", "left")
+        .groupBy($"p_brand")
+        .agg(count("*").as("n"), round(sum($"l_quantity"), 2).as("qty"))
+        .na.fill("(none)", Seq("p_brand"))
+        .orderBy("p_brand")
+    }),
+
+    // J2/D3 (middlewares.py:16-20): anti-membership — customers never seen
+    // in orders.
+    "j2_customers_without_orders" -> ((s, d) => {
+      import s.implicits._
+      val recent = orders(s, d).filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+      customer(s, d)
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // left_semi: orders that contain at least one big-quantity line.
+    "j_semi_big_orders" -> ((s, d) => {
+      import s.implicits._
+      val bigLines = lineitem(s, d).filter($"l_quantity" >= 49.0)
+      orders(s, d)
+        .join(bigLines, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // J3 (stats_visualization.py:378-381): densify counts against the full
+    // key domain — dim LEFT JOIN counts, fill 0 (right-outer shape).
+    "j3_densified_nation_counts" -> ((s, d) => {
+      import s.implicits._
+      val counts = customer(s, d).groupBy($"c_nationkey").agg(count("*").as("n_customers"))
+      nation(s, d)
+        .join(counts, $"n_nationkey" === $"c_nationkey", "left")
+        .na.fill(0, Seq("n_customers"))
+        .select("n_nationkey", "n_name", "n_customers")
+        .orderBy("n_nationkey")
+    }),
+
+    // Star join (SURVEY §2.3 note): lineitem⋈orders shuffles on orderkey;
+    // customer/nation/region dims broadcast. Decimal math keeps the sum
+    // exact so the DuckDB hash-compare is reproducible (SURVEY §7.4).
+    "j_star_revenue_by_region" -> ((s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d).select(
+        $"l_orderkey",
+        ($"l_extendedprice".cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") - $"l_discount".cast("decimal(4,2)")))
+          .as("rev"))
+      val ord = orders(s, d).select("o_orderkey", "o_custkey")
+      val cust = customer(s, d).select("c_custkey", "c_nationkey")
+      val nat = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      val reg = region(s, d).select("r_regionkey", "r_name")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(round(sum($"rev").cast("double"), 2).as("revenue"),
+          count("*").as("n_lines"))
+        .orderBy("r_name")
+    }),
+
+    // Left outer join + per-key aggregate: order line counts incl. empty.
+    "j_left_order_line_counts" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .join(lineitem(s, d), $"o_orderkey" === $"l_orderkey", "left")
+        .groupBy($"o_orderkey")
+        .agg(count($"l_linenumber").as("n_lines"))
+        .orderBy("o_orderkey")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_latest_events" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |ORDER BY ts DESC, event_id DESC LIMIT 1000""".stripMargin,
+    "s2_projected_scan" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "s3_regex_scan" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE regexp_matches(text, '\b(spark)\b') AND regexp_matches(lang, '^(en|de)$')
+        |ORDER BY n_chars DESC, doc_id DESC LIMIT 200""".stripMargin,
+    "s7_csv_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "p_quality_gate" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE text IS NOT NULL AND lang IS NOT NULL AND text <> 'N/A'
+        |  AND n_chars > 100 AND contains(text, 'spark')
+        |ORDER BY doc_id""".stripMargin,
+    "p7_lookback_48h" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events
+        |WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 48 HOUR
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "o2_top_docs" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |ORDER BY n_chars DESC, doc_id ASC LIMIT 15""".stripMargin,
+    "d4_distinct_langs" ->
+      "SELECT DISTINCT lang FROM documents ORDER BY lang",
+    "d1_dedup_first_per_user" ->
+      """SELECT user_id, event_id, ts, event_type FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "d2_antijoin_new_keys" ->
+      """WITH cut AS (SELECT date_trunc('day', MAX(ts)) AS c FROM events),
+        |  keyed AS (SELECT event_id, user_id, ts,
+        |              CAST(props->>'$.k' AS INT) AS k FROM events)
+        |SELECT event_id, user_id, k FROM keyed, cut
+        |WHERE ts >= c AND (user_id, k) NOT IN (
+        |  SELECT (user_id, k) FROM keyed, cut WHERE ts < c)
+        |ORDER BY event_id""".stripMargin,
+    "set_intersect_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "set_except_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |  GROUP BY user_id HAVING COUNT(*) >= 15
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id HAVING COUNT(*) >= 15
+        |ORDER BY user_id""".stripMargin,
+    "set_union_sources" ->
+      """SELECT DISTINCT source FROM (
+        |  SELECT source FROM documents WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT source FROM documents WHERE lang = 'zh')
+        |ORDER BY source""".stripMargin,
+    "j1_broadcast_lookup" ->
+      """SELECT COALESCE(p_brand, '(none)') AS p_brand, COUNT(*) AS n,
+        |  ROUND(SUM(l_quantity), 2) AS qty
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j2_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "j_semi_big_orders" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "j3_densified_nation_counts" ->
+      """SELECT n_nationkey, n_name, COALESCE(n_customers, 0) AS n_customers
+        |FROM nation LEFT JOIN (
+        |  SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1
+        |) ON n_nationkey = c_nationkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "j_star_revenue_by_region" ->
+      """SELECT r_name,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2)
+        |    AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "j_left_order_line_counts" ->
+      """SELECT o_orderkey, COUNT(l_linenumber) AS n_lines
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+  )
+}
