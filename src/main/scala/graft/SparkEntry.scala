@@ -20,13 +20,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Aggregates.queries
+    Relational.queries ++ Aggregates.queries ++ TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Aggregates.oracles
+    Relational.oracles ++ Aggregates.oracles ++ TextOps.oracles
 
   /** Headline subset used by graft.Bench — the scale-representative
     * queries (big shuffles, joins, windows, text/similarity paths), not
@@ -42,5 +42,9 @@ object SparkEntry {
     "a_distinct_users_per_type",
     "d1_dedup_first_per_user",
     "s1_latest_events",
+    "a10_word_freq",
+    "u7_tfidf_top_terms",
+    "u3_vader_sentiment",
+    "text_quality",
   ).filter(queries.contains)
 }

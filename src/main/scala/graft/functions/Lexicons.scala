@@ -69,6 +69,10 @@ object Lexicons {
   def stopwordsEnSqlValues: String =
     stopwordsEn.map(w => s"(${sq(w)})").mkString(",")
 
+  /** `['a','about',…]` — DuckDB list literal (lambdas can't hold subqueries). */
+  def stopwordsEnSqlList: String =
+    stopwordsEn.map(sq).mkString("[", ",", "]")
+
   /** `('good',1.9),…` — for `WITH lex(word, val) AS (VALUES …)`. */
   def vaderSqlValues: String =
     vaderLexicon.map { case (w, v) => s"(${sq(w)},$v)" }.mkString(",")

@@ -1,0 +1,390 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Lexicons
+
+/** Text analytics layer. Covers SURVEY.md §2.8 F1-F12/F28, §2.4 A10-A11,
+  * §2.10 U3 (VADER-style scoring) and U7 (TF-IDF), plus the
+  * training-data-pipeline text analysis ops (language-ID, quality scoring,
+  * token counting, document fingerprinting).
+  *
+  * Design stance: the whole layer is built from codegen'd built-in
+  * expressions (regexp_replace / split / explode / higher-order functions)
+  * and relational joins against broadcast lexicon tables — zero UDFs, so
+  * every op stays inside whole-stage codegen and is DuckDB-expressible for
+  * the oracle (lexica are shared via Lexicons.*SqlValues).
+  *
+  * Scale notes:
+  *  - explode(split(text)) is the token firehose; every downstream agg is
+  *    a partial-aggregated groupBy, so the shuffle carries (word, count)
+  *    partials, not raw tokens.
+  *  - Lexicon joins (VADER, lang-ID, stopwords) broadcast — the lexicon is
+  *    KBs; never shuffle the token stream by word for them.
+  *  - TF-IDF needs one shuffle by term (df + final column-sum) and one by
+  *    doc (L2 norm window); both keys are high-cardinality and unskewed.
+  */
+object TextOps {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** F1-F9 cleaning chain (data_preparation.py:61-96), as a composable
+    * Column transform — lower/trim, strip URLs, strip HTML tags, keep
+    * [0-9a-z ], drop multi-digit tokens, drop scheme words, drop single
+    * letters, collapse whitespace.
+    */
+  def cleanText(c: Column): Column = {
+    val lowered = lower(trim(c))
+    val noUrl = regexp_replace(lowered, "http\\S+", "")
+    val noTag = regexp_replace(noUrl, "<[^>]*>", "")
+    val alnum = regexp_replace(noTag, "[^ 0-9a-z]", " ")
+    val noNum = regexp_replace(alnum, "\\b\\d\\d+\\b", "")
+    val noScheme = regexp_replace(noNum, "\\b(http|https|www)\\b", "")
+    val noSingle = regexp_replace(noScheme, "\\b[a-z]\\b", "")
+    trim(regexp_replace(noSingle, " +", " "))
+  }
+
+  /** Identical chain in DuckDB SQL (RE2, 'g' flag), for the oracle. */
+  def cleanTextSql(col: String): String =
+    s"""trim(regexp_replace(
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(
+       |            regexp_replace(lower(trim($col)), 'http\\S+', '', 'g'),
+       |            '<[^>]*>', '', 'g'),
+       |          '[^ 0-9a-z]', ' ', 'g'),
+       |        '\\b\\d\\d+\\b', '', 'g'),
+       |      '\\b(http|https|www)\\b', '', 'g'),
+       |    '\\b[a-z]\\b', '', 'g'),
+       |  ' +', ' ', 'g'))""".stripMargin
+
+  /** Noisy text used by the cleaning queries: the corpus text plus a
+    * deterministic per-row blob of URL / HTML / digits / single letters, so
+    * the chain demonstrably removes something.
+    */
+  private def noisy(s: SparkSession): Column = {
+    import s.implicits._
+    concat($"text", lit(" Visit https://ex.com/page?id="), $"doc_id",
+      lit(" <b>Bold</b> <i>x</i> 42 1234 a b Z! www"))
+  }
+
+  private val noisySql =
+    "text || ' Visit https://ex.com/page?id=' || doc_id || " +
+      "' <b>Bold</b> <i>x</i> 42 1234 a b Z! www'"
+
+  /** Tokens of the raw text: lower, split on whitespace, drop empties. */
+  private def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  private val tokensSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+
+  private val stopwordArray: Column =
+    array(Lexicons.stopwordsEn.map(lit): _*)
+
+  val queries: Map[String, Q] = Map(
+    // F1-F9 (data_preparation.py:61-96): the regex cleaning chain over a
+    // deliberately dirtied column.
+    "f_text_clean" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .withColumn("article_clean", cleanText(noisy(s)))
+        .select("doc_id", "article_clean")
+        .orderBy("doc_id")
+    }),
+
+    // F10/F28 + P4 (data_preparation.py:138-140): tokenize, word counts,
+    // min-length gate (reference: n_words > 50 → here > 40 for signal).
+    "f_word_counts" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .withColumn("n_words", size(tokens($"text")))
+        .withColumn("n_words_clean", size(filter(tokens($"text"),
+          t => !array_contains(stopwordArray, t))))
+        .filter($"n_words" > 40)
+        .select("doc_id", "n_words", "n_words_clean")
+        .orderBy("doc_id")
+    }),
+
+    // A10 (stats_visualization.py:121-155): stopword-filtered word
+    // frequencies — the word-cloud aggregation. min length 3, top 100.
+    "a10_word_freq" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select(explode(tokens($"text")).as("word"))
+        .filter(length($"word") >= 3 && !array_contains(stopwordArray, $"word"))
+        .groupBy($"word").agg(count("*").as("cnt"))
+        .orderBy(desc("cnt"), asc("word"))
+        .limit(100)
+    }),
+
+    // A11 (topic_modeling.py:136-138): vocabulary pruning by document-
+    // frequency bounds — df >= 5 AND df <= 0.5*N, vocab cap.
+    "a11_vocab_prune" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val n = docs.agg(count("*").as("n_docs"))
+      docs.select($"doc_id", explode(array_distinct(tokens($"text"))).as("word"))
+        .groupBy($"word").agg(count("*").as("df"))
+        .join(broadcast(n))
+        .filter($"df" >= 5 && $"df" <= $"n_docs" * 0.5)
+        .select("word", "df")
+        .orderBy(desc("df"), asc("word"))
+        .limit(50000)
+    }),
+
+    // U7 (stats_visualization.py:228-235): TF-IDF with sklearn semantics
+    // (smooth idf = ln((1+N)/(1+df)) + 1, per-doc L2 normalization),
+    // column-summed per term, top-15 keywords.
+    "u7_tfidf_top_terms" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val n = docs.agg(count("*").as("n_docs"))
+      val tf = docs
+        .select($"doc_id", explode(tokens($"text")).as("word"))
+        .filter(length($"word") >= 3 && !array_contains(stopwordArray, $"word"))
+        .groupBy($"doc_id", $"word").agg(count("*").as("tf"))
+      val df = tf.groupBy($"word").agg(count("*").as("df"))
+      val wNorm = Window.partitionBy($"doc_id")
+      tf.join(df, "word")
+        .join(broadcast(n))
+        .withColumn("w", $"tf" * (log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0))
+        .withColumn("wn", $"w" / sqrt(sum($"w" * $"w").over(wNorm)))
+        .groupBy($"word").agg(round(sum($"wn"), 6).as("score"))
+        .orderBy(desc("score"), asc("word"))
+        .limit(15)
+    }),
+
+    // U3+F19 (sentiment_analysis.py:42-53): VADER-style compound scoring —
+    // sum of lexicon valences normalized by sqrt(s²+15), thresholds ±0.05.
+    // Relational form: broadcast lexicon join, no UDF.
+    "u3_vader_sentiment" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val lex = s.createDataFrame(Lexicons.vaderLexicon).toDF("word", "valence")
+      val sums = docs
+        .select($"doc_id", explode(tokens($"text")).as("word"))
+        .join(broadcast(lex), "word")
+        .groupBy($"doc_id").agg(sum($"valence").as("sv"))
+      docs.join(sums, Seq("doc_id"), "left")
+        .withColumn("sv", coalesce($"sv", lit(0.0)))
+        .withColumn("sentiment_score", round($"sv" / sqrt($"sv" * $"sv" + 15.0), 6))
+        .withColumn("sentiment_label",
+          when($"sentiment_score" >= 0.05, "positive")
+            .when($"sentiment_score" <= -0.05, "negative")
+            .otherwise("neutral"))
+        .select("doc_id", "sentiment_score", "sentiment_label")
+        .orderBy("doc_id")
+    }),
+
+    // F19 distribution (stats.py:16): sentiment label value_counts.
+    "u3_sentiment_distribution" -> ((s, d) => {
+      import s.implicits._
+      val scored = queries("u3_vader_sentiment")(s, d)
+      scored.groupBy($"sentiment_label").agg(count("*").as("cnt"))
+        .orderBy(desc("cnt"), asc("sentiment_label"))
+    }),
+
+    // Language-ID (training-data pipeline op): function-word-set hit rate
+    // per language, argmax with deterministic tie-break; docs with zero
+    // hits → 'und'.
+    "text_langid" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val lw = s.createDataFrame(
+        Lexicons.langFunctionWords.toSeq.sortBy(_._1)
+          .flatMap { case (l, ws) => ws.map(w => (l, w)) })
+        .toDF("cand_lang", "word")
+      val tok = docs.select($"doc_id", explode(tokens($"text")).as("word"))
+      val nTok = tok.groupBy($"doc_id").agg(count("*").as("n_tok"))
+      val hits = tok.join(broadcast(lw), "word")
+        .groupBy($"doc_id", $"cand_lang").agg(count("*").as("hits"))
+      val w = Window.partitionBy($"doc_id").orderBy(desc("hits"), asc("cand_lang"))
+      val best = hits.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      docs.join(best, Seq("doc_id"), "left")
+        .join(nTok, Seq("doc_id"), "left")
+        .withColumn("pred_lang", coalesce($"cand_lang", lit("und")))
+        .withColumn("confidence",
+          round(coalesce($"hits" / $"n_tok", lit(0.0)), 6))
+        .select("doc_id", "pred_lang", "confidence")
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring (training-data pipeline op): length, mean token
+    // length, stopword ratio, type-token ratio → composite score.
+    "text_quality" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .withColumn("toks", tokens($"text"))
+        .withColumn("n_tok", size($"toks"))
+        .withColumn("avg_len",
+          aggregate($"toks", lit(0L), (acc, t) => acc + length(t)).cast("double") / $"n_tok")
+        .withColumn("stop_ratio",
+          size(filter($"toks", t => array_contains(stopwordArray, t))).cast("double") / $"n_tok")
+        .withColumn("ttr", size(array_distinct($"toks")).cast("double") / $"n_tok")
+        .withColumn("quality", round(
+          lit(0.4) * least($"n_tok" / 100.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - $"stop_ratio") +
+            lit(0.3) * $"ttr", 6))
+        .select($"doc_id", $"n_tok", round($"avg_len", 6).as("avg_len"),
+          round($"stop_ratio", 6).as("stop_ratio"),
+          round($"ttr", 6).as("ttr"), $"quality")
+        .orderBy("doc_id")
+    }),
+
+    // Token counting (training-data pipeline op): whitespace tokens vs a
+    // BPE-ish regex segmentation (\d / word pieces / punctuation).
+    "text_token_count" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .withColumn("ws_tokens", size(tokens($"text")))
+        .withColumn("bpe_tokens",
+          size(regexp_extract_all($"text", lit("[a-zA-Z]+|\\d|[^\\sa-zA-Z\\d]"), lit(0))))
+        .select("doc_id", "ws_tokens", "bpe_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting (training-data pipeline op): order-sensitive
+    // rolling polynomial hash over the token stream, mod 1e9+7 — pure
+    // higher-order-function arithmetic, identical in both engines.
+    "text_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      val p = 1000000007L
+      documents(s, d)
+        .withColumn("fp",
+          aggregate(
+            transform(tokens($"text"), t => ascii(t).cast("long") + length(t)),
+            lit(0L),
+            (acc, x) => pmod(acc * 31L + x, lit(p))))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    }),
+  )
+
+  private val swVals = Lexicons.stopwordsEnSqlValues
+  private val swList = Lexicons.stopwordsEnSqlList
+  private val lexVals = Lexicons.vaderSqlValues
+  private val langVals = Lexicons.langSqlValues
+
+  val oracles: Map[String, String] = Map(
+    "f_text_clean" ->
+      s"""SELECT doc_id, ${cleanTextSql(noisySql)} AS article_clean
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "f_word_counts" ->
+      s"""WITH sw(word) AS (VALUES $swVals),
+         |t AS (SELECT doc_id, $tokensSql AS toks FROM documents)
+         |SELECT doc_id, len(toks) AS n_words,
+         |  len(list_filter(toks, x -> NOT list_contains($swList, x))) AS n_words_clean
+         |FROM t WHERE len(toks) > 40 ORDER BY doc_id""".stripMargin,
+    "a10_word_freq" ->
+      s"""WITH sw(word) AS (VALUES $swVals)
+         |SELECT word, COUNT(*) AS cnt FROM (
+         |  SELECT unnest($tokensSql) AS word FROM documents)
+         |WHERE len(word) >= 3 AND word NOT IN (SELECT word FROM sw)
+         |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 100""".stripMargin,
+    "a11_vocab_prune" ->
+      s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT word, COUNT(*) AS df FROM (
+         |  SELECT DISTINCT doc_id, unnest($tokensSql) AS word FROM documents)
+         |GROUP BY word
+         |HAVING COUNT(*) >= 5 AND COUNT(*) <= (SELECT n_docs FROM n) * 0.5
+         |ORDER BY df DESC, word ASC LIMIT 50000""".stripMargin,
+    "u7_tfidf_top_terms" ->
+      s"""WITH sw(word) AS (VALUES $swVals),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |tf AS (
+         |  SELECT doc_id, word, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($tokensSql) AS word FROM documents)
+         |  WHERE len(word) >= 3 AND word NOT IN (SELECT word FROM sw)
+         |  GROUP BY doc_id, word),
+         |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+         |w AS (
+         |  SELECT doc_id, tf.word,
+         |    tf * (ln(((SELECT n_docs FROM n) + 1.0) / (df + 1.0)) + 1.0) AS w
+         |  FROM tf JOIN df ON tf.word = df.word),
+         |wn AS (
+         |  SELECT word, w / sqrt(SUM(w * w) OVER (PARTITION BY doc_id)) AS wn
+         |  FROM w)
+         |SELECT word, ROUND(SUM(wn), 6) AS score FROM wn
+         |GROUP BY word ORDER BY score DESC, word ASC LIMIT 15""".stripMargin,
+    "u3_vader_sentiment" ->
+      s"""WITH lex(word, valence) AS (VALUES $lexVals),
+         |tok AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
+         |sums AS (
+         |  SELECT doc_id, SUM(valence) AS sv FROM tok JOIN lex USING (word)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  ROUND(COALESCE(sv, 0) / sqrt(COALESCE(sv, 0) * COALESCE(sv, 0) + 15.0), 6)
+         |    AS sentiment_score,
+         |  CASE WHEN COALESCE(sv, 0) / sqrt(COALESCE(sv, 0) * COALESCE(sv, 0) + 15.0) >= 0.05
+         |         THEN 'positive'
+         |       WHEN COALESCE(sv, 0) / sqrt(COALESCE(sv, 0) * COALESCE(sv, 0) + 15.0) <= -0.05
+         |         THEN 'negative'
+         |       ELSE 'neutral' END AS sentiment_label
+         |FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "u3_sentiment_distribution" ->
+      s"""WITH lex(word, valence) AS (VALUES $lexVals),
+         |tok AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
+         |sums AS (
+         |  SELECT doc_id, SUM(valence) AS sv FROM tok JOIN lex USING (word)
+         |  GROUP BY doc_id),
+         |scored AS (
+         |  SELECT CASE
+         |    WHEN COALESCE(sv, 0) / sqrt(COALESCE(sv, 0) * COALESCE(sv, 0) + 15.0) >= 0.05
+         |      THEN 'positive'
+         |    WHEN COALESCE(sv, 0) / sqrt(COALESCE(sv, 0) * COALESCE(sv, 0) + 15.0) <= -0.05
+         |      THEN 'negative'
+         |    ELSE 'neutral' END AS sentiment_label
+         |  FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id)
+         |SELECT sentiment_label, COUNT(*) AS cnt FROM scored
+         |GROUP BY 1 ORDER BY cnt DESC, sentiment_label ASC""".stripMargin,
+    "text_langid" ->
+      s"""WITH lw(cand_lang, word) AS (VALUES $langVals),
+         |tok AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
+         |ntok AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+         |hits AS (
+         |  SELECT doc_id, cand_lang, COUNT(*) AS hits
+         |  FROM tok JOIN lw USING (word) GROUP BY doc_id, cand_lang),
+         |best AS (
+         |  SELECT doc_id, cand_lang, hits FROM hits
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY hits DESC, cand_lang ASC) = 1)
+         |SELECT d.doc_id, COALESCE(cand_lang, 'und') AS pred_lang,
+         |  ROUND(COALESCE(CAST(hits AS DOUBLE) / n_tok, 0), 6) AS confidence
+         |FROM documents d
+         |LEFT JOIN best b ON d.doc_id = b.doc_id
+         |LEFT JOIN ntok n ON d.doc_id = n.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |q AS (
+         |  SELECT doc_id, len(toks) AS n_tok,
+         |    CAST(list_reduce(list_prepend(0, list_transform(toks, x -> len(x))),
+         |      (a, b) -> a + b) AS DOUBLE) / len(toks) AS avg_len,
+         |    CAST(len(list_filter(toks, x -> list_contains($swList, x))) AS DOUBLE)
+         |      / len(toks) AS stop_ratio,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+         |  FROM t)
+         |SELECT doc_id, n_tok, ROUND(avg_len, 6) AS avg_len,
+         |  ROUND(stop_ratio, 6) AS stop_ratio, ROUND(ttr, 6) AS ttr,
+         |  ROUND(0.4 * LEAST(n_tok / 100.0, 1.0) + 0.3 * (1.0 - stop_ratio)
+         |    + 0.3 * ttr, 6) AS quality
+         |FROM q ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      s"""SELECT doc_id, len($tokensSql) AS ws_tokens,
+         |  len(regexp_extract_all(text, '[a-zA-Z]+|\\d|[^\\sa-zA-Z\\d]')) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform($tokensSql, t -> CAST(ascii(t) + len(t) AS BIGINT))),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
