@@ -20,13 +20,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Aggregates.queries ++ TextOps.queries
+    Relational.queries ++ Aggregates.queries ++ TextOps.queries ++
+      DedupOps.queries ++ SimilarityOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Aggregates.oracles ++ TextOps.oracles
+    Relational.oracles ++ Aggregates.oracles ++ TextOps.oracles ++
+      DedupOps.oracles ++ SimilarityOps.oracles
 
   /** Headline subset used by graft.Bench — the scale-representative
     * queries (big shuffles, joins, windows, text/similarity paths), not
@@ -46,5 +48,10 @@ object SparkEntry {
     "u7_tfidf_top_terms",
     "u3_vader_sentiment",
     "text_quality",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
   ).filter(queries.contains)
 }

@@ -1,0 +1,369 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication suite for the training-data pipeline (north-star M9,
+  * SURVEY.md §7.1/§7.4): exact hash-dedup, n-gram Jaccard, MinHash+LSH,
+  * SimHash, embedding-cosine near-dup.
+  *
+  * Portability: every hash is pure integer arithmetic over code points
+  * (polynomial mod 1e9+7; permutations (a_i·x+b_i) mod 2^31−1 with
+  * formula-derived constants), so the DuckDB oracle reproduces signatures
+  * bit-for-bit — the whole LSH pipeline is differentially tested, not just
+  * row-counted.
+  *
+  * Scale notes (the 100 TB story):
+  *  - Exact dedup: one shuffle on md5(text) — the canonical hash-groupBy.
+  *  - N-gram Jaccard generates candidates from shared shingles; that is
+  *    quadratic in per-shingle document frequency and exists as the
+  *    *verifier*. The scale path is MinHash+LSH: signatures are computed
+  *    per-document (map-only, no explosion), banded into 8 keys/doc, and
+  *    only band-collisions shuffle — candidate count tracks true near-dup
+  *    density, not corpus size².
+  *  - SimHash: per-doc 32-bit sketch (map-only) + banded collision join on
+  *    16-bit halves (Hamming ≤ … pairs must collide in one half by
+  *    pigeonhole when radius < bands).
+  *  - Embedding near-dup: brute-force pair filter here (N² at tiny N); the
+  *    ANN/LSH bucketed form lives in SimilarityOps.
+  */
+object DedupOps {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val P_POLY = 1000000007L // polynomial-hash modulus
+  private val P_PERM = 2147483647L // 2^31-1, permutation-hash modulus
+  private val A_MULT = 2654435761L // Knuth multiplicative constant
+  private val B_MULT = 2654838327L // 40503*65537
+  val NumHashes = 32
+  val NumBands = 8
+  val RowsPerBand = 4
+
+  /** Order-sensitive polynomial hash of a string's code points,
+    * acc = (acc*131 + code) mod 1e9+7 — identical in DuckDB via
+    * list_reduce over string_split(s, ''). Backed by the codegen'd
+    * graft.functions.PolyHash Catalyst expression (the equivalent
+    * aggregate/split HOF form is interpreted and ~30× slower).
+    */
+  def polyHash(c: Column): Column = graft.functions.PolyHash.poly_hash(c)
+
+  def polyHashSql(e: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, c) -> (acc * 131 + c) % $P_POLY)""".stripMargin
+
+  /** Whitespace tokens (lowered, non-empty). */
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+
+  /** Distinct 3-gram word shingles from a MATERIALIZED token-array column.
+    *
+    * `t` must be a real attribute, not an expression: interpreted HOFs
+    * re-evaluate their argument per element, so passing `toks(text)` here
+    * directly would re-run the full regex tokenization for every
+    * element_at (~900 splits per doc — measured 30+ s at sf0.1 vs <1 s
+    * with a materialized array). Keeping tokenization in its own Project
+    * is safe because CollapseProject declines to inline non-cheap
+    * expressions that are referenced more than once.
+    *
+    * Guarded: Spark's sequence(0, n-3) DESCENDS when n < 3 (it would index
+    * from the array end), so short docs get an explicitly empty set.
+    */
+  def shinglesFromToks(t: Column): Column =
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(0), size(t) - 3),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Tokenize-then-shingle as one Column (convenience for tests). */
+  def shingles(c: Column): Column = shinglesFromToks(toks(c))
+
+  private val shinglesSql =
+    s"""list_distinct(list_transform(range(len(toks) - 2),
+       |  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))""".stripMargin
+
+  // Common oracle prelude: per-doc distinct shingle HASHES (docs with ≥3
+  // tokens). Both engines operate on the polynomial hash of each shingle
+  // string — identity, set sizes, and any collisions are identical.
+  private val shingleCte =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS shs FROM t WHERE len(toks) >= 3),
+       |e0 AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+       |e AS (SELECT DISTINCT doc_id, ${polyHashSql("sh")} AS sh FROM e0),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY doc_id)""".stripMargin
+
+  /** Exact Jaccard over candidate pairs given an exploded (doc_id, sh)
+    * table; candidates = pairs sharing ≥1 shingle.
+    */
+  private def jaccardPairs(s: SparkSession, e: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame = {
+    import s.implicits._
+    val e1 = e.toDF("d1", "sh")
+    val e2 = e.toDF("d2", "sh")
+    e1.join(e2, "sh").filter($"d1" < $"d2")
+      .groupBy($"d1", $"d2").agg(count("*").as("inter"))
+      .join(sizes.toDF("d1", "s1"), "d1")
+      .join(sizes.toDF("d2", "s2"), "d2")
+      .withColumn("jaccard",
+        round($"inter" / ($"s1" + $"s2" - $"inter"), 6))
+      .filter($"jaccard" >= threshold)
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  /** (doc_id, sh: long hash) exploded shingle hashes + per-doc set sizes.
+    * Tokenization sits in its own Project (materialized attribute), then
+    * the codegen'd ShingleHashes expression emits distinct hashes in one
+    * pass — shingle strings never materialize.
+    */
+  private def explodedShingles(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val par = s.sparkContext.defaultParallelism
+    val sh = documents(s, d)
+      .repartition(par) // single-file corpus: fan out before the CPU work
+      .select($"doc_id", toks($"text").as("t"))   // tokenization Project
+      .select($"doc_id",
+        graft.functions.ShingleHashes.poly_shingles($"t").as("xs"))
+      .filter(size($"xs") >= 1)
+    (sh.select($"doc_id", explode($"xs").as("sh")),
+      sh.select($"doc_id", size($"xs").as("sz")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on md5(text), keep lowest doc_id. Input is
+    // the corpus unioned with re-keyed copies of every 100th doc, so the
+    // dedup provably removes rows.
+    "dedup_exact" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).select($"doc_id", $"text")
+      val dupes = docs.filter($"doc_id" % 100 === 0)
+        .select(($"doc_id" + 1000000).as("doc_id"), $"text")
+      val all = docs.union(dupes)
+      val w = Window.partitionBy($"h").orderBy($"doc_id".asc)
+      all.withColumn("h", md5($"text"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"h")
+        .orderBy("doc_id")
+    }),
+
+    // N-gram (3-shingle) Jaccard near-dup — exact verifier: candidates from
+    // shared shingles, then inter/union ≥ 0.8.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val (e, sizes) = explodedShingles(s, d)
+      jaccardPairs(s, e, sizes, 0.8)
+    }),
+
+    // MinHash + banded LSH: 32 permutation-hash minima per doc, 8 bands ×
+    // 4 rows, band-collision join for candidates, exact-Jaccard
+    // verification ≥ 0.8.
+    //
+    // The signature is computed RELATIONALLY: explode shingles once,
+    // polynomial-hash each shingle ONCE per row, then 32 codegen'd min()
+    // aggregates. The tempting array-HOF form (transform over a sequence
+    // of 32 seeds with polyHash inside) is catastrophically slower:
+    // CollapseProject inlines the hash array into every permutation, so
+    // the interpreted char-level hash runs 32× per doc (measured 670 s vs
+    // <2 s at sf0.1). Explicit repartition fans the single-file corpus out
+    // across cores; a real multi-split table at scale wouldn't need it.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      import s.implicits._
+      val (e, sizes) = explodedShingles(s, d)
+      val par = s.sparkContext.defaultParallelism
+      val xs = e.toDF("doc_id", "x").repartition(par, $"doc_id")
+      val minCols = (0 until NumHashes).map { i =>
+        min((((lit(A_MULT) * (i + 1)) % P_PERM) * $"x"
+          + (lit(B_MULT) * (i + 1)) % P_PERM) % P_PERM).as(s"h$i")
+      }
+      val bandKeys = (0 until NumBands).map { b =>
+        concat_ws("_", (0 until RowsPerBand).map(r =>
+          col(s"h${b * RowsPerBand + r}").cast("string")): _*)
+      }
+      val sig = xs.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+        .select($"doc_id", posexplode(array(bandKeys: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      val cands = sig.toDF("d1", "band", "key")
+        .join(sig.toDF("d2", "band", "key"), Seq("band", "key"))
+        .filter($"d1" < $"d2")
+        .select("d1", "d2").distinct()
+      val e1 = e.toDF("d1", "sh")
+      val e2 = e.toDF("d2", "sh")
+      cands.join(e1, "d1").join(e2, Seq("d2", "sh"))
+        .groupBy($"d1", $"d2").agg(count("*").as("inter"))
+        .join(sizes.toDF("d1", "s1"), "d1")
+        .join(sizes.toDF("d2", "s2"), "d2")
+        .withColumn("jaccard", round($"inter" / ($"s1" + $"s2" - $"inter"), 6))
+        .filter($"jaccard" >= 0.8)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    }),
+
+    // SimHash: 32-bit sketch — per-token polynomial hash, bit-weighted by
+    // term frequency, sign-aggregated per bit position.
+    "dedup_simhash" -> ((s, d) => {
+      import s.implicits._
+      val tf = documents(s, d)
+        .select($"doc_id", explode(toks($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count("*").as("cnt"))
+        .withColumn("x", polyHash($"tok"))
+      tf.select($"doc_id", $"cnt", $"x",
+          explode(sequence(lit(0), lit(29))).as("j"))
+        .withColumn("bit", floor($"x" / pow(lit(2.0), $"j")).cast("long") % 2)
+        .withColumn("wt", $"cnt" * ($"bit" * 2 - 1))
+        .groupBy($"doc_id", $"j").agg(sum($"wt").as("sw"))
+        .withColumn("b", when($"sw" > 0, 1L).otherwise(0L))
+        .groupBy($"doc_id")
+        .agg(sum($"b" * pow(lit(2.0), $"j").cast("long")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash near-dup: pairs within Hamming distance ≤ 6 of the 32-bit
+    // sketch. Pair filter is brute force at this N; at scale the same
+    // sketch bands into 16-bit halves (pigeonhole) before pairing.
+    "dedup_simhash_pairs" -> ((s, d) => {
+      import s.implicits._
+      val sh = queries("dedup_simhash")(s, d)
+      val a = sh.toDF("d1", "h1")
+      val b = sh.toDF("d2", "h2")
+      a.join(b, $"d1" < $"d2")
+        .withColumn("hamming", bit_count($"h1".bitwiseXOR($"h2")))
+        .filter($"hamming" <= 2)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    }),
+
+    // Embedding-cosine near-dup: pairs with cosine ≥ 0.45 (double-precision
+    // dot over float inputs). Brute force N² verifier; LSH-bucketed ANN in
+    // SimilarityOps is the scale path.
+    "dedup_embedding_cosine" -> ((s, d) => {
+      import s.implicits._
+      val v = embeddings(s, d)
+        .withColumn("e", transform($"embedding", x => x.cast("double")))
+        .withColumn("norm", sqrt(aggregate($"e", lit(0.0), (acc, x) => acc + x * x)))
+        .select($"vec_id", $"e", $"norm")
+      val a = v.toDF("v1", "e1", "n1")
+      val b = v.toDF("v2", "e2", "n2")
+      a.join(b, $"v1" < $"v2")
+        .withColumn("dot", aggregate(zip_with($"e1", $"e2", (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("cosine", round($"dot" / ($"n1" * $"n2"), 6))
+        .filter($"cosine" >= 0.45)
+        .select("v1", "v2", "cosine")
+        .orderBy("v1", "v2")
+    }),
+  )
+
+  private val jaccardSql =
+    s"""pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+       |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |  ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+       |FROM pairs
+       |JOIN sz sa ON d1 = sa.doc_id
+       |JOIN sz sb ON d2 = sb.doc_id
+       |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+       |ORDER BY d1, d2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 100 = 0)
+        |SELECT doc_id, md5(text) AS h FROM all_docs
+        |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"WITH $shingleCte,\n$jaccardSql",
+    "dedup_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |xs AS (SELECT doc_id, sh AS x FROM e),
+         |sig AS (
+         |  SELECT doc_id, i,
+         |    MIN((($A_MULT * (i + 1)) % $P_PERM * x + ($B_MULT * (i + 1)) % $P_PERM)
+         |        % $P_PERM) AS h
+         |  FROM xs CROSS JOIN (SELECT unnest(range($NumHashes)) AS i)
+         |  GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // $RowsPerBand AS band,
+         |    string_agg(CAST(h AS VARCHAR), '_' ORDER BY i) AS key
+         |  FROM sig GROUP BY doc_id, i // $RowsPerBand),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT d1, d2, COUNT(*) AS inter
+         |  FROM cands JOIN e e1 ON e1.doc_id = d1
+         |             JOIN e e2 ON e2.doc_id = d2 AND e1.sh = e2.sh
+         |  GROUP BY d1, d2)
+         |SELECT d1, d2,
+         |  ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON d1 = sa.doc_id
+         |JOIN sz sb ON d2 = sb.doc_id
+         |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+         |ORDER BY d1, d2""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+         |    SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |hx AS (SELECT doc_id, cnt, ${polyHashSql("tok")} AS x FROM tf),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    SUM(cnt * ((CAST(FLOOR(x / POWER(2.0, j)) AS BIGINT) % 2) * 2 - 1)) AS sw
+         |  FROM hx CROSS JOIN (SELECT unnest(range(30)) AS j)
+         |  GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |  SUM(CASE WHEN sw > 0 THEN CAST(POWER(2.0, j) AS BIGINT) ELSE 0 END) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+         |    SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |hx AS (SELECT doc_id, cnt, ${polyHashSql("tok")} AS x FROM tf),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    SUM(cnt * ((CAST(FLOOR(x / POWER(2.0, j)) AS BIGINT) % 2) * 2 - 1)) AS sw
+         |  FROM hx CROSS JOIN (SELECT unnest(range(30)) AS j)
+         |  GROUP BY doc_id, j),
+         |sh AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN sw > 0 THEN CAST(POWER(2.0, j) AS BIGINT) ELSE 0 END) AS h
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  bit_count(xor(a.h, b.h)) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.h, b.h)) <= 2
+         |ORDER BY d1, d2""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, e,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+        |      (a, b) -> a + b)) AS norm
+        |  FROM v)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  ROUND(list_reduce(list_prepend(0.0,
+        |      list_transform(range(len(a.e)), i -> a.e[i+1] * b.e[i+1])),
+        |    (x, y) -> x + y) / (a.norm * b.norm), 6) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_reduce(list_prepend(0.0,
+        |    list_transform(range(len(a.e)), i -> a.e[i+1] * b.e[i+1])),
+        |  (x, y) -> x + y) / (a.norm * b.norm) >= 0.45
+        |ORDER BY v1, v2""".stripMargin,
+  )
+}

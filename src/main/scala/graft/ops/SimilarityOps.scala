@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the embeddings table (north-star M9, SURVEY §7.4):
+  * brute-force cosine top-k as the exact baseline, random-hyperplane LSH
+  * bucketing as the approximate scale path, and a label-partitioned (IVF-
+  * style coarse cell) probe.
+  *
+  * Scale notes:
+  *  - Brute force is a broadcast nested loop: the QUERY side (20 vectors)
+  *    broadcasts; the corpus streams once, each partition emits its local
+  *    top-k via the rank window on (query, corpus-partition) — at 1000
+  *    executors this is a map-side scan + tiny shuffle of k·Q rows.
+  *  - LSH: each vector maps to one 6-bit bucket (map-only sketch);
+  *    neighbor search touches only the query's bucket. Bucket skew is
+  *    data-dependent; at scale use multi-table LSH (L independent plane
+  *    sets) unioned, which keeps recall while bounding bucket size.
+  *  - All float math is widened to double BEFORE any arithmetic; both
+  *    engines then execute identical IEEE sequences (sequential left folds)
+  *    so scores match bit-for-bit pre-rounding.
+  */
+object SimilarityOps {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val Dim = 64
+  val NumPlanes = 6
+  val TopK = 5
+  val NumQueries = 20
+
+  /** Deterministic hyperplanes: java.util.Random(42) Gaussians (the LCG and
+    * nextGaussian algorithms are fixed by the Java spec, so these constants
+    * are stable across JVMs; the oracle embeds the same literals).
+    */
+  lazy val planes: Array[Array[Double]] = {
+    val rnd = new java.util.Random(42)
+    Array.fill(NumPlanes, Dim)(rnd.nextGaussian())
+  }
+
+  /** double-widened embedding + L2 norm. */
+  private def prepared(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, d)
+      .withColumn("e", transform($"embedding", x => x.cast("double")))
+      .withColumn("norm", sqrt(aggregate($"e", lit(0.0), (acc, x) => acc + x * x)))
+      .select($"vec_id", $"label", $"e", $"norm")
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** 6-bit hyperplane sign bucket of a (double) embedding column. */
+  def lshBucket(e: Column): Column = {
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(e, planeCol) > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def topkWithin(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"query_id").orderBy(desc("cos_exact"), asc("vec_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
+        round($"cos_exact", 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact ANN baseline: top-5 cosine neighbors for the first 20 vectors.
+    "ann_cosine_topk" -> ((s, d) => {
+      import s.implicits._
+      val v = prepared(s, d)
+      val q = v.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"e".as("qe"), $"norm".as("qn"))
+      val pairs = v.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .withColumn("cos_exact", dot($"e", $"qe") / ($"norm" * $"qn"))
+      topkWithin(s, pairs)
+    }),
+
+    // LSH-bucketed ANN: same queries, neighbors restricted to the query's
+    // 16-bit hyperplane bucket (the approximate scale path).
+    "ann_lsh_topk" -> ((s, d) => {
+      import s.implicits._
+      val v = prepared(s, d).withColumn("bucket", lshBucket($"e"))
+      val q = v.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"e".as("qe"), $"norm".as("qn"),
+          $"bucket".as("qbucket"))
+      val pairs = v.join(broadcast(q),
+          $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+        .withColumn("cos_exact", dot($"e", $"qe") / ($"norm" * $"qn"))
+      topkWithin(s, pairs)
+    }),
+
+    // IVF-style coarse probe: neighbors restricted to the query's label
+    // cell (stands in for a centroid assignment; cells are pre-partitioned
+    // so the probe scans 1/n_cells of the corpus).
+    "ann_ivf_label_topk" -> ((s, d) => {
+      import s.implicits._
+      val v = prepared(s, d)
+      val q = v.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"e".as("qe"), $"norm".as("qn"),
+          $"label".as("qlabel"))
+      val pairs = v.join(broadcast(q),
+          $"label" === $"qlabel" && $"vec_id" =!= $"query_id")
+        .withColumn("cos_exact", dot($"e", $"qe") / ($"norm" * $"qn"))
+      topkWithin(s, pairs)
+    }),
+
+    // LSH bucket histogram — the skew diagnostic for the ANN path.
+    "ann_lsh_bucket_stats" -> ((s, d) => {
+      import s.implicits._
+      prepared(s, d)
+        .withColumn("bucket", lshBucket($"e"))
+        .groupBy($"bucket").agg(count("*").as("n_vectors"))
+        .orderBy(desc("n_vectors"), asc("bucket"))
+        .limit(50)
+    }),
+  )
+
+  // ---- oracle SQL ----
+
+  private val prepSql =
+    """v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, e,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+      |      (a, b) -> a + b)) AS norm
+      |  FROM v)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0,
+       |  list_transform(range($Dim), i -> $a[i+1] * $b[i+1])),
+       |  (x, y) -> x + y)""".stripMargin
+
+  /** Bucket expression over a list column, same plane literals as Spark. */
+  private def bucketSql(e: String): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      val lits = p.mkString("[", ",", "]")
+      s"CASE WHEN ${dotSql(e, lits)} > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private def topkSql(pairsFrom: String): String =
+    s"""SELECT query_id, rank, vec_id AS neighbor_id,
+       |  ROUND(cos_exact, 6) AS cosine
+       |FROM (
+       |  SELECT query_id, vec_id, cos_exact,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_exact DESC, vec_id ASC) AS rank
+       |  FROM ($pairsFrom))
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      s"""WITH $prepSql
+         |${topkSql(
+        s"""SELECT q.vec_id AS query_id, c.vec_id,
+           |  ${dotSql("c.e", "q.e")} / (c.norm * q.norm) AS cos_exact
+           |FROM n c JOIN n q ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id""".stripMargin)}""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH $prepSql,
+         |b AS (SELECT vec_id, label, e, norm, ${bucketSql("e")} AS bucket FROM n)
+         |${topkSql(
+        s"""SELECT q.vec_id AS query_id, c.vec_id,
+           |  ${dotSql("c.e", "q.e")} / (c.norm * q.norm) AS cos_exact
+           |FROM b c JOIN b q ON q.vec_id < $NumQueries
+           |  AND c.bucket = q.bucket AND c.vec_id <> q.vec_id""".stripMargin)}""".stripMargin,
+    "ann_ivf_label_topk" ->
+      s"""WITH $prepSql
+         |${topkSql(
+        s"""SELECT q.vec_id AS query_id, c.vec_id,
+           |  ${dotSql("c.e", "q.e")} / (c.norm * q.norm) AS cos_exact
+           |FROM n c JOIN n q ON q.vec_id < $NumQueries
+           |  AND c.label = q.label AND c.vec_id <> q.vec_id""".stripMargin)}""".stripMargin,
+    "ann_lsh_bucket_stats" ->
+      s"""WITH $prepSql
+         |SELECT ${bucketSql("e")} AS bucket, COUNT(*) AS n_vectors
+         |FROM n GROUP BY 1 ORDER BY n_vectors DESC, bucket ASC LIMIT 50""".stripMargin,
+  )
+}
