@@ -35,11 +35,23 @@ object DedupOps {
 
   private val P_POLY = 1000000007L // polynomial-hash modulus
   private val P_PERM = 2147483647L // 2^31-1, permutation-hash modulus
-  private val A_MULT = 2654435761L // Knuth multiplicative constant
-  private val B_MULT = 2654838327L // 40503*65537
   val NumHashes = 32
   val NumBands = 8
   val RowsPerBand = 4
+
+  /** Independent MinHash permutation seeds h_i(x) = (a_i·x + b_i) mod P.
+    * Drawn from java.util.Random(42) (LCG fixed by the Java spec) and
+    * embedded as literals in BOTH engines. NOT formula-derived: an earlier
+    * a_i = A·(i+1), b_i = B·(i+1) scheme made every h_i a scalar multiple
+    * of one function (h_i = (i+1)·g(x) mod P), which collapsed the
+    * independence assumption behind banding and measurably lost a
+    * 0.988-Jaccard pair at sf0.001.
+    */
+  lazy val permSeeds: IndexedSeq[(Long, Long)] = {
+    val rnd = new java.util.Random(42)
+    IndexedSeq.fill(NumHashes)(
+      (rnd.nextInt(P_PERM.toInt - 1) + 1L, rnd.nextInt(P_PERM.toInt).toLong))
+  }
 
   /** Order-sensitive polynomial hash of a string's code points,
     * acc = (acc*131 + code) mod 1e9+7 — identical in DuckDB via
@@ -178,8 +190,8 @@ object DedupOps {
       val par = s.sparkContext.defaultParallelism
       val xs = e.toDF("doc_id", "x").repartition(par, $"doc_id")
       val minCols = (0 until NumHashes).map { i =>
-        min((((lit(A_MULT) * (i + 1)) % P_PERM) * $"x"
-          + (lit(B_MULT) * (i + 1)) % P_PERM) % P_PERM).as(s"h$i")
+        val (a, b) = permSeeds(i)
+        min((lit(a) * $"x" + lit(b)) % P_PERM).as(s"h$i")
       }
       val bandKeys = (0 until NumBands).map { b =>
         concat_ws("_", (0 until RowsPerBand).map(r =>
@@ -287,11 +299,11 @@ object DedupOps {
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCte,
          |xs AS (SELECT doc_id, sh AS x FROM e),
+         |seeds(i, a, b) AS (VALUES ${permSeeds.zipWithIndex
+        .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")}),
          |sig AS (
-         |  SELECT doc_id, i,
-         |    MIN((($A_MULT * (i + 1)) % $P_PERM * x + ($B_MULT * (i + 1)) % $P_PERM)
-         |        % $P_PERM) AS h
-         |  FROM xs CROSS JOIN (SELECT unnest(range($NumHashes)) AS i)
+         |  SELECT doc_id, i, MIN((a * x + b) % $P_PERM) AS h
+         |  FROM xs CROSS JOIN seeds
          |  GROUP BY doc_id, i),
          |bands AS (
          |  SELECT doc_id, i // $RowsPerBand AS band,

@@ -121,7 +121,7 @@ object SimilarityOps {
         .withColumn("bucket", lshBucket($"e"))
         .groupBy($"bucket").agg(count("*").as("n_vectors"))
         .orderBy(desc("n_vectors"), asc("bucket"))
-        .limit(50)
+        .limit(100)
     }),
   )
 
@@ -186,6 +186,6 @@ object SimilarityOps {
     "ann_lsh_bucket_stats" ->
       s"""WITH $prepSql
          |SELECT ${bucketSql("e")} AS bucket, COUNT(*) AS n_vectors
-         |FROM n GROUP BY 1 ORDER BY n_vectors DESC, bucket ASC LIMIT 50""".stripMargin,
+         |FROM n GROUP BY 1 ORDER BY n_vectors DESC, bucket ASC LIMIT 100""".stripMargin,
   )
 }

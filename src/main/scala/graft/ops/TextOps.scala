@@ -249,15 +249,16 @@ object TextOps {
     }),
 
     // Document fingerprinting (training-data pipeline op): order-sensitive
-    // rolling polynomial hash over the token stream, mod 1e9+7 — pure
-    // higher-order-function arithmetic, identical in both engines.
+    // rolling hash over per-token polynomial hashes, mod 1e9+7. (A weaker
+    // token value like ascii(t)+len(t) collides trivially — "alpha" and
+    // "beta" both map to 102 — so token identity comes from PolyHash.)
     "text_fingerprint" -> ((s, d) => {
       import s.implicits._
       val p = 1000000007L
       documents(s, d)
         .withColumn("fp",
           aggregate(
-            transform(tokens($"text"), t => ascii(t).cast("long") + length(t)),
+            transform(tokens($"text"), t => graft.functions.PolyHash.poly_hash(t)),
             lit(0L),
             (acc, x) => pmod(acc * 31L + x, lit(p))))
         .select("doc_id", "fp")
@@ -383,7 +384,7 @@ object TextOps {
       s"""SELECT doc_id,
          |  list_reduce(
          |    list_prepend(CAST(0 AS BIGINT),
-         |      list_transform($tokensSql, t -> CAST(ascii(t) + len(t) AS BIGINT))),
+         |      list_transform($tokensSql, t -> ${graft.ops.DedupOps.polyHashSql("t")})),
          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
   )

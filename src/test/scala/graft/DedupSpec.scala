@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{PolyHash, ShingleHashes}
+import graft.ops.DedupOps
+
+/** Dedup-suite semantics: hash determinism, LSH recall vs the exact
+  * verifier, guards.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refHash(s: String): Long = {
+    var acc = 0L
+    s.codePoints().toArray.foreach(cp => acc = (acc * 131 + cp) % 1000000007L)
+    acc
+  }
+
+  test("PolyHash matches the reference recurrence and the HOF form") {
+    val inputs = Seq("", "a", "spark", "hello world", "ünïcode")
+    val got = inputs.toDF("s")
+      .select(PolyHash.poly_hash($"s").as("h")).as[Long].collect()
+    assert(got.toSeq == inputs.map(refHash))
+    // HOF equivalence (the interpreted form the oracle mirrors)
+    val hof = inputs.toDF("s").select(
+      aggregate(split($"s", ""), lit(0L),
+        (acc, ch) => (acc * 131L + ascii(ch).cast("long")) % 1000000007L).as("h"))
+      .as[Long].collect()
+    assert(hof.toSeq == got.toSeq)
+  }
+
+  test("ShingleHashes equals hashing the 3-gram shingle strings") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val toksArr = text.split(" ").toSeq
+    val expected = toksArr.sliding(3).map(w => refHash(w.mkString(" "))).toSeq.distinct
+    val got = Seq(toksArr).toDF("t")
+      .select(ShingleHashes.poly_shingles($"t").as("xs"))
+      .as[Seq[Long]].collect().head
+    assert(got.sorted == expected.sorted)
+  }
+
+  test("ShingleHashes of short token arrays is empty (no descending-sequence garbage)") {
+    val got = Seq(Seq("a", "b")).toDF("t")
+      .select(ShingleHashes.poly_shingles($"t").as("xs"))
+      .as[Seq[Long]].collect().head
+    assert(got.isEmpty)
+    val viaColumn = Seq("a b").toDF("text")
+      .select(DedupOps.shingles($"text").as("s"))
+      .as[Seq[String]].collect().head
+    assert(viaColumn.isEmpty)
+  }
+
+  test("exact dedup removes the constructed duplicates") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val out = SparkEntry.queries("dedup_exact")(spark, sf)
+    // survivors = original corpus size (every injected copy is a dup)
+    assert(out.count() == docs)
+    assert(out.filter($"doc_id" >= 1000000).count() == 0)
+  }
+
+  test("MinHash-LSH finds exactly the exact-Jaccard pairs on this corpus") {
+    val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact)) // LSH candidates are verified => no false positives
+    assert(lsh == exact)        // at s>=0.8 with 8x4 bands, recall is ~1 here
+  }
+
+  test("simhash near-dup candidates cover most true near-dup pairs") {
+    val truePairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val simPairs = SparkEntry.queries("dedup_simhash_pairs")(spark, sf)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    if (truePairs.nonEmpty) {
+      val recall = truePairs.count(simPairs.contains).toDouble / truePairs.size
+      assert(recall >= 0.7, s"simhash recall $recall")
+    }
+  }
+}

