@@ -21,14 +21,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ TextOps.queries ++
-      DedupOps.queries ++ SimilarityOps.queries
+      DedupOps.queries ++ SimilarityOps.queries ++ MLOps.queries ++
+      MultimodalOps.queries ++ graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Aggregates.oracles ++ TextOps.oracles ++
-      DedupOps.oracles ++ SimilarityOps.oracles
+      DedupOps.oracles ++ SimilarityOps.oracles ++ MLOps.oracles ++
+      MultimodalOps.oracles ++ graft.streaming.StreamingOps.oracles
 
   /** Headline subset used by graft.Bench — the scale-representative
     * queries (big shuffles, joins, windows, text/similarity paths), not
@@ -53,5 +55,9 @@ object SparkEntry {
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "stream_tumbling_daily",
+    "stream_session_windows",
+    "mm_feature_histogram",
+    "mm_frame_sample",
   ).filter(queries.contains)
 }

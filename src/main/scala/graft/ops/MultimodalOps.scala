@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (north-star requirement): media payloads as
+  * opaque BINARY columns with typed metadata, batch "decode"/featurize/
+  * frame-sample over mapPartitions.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * DETERMINISTIC STAND-IN (documents.text bytes play the payload role; the
+  * "decoder" is a byte-histogram featurizer and a fixed-stride frame
+  * chunker). Everything Spark-side — binary schema, per-partition
+  * batching, typed Row output schema, downstream relational shape — is
+  * real, and the stand-ins are exact integer arithmetic so the DuckDB
+  * oracle checks the full path.
+  *
+  * Scale notes: mapPartitions processes payloads in per-partition batches
+  * (the shape a real ONNX/codec runtime wants — amortized model/codec
+  * init per partition, not per row); output is long-form (doc_id, bin/
+  * frame, value) so downstream aggregation is plain partial-agg groupBy.
+  */
+object MultimodalOps {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val NumBins = 16
+  val FrameBytes = 32
+  val FrameStride = 4 // sample every 4th frame
+
+  /** documents with payload BINARY + typed metadata (format from a
+    * deterministic doc_id rule; byte length; md5 checksum).
+    */
+  private def withPayload(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id",
+        encode($"text", "UTF-8").as("payload"),
+        element_at(typedLit(Seq("png", "jpeg", "wav")), ($"doc_id" % 3 + 1).cast("int"))
+          .as("media_format"),
+        octet_length(encode($"text", "UTF-8")).as("n_bytes"),
+        md5(encode($"text", "UTF-8")).as("checksum"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Binary + metadata columns, aggregated per format (the catalog view a
+    // media corpus needs).
+    "mm_payload_stats" -> ((s, d) => {
+      import s.implicits._
+      withPayload(s, d)
+        .groupBy($"media_format")
+        .agg(count("*").as("n_items"),
+          sum($"n_bytes").as("total_bytes"),
+          min($"n_bytes").as("min_bytes"),
+          max($"n_bytes").as("max_bytes"),
+          countDistinct($"checksum").as("n_distinct"))
+        .orderBy("media_format")
+    }),
+
+    // Batched "decode"+featurize over mapPartitions: byte histogram into
+    // 16 bins (code/16, codes < 256), long-form output.
+    "mm_feature_histogram" -> ((s, d) => {
+      import s.implicits._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("bin", IntegerType, nullable = false),
+        StructField("cnt", LongType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      withPayload(s, d).select($"doc_id", $"payload")
+        .mapPartitions { it =>
+          // batch shape: decode per partition, one codec init per task
+          it.flatMap { r =>
+            val docId = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val hist = new Array[Long](NumBins)
+            bytes.foreach { b => hist((b & 0xff) / NumBins) += 1 }
+            hist.zipWithIndex.collect {
+              case (c, bin) if c > 0 => Row(docId, bin, c)
+            }
+          }
+        }(enc)
+        .orderBy("doc_id", "bin")
+    }),
+
+    // Frame sampling: fixed 32-byte frames, keep every 4th, fingerprint
+    // each sampled frame with the shared polynomial hash.
+    "mm_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("frame_idx", IntegerType, nullable = false),
+        StructField("frame_len", IntegerType, nullable = false),
+        StructField("frame_hash", LongType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      withPayload(s, d).select($"doc_id", $"payload")
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            val docId = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val nFrames = (bytes.length + FrameBytes - 1) / FrameBytes
+            (0 until nFrames by FrameStride).iterator.map { f =>
+              val from = f * FrameBytes
+              val until = math.min(from + FrameBytes, bytes.length)
+              var h = 0L
+              var i = from
+              while (i < until) { h = (h * 131L + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+              Row(docId, f, until - from, h)
+            }
+          }
+        }(enc)
+        .orderBy("doc_id", "frame_idx")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_payload_stats" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |            ELSE 'wav' END AS media_format,
+        |  COUNT(*) AS n_items,
+        |  SUM(strlen(text)) AS total_bytes,
+        |  MIN(strlen(text)) AS min_bytes,
+        |  MAX(strlen(text)) AS max_bytes,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mm_feature_histogram" ->
+      """SELECT doc_id, bin, COUNT(*)::BIGINT AS cnt FROM (
+        |  SELECT doc_id, ascii(c) // 16 AS bin
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |        FROM documents))
+        |GROUP BY doc_id, bin ORDER BY doc_id, bin""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, strlen(text) AS n,
+        |    unnest(range(0, CAST(ceil(strlen(text) / 32.0) AS BIGINT), 4)) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(LEAST(32, n - frame_idx * 32) AS INT) AS frame_len,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(substr(text, frame_idx * 32 + 1, 32), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 131 + c) % 1000000007) AS frame_hash
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Tables
+
+/** Time-windowed / incremental semantics (SURVEY §2.9, §7.1 M8).
+  *
+  * The reference is a 30-minute scheduled micro-batch DAG; its incremental
+  * semantics (tumbling daily buckets, sliding lookbacks, insert-time key
+  * dedup) map to Structured Streaming. Each op here is expressed with the
+  * SAME window functions a readStream plan would use, evaluated in batch
+  * mode so the DuckDB oracle can check it; StreamingSpec runs the actual
+  * readStream/writeStream versions through MemoryStream and asserts they
+  * agree with these batch results.
+  *
+  * Scale notes: all three window shapes aggregate with partial map-side
+  * combine; sliding windows multiply rows by windowDuration/slideDuration
+  * (2× here) BEFORE the shuffle, which is the documented Spark cost model;
+  * session windows shuffle once on the grouping key then merge in-state.
+  */
+object StreamingOps {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1-day event-time window (W3/A4 streaming form).
+    "stream_tumbling_daily" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+        .agg(count("*").as("n"), round(sum($"value"), 4).as("sum_value"))
+        .select($"w.start".as("win_start"), $"event_type", $"n", $"sum_value")
+        .orderBy("win_start", "event_type")
+    }),
+
+    // Sliding 12h window, 6h slide (P7's lookback generalized).
+    "stream_sliding_12h" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy(window($"ts", "12 hours", "6 hours").as("w"))
+        .agg(count("*").as("n"))
+        .select($"w.start".as("win_start"), $"n")
+        .orderBy("win_start")
+    }),
+
+    // Session windows: 30-minute inactivity gap per user.
+    "stream_session_windows" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+        .agg(count("*").as("n"))
+        .groupBy($"user_id")
+        .agg(count("*").as("n_sessions"), sum($"n").as("n_events"))
+        .orderBy("user_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Spark windows align to the 1970 epoch; 6h/12h/1d buckets from
+    // epoch-aligned arithmetic match.
+    "stream_tumbling_daily" ->
+      """SELECT date_trunc('day', ts) AS win_start, event_type,
+        |  COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_sliding_12h" ->
+      """SELECT win_start, COUNT(*) AS n FROM (
+        |  SELECT time_bucket(INTERVAL 6 HOUR, ts) - k * INTERVAL 6 HOUR AS win_start
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_session_windows" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS flag
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, SUM(flag) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id, COUNT(DISTINCT sid) AS n_sessions, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

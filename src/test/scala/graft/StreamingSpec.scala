@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming equivalence: the readStream versions of the
+  * windowed ops produce the same results as the batch queries the oracle
+  * checks (SURVEY §2.9 / M8).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  private lazy val batchEvents =
+    graft.ops.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[(Long, Timestamp, Long, String, Double)].collect()
+
+  test("streaming tumbling daily agg equals the batch query") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val agg = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "1 day")
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count("*").as("n"), round(sum($"value"), 4).as("sum_value"))
+      .select($"w.start".as("win_start"), $"event_type", $"n", $"sum_value")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("t_tumbling").start()
+    try {
+      // feed in two micro-batches to exercise state merge
+      val (b1, b2) = batchEvents.splitAt(batchEvents.length / 2)
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("t_tumbling")
+        .orderBy("win_start", "event_type")
+        .collect().map(_.toSeq).toSeq
+      val want = SparkEntry.queries("stream_tumbling_daily")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming dropDuplicates by key equals batch distinct count") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val dedup = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "2 days")
+      .dropDuplicates("user_id")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("t_dedup").start()
+    try {
+      stream.addData(batchEvents.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("t_dedup").count()
+      val want = graft.ops.Tables.events(spark, sf)
+        .select("user_id").distinct().count()
+      assert(got == want)
+    } finally q.stop()
+  }
+}
