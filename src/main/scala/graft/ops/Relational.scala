@@ -230,6 +230,48 @@ object Relational {
         .orderBy("r_name")
     }),
 
+    // F21 (ArticlesSpider.py:47-83): first-non-null fallback chain —
+    // coalesce over candidate extractions (missing json field -> k -> -1).
+    "f21_coalesce_fallback" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .withColumn("v", coalesce(
+          get_json_object($"props", "$.missing").cast("long"),
+          get_json_object($"props", "$.k").cast("long"),
+          lit(-1L)))
+        .groupBy($"v").agg(count("*").as("n"))
+        .orderBy("v")
+    }),
+
+    // F23 (topic_modeling.py:262): dict/map-literal lookup with default —
+    // element_at(map, key) + fallback.
+    "f23_map_lookup" -> ((s, d) => {
+      import s.implicits._
+      val m = typedLit(Map(
+        "click" -> "engagement", "view" -> "engagement",
+        "purchase" -> "conversion", "signup" -> "conversion"))
+      events(s, d)
+        .withColumn("category", coalesce(element_at(m, $"event_type"), lit("other")))
+        .groupBy($"category").agg(count("*").as("n"))
+        .orderBy("category")
+    }),
+
+    // Custom typed Aggregator: bounded-state top-k (k·P rows cross the
+    // shuffle; composable mid-pipeline, unlike terminal orderBy+limit).
+    "o2_topk_aggregator" -> ((s, d) => {
+      import s.implicits._
+      val topk = new graft.functions.TopK(15).toColumn
+      documents(s, d)
+        .select($"doc_id", $"n_chars")
+        .as[(Long, Long)]
+        .select(topk)
+        .toDF("tk")
+        .select(posexplode($"tk"))
+        .select(($"pos" + 1).as("rank"),
+          $"col._1".as("doc_id"), $"col._2".as("n_chars"))
+        .orderBy("rank")
+    }),
+
     // Left outer join + per-key aggregate: order line counts incl. empty.
     "j_left_order_line_counts" -> ((s, d) => {
       import s.implicits._
@@ -331,6 +373,22 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "f21_coalesce_fallback" ->
+      """SELECT COALESCE(CAST(props->>'$.missing' AS BIGINT),
+        |                CAST(props->>'$.k' AS BIGINT), -1) AS v,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f23_map_lookup" ->
+      """SELECT CASE event_type
+        |    WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+        |    WHEN 'purchase' THEN 'conversion' WHEN 'signup' THEN 'conversion'
+        |    ELSE 'other' END AS category,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "o2_topk_aggregator" ->
+      """SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank,
+        |  doc_id, n_chars
+        |FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 15""".stripMargin,
     "j_left_order_line_counts" ->
       """SELECT o_orderkey, COUNT(l_linenumber) AS n_lines
         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey

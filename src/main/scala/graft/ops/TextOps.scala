@@ -80,6 +80,32 @@ object TextOps {
   private def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
 
+  /** U2 lemmatizer-lite (data_preparation.py:100-119 is WordNet-backed;
+    * exact parity is out of scope per SURVEY §7.4 — this is the documented
+    * rule-based approximation): English suffix stripping, same CASE chain
+    * in the oracle.
+    */
+  def lemmaLite(t: Column): Column = {
+    def drop(n: Int): Column = t.substr(lit(1), length(t) - n)
+    when(t.endsWith("sses"), drop(2))
+      .when(t.endsWith("ies") && length(t) > 4, concat(drop(3), lit("y")))
+      .when(t.endsWith("ss"), t)
+      .when(t.endsWith("s") && length(t) > 3, drop(1))
+      .when(t.endsWith("ing") && length(t) > 5, drop(3))
+      .when(t.endsWith("ed") && length(t) > 4, drop(2))
+      .otherwise(t)
+  }
+
+  /** The same rules over a DuckDB lambda variable `t`. */
+  val lemmaLiteSql: String =
+    """CASE WHEN t LIKE '%sses' THEN substr(t, 1, len(t) - 2)
+      |     WHEN t LIKE '%ies' AND len(t) > 4 THEN substr(t, 1, len(t) - 3) || 'y'
+      |     WHEN t LIKE '%ss' THEN t
+      |     WHEN t LIKE '%s' AND len(t) > 3 THEN substr(t, 1, len(t) - 1)
+      |     WHEN t LIKE '%ing' AND len(t) > 5 THEN substr(t, 1, len(t) - 3)
+      |     WHEN t LIKE '%ed' AND len(t) > 4 THEN substr(t, 1, len(t) - 2)
+      |     ELSE t END""".stripMargin
+
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
@@ -248,6 +274,35 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // U2: lemmatizer-lite over the token stream — token, lemma pairs where
+    // they differ, with frequencies.
+    "u2_lemma_pairs" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select(explode(tokens($"text")).as("word"))
+        .withColumn("lemma", lemmaLite($"word"))
+        .filter($"lemma" =!= $"word")
+        .groupBy($"word", $"lemma").agg(count("*").as("cnt"))
+        .orderBy(desc("cnt"), asc("word"))
+        .limit(50)
+    }),
+
+    // §3.2 composed entry point: the data_preparation.process() chain —
+    // dirty text → clean (F1-F9) → tokenize (F10) → lemmatize (U2) →
+    // word counts (F28) → length gate (P4) → pruned projection (P1).
+    "pipeline_prep_docs" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .withColumn("article_clean_raw", cleanText(noisy(s)))
+        .select($"doc_id", $"lang",
+          filter(split($"article_clean_raw", "\\s+"), t => length(t) > 0).as("toks"))
+        .select($"doc_id", $"lang",
+          size($"toks").as("n_words"),
+          array_join(transform($"toks", t => lemmaLite(t)), " ").as("article_clean"))
+        .filter($"n_words" > 40)
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprinting (training-data pipeline op): order-sensitive
     // rolling hash over per-token polynomial hashes, mod 1e9+7. (A weaker
     // token value like ascii(t)+len(t) collides trivially — "alpha" and
@@ -380,6 +435,22 @@ object TextOps {
       s"""SELECT doc_id, len($tokensSql) AS ws_tokens,
          |  len(regexp_extract_all(text, '[a-zA-Z]+|\\d|[^\\sa-zA-Z\\d]')) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "u2_lemma_pairs" ->
+      s"""SELECT t AS word, $lemmaLiteSql AS lemma, COUNT(*) AS cnt FROM (
+         |  SELECT unnest($tokensSql) AS t FROM documents)
+         |WHERE ($lemmaLiteSql) <> t
+         |GROUP BY 1, 2 ORDER BY cnt DESC, word ASC LIMIT 50""".stripMargin,
+    "pipeline_prep_docs" ->
+      s"""WITH cleaned AS (
+         |  SELECT doc_id, lang, ${cleanTextSql(noisySql)} AS ac FROM documents),
+         |tokd AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split_regex(ac, '\\s+'), t -> len(t) > 0) AS toks
+         |  FROM cleaned)
+         |SELECT doc_id, lang, len(toks) AS n_words,
+         |  array_to_string(list_transform(toks, t -> $lemmaLiteSql), ' ')
+         |    AS article_clean
+         |FROM tokd WHERE len(toks) > 40 ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id,
          |  list_reduce(

@@ -1,0 +1,53 @@
+package graft
+
+/** Physical-plan shape assertions (the "is this the plan you'd want at
+  * 100 TB" checks): predicate/projection pushdown reaches the parquet
+  * scan, dimension joins broadcast, aggregates partial-aggregate, global
+  * top-n plans TakeOrderedAndProject rather than a full sort.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("projection pushdown: s2 scan reads only the selected columns") {
+    val p = plan("s2_projected_scan")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"), p)
+  }
+
+  test("predicate pushdown: quality-gate filters reach the parquet scan") {
+    val p = plan("p_quality_gate")
+    // (plan toString elides the tail of long filter lists, so assert on
+    // the untruncated prefix)
+    assert(p.contains("PushedFilters: [IsNotNull("), p)
+    assert(p.contains("Not(EqualTo(text,N/A))"), p)
+  }
+
+  test("star join broadcasts every dimension side") {
+    val p = plan("j_star_revenue_by_region")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 3, p)
+    // the single fact-fact join shuffles on the join key
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.split("BroadcastHashJoin").length - 1 >= 4, p)
+  }
+
+  test("aggregation is partial (map-side combine before the exchange)") {
+    val p = plan("a4_daily_value_trend")
+    assert(p.split("HashAggregate").length - 1 >= 2, p)
+  }
+
+  test("global top-n plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("o2_top_docs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("anti-join plans as a join, not a subquery re-scan per row") {
+    val p = plan("j2_customers_without_orders")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("broadcast lookup join hints are honored") {
+    val p = plan("j1_broadcast_lookup")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
