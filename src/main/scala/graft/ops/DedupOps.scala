@@ -257,13 +257,12 @@ object DedupOps {
       import s.implicits._
       val v = embeddings(s, d)
         .withColumn("e", transform($"embedding", x => x.cast("double")))
-        .withColumn("norm", sqrt(aggregate($"e", lit(0.0), (acc, x) => acc + x * x)))
+        .withColumn("norm", sqrt(graft.functions.VecDot.vec_dot($"e", $"e")))
         .select($"vec_id", $"e", $"norm")
       val a = v.toDF("v1", "e1", "n1")
       val b = v.toDF("v2", "e2", "n2")
       a.join(b, $"v1" < $"v2")
-        .withColumn("dot", aggregate(zip_with($"e1", $"e2", (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x))
+        .withColumn("dot", graft.functions.VecDot.vec_dot($"e1", $"e2"))
         .withColumn("cosine", round($"dot" / ($"n1" * $"n2"), 6))
         .filter($"cosine" >= 0.45)
         .select("v1", "v2", "cosine")

@@ -230,6 +230,56 @@ object Relational {
         .orderBy("r_name")
     }),
 
+    // S9 (data_preparation.py:53-55): overwrite-refresh sink + re-scan —
+    // the delete_many+insert_many full-refresh shape as parquet overwrite.
+    "s9_parquet_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val out = "target/tmp/s9_parquet_roundtrip"
+      nation(s, d).write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("n_nationkey")
+    }),
+
+    // D5 (data_preparation.py:80-83, stats_visualization.py:14-21): union
+    // of stopword sources — per-source and union hit counts over the
+    // corpus token stream.
+    "d5_stopword_union" -> ((s, d) => {
+      import s.implicits._
+      val nltkish = graft.functions.Lexicons.stopwordsEn
+      val custom = Seq("spark", "data", "query") // the "domain list" source
+      val nCol = array(nltkish.map(lit): _*)
+      val cCol = array(custom.map(lit): _*)
+      documents(s, d)
+        .select(explode(filter(split(lower($"text"), "\\s+"), t => length(t) > 0)).as("w"))
+        .agg(count("*").as("n_tokens"),
+          sum(when(array_contains(nCol, $"w"), 1).otherwise(0)).as("n_base"),
+          sum(when(array_contains(cCol, $"w"), 1).otherwise(0)).as("n_custom"),
+          sum(when(array_contains(nCol, $"w") || array_contains(cCol, $"w"), 1)
+            .otherwise(0)).as("n_union"))
+    }),
+
+    // J4 (pipelines.py:30-44 / Delta MERGE shape): upsert via full outer
+    // join — "existing" per-user profile (first 20 days) merged with a
+    // "batch" of updates (remaining days): matched rows update counters,
+    // unmatched insert.
+    "j4_merge_upsert" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+      val existing = ev.filter($"ts" < cut)
+        .groupBy($"user_id").agg(count("*").as("n"), round(sum($"value"), 4).as("v"))
+      val batch = ev.filter($"ts" >= cut)
+        .groupBy($"user_id").agg(count("*").as("n"), round(sum($"value"), 4).as("v"))
+      existing.toDF("user_id", "n_old", "v_old")
+        .join(batch.toDF("user_id", "n_new", "v_new"), Seq("user_id"), "full_outer")
+        .select($"user_id",
+          (coalesce($"n_old", lit(0L)) + coalesce($"n_new", lit(0L))).as("n_total"),
+          round(coalesce($"v_old", lit(0.0)) + coalesce($"v_new", lit(0.0)), 4).as("v_total"),
+          when($"n_old".isNull, "inserted")
+            .when($"n_new".isNull, "unchanged")
+            .otherwise("updated").as("merge_action"))
+        .orderBy("user_id")
+    }),
+
     // F21 (ArticlesSpider.py:47-83): first-non-null fallback chain —
     // coalesce over candidate extractions (missing json field -> k -> -1).
     "f21_coalesce_fallback" -> ((s, d) => {
@@ -373,6 +423,36 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "s9_parquet_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "d5_stopword_union" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |    t -> len(t) > 0)) AS w
+         |  FROM documents)
+         |SELECT COUNT(*) AS n_tokens,
+         |  SUM(CASE WHEN list_contains(${graft.functions.Lexicons.stopwordsEnSqlList}, w)
+         |      THEN 1 ELSE 0 END) AS n_base,
+         |  SUM(CASE WHEN w IN ('spark','data','query') THEN 1 ELSE 0 END) AS n_custom,
+         |  SUM(CASE WHEN list_contains(${graft.functions.Lexicons.stopwordsEnSqlList}, w)
+         |        OR w IN ('spark','data','query')
+         |      THEN 1 ELSE 0 END) AS n_union
+         |FROM tok""".stripMargin,
+    "j4_merge_upsert" ->
+      """WITH existing AS (
+        |  SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS v FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-21' GROUP BY user_id),
+        |batch AS (
+        |  SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS v FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-21' GROUP BY user_id)
+        |SELECT COALESCE(e.user_id, b.user_id) AS user_id,
+        |  COALESCE(e.n, 0) + COALESCE(b.n, 0) AS n_total,
+        |  ROUND(COALESCE(e.v, 0) + COALESCE(b.v, 0), 4) AS v_total,
+        |  CASE WHEN e.user_id IS NULL THEN 'inserted'
+        |       WHEN b.user_id IS NULL THEN 'unchanged'
+        |       ELSE 'updated' END AS merge_action
+        |FROM existing e FULL OUTER JOIN batch b ON e.user_id = b.user_id
+        |ORDER BY user_id""".stripMargin,
     "f21_coalesce_fallback" ->
       """SELECT COALESCE(CAST(props->>'$.missing' AS BIGINT),
         |                CAST(props->>'$.k' AS BIGINT), -1) AS v,

@@ -46,12 +46,13 @@ object SimilarityOps {
     import s.implicits._
     embeddings(s, d)
       .withColumn("e", transform($"embedding", x => x.cast("double")))
-      .withColumn("norm", sqrt(aggregate($"e", lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("norm", sqrt(graft.functions.VecDot.vec_dot($"e", $"e")))
       .select($"vec_id", $"label", $"e", $"norm")
   }
 
+  /** Codegen'd MAC loop; same fold order as the oracle's list_reduce. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VecDot.vec_dot(a, b)
 
   /** 6-bit hyperplane sign bucket of a (double) embedding column. */
   def lshBucket(e: Column): Column = {
