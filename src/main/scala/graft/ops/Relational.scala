@@ -230,6 +230,53 @@ object Relational {
         .orderBy("r_name")
     }),
 
+    // S5 (bbc_news_dag.py:51-111): XML feed source shape — parse
+    // <url><loc/><lastmod/></url> records into rows, filter, bucket.
+    // (The real feed is HTTP; the harness synthesizes the XML column from
+    // events, then the PARSING is the operator under test.)
+    "s5_xml_source" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .withColumn("xml", concat(
+          lit("<url><loc>https://ex.com/a/"), $"event_id",
+          lit("</loc><lastmod>"), date_format($"ts", "yyyy-MM-dd"),
+          lit("</lastmod></url>")))
+        .select(
+          regexp_extract($"xml", "<loc>([^<]+)</loc>", 1).as("loc"),
+          regexp_extract($"xml", "<lastmod>([^<]+)</lastmod>", 1).as("lastmod"))
+        .filter($"loc".contains("/a/"))
+        .groupBy($"lastmod").agg(count("*").as("n_urls"))
+        .orderBy("lastmod")
+    }),
+
+    // P9 (stats_visualization.py:282,293,312): column-existence guard —
+    // schema-dependent plan choice (static in this engine: the branch is
+    // resolved at plan time from df.columns).
+    "p9_schema_guard" -> ((s, d) => {
+      import s.implicits._
+      val df = documents(s, d)
+      val labelCol =
+        if (df.columns.contains("sentiment_label")) col("sentiment_label")
+        else lit("unscored")
+      df.groupBy(labelCol.as("label")).agg(count("*").as("n")).orderBy("label")
+    }),
+
+    // F26 (ArticlesSpider.py:77-105, stats_visualization.py:426-428):
+    // array ops on token lists — slice, negative element_at, size,
+    // membership.
+    "f26_array_ops" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id",
+          filter(split(lower($"text"), "\\s+"), t => length(t) > 0).as("toks"))
+        .select($"doc_id",
+          size($"toks").as("n_toks"),
+          array_join(slice($"toks", 1, 5), " ").as("first5"),
+          element_at($"toks", -1).as("last_tok"),
+          array_contains($"toks", "spark").as("has_spark"))
+        .orderBy("doc_id")
+    }),
+
     // S9 (data_preparation.py:53-55): overwrite-refresh sink + re-scan —
     // the delete_many+insert_many full-refresh shape as parquet overwrite.
     "s9_parquet_roundtrip" -> ((s, d) => {
@@ -423,6 +470,29 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "s5_xml_source" ->
+      """WITH x AS (
+        |  SELECT '<url><loc>https://ex.com/a/' || event_id || '</loc><lastmod>'
+        |    || strftime(ts, '%Y-%m-%d') || '</lastmod></url>' AS xml
+        |  FROM events),
+        |p AS (
+        |  SELECT regexp_extract(xml, '<loc>([^<]+)</loc>', 1) AS loc,
+        |    regexp_extract(xml, '<lastmod>([^<]+)</lastmod>', 1) AS lastmod
+        |  FROM x)
+        |SELECT lastmod, COUNT(*) AS n_urls FROM p
+        |WHERE contains(loc, '/a/') GROUP BY lastmod ORDER BY lastmod""".stripMargin,
+    "p9_schema_guard" ->
+      "SELECT 'unscored' AS label, COUNT(*) AS n FROM documents",
+    "f26_array_ops" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id, len(toks) AS n_toks,
+        |  array_to_string(toks[1:5], ' ') AS first5,
+        |  toks[-1] AS last_tok,
+        |  list_contains(toks, 'spark') AS has_spark
+        |FROM t ORDER BY doc_id""".stripMargin,
     "s9_parquet_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "d5_stopword_union" ->

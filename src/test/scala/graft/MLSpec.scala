@@ -36,6 +36,25 @@ class MLSpec extends SparkSpec {
     assert(df == 0)
   }
 
+  test("model sink: LDA save/load round-trip preserves topics (S11)") {
+    import org.apache.spark.ml.clustering.{LDA, LocalLDAModel}
+    import org.apache.spark.sql.functions._
+    val toks = graft.ops.Tables.documents(spark, sf)
+      .select($"doc_id", filter(split(lower($"text"), "\\s+"),
+        t => length(t) >= 3).as("toks"))
+    val cv = new org.apache.spark.ml.feature.CountVectorizerModel(
+      Array("spark", "data", "query", "table", "join", "merge", "batch"))
+      .setInputCol("toks").setOutputCol("tf")
+    val vec = cv.transform(toks).select("doc_id", "tf").coalesce(1)
+    val model = new LDA().setK(2).setSeed(42L).setMaxIter(3)
+      .setFeaturesCol("tf").fit(vec)
+    val path = "target/tmp/lda_model_roundtrip"
+    model.write.overwrite().save(path)
+    val loaded = LocalLDAModel.load(path)
+    assert(loaded.describeTopics(3).collect().map(_.toSeq).toSeq ==
+      model.describeTopics(3).collect().map(_.toSeq).toSeq)
+  }
+
   test("model scan returns one row per candidate k") {
     val rows = SparkEntry.queries("u6_lda_model_scan")(spark, sf)
       .as[(Int, Double)].collect()
