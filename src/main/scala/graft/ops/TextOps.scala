@@ -174,9 +174,12 @@ object TextOps {
         .select($"doc_id", explode(tokens($"text")).as("word"))
         .filter(length($"word") >= 3 && !array_contains(stopwordArray, $"word"))
         .groupBy($"doc_id", $"word").agg(count("*").as("tf"))
-      val df = tf.groupBy($"word").agg(count("*").as("df"))
+      // df via a window over the SAME tf table — one tokenize+aggregate
+      // pass total, vs a second full explode branch + join (at 100 TB the
+      // token firehose is the dominant cost; never produce it twice).
+      val wDf = Window.partitionBy($"word")
       val wNorm = Window.partitionBy($"doc_id")
-      tf.join(df, "word")
+      tf.withColumn("df", count(lit(1)).over(wDf))
         .join(broadcast(n))
         .withColumn("w", $"tf" * (log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0))
         .withColumn("wn", $"w" / sqrt(sum($"w" * $"w").over(wNorm)))
@@ -225,14 +228,17 @@ object TextOps {
         Lexicons.langFunctionWords.toSeq.sortBy(_._1)
           .flatMap { case (l, ws) => ws.map(w => (l, w)) })
         .toDF("cand_lang", "word")
-      val tok = docs.select($"doc_id", explode(tokens($"text")).as("word"))
-      val nTok = tok.groupBy($"doc_id").agg(count("*").as("n_tok"))
+      // n_tok rides along through the explode — no second token branch.
+      val tok = docs
+        .select($"doc_id", tokens($"text").as("t"))
+        .select($"doc_id", size($"t").as("n_tok"), explode($"t").as("word"))
       val hits = tok.join(broadcast(lw), "word")
-        .groupBy($"doc_id", $"cand_lang").agg(count("*").as("hits"))
+        .groupBy($"doc_id", $"cand_lang")
+        .agg(count("*").as("hits"), max($"n_tok").as("n_tok"))
       val w = Window.partitionBy($"doc_id").orderBy(desc("hits"), asc("cand_lang"))
       val best = hits.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      docs.join(best, Seq("doc_id"), "left")
-        .join(nTok, Seq("doc_id"), "left")
+      docs.select($"doc_id")
+        .join(best, Seq("doc_id"), "left")
         .withColumn("pred_lang", coalesce($"cand_lang", lit("und")))
         .withColumn("confidence",
           round(coalesce($"hits" / $"n_tok", lit(0.0)), 6))
