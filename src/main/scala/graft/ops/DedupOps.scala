@@ -137,12 +137,17 @@ object DedupOps {
   private def explodedShingles(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val par = s.sparkContext.defaultParallelism
+    // Persisted: the shingle frame feeds 4-6 plan branches (candidate
+    // sides, sizes, signatures); without a materialization boundary Spark
+    // re-reads and re-shingles the corpus per branch — the multi-consumer
+    // fan-out pattern SURVEY §3.1 calls for caching.
     val sh = documents(s, d)
       .repartition(par) // single-file corpus: fan out before the CPU work
       .select($"doc_id", toks($"text").as("t"))   // tokenization Project
       .select($"doc_id",
         graft.functions.ShingleHashes.poly_shingles($"t").as("xs"))
       .filter(size($"xs") >= 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (sh.select($"doc_id", explode($"xs").as("sh")),
       sh.select($"doc_id", size($"xs").as("sz")))
   }

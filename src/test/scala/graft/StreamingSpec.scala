@@ -46,6 +46,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch overwrite sink (S9 streaming form) lands the data") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val out = "target/tmp/stream_foreachbatch"
+    val q = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.groupBy("event_type").count()
+          .write.mode("overwrite").parquet(out)
+      }
+      .start()
+    try {
+      stream.addData(batchEvents.toSeq)
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out)
+      assert(landed.count() == 5)
+      val total = landed.agg(sum($"count")).collect().head.getLong(0)
+      assert(total == batchEvents.length)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates by key equals batch distinct count") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
