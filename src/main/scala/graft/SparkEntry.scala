@@ -55,6 +55,8 @@ object SparkEntry {
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "asof_join_purchase_click",
+    "a_percentiles",
     "stream_tumbling_daily",
     "stream_session_windows",
     "mm_feature_histogram",

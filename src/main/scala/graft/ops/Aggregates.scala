@@ -233,6 +233,62 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // As-of join (the classic "operator Spark lacks"): for each purchase,
+    // the most recent click of the same user at or before it. Implemented
+    // scalably by composing built-ins — union the two streams, one shuffle
+    // on (user_id), running last_value over event time — instead of a
+    // range-condition join (which would plan as a broadcast nested loop).
+    // The DuckDB oracle uses its NATIVE ASOF JOIN, so the semantics are
+    // differentially pinned against an independent implementation.
+    "asof_join_purchase_click" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val tagged = ev
+        .filter($"event_type".isin("purchase", "click"))
+        .select($"event_id", $"user_id", $"ts", $"event_type",
+          when($"event_type" === "click", $"ts").as("click_ts"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc, $"event_type".asc, $"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_click_ts", last($"click_ts", ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts",
+          $"last_click_ts".as("click_ts"),
+          (unix_timestamp($"ts") - unix_timestamp($"last_click_ts"))
+            .as("secs_since_click"))
+        .orderBy("event_id")
+    }),
+
+    // Exact percentiles (sort-based, interpolated) — the oracle-checkable
+    // form; the sketch-based scale path is a_approx_stats below.
+    "a_percentiles" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy("event_type")
+    }),
+
+    // Sketch-based approximations — the 100 TB path for distinct counts
+    // and quantiles (no oracle: sketch implementations differ across
+    // engines; AggregatesSpec bounds them against the exact values).
+    "a_approx_stats" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          approx_count_distinct($"user_id").as("approx_users"),
+          round(element_at(percentile_approx($"value", typedLit(Seq(0.5, 0.95)),
+            lit(10000)), 1), 6).as("approx_p50"),
+          round(element_at(percentile_approx($"value", typedLit(Seq(0.5, 0.95)),
+            lit(10000)), 2), 6).as("approx_p95"))
+        .orderBy("event_type")
+    }),
+
     // approx distinct (scale path for COUNT(DISTINCT) — SURVEY §2.4 notes
     // the reference lacks it; at 100 TB you want the sketch). Exact
     // count_distinct alongside for the oracle.
@@ -339,6 +395,23 @@ object Aggregates {
     "f22_json_extract" ->
       """SELECT CAST(props->>'$.k' AS INT) AS k, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "asof_join_purchase_click" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, c.click_ts,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT)
+        |    - CAST(floor(epoch(c.click_ts)) AS BIGINT) AS secs_since_click
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY event_id""".stripMargin,
+    "a_percentiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 6) AS p95,
+        |  ROUND(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a_stats_summary" ->
       """SELECT event_type, COUNT(*) AS n,
         |  ROUND(MIN(value), 6) AS min_v, ROUND(MAX(value), 6) AS max_v,

@@ -32,6 +32,13 @@ def canon(df):
 def cells_equal(a, b):
     if a is None and b is None:
         return True
+    try:
+        import pandas as pd
+        if not isinstance(a, (list, tuple)) and not isinstance(b, (list, tuple)):
+            if pd.isna(a) and pd.isna(b):  # covers NaN and NaT
+                return True
+    except (ImportError, ValueError, TypeError):
+        pass
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
