@@ -115,6 +115,19 @@ object SimilarityOps {
       topkWithin(s, pairs)
     }),
 
+    // Per-label embedding centroids (class centroids / IVF cell centers):
+    // position-wise mean via posexplode — one shuffle on (label, dim),
+    // partial-aggregated; the building block for k-means-style assignment.
+    "emb_label_centroids" -> ((s, d) => {
+      import s.implicits._
+      embeddings(s, d)
+        .select($"label", posexplode($"embedding"))
+        .groupBy($"label", $"pos")
+        .agg(round(avg($"col".cast("double")), 6).as("mean_val"))
+        .filter($"pos" < 8) // keep the dump small; all 64 dims compute the same way
+        .orderBy("label", "pos")
+    }),
+
     // LSH bucket histogram — the skew diagnostic for the ANN path.
     "ann_lsh_bucket_stats" -> ((s, d) => {
       import s.implicits._
@@ -184,6 +197,14 @@ object SimilarityOps {
            |  ${dotSql("c.e", "q.e")} / (c.norm * q.norm) AS cos_exact
            |FROM n c JOIN n q ON q.vec_id < $NumQueries
            |  AND c.label = q.label AND c.vec_id <> q.vec_id""".stripMargin)}""".stripMargin,
+    "emb_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS pos,
+        |  ROUND(AVG(CAST(x AS DOUBLE)), 6) AS mean_val
+        |FROM (
+        |  SELECT label, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings)
+        |WHERE i <= 8 GROUP BY label, i ORDER BY label, pos""".stripMargin,
     "ann_lsh_bucket_stats" ->
       s"""WITH $prepSql
          |SELECT ${bucketSql("e")} AS bucket, COUNT(*) AS n_vectors

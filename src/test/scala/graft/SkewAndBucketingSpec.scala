@@ -37,9 +37,18 @@ class SkewAndBucketingSpec extends SparkSpec {
   }
 
   test("bucketed tables co-locate the join (no Exchange above the scans)") {
-    // tables land in ./spark-warehouse (gitignored; static conf)
+    // tables land in ./spark-warehouse (gitignored; static conf). The
+    // in-memory catalog forgets tables between JVMs while the directory
+    // persists, so clear both.
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
+    Seq("li_b", "ord_b").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
     Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_b")
