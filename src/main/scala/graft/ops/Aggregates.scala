@@ -160,6 +160,50 @@ object Aggregates {
         .orderBy("day")
     }),
 
+    // ROLLUP (beyond the reference — SURVEY §2.4 notes it lacks grouping
+    // sets): day × type counts with subtotals and grand total.
+    "a_rollup_daily_type" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .withColumn("day", to_date($"ts"))
+        .rollup($"day", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"day".asc_nulls_first, $"event_type".asc_nulls_first)
+    }),
+
+    // Funnel: users whose first signup precedes their first purchase,
+    // per signup-day cohort.
+    "a_funnel_signup_purchase" -> ((s, d) => {
+      import s.implicits._
+      val firsts = events(s, d)
+        .filter($"event_type".isin("signup", "purchase"))
+        .groupBy($"user_id")
+        .agg(
+          min(when($"event_type" === "signup", $"ts")).as("first_signup"),
+          min(when($"event_type" === "purchase", $"ts")).as("first_purchase"))
+      firsts
+        .withColumn("converted",
+          $"first_signup".isNotNull && $"first_purchase".isNotNull &&
+            $"first_signup" < $"first_purchase")
+        .groupBy(to_date($"first_signup").as("cohort_day"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when($"converted", 1).otherwise(0)).as("n_converted"))
+        .orderBy($"cohort_day".asc_nulls_first)
+    }),
+
+    // Cohort retention: users bucketed by first-seen day; distinct active
+    // users per (cohort_day, day_offset). Bounded output (30×30 max).
+    "a_cohort_retention" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select($"user_id", to_date($"ts").as("day"))
+      val cohort = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .withColumn("day_offset", datediff($"day", $"cohort_day"))
+        .groupBy($"cohort_day", $"day_offset")
+        .agg(countDistinct($"user_id").as("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // F19 (sentiment_analysis.py:48-53): threshold bucketing with the
     // VADER ±0.05-style boundary semantics (>= / <=), then distribution.
     "f19_value_buckets" -> ((s, d) => {
@@ -395,6 +439,29 @@ object Aggregates {
     "f22_json_extract" ->
       """SELECT CAST(props->>'$.k' AS INT) AS k, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_rollup_daily_type" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        |FROM events GROUP BY ROLLUP(day, event_type)
+        |ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+    "a_funnel_signup_purchase" ->
+      """WITH firsts AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM events WHERE event_type IN ('signup', 'purchase')
+        |  GROUP BY user_id)
+        |SELECT CAST(first_signup AS DATE) AS cohort_day, COUNT(*) AS n_users,
+        |  SUM(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        |            AND first_signup < first_purchase THEN 1 ELSE 0 END)
+        |    AS n_converted
+        |FROM firsts GROUP BY 1 ORDER BY cohort_day ASC NULLS FIRST""".stripMargin,
+    "a_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT cohort_day, CAST(day - cohort_day AS INT) AS day_offset,
+        |  COUNT(DISTINCT ev.user_id) AS n_active
+        |FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "asof_join_purchase_click" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -221,6 +221,21 @@ object DedupOps {
         .orderBy("d1", "d2")
     }),
 
+    // Edit-distance verification layer: Levenshtein over a fixed prefix of
+    // the candidate pairs the Jaccard stage surfaced (never pairwise over
+    // the corpus — distance ops only run on the candidate set).
+    "dedup_levenshtein_verify" -> ((s, d) => {
+      import s.implicits._
+      val pairs = queries("dedup_ngram_jaccard")(s, d).select($"d1", $"d2")
+      val prefixes = documents(s, d)
+        .select($"doc_id", substring($"text", 1, 60).as("prefix"))
+      pairs
+        .join(prefixes.toDF("d1", "p1"), "d1")
+        .join(prefixes.toDF("d2", "p2"), "d2")
+        .select($"d1", $"d2", levenshtein($"p1", $"p2").as("edit_distance"))
+        .orderBy("d1", "d2")
+    }),
+
     // SimHash: 32-bit sketch — per-token polynomial hash, bit-weighted by
     // term frequency, sign-aggregated per bit position.
     "dedup_simhash" -> ((s, d) => {
@@ -300,6 +315,20 @@ object DedupOps {
         |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"WITH $shingleCte,\n$jaccardSql",
+    "dedup_levenshtein_verify" ->
+      s"""WITH $shingleCte,
+         |jac AS (
+         |  SELECT d1, d2 FROM (
+         |    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         |    FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sz sa ON d1 = sa.doc_id
+         |  JOIN sz sb ON d2 = sb.doc_id
+         |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8),
+         |pre AS (SELECT doc_id, substr(text, 1, 60) AS prefix FROM documents)
+         |SELECT d1, d2, levenshtein(a.prefix, b.prefix) AS edit_distance
+         |FROM jac JOIN pre a ON d1 = a.doc_id JOIN pre b ON d2 = b.doc_id
+         |ORDER BY d1, d2""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCte,
          |xs AS (SELECT doc_id, sh AS x FROM e),
