@@ -284,8 +284,14 @@ object TextOps {
     // they differ, with frequencies.
     "u2_lemma_pairs" -> ((s, d) => {
       import s.implicits._
+      // The synthetic vocabulary has no inflected forms, so the stream is
+      // augmented with deterministic 's'/'ing' variants — the lemmatizer
+      // then demonstrably folds them back onto their stems.
       documents(s, d)
-        .select(explode(tokens($"text")).as("word"))
+        .select($"doc_id", tokens($"text").as("t"))
+        .select(explode(flatten(array($"t",
+          transform($"t", x => concat(x, lit("s"))),
+          transform($"t", x => concat(x, lit("ing")))))).as("word"))
         .withColumn("lemma", lemmaLite($"word"))
         .filter($"lemma" =!= $"word")
         .groupBy($"word", $"lemma").agg(count("*").as("cnt"))
@@ -443,7 +449,10 @@ object TextOps {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "u2_lemma_pairs" ->
       s"""SELECT t AS word, $lemmaLiteSql AS lemma, COUNT(*) AS cnt FROM (
-         |  SELECT unnest($tokensSql) AS t FROM documents)
+         |  SELECT unnest(flatten([tk,
+         |    list_transform(tk, x -> x || 's'),
+         |    list_transform(tk, x -> x || 'ing')])) AS t
+         |  FROM (SELECT $tokensSql AS tk FROM documents))
          |WHERE ($lemmaLiteSql) <> t
          |GROUP BY 1, 2 ORDER BY cnt DESC, word ASC LIMIT 50""".stripMargin,
     "pipeline_prep_docs" ->

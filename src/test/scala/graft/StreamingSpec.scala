@@ -69,6 +69,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState custom per-user state equals batch counts") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val counted = stream.toDS()
+      .groupByKey(_._3) // user_id
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp, Long, String, Double)],
+         state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+      .toDF("user_id", "n")
+    val q = counted.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("t_state").start()
+    try {
+      val (b1, b2) = batchEvents.splitAt(batchEvents.length / 3)
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+      // last update per user = total count
+      val got = spark.table("t_state")
+        .groupBy($"user_id").agg(max($"n").as("n"))
+        .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = graft.ops.Tables.events(spark, sf)
+        .groupBy($"user_id").count().orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates by key equals batch distinct count") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
