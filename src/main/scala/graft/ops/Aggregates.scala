@@ -317,6 +317,32 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // Statistical aggregates: Pearson correlation and sample covariance
+    // of value vs the json-extracted k, per event type.
+    "a_corr_covar" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .withColumn("k", get_json_object($"props", "$.k").cast("double"))
+        .groupBy($"event_type")
+        .agg(round(corr($"value", $"k"), 6).as("corr_vk"),
+          round(covar_samp($"value", $"k"), 4).as("covar_vk"))
+        .orderBy("event_type")
+    }),
+
+    // Equi-depth histogram via ntile: decile boundaries of value.
+    "f29b_equidepth_deciles" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.orderBy($"value")
+      events(s, d)
+        .select($"value")
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n"),
+          round(min($"value"), 6).as("lo"),
+          round(max($"value"), 6).as("hi"))
+        .orderBy("decile")
+    }),
+
     // Sketch-based approximations — the 100 TB path for distinct counts
     // and quantiles (no oracle: sketch implementations differ across
     // engines; AggregatesSpec bounds them against the exact values).
@@ -439,6 +465,17 @@ object Aggregates {
     "f22_json_extract" ->
       """SELECT CAST(props->>'$.k' AS INT) AS k, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_corr_covar" ->
+      """SELECT event_type,
+        |  ROUND(corr(value, CAST(props->>'$.k' AS DOUBLE)), 6) AS corr_vk,
+        |  ROUND(covar_samp(value, CAST(props->>'$.k' AS DOUBLE)), 4) AS covar_vk
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "f29b_equidepth_deciles" ->
+      """SELECT decile, COUNT(*) AS n, ROUND(MIN(value), 6) AS lo,
+        |  ROUND(MAX(value), 6) AS hi
+        |FROM (SELECT value, ntile(10) OVER (ORDER BY value) AS decile
+        |      FROM events)
+        |GROUP BY decile ORDER BY decile""".stripMargin,
     "a_rollup_daily_type" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
         |FROM events GROUP BY ROLLUP(day, event_type)

@@ -277,6 +277,21 @@ object Relational {
         .orderBy("doc_id")
     }),
 
+    // Partitioned-layout sink + partition-pruned scan: the 100 TB table
+    // layout — write day-partitioned, read back with a day predicate that
+    // prunes to 2 of 30 partitions (PlanSpec asserts PartitionFilters).
+    "s9b_partitioned_pruning" -> ((s, d) => {
+      import s.implicits._
+      val out = "target/tmp/s9b_partitioned"
+      events(s, d)
+        .withColumn("day", to_date($"ts"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      s.read.parquet(out)
+        .filter($"day".isin("2024-01-05", "2024-01-06"))
+        .groupBy($"day", $"event_type").agg(count(lit(1)).as("n"))
+        .orderBy("day", "event_type")
+    }),
+
     // S9 (data_preparation.py:53-55): overwrite-refresh sink + re-scan —
     // the delete_many+insert_many full-refresh shape as parquet overwrite.
     "s9_parquet_roundtrip" -> ((s, d) => {
@@ -493,6 +508,13 @@ object Relational {
         |  toks[-1] AS last_tok,
         |  list_contains(toks, 'spark') AS has_spark
         |FROM t ORDER BY doc_id""".stripMargin,
+    // (the filter goes through a subselect: DuckDB 1.0 returns 0 rows for
+    // CAST(ts_ns AS DATE) IN (...) applied directly in WHERE)
+    "s9b_partitioned_pruning" ->
+      """SELECT day, event_type, COUNT(*) AS n
+        |FROM (SELECT CAST(ts AS DATE) AS day, event_type FROM events)
+        |WHERE day IN (DATE '2024-01-05', DATE '2024-01-06')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s9_parquet_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "d5_stopword_union" ->

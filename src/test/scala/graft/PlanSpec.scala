@@ -41,6 +41,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("partitioned layout prunes partitions at the scan") {
+    val p = plan("s9b_partitioned_pruning")
+    assert(p.contains("PartitionFilters: [") &&
+      (p.contains("day#") || p.contains("in(day")), p)
+    // 2 of 30 day-partitions selected => the scan lists only 2 directories
+    assert(!p.contains("PartitionFilters: []"), p)
+  }
+
   test("anti-join plans as a join, not a subquery re-scan per row") {
     val p = plan("j2_customers_without_orders")
     assert(p.contains("LeftAnti"), p)
