@@ -57,6 +57,9 @@ object SparkEntry {
     "ann_lsh_topk",
     "asof_join_purchase_click",
     "a_percentiles",
+    "a_cohort_retention",
+    "a_rollup_daily_type",
+    "s9b_partitioned_pruning",
     "stream_tumbling_daily",
     "stream_session_windows",
     "mm_feature_histogram",
