@@ -317,6 +317,27 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // Data profiling (training-pipeline staple): per-column null rate,
+    // distinct count, min/max rendered as strings — long-form so new
+    // columns don't change the schema. One pass per column group via a
+    // single wide aggregate, unioned long.
+    "profile_events" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val total = count(lit(1))
+      def prof(c: String) = ev.agg(
+        total.as("n_rows"),
+        sum(when(col(c).isNull, 1).otherwise(0)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_str"),
+        max(col(c)).cast("string").as("max_str"))
+        .select(lit(c).as("column"), $"n_rows", $"n_null", $"n_distinct",
+          $"min_str", $"max_str")
+      Seq("event_id", "user_id", "event_type", "value")
+        .map(prof).reduce(_ union _)
+        .orderBy("column")
+    }),
+
     // Statistical aggregates: Pearson correlation and sample covariance
     // of value vs the json-extracted k, per event type.
     "a_corr_covar" -> ((s, d) => {
@@ -465,6 +486,33 @@ object Aggregates {
     "f22_json_extract" ->
       """SELECT CAST(props->>'$.k' AS INT) AS k, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "profile_events" ->
+      """SELECT * FROM (
+        |  SELECT 'event_id' AS "column", COUNT(*) AS n_rows,
+        |    SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |    COUNT(DISTINCT event_id) AS n_distinct,
+        |    CAST(MIN(event_id) AS VARCHAR) AS min_str,
+        |    CAST(MAX(event_id) AS VARCHAR) AS max_str
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', COUNT(*),
+        |    SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT user_id),
+        |    CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', COUNT(*),
+        |    SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT event_type),
+        |    CAST(MIN(event_type) AS VARCHAR), CAST(MAX(event_type) AS VARCHAR)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'value', COUNT(*),
+        |    SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT value),
+        |    CAST(MIN(value) AS VARCHAR), CAST(MAX(value) AS VARCHAR)
+        |  FROM events)
+        |ORDER BY "column"""".stripMargin,
     "a_corr_covar" ->
       """SELECT event_type,
         |  ROUND(corr(value, CAST(props->>'$.k' AS DOUBLE)), 6) AS corr_vk,
