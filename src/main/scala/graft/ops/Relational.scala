@@ -342,6 +342,34 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // Cross join (tiny×tiny only — completes the join-type surface).
+    "x_cross_join_regions" -> ((s, d) => {
+      import s.implicits._
+      val r1 = region(s, d).select($"r_name".as("a"))
+      val r2 = region(s, d).select($"r_name".as("b"))
+      r1.crossJoin(r2)
+        .select(concat($"a", lit("-"), $"b").as("pair"))
+        .orderBy("pair")
+    }),
+
+    // Schema evolution: unionByName with allowMissingColumns — an old
+    // 3-column extract unioned with the current 4-column shape; missing
+    // columns null-fill (the pipeline-upgrade scenario).
+    "schema_evolution_union" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val old = ev.filter($"event_id" % 2 === 0)
+        .select($"event_id", $"user_id", $"event_type")
+      val neu = ev.filter($"event_id" % 2 === 1)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+      old.unionByName(neu, allowMissingColumns = true)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          count($"value").as("n_with_value"),
+          round(sum($"value"), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // F21 (ArticlesSpider.py:47-83): first-non-null fallback chain —
     // coalesce over candidate extractions (missing json field -> k -> -1).
     "f21_coalesce_fallback" -> ((s, d) => {
@@ -545,6 +573,19 @@ object Relational {
         |       ELSE 'updated' END AS merge_action
         |FROM existing e FULL OUTER JOIN batch b ON e.user_id = b.user_id
         |ORDER BY user_id""".stripMargin,
+    "x_cross_join_regions" ->
+      """SELECT a.r_name || '-' || b.r_name AS pair
+        |FROM region a CROSS JOIN region b ORDER BY pair""".stripMargin,
+    "schema_evolution_union" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, event_type, NULL::DOUBLE AS value
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, value
+        |  FROM events WHERE event_id % 2 = 1)
+        |SELECT event_type, COUNT(*) AS n, COUNT(value) AS n_with_value,
+        |  ROUND(SUM(value), 4) AS sum_value
+        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
     "f21_coalesce_fallback" ->
       """SELECT COALESCE(CAST(props->>'$.missing' AS BIGINT),
         |                CAST(props->>'$.k' AS BIGINT), -1) AS v,

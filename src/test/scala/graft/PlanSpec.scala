@@ -58,4 +58,27 @@ class PlanSpec extends SparkSpec {
     val p = plan("j1_broadcast_lookup")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  /** Queries where a nested-loop/cartesian shape is the INTENDED
+    * semantics (pairwise verifiers at tiny N, scalar-aggregate
+    * broadcasts, deliberate cross join) — everything else must plan as
+    * hash/sort-merge joins.
+    */
+  private val nonEquiIntended = Set(
+    "dedup_embedding_cosine", "dedup_simhash_pairs", // N² verifiers
+    "ann_cosine_topk",                               // brute-force baseline
+    "x_cross_join_regions",                          // deliberate 5×5
+    "p7_lookback_48h", "d2_antijoin_new_keys",       // 1-row agg broadcast
+    "a11_vocab_prune", "u7_tfidf_top_terms",         // scalar n_docs join
+  )
+
+  test("no unintended cartesian or nested-loop joins across the suite") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(nonEquiIntended)
+      .filter { name =>
+        val p = plan(name)
+        p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+      }
+    assert(offenders.isEmpty, s"nested-loop plans: $offenders")
+  }
 }

@@ -63,6 +63,16 @@ class RelationalSpec extends SparkSpec {
     assert(weird.isEmpty)
   }
 
+  test("representative queries are run-to-run deterministic") {
+    Seq("dedup_minhash_lsh", "u7_tfidf_top_terms", "text_langid",
+      "a5_daily_share_pct", "ann_lsh_topk").foreach { name =>
+      val q = SparkEntry.queries(name)
+      val a = q(spark, sf).collect().map(_.toSeq).toSeq
+      val b = q(spark, sf).collect().map(_.toSeq).toSeq
+      assert(a == b, s"$name not deterministic")
+    }
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
