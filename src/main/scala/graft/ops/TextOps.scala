@@ -280,6 +280,27 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // U1: POS-filter approximation (data_preparation.py:85-94 keeps
+    // NN*/JJ*/RB* via nltk.pos_tag; exact tagger parity is a documented
+    // non-goal — SURVEY §2.10). Heuristic suffix classifier; the filter
+    // keeps the noun/adjective/adverb classes like the reference.
+    "u1_pos_filter" -> ((s, d) => {
+      import s.implicits._
+      val posClass =
+        when($"word".endsWith("ly"), "adverb")
+          .when($"word".endsWith("ous") || $"word".endsWith("ful") ||
+            $"word".endsWith("ive") || $"word".endsWith("al"), "adjective")
+          .when(array_contains(stopwordArray, $"word"), "function")
+          .otherwise("noun")
+      documents(s, d)
+        .select(explode(tokens($"text")).as("word"))
+        .withColumn("pos_class", posClass)
+        .filter($"pos_class".isin("noun", "adjective", "adverb"))
+        .groupBy($"pos_class").agg(count(lit(1)).as("n_tokens"),
+          countDistinct($"word").as("n_distinct"))
+        .orderBy("pos_class")
+    }),
+
     // U2: lemmatizer-lite over the token stream — token, lemma pairs where
     // they differ, with frequencies.
     "u2_lemma_pairs" -> ((s, d) => {
@@ -447,6 +468,20 @@ object TextOps {
       s"""SELECT doc_id, len($tokensSql) AS ws_tokens,
          |  len(regexp_extract_all(text, '[a-zA-Z]+|\\d|[^\\sa-zA-Z\\d]')) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "u1_pos_filter" ->
+      s"""WITH t AS (SELECT unnest($tokensSql) AS word FROM documents),
+         |c AS (
+         |  SELECT word,
+         |    CASE WHEN word LIKE '%ly' THEN 'adverb'
+         |         WHEN word LIKE '%ous' OR word LIKE '%ful'
+         |           OR word LIKE '%ive' OR word LIKE '%al' THEN 'adjective'
+         |         WHEN list_contains($swList, word) THEN 'function'
+         |         ELSE 'noun' END AS pos_class
+         |  FROM t)
+         |SELECT pos_class, COUNT(*) AS n_tokens,
+         |  COUNT(DISTINCT word) AS n_distinct
+         |FROM c WHERE pos_class IN ('noun', 'adjective', 'adverb')
+         |GROUP BY pos_class ORDER BY pos_class""".stripMargin,
     "u2_lemma_pairs" ->
       s"""SELECT t AS word, $lemmaLiteSql AS lemma, COUNT(*) AS cnt FROM (
          |  SELECT unnest(flatten([tk,
