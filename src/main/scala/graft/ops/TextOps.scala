@@ -280,6 +280,33 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Deterministic train/val/test split (training-pipeline staple):
+    // assignment is a pure function of the stable document key — split
+    // membership survives reruns, repartitions, and engine changes, unlike
+    // randomSplit. 80/10/10 via poly_hash(doc_id) mod 10.
+    "split_train_test" -> ((s, d) => {
+      import s.implicits._
+      val bucket = pmod(graft.functions.PolyHash.poly_hash($"doc_id".cast("string")), lit(10L))
+      documents(s, d)
+        .withColumn("split",
+          when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), round(avg($"n_chars"), 6).as("avg_chars"))
+        .orderBy("split")
+    }),
+
+    // Hash-stratified sample: keep ~20% per language stratum, again keyed
+    // on the stable id (deterministic, joinable across runs).
+    "stratified_sample" -> ((s, d) => {
+      import s.implicits._
+      val bucket = pmod(graft.functions.PolyHash.poly_hash($"doc_id".cast("string")), lit(10L))
+      documents(s, d)
+        .filter(bucket < 2)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
     // U1: POS-filter approximation (data_preparation.py:85-94 keeps
     // NN*/JJ*/RB* via nltk.pos_tag; exact tagger parity is a documented
     // non-goal — SURVEY §2.10). Heuristic suffix classifier; the filter
@@ -468,6 +495,19 @@ object TextOps {
       s"""SELECT doc_id, len($tokensSql) AS ws_tokens,
          |  len(regexp_extract_all(text, '[a-zA-Z]+|\\d|[^\\sa-zA-Z\\d]')) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "split_train_test" ->
+      s"""WITH b AS (
+         |  SELECT n_chars,
+         |    ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 8 THEN 'train'
+         |            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs, ROUND(AVG(n_chars), 6) AS avg_chars
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+    "stratified_sample" ->
+      s"""SELECT lang, COUNT(*) AS n_sampled FROM documents
+         |WHERE ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 2
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "u1_pos_filter" ->
       s"""WITH t AS (SELECT unnest($tokensSql) AS word FROM documents),
          |c AS (
