@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -26,6 +26,36 @@ object Aggregates {
 
   /** Pinned pivot domain for events.event_type (stable across sf, TESTDATA). */
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Exact global (or per-group) rank of `value` with no unpartitioned
+    * window over the base table. Strategy: bin rows by floor(value) —
+    * bin cardinality is bounded by the VALUE RANGE (~560 bins here), not
+    * the row count — aggregate bin counts, compute cumulative offsets
+    * with a window over that tiny aggregated table, then rank within
+    * (group, bin) with a properly partitioned window and add the offset.
+    * Returns the input plus `rn` (1-based rank of value within group,
+    * ties broken arbitrarily but counts/min/max per rank range invariant)
+    * and `n` (group row count). At 100 TB every shuffle here is keyed by
+    * (group, bin); no single task ever sees more than one bin.
+    */
+  private def binRanked(s: SparkSession, ev: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    import s.implicits._
+    val gcols = groupCols.map(col)
+    val binned = ev.withColumn("bin", floor($"value").cast("long"))
+    val binCounts = binned.groupBy(gcols :+ $"bin": _*)
+      .agg(count(lit(1)).as("c"))
+    val wBins = Window.partitionBy(gcols: _*).orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = binCounts
+      .withColumn("off", coalesce(sum($"c").over(wBins), lit(0L)))
+      .withColumn("n", sum($"c").over(Window.partitionBy(gcols: _*)))
+      .drop("c")
+    val wInBin = Window.partitionBy(gcols :+ $"bin": _*).orderBy($"value")
+    binned.join(broadcast(offsets), groupCols :+ "bin")
+      .withColumn("rn", $"off" + row_number().over(wInBin))
+      .drop("bin", "off")
+  }
 
   val queries: Map[String, Q] = Map(
     // A1 (bbc_news_dag.py:26-37): group-by key + count + collect-set +
@@ -304,16 +334,36 @@ object Aggregates {
         .orderBy("event_id")
     }),
 
-    // Exact percentiles (sort-based, interpolated) — the oracle-checkable
-    // form; the sketch-based scale path is a_approx_stats below.
+    // Exact interpolated percentiles WITHOUT per-group value buffering.
+    // Spark's `percentile` aggregate holds every value of a group in one
+    // reducer buffer — with 5 event types that is 5 tasks each buffering
+    // ~1/5 of the table (a 100 TB scale-killer). Instead: bin-rank every
+    // row (see binRanked — all windows partitioned, the only global pass
+    // is over the tiny bin-count table), then pick the two rows at the
+    // interpolation ranks with conditional aggregates and interpolate
+    // exactly like percentile_cont: v_lo + frac * (v_hi - v_lo) with
+    // k = 1 + (n-1)*p. The sketch-based scale path is a_approx_stats.
     "a_percentiles" -> ((s, d) => {
       import s.implicits._
-      events(s, d)
-        .groupBy($"event_type")
-        .agg(
-          round(expr("percentile(value, 0.5)"), 6).as("p50"),
-          round(expr("percentile(value, 0.95)"), 6).as("p95"),
-          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      val ranked = binRanked(s,
+        events(s, d).select($"event_type", $"value"), Seq("event_type"))
+      def vAt(p: Double, lo: Boolean) = {
+        val k = lit(1.0) + ($"n" - 1).cast("double") * lit(p)
+        max(when($"rn" === (if (lo) floor(k) else ceil(k)), $"value"))
+      }
+      def interp(p: Double, lo: Column, hi: Column) = {
+        val k = lit(1.0) + ($"nn" - 1).cast("double") * lit(p)
+        round(lo + (hi - lo) * (k - floor(k)), 6)
+      }
+      ranked.groupBy($"event_type")
+        .agg(max($"n").as("nn"),
+          vAt(0.5, lo = true).as("lo50"), vAt(0.5, lo = false).as("hi50"),
+          vAt(0.95, lo = true).as("lo95"), vAt(0.95, lo = false).as("hi95"),
+          vAt(0.99, lo = true).as("lo99"), vAt(0.99, lo = false).as("hi99"))
+        .select($"event_type",
+          interp(0.5, $"lo50", $"hi50").as("p50"),
+          interp(0.95, $"lo95", $"hi95").as("p95"),
+          interp(0.99, $"lo99", $"hi99").as("p99"))
         .orderBy("event_type")
     }),
 
@@ -350,13 +400,22 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
-    // Equi-depth histogram via ntile: decile boundaries of value.
+    // Equi-depth histogram (exact ntile semantics) with NO global window:
+    // `ntile(10) OVER (ORDER BY value)` would move the whole table into a
+    // single partition. Instead bin-rank rows (binRanked: partitioned
+    // windows only) and derive the ntile bucket arithmetically from the
+    // global rank — first n%10 buckets get ceil(n/10) rows, rest get
+    // floor(n/10), exactly SQL ntile.
     "f29b_equidepth_deciles" -> ((s, d) => {
       import s.implicits._
-      val w = Window.orderBy($"value")
-      events(s, d)
-        .select($"value")
-        .withColumn("decile", ntile(10).over(w))
+      val ranked = binRanked(s, events(s, d).select($"value"), Seq.empty)
+      val sz = floor($"n" / 10)
+      val r = $"n" % 10
+      val bucket = when($"rn" <= r * (sz + 1),
+          floor(($"rn" - 1) / (sz + 1)) + 1)
+        .otherwise(r + floor(($"rn" - r * (sz + 1) - 1) /
+          greatest(sz, lit(1L))) + 1)
+      ranked.withColumn("decile", bucket.cast("int"))
         .groupBy($"decile")
         .agg(count(lit(1)).as("n"),
           round(min($"value"), 6).as("lo"),
@@ -393,7 +452,8 @@ object Aggregates {
   )
 
   private val pivotCols =
-    EventTypes.map(t => s"SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS \"$t\"")
+    EventTypes.map(t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS \"$t\"")
       .mkString(", ")
 
   val oracles: Map[String, String] = Map(
@@ -449,8 +509,8 @@ object Aggregates {
         |WHERE rank <= 3
         |ORDER BY n_name, rank""".stripMargin,
     "w_running_daily_purchases" ->
-      """SELECT day, n, SUM(n) OVER (ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+      """SELECT day, n, CAST(SUM(n) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
         |FROM (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events
         |      WHERE event_type = 'purchase' GROUP BY 1)
         |ORDER BY day""".stripMargin,
@@ -474,7 +534,7 @@ object Aggregates {
         |ORDER BY bucket""".stripMargin,
     "f15_parse_coerce" ->
       """SELECT COUNT(*) AS n, COUNT(parsed) AS n_parsed,
-        |  SUM(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS n_null
+        |  CAST(SUM(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
         |FROM (SELECT try_strptime(
         |    CASE WHEN event_id % 97 = 0 THEN 'not-a-date'
         |         ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END,
@@ -489,26 +549,26 @@ object Aggregates {
     "profile_events" ->
       """SELECT * FROM (
         |  SELECT 'event_id' AS "column", COUNT(*) AS n_rows,
-        |    SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |    CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
         |    COUNT(DISTINCT event_id) AS n_distinct,
         |    CAST(MIN(event_id) AS VARCHAR) AS min_str,
         |    CAST(MAX(event_id) AS VARCHAR) AS max_str
         |  FROM events
         |  UNION ALL
         |  SELECT 'user_id', COUNT(*),
-        |    SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+        |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    COUNT(DISTINCT user_id),
         |    CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
         |  FROM events
         |  UNION ALL
         |  SELECT 'event_type', COUNT(*),
-        |    SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+        |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    COUNT(DISTINCT event_type),
         |    CAST(MIN(event_type) AS VARCHAR), CAST(MAX(event_type) AS VARCHAR)
         |  FROM events
         |  UNION ALL
         |  SELECT 'value', COUNT(*),
-        |    SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+        |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    COUNT(DISTINCT value),
         |    CAST(MIN(value) AS VARCHAR), CAST(MAX(value) AS VARCHAR)
         |  FROM events)
@@ -536,8 +596,8 @@ object Aggregates {
         |  FROM events WHERE event_type IN ('signup', 'purchase')
         |  GROUP BY user_id)
         |SELECT CAST(first_signup AS DATE) AS cohort_day, COUNT(*) AS n_users,
-        |  SUM(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
-        |            AND first_signup < first_purchase THEN 1 ELSE 0 END)
+        |  CAST(SUM(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        |            AND first_signup < first_purchase THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_converted
         |FROM firsts GROUP BY 1 ORDER BY cohort_day ASC NULLS FIRST""".stripMargin,
     "a_cohort_retention" ->

@@ -120,7 +120,7 @@ object MultimodalOps {
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
         |            ELSE 'wav' END AS media_format,
         |  COUNT(*) AS n_items,
-        |  SUM(strlen(text)) AS total_bytes,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
         |  MIN(strlen(text)) AS min_bytes,
         |  MAX(strlen(text)) AS max_bytes,
         |  COUNT(DISTINCT md5(text)) AS n_distinct

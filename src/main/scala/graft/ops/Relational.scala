@@ -283,8 +283,14 @@ object Relational {
     "s9b_partitioned_pruning" -> ((s, d) => {
       import s.implicits._
       val out = "target/tmp/s9b_partitioned"
+      // Cluster by the partition column before the partitioned write:
+      // without this, every shuffle partition writes a file into every
+      // day directory (32 × 30 ≈ 960 tiny files — the classic small-files
+      // explosion; at 100 TB it would be thousands per day). With it,
+      // each day's rows land in one task → one file per partition dir.
       events(s, d)
         .withColumn("day", to_date($"ts"))
+        .repartition($"day")
         .write.mode("overwrite").partitionBy("day").parquet(out)
       s.read.parquet(out)
         .filter($"day".isin("2024-01-05", "2024-01-06"))
@@ -551,12 +557,13 @@ object Relational {
          |    t -> len(t) > 0)) AS w
          |  FROM documents)
          |SELECT COUNT(*) AS n_tokens,
-         |  SUM(CASE WHEN list_contains(${graft.functions.Lexicons.stopwordsEnSqlList}, w)
-         |      THEN 1 ELSE 0 END) AS n_base,
-         |  SUM(CASE WHEN w IN ('spark','data','query') THEN 1 ELSE 0 END) AS n_custom,
-         |  SUM(CASE WHEN list_contains(${graft.functions.Lexicons.stopwordsEnSqlList}, w)
+         |  CAST(SUM(CASE WHEN list_contains(${graft.functions.Lexicons.stopwordsEnSqlList}, w)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         |  CAST(SUM(CASE WHEN w IN ('spark','data','query') THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_custom,
+         |  CAST(SUM(CASE WHEN list_contains(${graft.functions.Lexicons.stopwordsEnSqlList}, w)
          |        OR w IN ('spark','data','query')
-         |      THEN 1 ELSE 0 END) AS n_union
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_union
          |FROM tok""".stripMargin,
     "j4_merge_upsert" ->
       """WITH existing AS (

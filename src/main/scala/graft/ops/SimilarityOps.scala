@@ -31,6 +31,8 @@ object SimilarityOps {
   val NumPlanes = 6
   val TopK = 5
   val NumQueries = 20
+  val NumLshTables = 4
+  val PlanesPerTable = 4
 
   /** Deterministic hyperplanes: java.util.Random(42) Gaussians (the LCG and
     * nextGaussian algorithms are fixed by the Java spec, so these constants
@@ -40,6 +42,32 @@ object SimilarityOps {
     val rnd = new java.util.Random(42)
     Array.fill(NumPlanes, Dim)(rnd.nextGaussian())
   }
+
+  /** L independent plane sets for multi-table LSH (union of L bucket
+    * joins keeps recall high while each table's buckets stay small).
+    */
+  lazy val multiPlanes: Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(4242)
+    Array.fill(NumLshTables, PlanesPerTable, Dim)(rnd.nextGaussian())
+  }
+
+  /** Plane-set generator for arbitrary bucket configs (SimilaritySpec
+    * measures recall at two of these). At scale the plane count is a
+    * function of corpus size: k = ceil(log2(n / targetBucketSize)) keeps
+    * the expected bucket population constant as data grows — 6 fixed
+    * planes = 64 buckets would mean ~1.6 TB per bucket at 100 TB.
+    */
+  def planesFor(k: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(k, Dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bucket of a (double) embedding under an arbitrary plane set. */
+  def lshBucketFor(planeSet: Array[Array[Double]])(e: Column): Column =
+    planeSet.zipWithIndex.map { case (p, j) =>
+      when(graft.functions.VecDot.vec_dot(e, array(p.map(lit): _*)) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** double-widened embedding + L2 norm. */
   private def prepared(s: SparkSession, d: String): DataFrame = {
@@ -100,6 +128,31 @@ object SimilarityOps {
       topkWithin(s, pairs)
     }),
 
+    // Multi-table LSH ANN: L=4 independent plane sets × 4 sign bits.
+    // Candidates = union over tables of same-bucket (query, vector)
+    // pairs — narrow-key distinct, then the wide vectors re-join for the
+    // exact rescore. Higher recall than the single-table form at similar
+    // per-bucket cost; the scale default (bucket count grows with L and
+    // per-table k — see planesFor).
+    "ann_lsh_multi_topk" -> ((s, d) => {
+      import s.implicits._
+      val v = prepared(s, d)
+      val ids = v.select($"vec_id",
+          posexplode(array((0 until NumLshTables).map(t =>
+            lshBucketFor(multiPlanes(t))($"e")): _*)))
+        .toDF("vec_id", "tbl", "bucket")
+      val qIds = ids.filter($"vec_id" < NumQueries)
+        .toDF("query_id", "tbl", "bucket")
+      val candIds = ids.join(broadcast(qIds), Seq("tbl", "bucket"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id").distinct()
+      val qv = v.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"e".as("qe"), $"norm".as("qn"))
+      val pairs = candIds.join(v, "vec_id").join(broadcast(qv), "query_id")
+        .withColumn("cos_exact", dot($"e", $"qe") / ($"norm" * $"qn"))
+      topkWithin(s, pairs)
+    }),
+
     // IVF-style coarse probe: neighbors restricted to the query's label
     // cell (stands in for a centroid assignment; cells are pre-partitioned
     // so the probe scans 1/n_cells of the corpus).
@@ -152,17 +205,25 @@ object SimilarityOps {
       |      (a, b) -> a + b)) AS norm
       |  FROM v)""".stripMargin
 
-  private def dotSql(a: String, b: String): String =
+  private[ops] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0,
        |  list_transform(range($Dim), i -> $a[i+1] * $b[i+1])),
        |  (x, y) -> x + y)""".stripMargin
 
   /** Bucket expression over a list column, same plane literals as Spark. */
-  private def bucketSql(e: String): String =
-    planes.zipWithIndex.map { case (p, j) =>
+  private[ops] def bucketSqlFor(planeSet: Array[Array[Double]])(e: String): String =
+    planeSet.zipWithIndex.map { case (p, j) =>
       val lits = p.mkString("[", ",", "]")
       s"CASE WHEN ${dotSql(e, lits)} > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
+
+  private def bucketSql(e: String): String = bucketSqlFor(planes)(e)
+
+  /** UNION ALL of per-table (vec_id, tbl, bucket) rows over relation `n`. */
+  private[ops] def multiBucketSql(rel: String): String =
+    (0 until NumLshTables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketSqlFor(multiPlanes(t))("e")} AS bucket FROM $rel"
+    }.mkString("\nUNION ALL\n")
 
   private def topkSql(pairsFrom: String): String =
     s"""SELECT query_id, rank, vec_id AS neighbor_id,
@@ -190,6 +251,20 @@ object SimilarityOps {
            |  ${dotSql("c.e", "q.e")} / (c.norm * q.norm) AS cos_exact
            |FROM b c JOIN b q ON q.vec_id < $NumQueries
            |  AND c.bucket = q.bucket AND c.vec_id <> q.vec_id""".stripMargin)}""".stripMargin,
+    "ann_lsh_multi_topk" ->
+      s"""WITH $prepSql,
+         |tb AS (
+         |${multiBucketSql("n")}),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+         |  FROM tb c JOIN tb q ON c.tbl = q.tbl AND c.bucket = q.bucket
+         |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
+         |${topkSql(
+        s"""SELECT cand.query_id, cand.vec_id,
+           |  ${dotSql("c.e", "q.e")} / (c.norm * q.norm) AS cos_exact
+           |FROM cand
+           |JOIN n c ON cand.vec_id = c.vec_id
+           |JOIN n q ON cand.query_id = q.vec_id""".stripMargin)}""".stripMargin,
     "ann_ivf_label_topk" ->
       s"""WITH $prepSql
          |${topkSql(

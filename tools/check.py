@@ -29,9 +29,52 @@ def canon(df):
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def dtype_kind(series):
+    """Coarse dtype class used to mirror the driver's dtype-sensitive hash.
+
+    DuckDB widens integer SUMs to HUGEINT, which pandas materializes as
+    float64 or object — the driver's serialize-then-hash compare treats
+    that as different from Spark's int64 even when values are equal, so
+    the mirror must too.
+    """
+    k = series.dtype.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "ts"
+    if k == "O":
+        # object column: classify by the first non-null Python value
+        for v in series:
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                return "float"
+            return "other"
+        return "other"
+    return "other"
+
+
 def cells_equal(a, b):
     if a is None and b is None:
         return True
+    # Mirror the driver: int-typed vs float-typed cells never hash equal,
+    # even when numerically identical (e.g. HUGEINT 42 vs BIGINT 42).
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if (isinstance(a, int) and not isinstance(a, bool)
+            and isinstance(b, float)):
+        return False
+    if (isinstance(b, int) and not isinstance(b, bool)
+            and isinstance(a, float)):
+        return False
     try:
         import pandas as pd
         if not isinstance(a, (list, tuple)) and not isinstance(b, (list, tuple)):
@@ -78,6 +121,19 @@ def main(sf_dir, out_dir):
                 continue
             if len(got_c) != len(exp_c):
                 print(f"FAIL {name}: rows {len(got_c)} vs {len(exp_c)}")
+                n_fail += 1
+                continue
+            dtype_bad = None
+            for col in got_c.columns:
+                gk, ek = dtype_kind(got_c[col]), dtype_kind(exp_c[col])
+                if gk != ek and "other" not in (gk, ek):
+                    dtype_bad = (col, gk, ek)
+                    break
+            if dtype_bad:
+                col, gk, ek = dtype_bad
+                print(f"FAIL {name}: dtype mismatch col={col}: "
+                      f"spark={gk} vs oracle={ek} "
+                      f"(driver hash-compare is dtype-sensitive)")
                 n_fail += 1
                 continue
             bad = None
