@@ -19,7 +19,18 @@ object Bench {
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // Cache hygiene: the warm-up pass leaves the dedup shingle frame (and
+    // any other persisted intermediates) in the block manager; timing each
+    // query against that residue both pollutes unrelated measurements
+    // (round-2: w1 regressed 5.8× with the shingled corpus resident) and
+    // flatters the query that built the cache. Clear before every timed
+    // query so each one pays its own full cost against a clean JVM heap.
+    def clearState(): Unit = {
+      graft.ops.DedupOps.clear()
+      spark.catalog.clearCache()
+    }
     val results = names.map { name =>
+      clearState()
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
       catch { case _: Throwable => false }

@@ -142,6 +142,37 @@ object DedupOps {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Unpersist and drop every cached shingle frame. The cache assumes
+    * immutable inputs per session; callers that re-time queries (Bench) or
+    * rewrite the underlying parquet must clear it so (a) the block manager
+    * doesn't carry the shingled corpus into unrelated queries and (b) no
+    * stale shingles survive an input rewrite.
+    */
+  def clear(): Unit = {
+    shingleCache.values.foreach(_.unpersist(blocking = true))
+    shingleCache.clear()
+  }
+
+  /** Embedding corpus with planted near-duplicates: every 50th vector
+    * re-keyed +100000 with dim 0 bumped by +0.1. On a unit-norm corpus the
+    * bump yields cosine(base, planted) ≈ 0.995 — a genuine near-dup above
+    * the 0.9 search threshold. Shared by dedup_embedding_lsh and the
+    * DedupSpec recall test (which compares LSH output to the brute-force
+    * verifier over this same corpus).
+    */
+  def plantedEmbeddingCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = embeddings(s, d)
+      .withColumn("e", transform($"embedding", x => x.cast("double")))
+      .select($"vec_id", $"e")
+    val planted = base.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        concat(array(element_at($"e", 1) + lit(0.1)),
+          slice($"e", 2, SimilarityOps.Dim - 1)).as("e"))
+    base.union(planted)
+      .withColumn("norm", sqrt(graft.functions.VecDot.vec_dot($"e", $"e")))
+  }
+
   private def explodedShingles(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     // Persisted: the shingle frame feeds 4-6 plan branches (candidate
@@ -316,8 +347,13 @@ object DedupOps {
         .withColumn("e", transform($"embedding", x => x.cast("double")))
         .withColumn("norm", sqrt(graft.functions.VecDot.vec_dot($"e", $"e")))
         .select($"vec_id", $"e", $"norm", pmod($"vec_id", lit(B)).as("blk"))
+      // ALL B² ordered block pairs, not just i <= j: a pair with v1 < v2
+      // but blk(v1) > blk(v2) is only reachable in the (blk(v1), blk(v2))
+      // orientation, and the v1 < v2 filter below keeps each qualifying
+      // pair in exactly one of its two orientations. (The i <= j triangle
+      // enumeration silently dropped ~half the pairs — round-2 red row.)
       val blockPairs = (0L until B)
-        .flatMap(i => (i until B).map(j => (i, j)))
+        .flatMap(i => (0L until B).map(j => (i, j)))
         .toDF("b1", "b2")
       val a = v.toDF("v1", "e1", "n1", "b1")
       val b = v.toDF("v2", "e2", "n2", "b2")
@@ -333,8 +369,10 @@ object DedupOps {
 
     // Embedding near-dup via multi-table sign-LSH — the sub-quadratic
     // scale path. Near-duplicates are PLANTED (every 50th vector is
-    // re-keyed +100000 with dim 0 bumped by +2.0 → cosine ≈ 0.97), so
-    // the threshold 0.9 search space is the realistic near-dup regime
+    // re-keyed +100000 with dim 0 bumped by +0.1 → cosine ≈ 0.995 on the
+    // unit-norm corpus; an earlier +2.0 bump landed at cosine ≈ 0.45,
+    // below threshold, making the query vacuously empty), so the
+    // threshold 0.9 search space is the realistic near-dup regime
     // where LSH has high recall. Candidate generation: L=4 independent
     // plane sets × k=4 sign bits = 16 buckets per table; within-bucket
     // equi-join per table, unioned, distinct, then exact-cosine verify.
@@ -343,15 +381,7 @@ object DedupOps {
     // brute-force verifier is measured in DedupSpec.
     "dedup_embedding_lsh" -> ((s, d) => {
       import s.implicits._
-      val base = embeddings(s, d)
-        .withColumn("e", transform($"embedding", x => x.cast("double")))
-        .select($"vec_id", $"e")
-      val planted = base.filter($"vec_id" % 50 === 0)
-        .select(($"vec_id" + 100000).as("vec_id"),
-          concat(array(element_at($"e", 1) + lit(2.0)),
-            slice($"e", 2, SimilarityOps.Dim - 1)).as("e"))
-      val corpus = base.union(planted)
-        .withColumn("norm", sqrt(graft.functions.VecDot.vec_dot($"e", $"e")))
+      val corpus = plantedEmbeddingCorpus(s, d)
       val bucketCols = (0 until SimilarityOps.NumLshTables).map(t =>
         SimilarityOps.lshBucketFor(SimilarityOps.multiPlanes(t))($"e"))
       val banded = corpus
@@ -502,7 +532,7 @@ object DedupOps {
          |corpus AS (
          |  SELECT vec_id, e FROM base
          |  UNION ALL
-         |  SELECT vec_id + 100000, list_concat([e[1] + 2.0], e[2:])
+         |  SELECT vec_id + 100000, list_concat([e[1] + 0.1], e[2:])
          |  FROM base WHERE vec_id % 50 = 0),
          |n AS (
          |  SELECT vec_id, e,

@@ -67,6 +67,40 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)        // at s>=0.8 with 8x4 bands, recall is ~1 here
   }
 
+  test("embedding LSH is non-vacuous and recalls the brute-force >=0.9 pairs") {
+    val corpus = DedupOps.plantedEmbeddingCorpus(spark, sf)
+      .select($"vec_id", $"e", $"norm")
+    // brute-force verifier over the same planted corpus: every pair at
+    // cosine >= 0.9 (tiny N — spec-only; the query under test is the
+    // sub-quadratic path)
+    val a = corpus.toDF("v1", "e1", "n1")
+    val b = corpus.toDF("v2", "e2", "n2")
+    val brute = a.crossJoin(b).filter($"v1" < $"v2")
+      .withColumn("cosine",
+        graft.functions.VecDot.vec_dot($"e1", $"e2") / ($"n1" * $"n2"))
+      .filter($"cosine" >= 0.9)
+      .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+    val lsh = SparkEntry.queries("dedup_embedding_lsh")(spark, sf)
+      .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+    // planting must actually produce near-dups (the round-2 +2.0 bump
+    // made this query vacuously empty — cosine landed at ~0.45)
+    assert(brute.nonEmpty, "planted corpus has no pairs >= 0.9: planting is broken")
+    assert(lsh.subsetOf(brute)) // exact rescore => no false positives
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall >= 0.9, s"embedding-LSH recall $recall (${lsh.size}/${brute.size})")
+  }
+
+  test("embedding-cosine block join covers pairs in BOTH block orientations") {
+    val out = SparkEntry.queries("dedup_embedding_cosine")(spark, sf)
+      .select($"v1", $"v2").as[(Long, Long)].collect()
+    // round-2 bug: only blk(v1) <= blk(v2) pairs were reachable; assert
+    // both orientations occur (blk = vec_id % 8)
+    assert(out.exists { case (v1, v2) => v1 % 8 > v2 % 8 },
+      s"no pair with blk(v1) > blk(v2) — triangle enumeration regression: ${out.toSeq}")
+    assert(out.forall { case (v1, v2) => v1 < v2 })
+    assert(out.distinct.length == out.length)
+  }
+
   test("simhash near-dup candidates cover most true near-dup pairs") {
     val truePairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
       .select("d1", "d2").as[(Long, Long)].collect().toSet

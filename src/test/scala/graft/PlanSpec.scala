@@ -65,7 +65,7 @@ class PlanSpec extends SparkSpec {
     * hash/sort-merge joins.
     */
   private val nonEquiIntended = Set(
-    "dedup_embedding_cosine", "dedup_simhash_pairs", // N² verifiers
+    "dedup_simhash_pairs",                           // N² verifier
     "ann_cosine_topk",                               // brute-force baseline
     "x_cross_join_regions",                          // deliberate 5×5
     "p7_lookback_48h", "d2_antijoin_new_keys",       // 1-row agg broadcast
