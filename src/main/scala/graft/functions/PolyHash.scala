@@ -45,8 +45,10 @@ object PolyHash {
   }
 
   /** Static helper invoked from generated code. */
-  def hashUTF8(s: UTF8String): Long = {
-    val str = s.toString
+  def hashUTF8(s: UTF8String): Long = hashString(s.toString)
+
+  /** Plain-Scala form for driver/mapPartitions callers (same recurrence). */
+  def hashString(str: String): Long = {
     var acc = 0L
     var i = 0
     val n = str.length

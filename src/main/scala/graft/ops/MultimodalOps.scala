@@ -30,6 +30,18 @@ object MultimodalOps {
   val FrameBytes = 32
   val FrameStride = 4 // sample every 4th frame
 
+  val InferClasses = Seq("negative", "neutral", "positive")
+  val InferBatch = 64
+  val ClassSalt = 2654435761L // Knuth multiplicative constant, decorrelates classes
+  val ScoreMod = 1000003L
+
+  /** Deterministic per-(token, class) weight in [-1000, 1000] — the
+    * stand-in "model" for u4_batch_inference. Pure integer arithmetic so
+    * the DuckDB oracle reproduces logits bit-for-bit.
+    */
+  def tokenWeight(h: Long, c: Int): Long =
+    ((h + c * ClassSalt) % ScoreMod) % 2001L - 1000L
+
   /** documents with payload BINARY + typed metadata (format from a
     * deterministic doc_id rule; byte length; md5 checksum).
     */
@@ -85,6 +97,59 @@ object MultimodalOps {
         .orderBy("doc_id", "bin")
     }),
 
+    // U4 batch inference (reference sentiment_analysis.py:76-112 runs a
+    // DistilBERT pipeline over all texts and emits per-doc (label, score)
+    // — sentiment_analysis.py:96-103). The container has no ONNX runtime,
+    // so the MODEL is a deterministic stand-in (integer token weights +
+    // softmax over 3 classes), but the output contract (doc_id, top-1
+    // label, top-1 probability) and the execution shape — model "init"
+    // once per partition, rows scored in fixed-size batches via
+    // mapPartitions, exactly what a real inference runtime wants — are
+    // the real thing, and the whole path is oracle-checked as pure
+    // arithmetic. Scale: map-only; no shuffle until the output sort.
+    "u4_batch_inference" -> ((s, d) => {
+      import s.implicits._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("label", StringType, nullable = false),
+        StructField("score", DoubleType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val classes = InferClasses.toArray
+      documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", $"text")
+        .mapPartitions { it =>
+          // per-partition "model load" happens here (the weights closure);
+          // grouped(...) mirrors the fixed batch size of a GPU runtime
+          it.grouped(InferBatch).flatMap { batch =>
+            batch.iterator.map { r =>
+              val docId = r.getLong(0)
+              val toks = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+                .split("\\s+").filter(_.nonEmpty)
+              val sums = new Array[Long](3)
+              toks.foreach { t =>
+                val h = graft.functions.PolyHash.hashString(t)
+                var c = 0
+                while (c < 3) { sums(c) += tokenWeight(h, c); c += 1 }
+              }
+              val n = toks.length
+              // integer sums stay exact, so one double division per class
+              // gives bit-identical logits in both engines regardless of
+              // token order
+              val logits = sums.map(sv => if (n == 0) 0.0 else sv / (n * 1000.0))
+              val exps = logits.map(math.exp)
+              val denom = exps(0) + exps(1) + exps(2)
+              var best = 0
+              var c = 1
+              while (c < 3) { if (exps(c) > exps(best)) best = c; c += 1 }
+              Row(docId, classes(best), exps(best) / denom)
+            }
+          }
+        }(enc)
+        .withColumn("score", round($"score", 6))
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling: fixed 32-byte frames, keep every 4th, fingerprint
     // each sampled frame with the shared polynomial hash.
     "mm_frame_sample" -> ((s, d) => {
@@ -131,6 +196,38 @@ object MultimodalOps {
         |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
         |        FROM documents))
         |GROUP BY doc_id, bin ORDER BY doc_id, bin""".stripMargin,
+    "u4_batch_inference" -> {
+      val sumExpr = (c: Int) =>
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(hs, x -> (x + $c * $ClassSalt) % $ScoreMod % 2001 - 1000)),
+           |      (a, b) -> a + b) AS s$c""".stripMargin
+      val logitExpr = (c: Int) =>
+        s"exp(CASE WHEN n = 0 THEN 0.0 ELSE CAST(s$c AS DOUBLE) / (n * 1000) END) AS e$c"
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS toks
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, len(toks) AS n,
+         |    list_transform(toks, t -> ${DedupOps.polyHashSql("t")}) AS hs
+         |  FROM tok),
+         |lg AS (
+         |  SELECT doc_id, n,
+         |    ${sumExpr(0)},
+         |    ${sumExpr(1)},
+         |    ${sumExpr(2)}
+         |  FROM h),
+         |p AS (
+         |  SELECT doc_id, ${logitExpr(0)}, ${logitExpr(1)}, ${logitExpr(2)} FROM lg)
+         |SELECT doc_id,
+         |  CASE WHEN e0 >= e1 AND e0 >= e2 THEN 'negative'
+         |       WHEN e1 >= e2 THEN 'neutral'
+         |       ELSE 'positive' END AS label,
+         |  ROUND(CASE WHEN e0 >= e1 AND e0 >= e2 THEN e0
+         |             WHEN e1 >= e2 THEN e1
+         |             ELSE e2 END / (e0 + e1 + e2), 6) AS score
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     "mm_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, text, strlen(text) AS n,

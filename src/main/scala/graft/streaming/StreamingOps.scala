@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Tables
 
@@ -45,6 +46,25 @@ object StreamingOps {
         .orderBy("win_start")
     }),
 
+    // Streaming key-dedup (S8 streaming form — reference pipelines.py:33-44
+    // drops items whose key was already inserted). The readStream version
+    // is withWatermark + dropDuplicates(keys); this is its batch
+    // equivalent with a DETERMINISTIC survivor (earliest ts, then lowest
+    // event_id — streaming keeps the first arrival, which is the same row
+    // when the stream is in event-time order). One shuffle on the dedup
+    // key; state per key is one row, bounded by the watermark at scale.
+    "stream_dedup_keys" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts".asc, $"event_id".asc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type",
+          $"event_id".as("first_event_id"), $"ts".as("first_ts"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // Session windows: 30-minute inactivity gap per user.
     "stream_session_windows" -> ((s, d) => {
       import s.implicits._
@@ -69,6 +89,12 @@ object StreamingOps {
         |  SELECT time_bucket(INTERVAL 6 HOUR, ts) - k * INTERVAL 6 HOUR AS win_start
         |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_dedup_keys" ->
+      """SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts ASC, event_id ASC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
     "stream_session_windows" ->
       """WITH o AS (
         |  SELECT user_id, ts,

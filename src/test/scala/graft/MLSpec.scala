@@ -60,4 +60,34 @@ class MLSpec extends SparkSpec {
       .as[(Int, Double)].collect()
     assert(rows.map(_._1).toSeq == Seq(2, 4, 6))
   }
+
+  test("u5_lda_save_load round-trips through the artifact sink exactly") {
+    val a = SparkEntry.queries("u5_lda_topics")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("u5_lda_save_load")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("topic fan-out: three configs off one cached prepared input (§3.1)") {
+    val out = SparkEntry.queries("pipeline_topic_fanout")(spark, sf)
+      .as[(String, Int, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq("auto", "fixed_large", "fixed_small"))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.forall(_._4 == total))
+    // the shared fit input is materialized once: cached + persisted
+    val (_, vec) = graft.ops.MLOps.preparedInput(spark, sf)
+    assert(vec.storageLevel.useMemory || vec.storageLevel.useDisk)
+  }
+
+  test("NPMI values are normalized (within [-1, 1]) and pairs are complete") {
+    import org.apache.spark.sql.functions._
+    val pairs = SparkEntry.queries("u6_npmi_pairs")(spark, sf).collect()
+    // 20 sources × C(10,2) pairs
+    assert(pairs.length == 20 * 45, pairs.length)
+    val vals = pairs.map(_.getDouble(4))
+    assert(vals.forall(v => v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9))
+    val coh = SparkEntry.queries("u6_npmi_coherence")(spark, sf).collect()
+    assert(coh.length == 20 && coh.forall(_.getLong(2) == 45))
+  }
 }

@@ -102,6 +102,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dropDuplicates on (user_id, event_type) matches stream_dedup_keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val dedup = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "2 days")
+      .dropDuplicates("user_id", "event_type")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("t_dedup_keys").start()
+    try {
+      // feed in event-time order so "first arrival" = earliest (ts, event_id),
+      // the batch query's deterministic survivor
+      stream.addData(batchEvents.sortBy(e => (e._2.getTime, e._1)).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("t_dedup_keys")
+        .select($"user_id", $"event_type", $"event_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val want = SparkEntry.queries("stream_dedup_keys")(spark, sf)
+        .select($"user_id", $"event_type", $"first_event_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates by key equals batch distinct count") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
