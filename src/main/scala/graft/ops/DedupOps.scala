@@ -328,6 +328,28 @@ object DedupOps {
         .orderBy("d1", "d2")
     }),
 
+    // Benchmark decontamination (the training-data op behind GPT-3/Pile
+    // style "remove eval-set overlap"): a small benchmark suite (here the
+    // deterministic doc_id % 97 == 0 subset) is reduced to its distinct
+    // shingle-hash set and BROADCAST; the corpus side is a map-only probe
+    // + one groupBy(doc_id). Report = per-doc shared-shingle count and
+    // contamination ratio |S_doc ∩ S_bench| / |S_doc| for every doc that
+    // overlaps at all. The 100 TB story: benchmark sets are tiny (MBs of
+    // shingles) regardless of corpus size, so decontaminating 100 TB is
+    // one broadcast hash join — no shuffle of the corpus.
+    "dedup_contamination" -> ((s, d) => {
+      import s.implicits._
+      val (e, sizes) = explodedShingles(s, d)
+      val bench = e.filter($"doc_id" % 97 === 0).select($"sh").distinct()
+      e.filter($"doc_id" % 97 =!= 0)
+        .join(broadcast(bench), "sh")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        .join(sizes.toDF("doc_id", "n_shingles"), "doc_id")
+        .withColumn("ratio", round($"n_shared" / $"n_shingles", 6))
+        .select("doc_id", "n_shared", "n_shingles", "ratio")
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-dup, EXACT all-pairs at threshold 0.45. The
     // testdata has no high-cosine planted pairs (every qualifying pair
     // sits in 0.45-0.6 with background reaching 0.4497), so no bucketing
@@ -507,6 +529,18 @@ object DedupOps {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.h, b.h)) <= 2
          |ORDER BY d1, d2""".stripMargin,
+    "dedup_contamination" ->
+      s"""WITH $shingleCte,
+         |bench AS (SELECT DISTINCT sh FROM e WHERE doc_id % 97 = 0),
+         |hits AS (
+         |  SELECT e.doc_id, COUNT(*) AS n_shared
+         |  FROM e JOIN bench USING (sh)
+         |  WHERE e.doc_id % 97 <> 0
+         |  GROUP BY e.doc_id)
+         |SELECT h.doc_id, n_shared, sz.sz AS n_shingles,
+         |  ROUND(CAST(n_shared AS DOUBLE) / sz.sz, 6) AS ratio
+         |FROM hits h JOIN sz ON h.doc_id = sz.doc_id
+         |ORDER BY h.doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

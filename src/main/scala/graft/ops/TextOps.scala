@@ -280,6 +280,37 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Repetition-based quality signals (Gopher/C4-style filters for
+    // LLM training data): per-doc duplicate-token fraction and the share
+    // of the most frequent bigram — high values flag boilerplate or
+    // degenerate repetition. Tokens materialize in their own Project
+    // (interpreted-HOF re-eval trap); bigram counting is one explode +
+    // two keyed aggregations, all partial-aggregated — scale-safe.
+    "text_repetition" -> ((s, d) => {
+      import s.implicits._
+      val t = documents(s, d).select($"doc_id", tokens($"text").as("t"))
+      val base = t.select($"doc_id",
+        size($"t").as("n_tok"),
+        size(array_distinct($"t")).as("n_distinct"),
+        // guard: Spark's sequence DESCENDS when the stop is negative
+        when(size($"t") >= 2,
+          transform(sequence(lit(0), size($"t") - 2),
+            i => concat_ws(" ", element_at($"t", i + 1), element_at($"t", i + 2))))
+          .otherwise(array().cast("array<string>")).as("bgs"))
+      val topBg = base.select($"doc_id", explode($"bgs").as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_bigram_cnt"))
+      base.filter($"n_tok" >= 1)
+        .join(topBg, Seq("doc_id"), "left").na.fill(0L, Seq("top_bigram_cnt"))
+        .withColumn("dup_token_ratio",
+          round(lit(1.0) - $"n_distinct" / $"n_tok", 6))
+        .withColumn("top_bigram_ratio",
+          when($"n_tok" >= 2, round($"top_bigram_cnt" / ($"n_tok" - 1), 6))
+            .otherwise(lit(0.0)))
+        .select("doc_id", "n_tok", "dup_token_ratio", "top_bigram_ratio")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic train/val/test split (training-pipeline staple):
     // assignment is a pure function of the stable document key — split
     // membership survives reruns, repartitions, and engine changes, unlike
@@ -495,6 +526,26 @@ object TextOps {
       s"""SELECT doc_id, len($tokensSql) AS ws_tokens,
          |  len(regexp_extract_all(text, '[a-zA-Z]+|\\d|[^\\sa-zA-Z\\d]')) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |b AS (
+         |  SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_distinct,
+         |    list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) AS bgs
+         |  FROM t),
+         |bgc AS (
+         |  SELECT doc_id, MAX(c) AS top_bigram_cnt FROM (
+         |    SELECT doc_id, bg, COUNT(*) AS c
+         |    FROM (SELECT doc_id, unnest(bgs) AS bg FROM b)
+         |    GROUP BY doc_id, bg)
+         |  GROUP BY doc_id)
+         |SELECT b.doc_id, n_tok,
+         |  ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tok, 6) AS dup_token_ratio,
+         |  CASE WHEN n_tok >= 2
+         |       THEN ROUND(CAST(top_bigram_cnt AS DOUBLE) / (n_tok - 1), 6)
+         |       ELSE 0.0 END AS top_bigram_ratio
+         |FROM b LEFT JOIN bgc ON b.doc_id = bgc.doc_id
+         |WHERE n_tok >= 1
+         |ORDER BY b.doc_id""".stripMargin,
     "split_train_test" ->
       s"""WITH b AS (
          |  SELECT n_chars,

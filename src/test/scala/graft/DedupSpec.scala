@@ -101,6 +101,16 @@ class DedupSpec extends SparkSpec {
     assert(out.distinct.length == out.length)
   }
 
+  test("contamination report excludes benchmark docs and bounds ratios") {
+    val rows = SparkEntry.queries("dedup_contamination")(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(rows.nonEmpty, "no corpus doc shares any shingle with the benchmark subset")
+    assert(rows.forall { case (id, shared, total, ratio) =>
+      id % 97 != 0 && shared >= 1 && shared <= total &&
+        ratio > 0.0 && ratio <= 1.0
+    })
+  }
+
   test("simhash near-dup candidates cover most true near-dup pairs") {
     val truePairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
       .select("d1", "d2").as[(Long, Long)].collect().toSet

@@ -45,6 +45,18 @@ class TextOpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("repetition ratios are bounded and cover every tokenized doc") {
+    val rows = SparkEntry.queries("text_repetition")(spark, sf)
+      .as[(Long, Int, Double, Double)].collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == docs) // every doc has >= 1 token in this corpus
+    assert(rows.forall { case (_, n, dup, bg) =>
+      n >= 1 && dup >= 0.0 && dup < 1.0 && bg >= 0.0 && bg <= 1.0
+    })
+    // synthetic docs repeat words heavily: the signal must be non-trivial
+    assert(rows.exists(_._3 > 0.1))
+  }
+
   test("VADER threshold boundaries at exactly ±0.05") {
     val labeled = Seq(0.05, 0.049999, -0.05, -0.049999, 0.0).toDF("s")
       .withColumn("label",
