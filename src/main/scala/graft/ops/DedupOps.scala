@@ -328,6 +328,45 @@ object DedupOps {
         .orderBy("d1", "d2")
     }),
 
+    // Duplicate-CLUSTER resolution — the step after pair generation in a
+    // real dedup pipeline: near-dup pairs form a graph; keep ONE survivor
+    // per connected component (min doc_id), not one per pair. Distributed
+    // min-label propagation to fixpoint over the candidate graph: each
+    // iteration is one equi-join + partial-aggregated min, with
+    // localCheckpoint truncating the iterative lineage. The graph is the
+    // CANDIDATE set (∝ duplicate density, not corpus size), so iteration
+    // count ≈ cluster diameter — small in practice; at 100 TB this is the
+    // standard CC-over-candidate-edges shape (large-star/small-star being
+    // the heavy-duty variant for adversarial diameters). Oracle: DuckDB
+    // recursive-CTE transitive closure over the same pairs.
+    "dedup_cluster_reps" -> ((s, d) => {
+      import s.implicits._
+      val pairs = queries("dedup_ngram_jaccard")(s, d).select($"d1", $"d2")
+      val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+        .toDF("a", "b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select($"a").distinct().withColumn("lbl", $"a")
+        .localCheckpoint()
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 50) {
+        val nb = edges.join(labels.toDF("b", "nlbl"), "b")
+          .groupBy($"a").agg(min($"nlbl").as("min_nb"))
+        val next = labels.join(nb, Seq("a"))
+          .select($"a", least($"lbl", $"min_nb").as("lbl"))
+          .localCheckpoint()
+        changed = next.toDF("a2", "l2")
+          .join(labels, $"a2" === $"a")
+          .filter($"l2" =!= $"lbl").count()
+        labels = next
+        iters += 1
+      }
+      edges.unpersist()
+      labels.select($"a".as("doc_id"), $"lbl".as("cluster_rep"))
+        .withColumn("is_survivor", $"doc_id" === $"cluster_rep")
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination (the training-data op behind GPT-3/Pile
     // style "remove eval-set overlap"): a small benchmark suite (here the
     // deterministic doc_id % 97 == 0 subset) is reduced to its distinct
@@ -529,6 +568,24 @@ object DedupOps {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.h, b.h)) <= 2
          |ORDER BY d1, d2""".stripMargin,
+    "dedup_cluster_reps" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |jp AS (
+         |  SELECT d1, d2 FROM (
+         |    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         |    FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sz sa ON d1 = sa.doc_id
+         |  JOIN sz sb ON d2 = sb.doc_id
+         |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8),
+         |ed AS (SELECT d1 AS a, d2 AS b FROM jp UNION SELECT d2, d1 FROM jp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM ed UNION SELECT a, a FROM ed
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a)
+         |SELECT a AS doc_id, MIN(b) AS cluster_rep,
+         |  (a = MIN(b)) AS is_survivor
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "dedup_contamination" ->
       s"""WITH $shingleCte,
          |bench AS (SELECT DISTINCT sh FROM e WHERE doc_id % 97 = 0),

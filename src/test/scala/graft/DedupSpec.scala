@@ -101,6 +101,30 @@ class DedupSpec extends SparkSpec {
     assert(out.distinct.length == out.length)
   }
 
+  test("cluster reps equal a union-find over the same near-dup pairs") {
+    val pairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    // local union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = nodes.map(n => (n, find(n))).sortBy(_._1).toSeq
+    val got = SparkEntry.queries("dedup_cluster_reps")(spark, sf)
+      .select($"doc_id", $"cluster_rep").as[(Long, Long)].collect().toSeq
+    assert(got == want)
+    // survivors are exactly the per-cluster minima
+    val survivors = SparkEntry.queries("dedup_cluster_reps")(spark, sf)
+      .filter($"is_survivor").select($"doc_id").as[Long].collect().toSet
+    assert(survivors == want.map(_._2).toSet)
+  }
+
   test("contamination report excludes benchmark docs and bounds ratios") {
     val rows = SparkEntry.queries("dedup_contamination")(spark, sf)
       .as[(Long, Long, Int, Double)].collect()
