@@ -311,6 +311,34 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Corpus LM quality score (the CCNet/RedPajama perplexity filter,
+    // here with the corpus itself as the LM): per-doc average bigram
+    // log-probability ln P(w2|w1) = ln(c(w1 w2) / c(w1)) under corpus
+    // counts — low scores flag out-of-distribution/garbled text. Shape:
+    // the "LM" is two aggregations (unigram + bigram counts); scoring is
+    // two equi-joins of the doc bigram stream against them and one
+    // groupBy(doc_id) — all partial-aggregated, no broadcast of anything
+    // corpus-sized.
+    "text_lm_score" -> ((s, d) => {
+      import s.implicits._
+      val t = documents(s, d).select($"doc_id", tokens($"text").as("t"))
+      val db = t.select($"doc_id",
+          explode(when(size($"t") >= 2,
+            transform(sequence(lit(0), size($"t") - 2),
+              i => concat_ws(" ", element_at($"t", i + 1), element_at($"t", i + 2))))
+            .otherwise(array().cast("array<string>"))).as("bg"))
+      val uni = t.select(explode($"t").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("cu"))
+      val bgc = db.groupBy($"bg").agg(count(lit(1)).as("cb"))
+      db.join(bgc, "bg")
+        .join(uni, substring_index($"bg", " ", 1) === $"w")
+        .withColumn("logp", log($"cb" / $"cu"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg($"logp"), 6).as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic train/val/test split (training-pipeline staple):
     // assignment is a pure function of the stable document key — split
     // membership survives reruns, repartitions, and engine changes, unlike
@@ -546,6 +574,21 @@ object TextOps {
          |FROM b LEFT JOIN bgc ON b.doc_id = bgc.doc_id
          |WHERE n_tok >= 1
          |ORDER BY b.doc_id""".stripMargin,
+    "text_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |db AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(len(toks) - 1),
+         |      i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+         |  FROM t),
+         |uni AS (SELECT w, COUNT(*) AS cu FROM (
+         |  SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |bgc AS (SELECT bg, COUNT(*) AS cb FROM db GROUP BY bg)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ROUND(AVG(ln(CAST(cb AS DOUBLE) / cu)), 6) AS avg_logprob
+         |FROM db JOIN bgc USING (bg)
+         |JOIN uni ON split_part(bg, ' ', 1) = uni.w
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "split_train_test" ->
       s"""WITH b AS (
          |  SELECT n_chars,

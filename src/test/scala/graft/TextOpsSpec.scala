@@ -57,6 +57,16 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.exists(_._3 > 0.1))
   }
 
+  test("LM scores are log-probabilities (<= 0) over every multi-token doc") {
+    val rows = SparkEntry.queries("text_lm_score")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, n, lp) => n >= 1 && lp <= 1e-9 })
+    // corpus-typical docs must score strictly better than ln of the
+    // rarest possible transition (a bigram seen once after a common word)
+    assert(rows.exists(_._3 > -5.0))
+  }
+
   test("VADER threshold boundaries at exactly ±0.05") {
     val labeled = Seq(0.05, 0.049999, -0.05, -0.049999, 0.0).toDF("s")
       .withColumn("label",
