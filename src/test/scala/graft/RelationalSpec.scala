@@ -65,7 +65,9 @@ class RelationalSpec extends SparkSpec {
 
   test("representative queries are run-to-run deterministic") {
     Seq("dedup_minhash_lsh", "u7_tfidf_top_terms", "text_langid",
-      "a5_daily_share_pct", "ann_lsh_topk").foreach { name =>
+      "a5_daily_share_pct", "ann_lsh_topk",
+      "u6_npmi_coherence", "u4_batch_inference", "dedup_cluster_reps",
+      "text_lm_score", "stream_dedup_keys").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
