@@ -39,19 +39,12 @@ object DedupOps {
   val NumBands = 8
   val RowsPerBand = 4
 
-  /** Independent MinHash permutation seeds h_i(x) = (a_i·x + b_i) mod P.
-    * Drawn from java.util.Random(42) (LCG fixed by the Java spec) and
-    * embedded as literals in BOTH engines. NOT formula-derived: an earlier
-    * a_i = A·(i+1), b_i = B·(i+1) scheme made every h_i a scalar multiple
-    * of one function (h_i = (i+1)·g(x) mod P), which collapsed the
-    * independence assumption behind banding and measurably lost a
-    * 0.988-Jaccard pair at sf0.001.
+  /** Independent MinHash permutation seeds h_i(x) = (a_i·x + b_i) mod P —
+    * canonically owned by the codegen'd signature expression (see its
+    * scaladoc for the independence rationale); aliased here for the
+    * oracle-SQL literals.
     */
-  lazy val permSeeds: IndexedSeq[(Long, Long)] = {
-    val rnd = new java.util.Random(42)
-    IndexedSeq.fill(NumHashes)(
-      (rnd.nextInt(P_PERM.toInt - 1) + 1L, rnd.nextInt(P_PERM.toInt).toLong))
-  }
+  lazy val permSeeds: IndexedSeq[(Long, Long)] = graft.functions.MinHashSig.seeds
 
   /** Order-sensitive polynomial hash of a string's code points,
     * acc = (acc*131 + code) mod 1e9+7 — identical in DuckDB via
@@ -173,13 +166,15 @@ object DedupOps {
       .withColumn("norm", sqrt(graft.functions.VecDot.vec_dot($"e", $"e")))
   }
 
-  private def explodedShingles(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** The cached per-doc (doc_id, xs: array<long>) shingle-hash frame.
+    * Persisted: it feeds 4-6 plan branches (candidate sides, sizes,
+    * signatures); without a materialization boundary Spark re-reads and
+    * re-shingles the corpus per branch — the multi-consumer fan-out
+    * pattern SURVEY §3.1 calls for caching.
+    */
+  private def shingleFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // Persisted: the shingle frame feeds 4-6 plan branches (candidate
-    // sides, sizes, signatures); without a materialization boundary Spark
-    // re-reads and re-shingles the corpus per branch — the multi-consumer
-    // fan-out pattern SURVEY §3.1 calls for caching.
-    val sh = shingleCache.getOrElseUpdate((s, d), {
+    shingleCache.getOrElseUpdate((s, d), {
       val par = s.sparkContext.defaultParallelism
       documents(s, d)
         .repartition(par) // single-file corpus: fan out before the CPU work
@@ -189,6 +184,11 @@ object DedupOps {
         .filter(size($"xs") >= 1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
+
+  private def explodedShingles(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val sh = shingleFrame(s, d)
     (sh.select($"doc_id", explode($"xs").as("sh")),
       sh.select($"doc_id", size($"xs").as("sz")))
   }
@@ -222,30 +222,27 @@ object DedupOps {
     // 4 rows, band-collision join for candidates, exact-Jaccard
     // verification ≥ 0.8.
     //
-    // The signature is computed RELATIONALLY: explode shingles once,
-    // polynomial-hash each shingle ONCE per row, then 32 codegen'd min()
-    // aggregates. The tempting array-HOF form (transform over a sequence
-    // of 32 seeds with polyHash inside) is catastrophically slower:
-    // CollapseProject inlines the hash array into every permutation, so
-    // the interpreted char-level hash runs 32× per doc (measured 670 s vs
-    // <2 s at sf0.1). Explicit repartition fans the single-file corpus out
-    // across cores; a real multi-split table at scale wouldn't need it.
+    // The signature is MAP-ONLY: the per-doc shingle-hash array is
+    // already materialized (cached frame), so the codegen'd MinHashSig
+    // expression emits all 32 minima in one pass — no shuffle of the
+    // exploded shingle table just to re-group rows that started grouped
+    // (the earlier relational groupBy(doc_id)+32×min form paid exactly
+    // that exchange). History note: the array-HOF form with polyHash
+    // inside transform() was catastrophically slower still — interpreted
+    // char-level hashing ran 32× per doc (measured 670 s vs <2 s at
+    // sf0.1). mh sits in its own Project: CollapseProject would otherwise
+    // consider inlining it into the 32 band-key element_ats, and it only
+    // declines because custom expressions are non-cheap.
     "dedup_minhash_lsh" -> ((s, d) => {
       import s.implicits._
       val (e, sizes) = explodedShingles(s, d)
-      // No explicit repartition here: the groupBy(doc_id) below already
-      // shuffles on doc_id — a pre-repartition on the same key is a
-      // second full exchange of the (widest) shingle table for nothing.
-      val xs = e.toDF("doc_id", "x")
-      val minCols = (0 until NumHashes).map { i =>
-        val (a, b) = permSeeds(i)
-        min((lit(a) * $"x" + lit(b)) % P_PERM).as(s"h$i")
-      }
       val bandKeys = (0 until NumBands).map { b =>
         concat_ws("_", (0 until RowsPerBand).map(r =>
-          col(s"h${b * RowsPerBand + r}").cast("string")): _*)
+          element_at($"mh", b * RowsPerBand + r + 1).cast("string")): _*)
       }
-      val sig = xs.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+      val sig = shingleFrame(s, d)
+        .select($"doc_id",
+          graft.functions.MinHashSig.min_hash_sig($"xs").as("mh"))
         .select($"doc_id", posexplode(array(bandKeys: _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
       val cands = sig.toDF("d1", "band", "key")

@@ -50,6 +50,20 @@ class DedupSpec extends SparkSpec {
     assert(viaColumn.isEmpty)
   }
 
+  test("MinHashSig equals the relational per-permutation min aggregation") {
+    import graft.functions.MinHashSig
+    val xs = Seq(Seq(5L, 99L, 123456789L, 7L), Seq(42L))
+    val viaExpr = xs.toDF("xs")
+      .select(MinHashSig.min_hash_sig($"xs").as("mh"))
+      .as[Seq[Long]].collect().toSeq
+    val want = xs.map { set =>
+      MinHashSig.seeds.map { case (a, b) =>
+        set.map(x => (a * x + b) % MinHashSig.P).min
+      }.toSeq
+    }
+    assert(viaExpr == want)
+  }
+
   test("exact dedup removes the constructed duplicates") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").count()
     val out = SparkEntry.queries("dedup_exact")(spark, sf)
