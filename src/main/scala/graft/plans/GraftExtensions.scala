@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{PolyHash, ShingleHashes, VecDot}
+import graft.functions.{MinHashSig, PolyHash, ShingleHashes, VecDot}
 
 /** Session extension registering the engine's custom codegen'd expressions
   * as SQL functions, so `spark.sql("SELECT poly_hash(text) ...")` works
@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("min_hash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "min_hash_sig"),
+      (children: Seq[Expression]) => MinHashSig(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

@@ -17,6 +17,8 @@ class ExtensionsSpec extends SparkSpec {
         exprs => graft.functions.VecDot(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("shingle_hashes",
         exprs => graft.functions.ShingleHashes(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction("min_hash_sig",
+        exprs => graft.functions.MinHashSig(exprs.head), "built-in")
     }
     val h = spark.sql("SELECT poly_hash('spark') AS h").collect().head.getLong(0)
     // reference recurrence
@@ -31,6 +33,10 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT size(shingle_hashes(array('a','b','c','d'))) AS n")
       .collect().head.getInt(0)
     assert(n == 2)
+    val m = spark.sql(
+      "SELECT size(min_hash_sig(array(5L, 99L))) AS m")
+      .collect().head.getInt(0)
+    assert(m == graft.functions.MinHashSig.NumHashes)
   }
 
   test("GraftExtensions class applies to a builder without error") {
