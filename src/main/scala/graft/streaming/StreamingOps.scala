@@ -65,6 +65,25 @@ object StreamingOps {
         .orderBy("user_id", "event_type")
     }),
 
+    // Stateful sequence processing (the flatMapGroupsWithState shape):
+    // per-user event-type TRANSITION counts — the streaming form keeps
+    // one last-event-type state per user and emits a (prev, next) pair
+    // per arrival; this is its batch equivalent via a lag window
+    // (StreamingSpec runs the actual flatMapGroupsWithState version
+    // through MemoryStream and asserts it matches). One shuffle on
+    // user_id, then a partial-aggregated count — state per key is one
+    // string, bounded regardless of stream length.
+    "stream_user_transitions" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      events(s, d)
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNotNull)
+        .groupBy($"prev", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev", "event_type")
+    }),
+
     // Session windows: 30-minute inactivity gap per user.
     "stream_session_windows" -> ((s, d) => {
       import s.implicits._
@@ -95,6 +114,15 @@ object StreamingOps {
         |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
         |  ORDER BY ts ASC, event_id ASC) = 1
         |ORDER BY user_id, event_type""".stripMargin,
+    "stream_user_transitions" ->
+      """WITH o AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events)
+        |SELECT prev, event_type, COUNT(*) AS n FROM o
+        |WHERE prev IS NOT NULL
+        |GROUP BY prev, event_type ORDER BY prev, event_type""".stripMargin,
     "stream_session_windows" ->
       """WITH o AS (
         |  SELECT user_id, ts,

@@ -102,6 +102,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState transitions match the batch lag-window query") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    // state = last event_type per user; emit one (prev, next) per arrival
+    val transitions = stream.toDS()
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Timestamp, Long, String, Double)],
+         state: GroupState[String]) =>
+          // rows within a micro-batch arrive unordered: sort by (ts, event_id)
+          // to mirror event-time order (the batch query's window order)
+          val sorted = rows.toSeq.sortBy(e => (e._2.getTime, e._2.getNanos, e._1))
+          val out = scala.collection.mutable.Buffer.empty[(String, String)]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach(p => out += ((p, e._4)))
+            prev = Some(e._4)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+      .toDF("prev", "event_type")
+    val q = transitions.writeStream.outputMode("append")
+      .format("memory").queryName("t_transitions").start()
+    try {
+      // two micro-batches split on event time so state carries across
+      val sorted = batchEvents.sortBy(e => (e._2.getTime, e._2.getNanos, e._1))
+      val (b1, b2) = sorted.splitAt(sorted.length / 2)
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("t_transitions")
+        .groupBy($"prev", $"event_type").agg(count("*").as("n"))
+        .orderBy("prev", "event_type")
+        .collect().map(_.toSeq).toSeq
+      val want = SparkEntry.queries("stream_user_transitions")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates on (user_id, event_type) matches stream_dedup_keys") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
@@ -114,7 +157,8 @@ class StreamingSpec extends SparkSpec {
     try {
       // feed in event-time order so "first arrival" = earliest (ts, event_id),
       // the batch query's deterministic survivor
-      stream.addData(batchEvents.sortBy(e => (e._2.getTime, e._1)).toSeq)
+      stream.addData(batchEvents
+        .sortBy(e => (e._2.getTime, e._2.getNanos, e._1)).toSeq)
       q.processAllAvailable()
       val got = spark.table("t_dedup_keys")
         .select($"user_id", $"event_type", $"event_id")
