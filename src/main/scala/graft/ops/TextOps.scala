@@ -316,6 +316,37 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // BM25 top-k retrieval (Robertson/Lucene form with k1=1.2, b=0.75) —
+    // the search primitive of retrieval/RAG data pipelines, as pure
+    // relational algebra: tf restricted to the (tiny, broadcast-safe)
+    // query-term set BEFORE aggregating, df and corpus stats as
+    // vocabulary/scalar-sized aggregates, score = one groupBy(doc_id) +
+    // TakeOrdered. At 100 TB the only corpus-wide pass is the tokenize;
+    // everything keyed after the query-term filter is ∝ hits, not corpus.
+    "text_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      val qTerms = Seq("spark", "table", "merge")
+      val t = documents(s, d).select($"doc_id", tokens($"text").as("t"))
+      val dl = t.select($"doc_id", size($"t").as("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+      val tf = t.select($"doc_id", explode($"t").as("word"))
+        .filter($"word".isin(qTerms: _*))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df_), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .withColumn("dlr", $"dl".cast("double") / $"avgdl")
+        .withColumn("idf",
+          log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)))
+        .withColumn("w",
+          $"idf" * $"tf" * lit(2.2) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dlr")))
+        .groupBy($"doc_id").agg(round(sum($"w"), 6).as("bm25"))
+        .orderBy(desc("bm25"), asc("doc_id"))
+        .limit(15)
+    }),
+
     // Corpus LM quality score (the CCNet/RedPajama perplexity filter,
     // here with the corpus itself as the LM): per-doc average bigram
     // log-probability ln P(w2|w1) = ln(c(w1 w2) / c(w1)) under corpus
@@ -579,6 +610,25 @@ object TextOps {
          |FROM b LEFT JOIN bgc ON b.doc_id = bgc.doc_id
          |WHERE n_tok >= 1
          |ORDER BY b.doc_id""".stripMargin,
+    "text_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+         |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, word, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(toks) AS word FROM t)
+         |  WHERE word IN ('spark', 'table', 'merge')
+         |  GROUP BY doc_id, word),
+         |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+         |w AS (
+         |  SELECT tf.doc_id,
+         |    ln(((SELECT n_docs FROM st) - df + 0.5) / (df + 0.5) + 1.0)
+         |      * tf * 2.2
+         |      / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+         |          / (SELECT avgdl FROM st)))) AS w
+         |  FROM tf JOIN df USING (word) JOIN dl ON tf.doc_id = dl.doc_id)
+         |SELECT doc_id, ROUND(SUM(w), 6) AS bm25 FROM w
+         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 15""".stripMargin,
     "text_lm_score" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |db AS (

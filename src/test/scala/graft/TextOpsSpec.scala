@@ -57,6 +57,14 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.exists(_._3 > 0.1))
   }
 
+  test("BM25 returns 15 positive scores in strict rank order") {
+    val rows = SparkEntry.queries("text_bm25_topk")(spark, sf)
+      .as[(Long, Double)].collect()
+    assert(rows.length == 15)
+    assert(rows.forall(_._2 > 0.0))
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq)
+  }
+
   test("LM scores are log-probabilities (<= 0) over every multi-token doc") {
     val rows = SparkEntry.queries("text_lm_score")(spark, sf)
       .as[(Long, Long, Double)].collect()
