@@ -183,6 +183,29 @@ object SimilarityOps {
         .orderBy("label", "pos")
     }),
 
+    // Scalar (SQ8) quantization error profile — the storage path for an
+    // embedding corpus at 100 TB: per-dim min/max over the corpus (a
+    // 64-row broadcast), affine quantize to 8 bits, and the per-dim
+    // reconstruction RMSE / max-abs error a quantized ANN index would
+    // carry. Two corpus passes (range, then error), both posexplode +
+    // partial-aggregated groupBy(pos) — nothing corpus-sized broadcasts.
+    "emb_quantize_error" -> ((s, d) => {
+      import s.implicits._
+      val x = embeddings(s, d)
+        .select(posexplode($"embedding")).toDF("pos", "v")
+        .withColumn("v", $"v".cast("double"))
+      val rng = x.groupBy($"pos").agg(min($"v").as("lo"), max($"v").as("hi"))
+      x.join(broadcast(rng), "pos")
+        .withColumn("q",
+          when($"hi" === $"lo", lit(0.0))
+            .otherwise(round(($"v" - $"lo") / ($"hi" - $"lo") * 255)))
+        .withColumn("err", $"v" - ($"lo" + $"q" / 255.0 * ($"hi" - $"lo")))
+        .groupBy($"pos")
+        .agg(round(sqrt(avg($"err" * $"err")), 6).as("rmse"),
+          round(max(abs($"err")), 6).as("max_abs_err"))
+        .orderBy("pos")
+    }),
+
     // LSH bucket histogram — the skew diagnostic for the ANN path.
     "ann_lsh_bucket_stats" -> ((s, d) => {
       import s.implicits._
@@ -282,6 +305,22 @@ object SimilarityOps {
         |    generate_subscripts(embedding, 1) AS i
         |  FROM embeddings)
         |WHERE i <= 8 GROUP BY label, i ORDER BY label, pos""".stripMargin,
+    "emb_quantize_error" ->
+      """WITH x AS (
+        |  SELECT CAST(i - 1 AS INT) AS pos, CAST(v AS DOUBLE) AS v FROM (
+        |    SELECT unnest(embedding) AS v,
+        |      generate_subscripts(embedding, 1) AS i
+        |    FROM embeddings)),
+        |rng AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM x GROUP BY pos),
+        |qz AS (
+        |  SELECT x.pos, v, lo, hi,
+        |    CASE WHEN hi = lo THEN 0.0
+        |         ELSE ROUND((v - lo) / (hi - lo) * 255) END AS q
+        |  FROM x JOIN rng ON x.pos = rng.pos),
+        |r AS (SELECT pos, v - (lo + q / 255.0 * (hi - lo)) AS err FROM qz)
+        |SELECT pos, ROUND(sqrt(AVG(err * err)), 6) AS rmse,
+        |  ROUND(MAX(abs(err)), 6) AS max_abs_err
+        |FROM r GROUP BY pos ORDER BY pos""".stripMargin,
     "ann_lsh_bucket_stats" ->
       s"""WITH $prepSql
          |SELECT ${bucketSql("e")} AS bucket, COUNT(*) AS n_vectors

@@ -34,6 +34,19 @@ class SimilaritySpec extends SparkSpec {
     assert(sum == total) // 6-bit bucket => max 64 buckets, limit 50 covers all? guard:
   }
 
+  test("SQ8 quantization error is bounded by half a quantization step") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("emb_quantize_error")(spark, sf).collect()
+    assert(rows.length == graft.ops.SimilarityOps.Dim)
+    // per-dim range <= ~2 for unit-norm data; half-step = range/255/2,
+    // so max abs error must sit under ~(hi-lo)/255 with rounding slack
+    rows.foreach { r =>
+      val (rmse, maxErr) = (r.getDouble(1), r.getDouble(2))
+      assert(rmse >= 0.0 && maxErr >= rmse)
+      assert(maxErr <= 2.0 / 255.0, s"dim ${r.getInt(0)}: $maxErr")
+    }
+  }
+
   test("IVF probe returns only same-label neighbors") {
     val labels = spark.read.parquet(s"$sf/embeddings.parquet")
       .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
