@@ -193,6 +193,44 @@ object DedupOps {
       sh.select($"doc_id", size($"xs").as("sz")))
   }
 
+  /** Connected components over an undirected pair list (d1, d2): returns
+    * (node, component-min label). Distributed min-label propagation with
+    * POINTER JUMPING (lbl ← lbl(lbl), valid since labels only decrease
+    * and every label is a node id): path doubling makes convergence
+    * logarithmic in component diameter, so the 50-iteration cap is a true
+    * safety margin (covers diameters to 2^50), not a correctness bound a
+    * long duplicate chain could exceed. localCheckpoint truncates the
+    * iterative lineage each round.
+    */
+  def connectedComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val p = pairs.toDF("d1", "d2")
+    val edges = p.union(p.select($"d2".as("d1"), $"d1".as("d2")))
+      .toDF("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select($"a").distinct().withColumn("lbl", $"a")
+      .localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 50) {
+      val nb = edges.join(labels.toDF("b", "nlbl"), "b")
+        .groupBy($"a").agg(min($"nlbl").as("min_nb"))
+      val relaxed = labels.join(nb, Seq("a"))
+        .select($"a", least($"lbl", $"min_nb").as("lbl"))
+      val next = relaxed.toDF("a", "lbl")
+        .join(relaxed.toDF("lbl", "lbl2"), "lbl")
+        .select($"a", $"lbl2".as("lbl"))
+        .localCheckpoint()
+      changed = next.toDF("a2", "l2")
+        .join(labels, $"a2" === $"a")
+        .filter($"l2" =!= $"lbl").count()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on md5(text), keep lowest doc_id. Input is
     // the corpus unioned with re-keyed copies of every 100th doc, so the
@@ -339,27 +377,8 @@ object DedupOps {
     "dedup_cluster_reps" -> ((s, d) => {
       import s.implicits._
       val pairs = queries("dedup_ngram_jaccard")(s, d).select($"d1", $"d2")
-      val edges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
-        .toDF("a", "b")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.select($"a").distinct().withColumn("lbl", $"a")
-        .localCheckpoint()
-      var changed = 1L
-      var iters = 0
-      while (changed > 0 && iters < 50) {
-        val nb = edges.join(labels.toDF("b", "nlbl"), "b")
-          .groupBy($"a").agg(min($"nlbl").as("min_nb"))
-        val next = labels.join(nb, Seq("a"))
-          .select($"a", least($"lbl", $"min_nb").as("lbl"))
-          .localCheckpoint()
-        changed = next.toDF("a2", "l2")
-          .join(labels, $"a2" === $"a")
-          .filter($"l2" =!= $"lbl").count()
-        labels = next
-        iters += 1
-      }
-      edges.unpersist()
-      labels.select($"a".as("doc_id"), $"lbl".as("cluster_rep"))
+      connectedComponents(s, pairs)
+        .toDF("doc_id", "cluster_rep")
         .withColumn("is_survivor", $"doc_id" === $"cluster_rep")
         .orderBy("doc_id")
     }),

@@ -115,6 +115,21 @@ class DedupSpec extends SparkSpec {
     assert(out.distinct.length == out.length)
   }
 
+  test("connected components converge on a 200-node chain (pointer jumping)") {
+    // a path graph is the adversarial diameter case: plain min-label
+    // propagation needs 200 iterations; path doubling needs ~8
+    val chain = (0L until 200L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val got = DedupOps.connectedComponents(spark, chain.toDF("d1", "d2"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == (0L until 200L).map(n => (n, 0L)).toSet)
+    // two separate chains resolve to their own minima
+    val two = chain ++ Seq((1000L, 1001L), (1001L, 1002L))
+    val got2 = DedupOps.connectedComponents(spark, two.toDF("d1", "d2"))
+      .as[(Long, Long)].collect().toSet
+    assert(got2 == ((0L until 200L).map(n => (n, 0L)) ++
+      Seq((1000L, 1000L), (1001L, 1000L), (1002L, 1000L))).toSet)
+  }
+
   test("cluster reps equal a union-find over the same near-dup pairs") {
     val pairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
       .select($"d1", $"d2").as[(Long, Long)].collect()
