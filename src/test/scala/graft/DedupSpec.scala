@@ -64,6 +64,22 @@ class DedupSpec extends SparkSpec {
     assert(viaExpr == want)
   }
 
+  test("MinHashSig matches reference arithmetic on random arrays (seeded, 50 samples)") {
+    import graft.functions.MinHashSig
+    val rnd = new scala.util.Random(7)
+    val samples = Seq.fill(50)(
+      Seq.fill(rnd.nextInt(40) + 1)(rnd.nextLong().abs % 1000000007L))
+    val got = samples.toDF("xs")
+      .select(MinHashSig.min_hash_sig($"xs").as("mh"))
+      .as[Seq[Long]].collect().toSeq
+    val want = samples.map { set =>
+      MinHashSig.seeds.map { case (a, b) =>
+        set.map(x => (a * x + b) % MinHashSig.P).min
+      }.toSeq
+    }
+    assert(got == want)
+  }
+
   test("exact dedup removes the constructed duplicates") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").count()
     val out = SparkEntry.queries("dedup_exact")(spark, sf)
