@@ -166,7 +166,12 @@ object Aggregates {
     }),
 
     // W-frame: running daily total of purchases (rowsBetween unbounded
-    // preceding) — cumulative trend series.
+    // preceding) — cumulative trend series. The unpartitioned window is
+    // DELIBERATE and scale-safe: it runs over the already-aggregated
+    // per-day series, whose cardinality is bounded by the calendar (one
+    // row per day — thousands of rows at any corpus size), never by the
+    // event count. Spark's WindowExec single-partition warning refers to
+    // the input it sees, which is the tiny aggregate.
     "w_running_daily_purchases" -> ((s, d) => {
       import s.implicits._
       val w = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -178,7 +183,9 @@ object Aggregates {
         .orderBy("day")
     }),
 
-    // lag/lead: day-over-day delta of event counts.
+    // lag/lead: day-over-day delta of event counts. Unpartitioned window
+    // over the day-aggregated series — calendar-bounded, see
+    // w_running_daily_purchases.
     "w_day_over_day_delta" -> ((s, d) => {
       import s.implicits._
       val w = Window.orderBy($"day")
