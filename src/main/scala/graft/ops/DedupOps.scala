@@ -383,6 +383,28 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
+    // Train/val/test LEAKAGE audit: near-duplicate pairs whose members
+    // land in different splits under the deterministic hash split
+    // (split_train_test's assignment) leak training data into eval.
+    // Output = pair counts per (split, split) cell with a leak flag —
+    // the audit every training pipeline should run after splitting.
+    // Costs one map over the (already tiny) near-dup pair list; the split
+    // is recomputed from the stable id, so no join against a split table.
+    "split_leakage_audit" -> ((s, d) => {
+      import s.implicits._
+      def splitOf(c: Column): Column = {
+        val bucket = pmod(
+          graft.functions.PolyHash.poly_hash(c.cast("string")), lit(10L))
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+      }
+      queries("dedup_ngram_jaccard")(s, d).select($"d1", $"d2")
+        .withColumn("s1", splitOf($"d1"))
+        .withColumn("s2", splitOf($"d2"))
+        .groupBy($"s1", $"s2").agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaks", $"s1" =!= $"s2")
+        .orderBy("s1", "s2")
+    }),
+
     // Benchmark decontamination (the training-data op behind GPT-3/Pile
     // style "remove eval-set overlap"): a small benchmark suite (here the
     // deterministic doc_id % 97 == 0 subset) is reduced to its distinct
@@ -584,6 +606,25 @@ object DedupOps {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.h, b.h)) <= 2
          |ORDER BY d1, d2""".stripMargin,
+    "split_leakage_audit" -> {
+      def splitSql(c: String) =
+        s"""CASE WHEN ${polyHashSql(s"CAST($c AS VARCHAR)")} % 10 < 8 THEN 'train'
+           |     WHEN ${polyHashSql(s"CAST($c AS VARCHAR)")} % 10 = 8 THEN 'val'
+           |     ELSE 'test' END""".stripMargin
+      s"""WITH $shingleCte,
+         |jp AS (
+         |  SELECT d1, d2 FROM (
+         |    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         |    FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sz sa ON d1 = sa.doc_id
+         |  JOIN sz sb ON d2 = sb.doc_id
+         |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8),
+         |sp AS (
+         |  SELECT ${splitSql("d1")} AS s1, ${splitSql("d2")} AS s2 FROM jp)
+         |SELECT s1, s2, COUNT(*) AS n_pairs, (s1 <> s2) AS leaks
+         |FROM sp GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
+    },
     "dedup_cluster_reps" ->
       s"""WITH RECURSIVE $shingleCte,
          |jp AS (
