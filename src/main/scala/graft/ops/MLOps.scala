@@ -154,31 +154,46 @@ object MLOps {
     */
   def npmiPairs(s: SparkSession, d: String, topics: DataFrame): DataFrame = {
     import s.implicits._
+    val units = docTokens(s, d)
+      .select($"doc_id".cast("string").as("unit"), explode($"toks").as("word"))
+    val nUnits = documents(s, d).agg(count(lit(1)).as("n_units"))
+    npmiPairsOver(s, topics, units, nUnits)
+  }
+
+  /** NPMI over an arbitrary co-occurrence UNIT stream (unit, word): the
+    * unit is the probability space — whole documents for the boolean-doc
+    * estimator (npmiPairs), fixed-size token segments for the windowed
+    * estimator the reference's c_v family actually uses
+    * (u6_npmi_windowed). `nUnits` must be the 1-row total unit count
+    * (including units containing no topic word — they are part of the
+    * denominator).
+    */
+  def npmiPairsOver(s: SparkSession, topics: DataFrame, units: DataFrame,
+      nUnits: DataFrame): DataFrame = {
+    import s.implicits._
     val words = topics.select($"word").distinct()
-    val inc = docTokens(s, d)
-      .select($"doc_id", explode($"toks").as("word"))
+    val inc = units
       .join(broadcast(words), "word")
-      .select($"word", $"doc_id").distinct()
+      .select($"word", $"unit").distinct()
     val dfs = inc.groupBy($"word").agg(count(lit(1)).as("df"))
-    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
     val pairs = topics.select($"topic", $"word".as("w1"))
       .join(topics.select($"topic", $"word".as("w2")), "topic")
       .filter($"w1" < $"w2")
-    val joint = inc.toDF("w1", "doc_id")
+    val joint = inc.toDF("w1", "unit")
       .join(broadcast(pairs), "w1")
-      .join(inc.toDF("w2", "doc_id"), Seq("w2", "doc_id"))
+      .join(inc.toDF("w2", "unit"), Seq("w2", "unit"))
       .groupBy($"topic", $"w1", $"w2").agg(count(lit(1)).as("joint"))
     broadcast(pairs)
       .join(joint, Seq("topic", "w1", "w2"), "left").na.fill(0L, Seq("joint"))
       .join(broadcast(dfs.toDF("w1", "df1")), "w1")
       .join(broadcast(dfs.toDF("w2", "df2")), "w2")
-      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(nUnits))
       .withColumn("npmi",
-        when($"joint" === $"n_docs", lit(1.0))
+        when($"joint" === $"n_units", lit(1.0))
           .when($"joint" === 0L, lit(-1.0))
           .otherwise(
-            log(($"joint" * $"n_docs").cast("double") / ($"df1" * $"df2")) /
-              -log($"joint".cast("double") / $"n_docs")))
+            log(($"joint" * $"n_units").cast("double") / ($"df1" * $"df2")) /
+              -log($"joint".cast("double") / $"n_units")))
       .select($"topic", $"w1", $"w2", $"joint", $"npmi")
   }
 
@@ -287,6 +302,28 @@ object MLOps {
         .orderBy("topic", "w1", "w2")
     }),
 
+    // U6 (oracle-checked): the WINDOWED co-occurrence estimator — NPMI
+    // over 10-token segments instead of whole documents, which is the
+    // probability space the reference's c_v coherence family actually
+    // estimates over (gensim segments text into sliding windows;
+    // disjoint segments are the aggregation-friendly form). Cost: the
+    // unit id is a map-side expression over the token stream — no row
+    // blowup, unlike step-1 sliding windows.
+    "u6_npmi_windowed" -> ((s, d) => {
+      import s.implicits._
+      val seg = docTokens(s, d)
+        .select($"doc_id", posexplode($"toks"))
+        .select(concat($"doc_id", lit("#"), floor($"pos" / 10)).as("unit"),
+          $"col".as("word"))
+      val nUnits = seg.select($"unit").distinct()
+        .agg(count(lit(1)).as("n_units"))
+      npmiPairsOver(s, sourceTopics(s, d), seg, nUnits)
+        .groupBy($"topic")
+        .agg(round(avg($"npmi"), 6).as("npmi_coherence"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy("topic")
+    }),
+
     // U6 (oracle-checked): mean NPMI coherence per candidate word set.
     "u6_npmi_coherence" -> ((s, d) => {
       import s.implicits._
@@ -376,7 +413,62 @@ object MLOps {
        |  JOIN dfs d1 ON d1.word = p.w1
        |  JOIN dfs d2 ON d2.word = p.w2)""".stripMargin
 
+  /** Windowed-NPMI prelude: same topics, but co-occurrence units are
+    * 10-token segments of the filtered token sequence.
+    */
+  private val npmiWindowedCte =
+    s"""sw(word) AS (VALUES ${Lexicons.stopwordsEnSqlValues}),
+       |ft AS (
+       |  SELECT doc_id, source,
+       |    list_filter($tokensSql,
+       |      t -> len(t) >= 3 AND NOT list_contains(${Lexicons.stopwordsEnSqlList}, t)) AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, source, unnest(toks) AS word FROM ft),
+       |tw AS (SELECT source, word, COUNT(*) AS cnt FROM tok GROUP BY source, word),
+       |topics AS (
+       |  SELECT source AS topic, word FROM (
+       |    SELECT source, word,
+       |      row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word ASC) AS rk
+       |    FROM tw)
+       |  WHERE rk <= $TopWords),
+       |seg AS (
+       |  SELECT CAST(doc_id AS VARCHAR) || '#' || CAST((i - 1) // 10 AS VARCHAR) AS unit,
+       |    word
+       |  FROM (SELECT doc_id, unnest(toks) AS word,
+       |          generate_subscripts(toks, 1) AS i FROM ft)),
+       |nu AS (SELECT COUNT(DISTINCT unit) AS n_units FROM seg),
+       |inc AS (
+       |  SELECT DISTINCT word, unit FROM seg
+       |  WHERE word IN (SELECT word FROM topics)),
+       |dfs AS (SELECT word, COUNT(*) AS df FROM inc GROUP BY word),
+       |pairs AS (
+       |  SELECT a.topic, a.word AS w1, b.word AS w2
+       |  FROM topics a JOIN topics b ON a.topic = b.topic AND a.word < b.word),
+       |jt AS (
+       |  SELECT p.topic, p.w1, p.w2, COUNT(*) AS joint
+       |  FROM pairs p
+       |  JOIN inc i1 ON i1.word = p.w1
+       |  JOIN inc i2 ON i2.word = p.w2 AND i2.unit = i1.unit
+       |  GROUP BY p.topic, p.w1, p.w2),
+       |v AS (
+       |  SELECT p.topic, p.w1, p.w2, COALESCE(j.joint, 0) AS joint,
+       |    CASE WHEN COALESCE(j.joint, 0) = (SELECT n_units FROM nu) THEN 1.0
+       |         WHEN COALESCE(j.joint, 0) = 0 THEN -1.0
+       |         ELSE ln(CAST(j.joint * (SELECT n_units FROM nu) AS DOUBLE)
+       |                 / (d1.df * d2.df))
+       |              / -ln(CAST(j.joint AS DOUBLE) / (SELECT n_units FROM nu))
+       |    END AS npmi
+       |  FROM pairs p
+       |  LEFT JOIN jt j ON p.topic = j.topic AND p.w1 = j.w1 AND p.w2 = j.w2
+       |  JOIN dfs d1 ON d1.word = p.w1
+       |  JOIN dfs d2 ON d2.word = p.w2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "u6_npmi_windowed" ->
+      s"""WITH $npmiWindowedCte
+         |SELECT topic, ROUND(AVG(npmi), 6) AS npmi_coherence,
+         |  COUNT(*) AS n_pairs
+         |FROM v GROUP BY topic ORDER BY topic""".stripMargin,
     "u6_npmi_pairs" ->
       s"""WITH $npmiCte
          |SELECT topic, w1, w2, joint, ROUND(npmi, 6) AS npmi

@@ -71,6 +71,7 @@ class PlanSpec extends SparkSpec {
     "p7_lookback_48h", "d2_antijoin_new_keys",       // 1-row agg broadcast
     "a11_vocab_prune", "u7_tfidf_top_terms",         // scalar n_docs join
     "u6_npmi_pairs", "u6_npmi_coherence",            // scalar n_docs join
+    "u6_npmi_windowed",                              // scalar n_units join
     "text_bm25_topk",                                // scalar corpus-stats join
   )
 
