@@ -24,10 +24,14 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
   override def prettyName: String = "min_hash_sig"
 
   protected override def nullSafeEval(input: Any): Any =
-    MinHashSig.eval(input.asInstanceOf[ArrayData])
+    MinHashSig.evalSig(input.asInstanceOf[ArrayData])
 
+  // Helper must NOT be named `eval`: a companion-object method that
+  // shares a name with an inherited instance member (Expression.eval)
+  // gets no static forwarder, so Janino can't resolve the call and the
+  // whole stage silently falls back to interpreted mode.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.evalSig($c)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -59,7 +63,7 @@ object MinHashSig {
   }
 
   /** Static helper invoked from generated code. */
-  def eval(arr: ArrayData): ArrayData = {
+  def evalSig(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = Array.fill(NumHashes)(Long.MaxValue)
     val as = aArr

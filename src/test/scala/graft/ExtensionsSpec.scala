@@ -39,6 +39,55 @@ class ExtensionsSpec extends SparkSpec {
     assert(m == graft.functions.MinHashSig.NumHashes)
   }
 
+  test("custom expressions compile under codegen (no interpreted fallback)") {
+    // GenerateMutableProjection.generate invokes Janino eagerly and throws
+    // on any compile error — the same error that, in a query, would only
+    // surface as a logged WARN + silent whole-stage fallback to
+    // interpreted eval. (Regression guard: a companion-object helper named
+    // `eval` loses its static forwarder to Expression.eval and broke
+    // exactly this way for MinHashSig.)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val strRef  = BoundReference(0, StringType, nullable = true)
+    val dblsRef = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val strsRef = BoundReference(0, ArrayType(StringType), nullable = true)
+    val lngsRef = BoundReference(0, ArrayType(LongType), nullable = true)
+
+    val polyProj = GenerateMutableProjection.generate(
+      Seq(graft.functions.PolyHash(strRef)))
+    val row = InternalRow(UTF8String.fromString("spark"))
+    var acc = 0L
+    "spark".foreach(c => acc = (acc * 131 + c) % 1000000007L)
+    assert(polyProj(row).getLong(0) == acc)
+
+    val dotProj = GenerateMutableProjection.generate(
+      Seq(graft.functions.VecDot(dblsRef, dblsRef)))
+    val vrow = InternalRow(new GenericArrayData(Array(2.0, 3.0)))
+    assert(dotProj(vrow).getDouble(0) == 13.0)
+
+    val shProj = GenerateMutableProjection.generate(
+      Seq(graft.functions.ShingleHashes(strsRef)))
+    val srow = InternalRow(new GenericArrayData(
+      Array("a", "b", "c", "d").map(UTF8String.fromString)))
+    assert(shProj(srow).getArray(0).numElements() == 2)
+
+    val mhProj = GenerateMutableProjection.generate(
+      Seq(graft.functions.MinHashSig(lngsRef)))
+    val mrow = InternalRow(new GenericArrayData(Array(5L, 99L)))
+    val sig = mhProj(mrow).getArray(0)
+    assert(sig.numElements() == graft.functions.MinHashSig.NumHashes)
+    // codegen path must agree with the interpreted helper
+    val interp = graft.functions.MinHashSig
+      .evalSig(new GenericArrayData(Array(5L, 99L)))
+    assert((0 until sig.numElements())
+      .forall(i => sig.getLong(i) == interp.getLong(i)))
+  }
+
   test("GraftExtensions class applies to a builder without error") {
     // construct (not start) a builder with the extension — validates the
     // injection wiring compiles and instantiates
