@@ -474,6 +474,91 @@ object TextOps {
         .select("doc_id", "fp")
         .orderBy("doc_id")
     }),
+
+    // PII redaction (training-data pipeline op): scrub emails, phone
+    // numbers and IPv4 addresses before a corpus ships to training.
+    // The synthetic corpus contains no PII, so deterministic PII is
+    // planted per-doc (emails on even ids, phones on ids % 3 == 0, an IP
+    // always) — the redaction counts then provably vary and the op is
+    // non-vacuous. Pure regexp_replace/regexp_count chain: map-only,
+    // codegen'd, no shuffle at any scale. Regexes avoid lookaround so
+    // Java regex (Spark) and RE2 (DuckDB oracle) agree.
+    "text_pii_redact" -> ((s, d) => {
+      import s.implicits._
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+1-555-\\d{4}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val dec = documents(s, d).select($"doc_id",
+        concat(
+          substring($"text", 1, 40),
+          when($"doc_id" % 2 === 0,
+            concat(lit(" contact user"), $"doc_id".cast("string"),
+              lit("@mail.example.com"))).otherwise(lit("")),
+          when($"doc_id" % 3 === 0,
+            concat(lit(" call +1-555-"),
+              lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          lit(" from 10."), ($"doc_id" % 256).cast("string"), lit(".0.7")
+        ).as("txt"))
+      dec.select($"doc_id",
+          regexp_count($"txt", lit(email)).as("n_email"),
+          regexp_count($"txt", lit(phone)).as("n_phone"),
+          regexp_count(
+            regexp_replace($"txt", phone, "<PHONE>"), lit(ip)).as("n_ip"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace($"txt", email, "<EMAIL>"),
+              phone, "<PHONE>"),
+            ip, "<IP>").as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing (training-data pipeline op): assign documents to
+    // fixed token-budget training sequences (concat-and-chunk packing, à
+    // la GPT pretraining shards). Docs are bucketed by a deterministic
+    // key hash (doc_id % NB — NB scales with the cluster), then a
+    // running token sum WITHIN each bucket assigns each doc to the
+    // sequence its first token lands in. The only shuffle is the bucket
+    // repartition; the window is partitioned by bucket, so no global
+    // sort and per-partition state is one running counter — at 100 TB
+    // raise NB so each bucket stays executor-sized.
+    "pack_sequences" -> ((s, d) => {
+      import s.implicits._
+      val budget = 512
+      val nb = 8
+      val t = documents(s, d)
+        .select($"doc_id", size(tokens($"text")).as("tok"),
+          ($"doc_id" % nb).as("bucket"))
+      val w = Window.partitionBy($"bucket").orderBy($"doc_id")
+      t.withColumn("cum", sum($"tok").over(w))
+        .withColumn("seq", expr(s"(cum - tok) div $budget"))
+        .groupBy($"bucket", $"seq")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"tok").as("tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy("bucket", "seq")
+    }),
+
+    // Corpus stats card (training-data pipeline op): the per-(source,
+    // lang) datasheet a data card reports — doc/unique counts, token and
+    // char volume, exact-dup ratio. One partial-aggregated groupBy on a
+    // low-cardinality key; countDistinct(md5) is the only expansion and
+    // rides the same shuffle. Scale-safe at any corpus size.
+    "corpus_stats_card" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"source", $"lang", $"text", size(tokens($"text")).as("tok"))
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5($"text")).as("n_unique"),
+          sum($"tok").as("tokens"),
+          sum(length($"text")).as("chars"),
+          round(avg(length($"text")), 6).as("avg_chars"))
+        .withColumn("dup_ratio",
+          round(lit(1.0) - $"n_unique".cast("double") / $"n_docs", 6))
+        .orderBy("source", "lang")
+    }),
   )
 
   private val swVals = Lexicons.stopwordsEnSqlValues
@@ -697,5 +782,57 @@ object TextOps {
          |      list_transform($tokensSql, t -> ${graft.ops.DedupOps.polyHashSql("t")})),
          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_pii_redact" ->
+      s"""WITH dec AS (
+         |  SELECT doc_id,
+         |    substr(text, 1, 40)
+         |    || CASE WHEN doc_id % 2 = 0
+         |         THEN ' contact user' || doc_id || '@mail.example.com'
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 3 = 0
+         |         THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         ELSE '' END
+         |    || ' from 10.' || (doc_id % 256) || '.0.7' AS txt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(txt,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         |  len(regexp_extract_all(txt, '\\+1-555-\\d{4}')) AS n_phone,
+         |  len(regexp_extract_all(
+         |    regexp_replace(txt, '\\+1-555-\\d{4}', '<PHONE>', 'g'),
+         |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(txt,
+         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\+1-555-\\d{4}', '<PHONE>', 'g'),
+         |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted
+         |FROM dec ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len($tokensSql) AS tok, doc_id % 8 AS bucket
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, tok, bucket,
+         |    SUM(tok) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum
+         |  FROM t)
+         |SELECT bucket, CAST((cum - tok) // 512 AS BIGINT) AS seq,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(tok) AS BIGINT) AS tokens,
+         |  MIN(doc_id) AS first_doc,
+         |  MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY bucket, seq""".stripMargin,
+    "corpus_stats_card" ->
+      s"""WITH t AS (
+         |  SELECT source, lang, text, len($tokensSql) AS tok FROM documents)
+         |SELECT source, lang,
+         |  COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT md5(text)) AS n_unique,
+         |  CAST(SUM(tok) AS BIGINT) AS tokens,
+         |  CAST(SUM(len(text)) AS BIGINT) AS chars,
+         |  ROUND(AVG(len(text)), 6) AS avg_chars,
+         |  ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
+         |    AS dup_ratio
+         |FROM t GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
   )
 }

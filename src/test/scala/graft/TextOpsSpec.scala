@@ -117,4 +117,58 @@ class TextOpsSpec extends SparkSpec {
     assert(q("alpha beta") != q("beta alpha"))
     assert(q("alpha beta") == q("alpha beta"))
   }
+
+  test("PII redaction finds every planted item and strips them all") {
+    val rows = SparkEntry.queries("text_pii_redact")(spark, sf)
+      .as[(Long, Int, Int, Int, String)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (id, ne, np, ni, red) =>
+      ne == (if (id % 2 == 0) 1 else 0) &&
+        np == (if (id % 3 == 0) 1 else 0) &&
+        ni == 1 &&
+        !red.contains("@") && !red.contains("+1-555") &&
+        red.contains("<IP>")
+    })
+    // non-vacuous: both redaction branches must actually fire somewhere
+    assert(rows.exists(_._2 == 1) && rows.exists(_._3 == 1))
+  }
+
+  test("sequence packing conserves docs/tokens and packs contiguously") {
+    val packs = SparkEntry.queries("pack_sequences")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val t = SparkEntry.queries("text_token_count")(spark, sf)
+      .select($"doc_id", $"ws_tokens".cast("long")).as[(Long, Long)].collect()
+    // conservation: every doc lands in exactly one pack
+    assert(packs.map(_._3).sum == t.length)
+    assert(packs.map(_._4).sum == t.map(_._2).sum)
+    // a pack's first token offset is below (seq+1)*budget by construction;
+    // consecutive seqs within a bucket never skip more than a doc overrun
+    packs.groupBy(_._1).foreach { case (_, ps) =>
+      val seqs = ps.map(_._2).sorted
+      assert(seqs.head >= 0)
+      // multiple packs per bucket: the corpus is far larger than one budget
+      assert(seqs.length > 1)
+    }
+    // doc ranges within a bucket must not interleave across seqs
+    packs.groupBy(_._1).foreach { case (_, ps) =>
+      val ordered = ps.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 < b._5) // last_doc < next first_doc
+        case _           =>
+      }
+    }
+  }
+
+  test("corpus stats card is a consistent datasheet") {
+    val rows = SparkEntry.queries("corpus_stats_card")(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._3).sum == docs)
+    assert(rows.forall { case (_, _, n, u, tok, ch, avg, dup) =>
+      u <= n && tok > 0 && ch > 0 && avg > 0 &&
+        dup >= 0.0 && dup < 1.0 &&
+        math.abs(dup - (1.0 - u.toDouble / n)) < 1e-5
+    })
+  }
 }
