@@ -84,6 +84,35 @@ object StreamingOps {
         .orderBy("prev", "event_type")
     }),
 
+    // Stream-stream interval join (the canonical two-stream enrichment):
+    // each purchase joined to the same user's clicks in the preceding
+    // hour, aggregated per purchase. The readStream form is a
+    // watermarked interval join — inner-join state is bounded by the 1h
+    // range + watermark, so it runs indefinitely at any rate;
+    // StreamingSpec runs that exact plan through two MemoryStreams and
+    // asserts it matches this batch equivalent. The user_id equi-key
+    // carries the one shuffle; the range predicate prunes inside each
+    // key group, so cost is ∝ matched pairs, never clicks × purchases.
+    "stream_interval_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("click_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"),
+          $"ts".as("purchase_ts"))
+      purchases.as("p").join(clicks.as("c"),
+          col("p.user_id") === col("c.user_id") &&
+            col("c.click_ts") >= col("p.purchase_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c.click_ts") <= col("p.purchase_ts"))
+        .groupBy(col("p.purchase_id").as("purchase_id"),
+          col("p.user_id").as("user_id"),
+          col("p.purchase_ts").as("purchase_ts"))
+        .agg(count(lit(1)).as("n_clicks_1h"),
+          max(col("c.click_ts")).as("last_click_ts"))
+        .orderBy("purchase_id")
+    }),
+
     // Session windows: 30-minute inactivity gap per user.
     "stream_session_windows" -> ((s, d) => {
       import s.implicits._
@@ -123,6 +152,18 @@ object StreamingOps {
         |SELECT prev, event_type, COUNT(*) AS n FROM o
         |WHERE prev IS NOT NULL
         |GROUP BY prev, event_type ORDER BY prev, event_type""".stripMargin,
+    "stream_interval_join" ->
+      """WITH c AS (
+        |  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.purchase_ts,
+        |  COUNT(*) AS n_clicks_1h, MAX(c.click_ts) AS last_click_ts
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+        |  AND c.click_ts <= p.purchase_ts
+        |GROUP BY 1, 2, 3 ORDER BY purchase_id""".stripMargin,
     "stream_session_windows" ->
       """WITH o AS (
         |  SELECT user_id, ts,

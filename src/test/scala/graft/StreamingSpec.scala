@@ -170,6 +170,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream interval join matches the batch query") {
+    implicit val sqlCtx = spark.sqlContext
+    val cStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val pStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val clicks = cStream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = pStream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    // inner interval join: matches emit immediately; watermark + range
+    // bound the retained state on both sides
+    val joined = purchases.join(clicks,
+      $"user_id" === $"c_user" &&
+        $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR") &&
+        $"click_ts" <= $"purchase_ts")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("t_interval_join").start()
+    try {
+      val ordered = batchEvents.sortBy(e => (e._2.getTime, e._1))
+      val (b1, b2) = ordered.splitAt(ordered.length / 2)
+      cStream.addData(b1.toSeq); pStream.addData(b1.toSeq)
+      q.processAllAvailable()
+      cStream.addData(b2.toSeq); pStream.addData(b2.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("t_interval_join")
+        .groupBy($"purchase_id")
+        .agg(count(lit(1)).as("n"), max($"click_ts").as("last"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+        .toSet
+      val want = SparkEntry.queries("stream_interval_join")(spark, sf)
+        .select($"purchase_id", $"n_clicks_1h", $"last_click_ts")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+        .toSet
+      assert(got == want)
+      assert(got.nonEmpty) // non-vacuous: sf0.001 must produce matches
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates by key equals batch distinct count") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
