@@ -53,6 +53,49 @@ object Relational {
 
     // S7/S10: CSV sink + source round-trip (stats_visualization.py:157-162,
     // topic_modeling.py:243-248). Writes under target/ then reads back.
+    // JSONL roundtrip — the interchange format of LLM data pipelines
+    // (one JSON object per line). Write the corpus as JSONL, read it back
+    // with an explicit schema (never infer on a 100 TB read: schema
+    // inference is a full extra pass), and prove text fidelity through
+    // JSON escaping with md5(text). Line-delimited JSON splits by
+    // newline, so reads parallelize like CSV.
+    "s_jsonl_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val out = "target/tmp/s_jsonl_roundtrip"
+      documents(s, d).select($"doc_id", $"text", $"lang", $"source")
+        .write.mode("overwrite").json(out)
+      s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING")
+        .json(out)
+        .select($"doc_id", md5($"text").as("text_md5"), $"lang", $"source")
+        .orderBy($"doc_id")
+    }),
+
+    // Training-shard writer: the sink shape of a pretraining-data dump —
+    // deterministic shard assignment (doc_id % 16, stable across reruns,
+    // unlike a range partitioner's sampled boundaries), one shuffle task
+    // per shard so each shard directory holds exactly ONE file (the
+    // small-files control s9b documents), rows sorted by doc_id within
+    // the shard for reproducible byte layout. Read-back stats per shard
+    // are the oracle-checked surface; RelationalSpec asserts the
+    // one-file-per-shard layout.
+    "sink_training_shards" -> ((s, d) => {
+      import s.implicits._
+      val out = "target/tmp/training_shards"
+      documents(s, d)
+        .withColumn("shard", pmod($"doc_id", lit(16)))
+        .repartition($"shard")
+        .sortWithinPartitions($"doc_id")
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      s.read.parquet(out)
+        // partition-dir values read back as INT; normalize to the
+        // written LONG so the schema survives the roundtrip
+        .groupBy($"shard".cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"),
+          sum($"n_chars").as("chars"))
+        .orderBy($"shard")
+    }),
+
     "s7_csv_roundtrip" -> ((s, d) => {
       import s.implicits._
       val out = "target/tmp/s7_csv_roundtrip"
@@ -441,6 +484,14 @@ object Relational {
         |ORDER BY n_chars DESC, doc_id DESC LIMIT 200""".stripMargin,
     "s7_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "s_jsonl_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sink_training_shards" ->
+      """SELECT doc_id % 16 AS shard, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
     "p_quality_gate" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE text IS NOT NULL AND lang IS NOT NULL AND text <> 'N/A'

@@ -75,6 +75,18 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("training shards land exactly one file per shard directory") {
+    SparkEntry.queries("sink_training_shards")(spark, sf).collect()
+    val root = new java.io.File("target/tmp/training_shards")
+    val shardDirs = root.listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length == 16)
+    shardDirs.foreach { dir =>
+      val parts = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"${dir.getName}: expected 1 file, got ${parts.length}")
+    }
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

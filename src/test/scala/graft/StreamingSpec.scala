@@ -213,6 +213,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches the stream like the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val dim = Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "conversion"), ("signup", "conversion"))
+      .toDF("event_type", "category")
+    val enriched = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .select($"event_id", coalesce($"category", lit("other")).as("category"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("t_stream_static").start()
+    try {
+      stream.addData(batchEvents.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("t_stream_static")
+        .groupBy("category").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val want = graft.ops.Tables.events(spark, sf)
+        .join(broadcast(dim), Seq("event_type"), "left")
+        .select(coalesce($"category", lit("other")).as("category"))
+        .groupBy("category").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == want && got.values.sum == batchEvents.length)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates by key equals batch distinct count") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
