@@ -461,6 +461,29 @@ object Relational {
         .orderBy("rank")
     }),
 
+    // Per-GROUP bounded-state top-k (O4's scale path): the window form
+    // (row_number over partitionBy + filter rank<=k) sorts every group in
+    // full — per-group sort state ∝ group size, which spills on skewed
+    // groups at 100 TB. The TopK Aggregator instead keeps at most ~4k
+    // rows per partial buffer, partial-aggregates map-side, and ships
+    // k-row buffers across the shuffle. Same (score desc, key asc) order
+    // as the window form, so the oracle is the ordinary window SQL.
+    "o4_topk_aggregator_per_group" -> ((s, d) => {
+      import s.implicits._
+      val topk = new graft.functions.TopK(3).toColumn
+      documents(s, d)
+        .select($"source", $"doc_id", $"n_chars")
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(v => (v._2, v._3))
+        .agg(topk)
+        .toDF("source", "tk")
+        .select($"source", posexplode($"tk"))
+        .select($"source", ($"pos" + 1).as("rank"),
+          $"col._1".as("doc_id"), $"col._2".as("n_chars"))
+        .orderBy("source", "rank")
+    }),
+
     // Left outer join + per-key aggregate: order line counts incl. empty.
     "j_left_order_line_counts" -> ((s, d) => {
       import s.implicits._
@@ -660,6 +683,13 @@ object Relational {
       """SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank,
         |  doc_id, n_chars
         |FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 15""".stripMargin,
+    "o4_topk_aggregator_per_group" ->
+      """SELECT source, rank, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rank
+        |  FROM documents)
+        |WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
     "j_left_order_line_counts" ->
       """SELECT o_orderkey, COUNT(l_linenumber) AS n_lines
         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
