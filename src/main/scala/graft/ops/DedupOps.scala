@@ -414,6 +414,42 @@ object DedupOps {
     // overlaps at all. The 100 TB story: benchmark sets are tiny (MBs of
     // shingles) regardless of corpus size, so decontaminating 100 TB is
     // one broadcast hash join — no shuffle of the corpus.
+    // Substring-span dedup (Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better"): flag 20-token windows that appear
+    // in more than one document — the exact-substring signal that
+    // MinHash/doc-level Jaccard misses (a unique doc quoting a long span
+    // of another). Rolling PolyHash per window; the window hash table
+    // partial-aggregates, so the shuffle carries (hash, partial-count),
+    // token-firehose sized but never pairwise. Planted half-doc copies
+    // of every 50th doc make the op provably non-vacuous (their windows
+    // all exist in the source doc).
+    "dedup_substring_spans" -> ((s, d) => {
+      import s.implicits._
+      val W = 20
+      val tokd = documents(s, d).select($"doc_id", toks($"text").as("tk"))
+      val halves = tokd.filter($"doc_id" % 50 === 0)
+        .select(($"doc_id" + 2000000).as("doc_id"),
+          slice($"tk", lit(1), floor(size($"tk") / 2).cast("int")).as("tk"))
+      // tk is an attribute in its own Project before the HOF consumes it
+      // (interpreted-HOF re-eval trap)
+      val wins = tokd.union(halves)
+        .withColumn("n", size($"tk"))
+        .filter($"n" >= W)
+        .select($"doc_id", explode(
+          transform(sequence(lit(0), $"n" - W),
+            i => graft.functions.PolyHash.poly_hash(
+              concat_ws(" ", slice($"tk", i + 1, lit(W)))))).as("h"))
+      val shared = wins.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2).select($"h")
+      val perDoc = wins.groupBy($"doc_id").agg(count(lit(1)).as("n_windows"))
+      val flagged = wins.join(shared, "h")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+      perDoc.join(flagged, Seq("doc_id"))
+        .withColumn("shared_ratio", round($"n_shared" / $"n_windows", 6))
+        .orderBy("doc_id")
+    }),
+
     "dedup_contamination" -> ((s, d) => {
       import s.implicits._
       val (e, sizes) = explodedShingles(s, d)
@@ -643,6 +679,25 @@ object DedupOps {
          |SELECT a AS doc_id, MIN(b) AS cluster_rep,
          |  (a = MIN(b)) AS is_survivor
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "dedup_substring_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |h0 AS (
+         |  SELECT doc_id + 2000000 AS doc_id, tk[1:len(tk)//2] AS tk
+         |  FROM t WHERE doc_id % 50 = 0),
+         |a AS (SELECT * FROM t UNION ALL SELECT * FROM h0),
+         |w AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(tk) - 19),
+         |      i -> ${polyHashSql("array_to_string(tk[i:i+19], ' ')")})) AS h
+         |  FROM a WHERE len(tk) >= 20),
+         |c AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY doc_id),
+         |fd AS (
+         |  SELECT doc_id, COUNT(*) AS n_shared
+         |  FROM w JOIN c USING (h) GROUP BY doc_id)
+         |SELECT doc_id, n_windows, n_shared,
+         |  ROUND(n_shared * 1.0 / n_windows, 6) AS shared_ratio
+         |FROM pd JOIN fd USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_contamination" ->
       s"""WITH $shingleCte,
          |bench AS (SELECT DISTINCT sh FROM e WHERE doc_id % 97 = 0),

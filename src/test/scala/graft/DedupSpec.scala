@@ -180,6 +180,23 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("substring spans: every planted half-doc is fully flagged") {
+    val rows = SparkEntry.queries("dedup_substring_spans")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    val planted = rows.filter(_._1 >= 2000000)
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, nw, ns, ratio) =>
+      // every window of a half-doc copy exists in its source doc
+      assert(ns == nw && ratio == 1.0, s"half-doc $id not fully flagged")
+      // and the source doc itself is flagged too
+      assert(byId.contains(id - 2000000), s"source of $id missing")
+    }
+    assert(rows.forall { case (_, nw, ns, r) =>
+      ns >= 1 && ns <= nw && r > 0.0 && r <= 1.0
+    })
+  }
+
   test("simhash near-dup candidates cover most true near-dup pairs") {
     val truePairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
