@@ -433,6 +433,28 @@ object Aggregates {
     // Sketch-based approximations — the 100 TB path for distinct counts
     // and quantiles (no oracle: sketch implementations differ across
     // engines; AggregatesSpec bounds them against the exact values).
+    // Mergeable-sketch two-level aggregation — the 100 TB pattern behind
+    // incremental distinct counts: build an HLL sketch per (event_type,
+    // day) "shard" (in production these persist as binary columns next to
+    // each partition), then MERGE the shard sketches per event_type
+    // instead of re-scanning raw data. HLL registers are max-merged, so
+    // the union is order-independent and deterministic; AggSpec bounds
+    // the estimate against the exact distinct count. No DuckDB oracle
+    // (different sketch implementation) — rows-only by design.
+    "a_sketch_merge" -> ((s, d) => {
+      import s.implicits._
+      val shardSketches = events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(hll_sketch_agg($"user_id").as("sk"),
+          count(lit(1)).as("n_rows"))
+      shardSketches
+        .groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_users"),
+          count(lit(1)).as("n_shards"),
+          sum($"n_rows").as("n_rows"))
+        .orderBy("event_type")
+    }),
+
     "a_approx_stats" -> ((s, d) => {
       import s.implicits._
       events(s, d)

@@ -87,6 +87,20 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("merged HLL shard sketches estimate distinct users within 5% of exact") {
+    val est = SparkEntry.queries("a_sketch_merge")(spark, sf)
+      .select($"event_type", $"est_users")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.ops.Tables.events(spark, sf)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (t, n) =>
+      val e = est(t)
+      assert(math.abs(e - n).toDouble / n <= 0.05, s"$t: est $e vs exact $n")
+    }
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
