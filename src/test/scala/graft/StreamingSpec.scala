@@ -213,6 +213,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MinHash-signature dedup drops planted duplicate docs") {
+    implicit val sqlCtx = spark.sqlContext
+    // near-dup dedup in flight: signature = the same codegen'd
+    // MinHashSig used by the batch LSH pipeline, dropDuplicates on the
+    // full 32-hash signature (identical shingle set → identical sig)
+    val stream = MemoryStream[(Long, String)]
+    def sigged(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", filter(split(lower($"text"), "\\s+"),
+        t => length(t) > 0).as("tk"))
+      .select($"doc_id",
+        graft.functions.MinHashSig.min_hash_sig(
+          graft.functions.ShingleHashes.poly_shingles($"tk")).as("sig"))
+      .withColumn("sig_key", concat_ws("_", $"sig"))
+    val deduped = sigged(stream.toDF().toDF("doc_id", "text"))
+      .dropDuplicates("sig_key")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("t_sig_dedup").start()
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+      // plant: every 25th doc re-keyed — exact text dup, same signature
+      val planted = docs.filter(_._1 % 25 == 0).map { case (id, t) => (id + 500000, t) }
+      stream.addData((docs ++ planted).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("t_sig_dedup").count()
+      val want = sigged(spark.read.parquet(s"$sf/documents.parquet")
+        .select($"doc_id", $"text")).select("sig_key").distinct().count()
+      assert(got == want)
+      assert(got < docs.length + planted.length) // the planted dups died
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches the stream like the batch join") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
