@@ -53,6 +53,29 @@ object Relational {
 
     // S7/S10: CSV sink + source round-trip (stats_visualization.py:157-162,
     // topic_modeling.py:243-248). Writes under target/ then reads back.
+    // URL/domain blocklist filtering (crawl-pipeline op): a deterministic
+    // URL is synthesized per doc (the corpus stores none), the host is
+    // parsed out with parse_url — the real operator under test — and
+    // blocklisted domains are dropped with a broadcast anti-join (the
+    // blocklist is KBs even in production; never shuffle the corpus for
+    // it). The oracle derives the domain arithmetically, so the check
+    // verifies parse_url's extraction end-to-end.
+    "url_domain_filter" -> ((s, d) => {
+      import s.implicits._
+      val domains = Seq("news.example.com", "blog.example.org",
+        "wiki.example.net", "spam.junk.net", "forum.example.io",
+        "ads.tracker.io", "docs.example.dev")
+      val block = Seq("spam.junk.net", "ads.tracker.io").toDF("domain")
+      val urls = documents(s, d).select($"doc_id",
+        concat(lit("https://"),
+          element_at(array(domains.map(lit): _*), ($"doc_id" % 7 + 1).cast("int")),
+          lit("/a/"), $"doc_id".cast("string")).as("url"))
+      urls.withColumn("domain", parse_url($"url", lit("HOST")))
+        .join(broadcast(block), Seq("domain"), "left_anti")
+        .groupBy($"domain").agg(count(lit(1)).as("n_docs"))
+        .orderBy("domain")
+    }),
+
     // JSONL roundtrip — the interchange format of LLM data pipelines
     // (one JSON object per line). Write the corpus as JSONL, read it back
     // with an explicit schema (never infer on a 100 TB read: schema
@@ -510,6 +533,16 @@ object Relational {
     "s_jsonl_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "url_domain_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    ['news.example.com','blog.example.org','wiki.example.net',
+        |     'spam.junk.net','forum.example.io','ads.tracker.io',
+        |     'docs.example.dev'][CAST(doc_id % 7 + 1 AS INT)] AS domain
+        |  FROM documents)
+        |SELECT domain, COUNT(*) AS n_docs FROM u
+        |WHERE domain NOT IN ('spam.junk.net', 'ads.tracker.io')
+        |GROUP BY domain ORDER BY domain""".stripMargin,
     "sink_training_shards" ->
       """SELECT doc_id % 16 AS shard, COUNT(*) AS n_docs,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,

@@ -540,6 +540,53 @@ object TextOps {
         .orderBy("bucket", "seq")
     }),
 
+    // Overlapping-window chunking (RAG / long-context prep): split each
+    // doc into 64-token chunks with stride 48 (16-token overlap), the
+    // standard retrieval-chunking shape. Pure sequence-explode over the
+    // materialized token array — map-only, no shuffle until the output
+    // sort; chunk content is proven by a PolyHash fingerprint so the
+    // oracle checks bytes, not just offsets.
+    "chunk_documents" -> ((s, d) => {
+      import s.implicits._
+      val W = 64
+      val S = 48
+      val tokd = documents(s, d).select($"doc_id", tokens($"text").as("tk"))
+      tokd
+        .withColumn("n", size($"tk"))
+        .filter($"n" >= 1)
+        .select($"doc_id", $"tk", $"n",
+          explode(sequence(lit(0), floor(($"n" - 1) / S).cast("long"))).as("chunk_id"))
+        .withColumn("start_tok", $"chunk_id" * S + 1)
+        .withColumn("n_tok",
+          least(lit(W), $"n" - $"chunk_id" * S).cast("long"))
+        .withColumn("fp", graft.functions.PolyHash.poly_hash(
+          concat_ws(" ", slice($"tk", $"start_tok".cast("int"), $"n_tok".cast("int")))))
+        .select("doc_id", "chunk_id", "start_tok", "n_tok", "fp")
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Deterministic mixture sampling (domain reweighting): keep each doc
+    // with a per-source rate, decided by a portable content-independent
+    // hash of its id — rerun-stable, repartition-stable, and reproducible
+    // in the oracle (unlike rand()-based sampling). The pretraining
+    // "sample src_k at rate r_k" op; one map-side filter, one tiny
+    // groupBy on source.
+    "corpus_mixture_sample" -> ((s, d) => {
+      import s.implicits._
+      // rate per mille, derived from the numeric source suffix
+      val srcNum = regexp_extract($"source", "(\\d+)", 1).cast("long")
+      val rate = lit(100) + (srcNum % 10) * 50
+      val h = pmod(graft.functions.PolyHash.poly_hash($"doc_id".cast("string")), lit(1000))
+      documents(s, d)
+        .select($"source", $"doc_id",
+          rate.as("rate_permille"),
+          when(h < rate, 1L).otherwise(0L).as("kept"))
+        .groupBy($"source", $"rate_permille")
+        .agg(count(lit(1)).as("n_docs"), sum($"kept").as("n_kept"))
+        .withColumn("kept_ratio", round($"n_kept" / $"n_docs", 6))
+        .orderBy("source")
+    }),
+
     // Corpus stats card (training-data pipeline op): the per-(source,
     // lang) datasheet a data card reports — doc/unique counts, token and
     // char volume, exact-dup ratio. One partial-aggregated groupBy on a
@@ -782,6 +829,31 @@ object TextOps {
          |      list_transform($tokensSql, t -> ${graft.ops.DedupOps.polyHashSql("t")})),
          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "chunk_documents" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         |c AS (
+         |  SELECT doc_id, tk, len(tk) AS n,
+         |    unnest(generate_series(0, (len(tk) - 1) // 48)) AS chunk_id
+         |  FROM t WHERE len(tk) >= 1)
+         |SELECT doc_id, chunk_id, chunk_id * 48 + 1 AS start_tok,
+         |  LEAST(64, n - chunk_id * 48) AS n_tok,
+         |  ${graft.ops.DedupOps.polyHashSql(
+        "array_to_string(tk[(chunk_id*48+1):(chunk_id*48 + LEAST(64, n - chunk_id*48))], ' ')")}
+         |    AS fp
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "corpus_mixture_sample" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    100 + (CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 10) * 50
+         |      AS rate_permille,
+         |    CASE WHEN ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")} % 1000 <
+         |      100 + (CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 10) * 50
+         |      THEN 1 ELSE 0 END AS kept
+         |  FROM documents)
+         |SELECT source, rate_permille, COUNT(*) AS n_docs,
+         |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+         |  ROUND(SUM(kept) * 1.0 / COUNT(*), 6) AS kept_ratio
+         |FROM t GROUP BY 1, 2 ORDER BY source""".stripMargin,
     "text_pii_redact" ->
       s"""WITH dec AS (
          |  SELECT doc_id,
