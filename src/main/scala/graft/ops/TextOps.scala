@@ -182,7 +182,16 @@ object TextOps {
       // over-word form this replaces (measured 1.37 s → ~1.1 s at sf0.1;
       // the bigger win is structural: no full-width shuffle keyed on the
       // skew-prone word column).
-      val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+      // The tf >= 1 filter is always true (tf is a count) but the
+      // optimizer cannot prove it, so this side keeps consuming the tf
+      // VALUE. Without it, counting rows per word gets rewritten to a
+      // distinct-(doc_id,word) aggregate whose partial stage drops the
+      // count column — the two exchange subtrees then differ and
+      // ReuseExchange cannot share them, and the corpus gets tokenized
+      // TWICE (the exact double-firehose the comment above rules out).
+      // With it, .explain shows one Scan+Generate and a ReusedExchange.
+      val df_ = tf.filter($"tf" >= 1)
+        .groupBy($"word").agg(count(lit(1)).as("df"))
       val wNorm = Window.partitionBy($"doc_id")
       tf.join(broadcast(df_), "word")
         .join(broadcast(n))
@@ -332,7 +341,8 @@ object TextOps {
       val tf = t.select($"doc_id", explode($"t").as("word"))
         .filter($"word".isin(qTerms: _*))
         .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
-      val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+      val df_ = tf.filter($"tf" >= 1) // always true; enables ReuseExchange — see u7
+        .groupBy($"word").agg(count(lit(1)).as("df"))
       tf.join(broadcast(df_), "word")
         .join(dl, "doc_id")
         .crossJoin(broadcast(st))
