@@ -439,13 +439,20 @@ object DedupOps {
           transform(sequence(lit(0), $"n" - W),
             i => graft.functions.PolyHash.poly_hash(
               concat_ws(" ", slice($"tk", i + 1, lit(W)))))).as("h"))
-      val shared = wins.groupBy($"h")
-        .agg(countDistinct($"doc_id").as("nd"))
-        .filter($"nd" >= 2).select($"h")
-      val perDoc = wins.groupBy($"doc_id").agg(count(lit(1)).as("n_windows"))
-      val flagged = wins.join(shared, "h")
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
-      perDoc.join(flagged, Seq("doc_id"))
+      // "hash appears in >= 2 DISTINCT docs" ⟺ min(doc_id) != max(doc_id)
+      // over the hash partition — a window over h instead of a
+      // groupBy+self-join, so the window explode runs ONCE (the
+      // join+aggregate form recomputed the token firehose per consumer)
+      // and the plan is two exchanges total (h, then doc_id). Hash
+      // partitions are tiny (≈ dup multiplicity), so the window sort is
+      // trivial at any scale.
+      val wh = Window.partitionBy($"h")
+      wins
+        .withColumn("shared",
+          (min($"doc_id").over(wh) =!= max($"doc_id").over(wh)).cast("long"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_windows"), sum($"shared").as("n_shared"))
+        .filter($"n_shared" >= 1)
         .withColumn("shared_ratio", round($"n_shared" / $"n_windows", 6))
         .orderBy("doc_id")
     }),
