@@ -311,11 +311,17 @@ object TextOps {
           transform(sequence(lit(0), size($"t") - 2),
             i => concat_ws(" ", element_at($"t", i + 1), element_at($"t", i + 2))))
           .otherwise(array().cast("array<string>")).as("bgs"))
-      val topBg = base.select($"doc_id", explode($"bgs").as("bg"))
-        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id").agg(max($"c").as("top_bigram_cnt"))
+      // carry the per-doc scalars THROUGH the explode (explode_outer keeps
+      // bigram-less docs) so the corpus is tokenized once — the previous
+      // base-join-topBg form re-ran the tokenize for each branch
       base.filter($"n_tok" >= 1)
-        .join(topBg, Seq("doc_id"), "left").na.fill(0L, Seq("top_bigram_cnt"))
+        .select($"doc_id", $"n_tok", $"n_distinct",
+          explode_outer($"bgs").as("bg"))
+        .groupBy($"doc_id", $"n_tok", $"n_distinct", $"bg")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id", $"n_tok", $"n_distinct")
+        .agg(max(when($"bg".isNotNull, $"c").otherwise(lit(0L)))
+          .as("top_bigram_cnt"))
         .withColumn("dup_token_ratio",
           round(lit(1.0) - $"n_distinct" / $"n_tok", 6))
         .withColumn("top_bigram_ratio",
@@ -375,8 +381,12 @@ object TextOps {
             .otherwise(array().cast("array<string>"))).as("bg"))
       val uni = t.select(explode($"t").as("w"))
         .groupBy($"w").agg(count(lit(1)).as("cu"))
-      val bgc = db.groupBy($"bg").agg(count(lit(1)).as("cb"))
-      db.join(bgc, "bg")
+      // bigram count as a window over bg, not groupBy+self-join: the
+      // bigram firehose materializes ONCE (the join form recomputed the
+      // tokenize+explode for the probe side) and pays one exchange on bg;
+      // bg partitions are tiny (bigram multiplicity), so window state is
+      // trivial at any corpus size.
+      db.withColumn("cb", count(lit(1)).over(Window.partitionBy($"bg")))
         .join(uni, substring_index($"bg", " ", 1) === $"w")
         .withColumn("logp", log($"cb" / $"cu"))
         .groupBy($"doc_id")
