@@ -607,6 +607,37 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // §3-style composed entry point for the PRETRAINING-DATA path: the
+    // end-to-end corpus build a training-data user actually runs —
+    // length gate (quality) → exact dedup keep-first (provable: the
+    // input is unioned with re-keyed copies of every 100th doc) →
+    // deterministic 80% mixture sample (portable id hash) → shard
+    // assignment → per-shard datasheet. One tokenize pass, one window
+    // on the md5 key, one final shard aggregate; every stage is the
+    // oracle-checked operator it composes.
+    "pipeline_pretrain_corpus" -> ((s, d) => {
+      import s.implicits._
+      val base = documents(s, d).select($"doc_id", $"text")
+      val dupes = base.filter($"doc_id" % 100 === 0)
+        .select(($"doc_id" + 1000000).as("doc_id"), $"text")
+      val gated = base.union(dupes)
+        .select($"doc_id", $"text", size(tokens($"text")).as("n_tok"))
+        .filter($"n_tok" >= 30)
+      val w = Window.partitionBy(md5($"text")).orderBy($"doc_id".asc)
+      val deduped = gated
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      val sampled = deduped.filter(
+        pmod(graft.functions.PolyHash.poly_hash($"doc_id".cast("string")),
+          lit(1000)) < 800)
+      sampled
+        .groupBy(($"doc_id" % 8).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy("shard")
+    }),
+
     // Corpus stats card (training-data pipeline op): the per-(source,
     // lang) datasheet a data card reports — doc/unique counts, token and
     // char volume, exact-dup ratio. One partial-aggregated groupBy on a
@@ -914,6 +945,26 @@ object TextOps {
          |  MIN(doc_id) AS first_doc,
          |  MAX(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2 ORDER BY bucket, seq""".stripMargin,
+    "pipeline_pretrain_corpus" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 100 = 0),
+         |gated AS (
+         |  SELECT doc_id, text, len($tokensSql) AS n_tok FROM all_docs
+         |  WHERE len($tokensSql) >= 30),
+         |deduped AS (
+         |  SELECT doc_id, n_tok FROM gated
+         |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+         |    ORDER BY doc_id ASC) = 1),
+         |sampled AS (
+         |  SELECT doc_id, n_tok FROM deduped
+         |  WHERE ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")} % 1000 < 800)
+         |SELECT doc_id % 8 AS shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM sampled GROUP BY 1 ORDER BY shard""".stripMargin,
     "corpus_stats_card" ->
       s"""WITH t AS (
          |  SELECT source, lang, text, len($tokensSql) AS tok FROM documents)

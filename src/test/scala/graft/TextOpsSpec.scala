@@ -159,6 +159,22 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("pretrain pipeline: planted dups die, sample rate lands near 80%") {
+    val shards = SparkEntry.queries("pipeline_pretrain_corpus")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(shards.length == 8)
+    // keep-first dedup always keeps the lower-id original, so no planted
+    // (+1000000) copy may survive into any shard
+    assert(shards.map(_._5).max < 1000000)
+    val kept = shards.map(_._2).sum
+    val eligible = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+      .withColumn("n", size(split(lower($"text"), "\\s+")))
+      .filter($"n" >= 30).count()
+    val rate = kept.toDouble / eligible
+    assert(rate > 0.7 && rate < 0.9, s"sample rate $rate")
+  }
+
   test("corpus stats card is a consistent datasheet") {
     val rows = SparkEntry.queries("corpus_stats_card")(spark, sf)
       .as[(String, String, Long, Long, Long, Long, Double, Double)].collect()
