@@ -67,7 +67,10 @@ class RelationalSpec extends SparkSpec {
     Seq("dedup_minhash_lsh", "u7_tfidf_top_terms", "text_langid",
       "a5_daily_share_pct", "ann_lsh_topk",
       "u6_npmi_coherence", "u4_batch_inference", "dedup_cluster_reps",
-      "text_lm_score", "stream_dedup_keys").foreach { name =>
+      "text_lm_score", "stream_dedup_keys",
+      "pack_sequences", "dedup_substring_spans", "corpus_mixture_sample",
+      "pipeline_pretrain_corpus", "a_sketch_merge",
+      "o4_topk_aggregator_per_group", "stream_interval_join").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
