@@ -150,6 +150,47 @@ object MultimodalOps {
         .orderBy("doc_id")
     }),
 
+    // Resize / downsample: treat the first 256 payload bytes as a 16×16
+    // grayscale grid (zero-padded) and average-pool 4×4 blocks down to
+    // 4×4 — the image-resize step of a multimodal ingest, in the same
+    // batched mapPartitions shape as the decode/featurize ops (a real
+    // codec would replace the byte-grid reader; the partitioning, batch
+    // loop, and long-form output schema are the production plumbing).
+    // Block sums are integers and /16 is a power of two, so avg_val is
+    // exact in both engines — no rounding needed. Map-only until the
+    // output sort.
+    "mm_resize_pool" -> ((s, d) => {
+      import s.implicits._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("by", LongType, nullable = false),
+        StructField("bx", LongType, nullable = false),
+        StructField("avg_val", DoubleType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      withPayload(s, d).select($"doc_id", $"payload")
+        .mapPartitions { it =>
+          it.grouped(64).flatMap { batch => // codec-style fixed batches
+            batch.iterator.flatMap { r =>
+              val docId = r.getLong(0)
+              val bytes = r.getAs[Array[Byte]](1)
+              (0L until 4L).iterator.flatMap { by =>
+                (0L until 4L).iterator.map { bx =>
+                  var sum = 0L
+                  var k = 0
+                  while (k < 16) {
+                    val idx = ((by * 4 + k / 4) * 16 + (bx * 4 + k % 4)).toInt
+                    if (idx < bytes.length) sum += (bytes(idx) & 0xff)
+                    k += 1
+                  }
+                  Row(docId, by, bx, sum / 16.0)
+                }
+              }
+            }
+          }
+        }(enc)
+        .orderBy("doc_id", "by", "bx")
+    }),
+
     // Frame sampling: fixed 32-byte frames, keep every 4th, fingerprint
     // each sampled frame with the shared polynomial hash.
     "mm_frame_sample" -> ((s, d) => {
@@ -228,6 +269,17 @@ object MultimodalOps {
          |             ELSE e2 END / (e0 + e1 + e2), 6) AS score
          |FROM p ORDER BY doc_id""".stripMargin
     },
+    "mm_resize_pool" ->
+      """WITH b AS (SELECT unnest(generate_series(0, 3)) AS v)
+        |SELECT d.doc_id, byy.v AS by, bxx.v AS bx,
+        |  list_aggregate(list_transform(generate_series(0, 15), k ->
+        |    CASE WHEN (byy.v * 4 + k // 4) * 16 + (bxx.v * 4 + k % 4) + 1
+        |           <= strlen(text)
+        |         THEN ascii(substr(text,
+        |           CAST((byy.v * 4 + k // 4) * 16 + (bxx.v * 4 + k % 4) + 1 AS INT), 1))
+        |         ELSE 0 END), 'sum') / 16.0 AS avg_val
+        |FROM documents d CROSS JOIN b byy CROSS JOIN b bxx
+        |ORDER BY doc_id, by, bx""".stripMargin,
     "mm_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, text, strlen(text) AS n,
