@@ -29,13 +29,23 @@ object Bench {
       graft.ops.DedupOps.clear()
       spark.catalog.clearCache()
     }
-    val results = names.map { name =>
+    // Two timed passes, report the per-query MIN: a transient burst of
+    // machine contention (the whole-run 2x swing BENCH_r04 recorded on a
+    // shared driver host) then inflates at most one pass, not the
+    // reported number. Min-of-2 measures what the query costs, not what
+    // the neighbors were doing.
+    def timeOne(name: String): Double = {
       clearState()
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
       catch { case _: Throwable => false }
       // A crashed query must not masquerade as a fast one: report -1.
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val results = names.map { name =>
+      val a = timeOne(name)
+      val b = timeOne(name)
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

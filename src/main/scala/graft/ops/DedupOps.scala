@@ -302,6 +302,71 @@ object DedupOps {
         .orderBy("d1", "d2")
     }),
 
+    // INCREMENTAL dedup — the production shape: an incoming batch is
+    // checked against the EXISTING corpus index, never against itself
+    // corpus-wide. Band keys are computed per side and only new×old
+    // band collisions shuffle, so daily ingest cost tracks batch size ×
+    // dup density, not corpus size (at 100 TB the old side's band table
+    // is a persisted index you append to, not something recomputed —
+    // the signature stage here stands in for reading it). Incoming docs
+    // with a verified Jaccard ≥ 0.8 match against the corpus are 'dup',
+    // the rest 'novel'; every incoming doc reports its match count and
+    // lowest matching corpus id. Non-vacuous by construction: the batch
+    // includes re-keyed exact copies of corpus docs (guaranteed dups)
+    // alongside genuinely unseen docs.
+    "dedup_incremental" -> ((s, d) => {
+      import s.implicits._
+      val base = documents(s, d).select($"doc_id", $"text")
+      val corpus = base.filter($"doc_id" % 10 =!= 0)
+      val incoming = base.filter($"doc_id" % 10 === 0)
+        .union(corpus.filter($"doc_id" % 25 === 7)
+          .select(($"doc_id" + 2000000).as("doc_id"), $"text"))
+      val all = corpus.withColumn("side", lit("old"))
+        .union(incoming.withColumn("side", lit("new")))
+      // one cached (doc_id, side, xs) shingle-hash frame, 3 consumers
+      // (signatures + both verify sides); lifecycle owned by clear()
+      val sh = shingleCache.getOrElseUpdate((s, d + "#incremental"), {
+        all.repartition(s.sparkContext.defaultParallelism)
+          .select($"doc_id", $"side", toks($"text").as("t"))
+          .select($"doc_id", $"side",
+            graft.functions.ShingleHashes.poly_shingles($"t").as("xs"))
+          .filter(size($"xs") >= 1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+      val bandKeys = (0 until NumBands).map { b =>
+        concat_ws("_", (0 until RowsPerBand).map(r =>
+          element_at($"mh", b * RowsPerBand + r + 1).cast("string")): _*)
+      }
+      val bands = sh
+        .select($"doc_id", $"side",
+          graft.functions.MinHashSig.min_hash_sig($"xs").as("mh"))
+        .select($"doc_id", $"side", posexplode(array(bandKeys: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      val cands = bands.filter($"side" === "new")
+        .select($"doc_id".as("d_new"), $"band", $"key")
+        .join(bands.filter($"side" === "old")
+          .select($"doc_id".as("d_old"), $"band", $"key"), Seq("band", "key"))
+        .select("d_new", "d_old").distinct()
+      val e = sh.select($"doc_id", explode($"xs").as("sh"))
+      val sizes = sh.select($"doc_id", size($"xs").as("sz"))
+      val matches = cands
+        .join(e.toDF("d_new", "sh"), "d_new")
+        .join(e.toDF("d_old", "sh"), Seq("d_old", "sh"))
+        .groupBy($"d_new", $"d_old").agg(count(lit(1)).as("inter"))
+        .join(sizes.toDF("d_new", "s1"), "d_new")
+        .join(sizes.toDF("d_old", "s2"), "d_old")
+        .filter($"inter" / ($"s1" + $"s2" - $"inter") >= 0.8d)
+        .groupBy($"d_new")
+        .agg(count(lit(1)).as("n_matches"), min($"d_old").as("first_match"))
+      incoming.select($"doc_id")
+        .join(matches.withColumnRenamed("d_new", "doc_id"), Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"n_matches".isNull, "novel").otherwise("dup").as("status"),
+          coalesce($"n_matches", lit(0L)).as("n_matches"),
+          $"first_match")
+        .orderBy("doc_id")
+    }),
+
     // Edit-distance verification layer: Levenshtein over a fixed prefix of
     // the candidate pairs the Jaccard stage surfaced (never pairwise over
     // the corpus — distance ops only run on the candidate set).
@@ -614,6 +679,54 @@ object DedupOps {
          |JOIN sz sb ON d2 = sb.doc_id
          |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
          |ORDER BY d1, d2""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+         |incoming AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text FROM corpus WHERE doc_id % 25 = 7),
+         |all_docs AS (
+         |  SELECT doc_id, text, 'old' AS side FROM corpus
+         |  UNION ALL
+         |  SELECT doc_id, text, 'new' AS side FROM incoming),
+         |t AS (SELECT doc_id, side,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS toks
+         |  FROM all_docs),
+         |shg AS (SELECT doc_id, side, $shinglesSql AS shs FROM t WHERE len(toks) >= 3),
+         |e0 AS (SELECT doc_id, side, unnest(shs) AS sh FROM shg),
+         |e AS (SELECT DISTINCT doc_id, side, ${polyHashSql("sh")} AS sh FROM e0),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY doc_id),
+         |seeds(i, a, b) AS (VALUES ${permSeeds.zipWithIndex
+        .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")}),
+         |sig AS (
+         |  SELECT doc_id, side, i, MIN((a * sh + b) % $P_PERM) AS h
+         |  FROM e CROSS JOIN seeds GROUP BY doc_id, side, i),
+         |bands AS (
+         |  SELECT doc_id, side, i // $RowsPerBand AS band,
+         |    string_agg(CAST(h AS VARCHAR), '_' ORDER BY i) AS key
+         |  FROM sig GROUP BY doc_id, side, i // $RowsPerBand),
+         |cands AS (
+         |  SELECT DISTINCT n.doc_id AS d_new, o.doc_id AS d_old
+         |  FROM bands n JOIN bands o
+         |    ON n.band = o.band AND n.key = o.key
+         |    AND n.side = 'new' AND o.side = 'old'),
+         |inter AS (
+         |  SELECT d_new, d_old, COUNT(*) AS inter
+         |  FROM cands JOIN e e1 ON e1.doc_id = d_new
+         |             JOIN e e2 ON e2.doc_id = d_old AND e1.sh = e2.sh
+         |  GROUP BY d_new, d_old),
+         |m AS (
+         |  SELECT d_new, COUNT(*) AS n_matches, MIN(d_old) AS first_match
+         |  FROM inter
+         |  JOIN sz sa ON d_new = sa.doc_id
+         |  JOIN sz sb ON d_old = sb.doc_id
+         |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+         |  GROUP BY d_new)
+         |SELECT i.doc_id,
+         |  CASE WHEN m.d_new IS NULL THEN 'novel' ELSE 'dup' END AS status,
+         |  COALESCE(n_matches, 0) AS n_matches, first_match
+         |FROM incoming i LEFT JOIN m ON i.doc_id = m.d_new
+         |ORDER BY i.doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tf AS (
          |  SELECT doc_id, tok, COUNT(*) AS cnt FROM (

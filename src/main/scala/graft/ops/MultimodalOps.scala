@@ -44,6 +44,12 @@ object MultimodalOps {
 
   /** documents with payload BINARY + typed metadata (format from a
     * deterministic doc_id rule; byte length; md5 checksum).
+    *
+    * ORACLE INVARIANT: the fixture corpus is pure ASCII (FIXTURES.md), so
+    * DuckDB's character-indexed substr/ascii/strlen over `text` equals
+    * byte-indexed access to this UTF-8 payload. Any non-ASCII fixture
+    * text would silently diverge the mm_* oracles — keep the corpus
+    * ASCII or rewrite those oracles octet-based.
     */
   private def withPayload(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -95,19 +95,24 @@ object Relational {
 
     // Training-shard writer: the sink shape of a pretraining-data dump —
     // deterministic shard assignment (doc_id % 16, stable across reruns,
-    // unlike a range partitioner's sampled boundaries), one shuffle task
-    // per shard so each shard directory holds exactly ONE file (the
-    // small-files control s9b documents), rows sorted by doc_id within
-    // the shard for reproducible byte layout. Read-back stats per shard
-    // are the oracle-checked surface; RelationalSpec asserts the
-    // one-file-per-shard layout.
+    // unlike a range partitioner's sampled boundaries). repartition(16,
+    // shard) gives the hash partitioner enough buckets that distinct
+    // shards don't share a task (the default task count can be < 16);
+    // sorting by (shard, doc_id) satisfies the dynamic-partition
+    // writer's required ordering, so it adds no sort of its own and the
+    // within-shard doc_id order survives to the file. One file per
+    // shard directory (the small-files control s9b documents);
+    // RelationalSpec asserts the layout. Hash collisions can still
+    // co-locate two shards in one task — the partitionBy split and the
+    // (shard, doc_id) sort keep the per-directory layout correct even
+    // then.
     "sink_training_shards" -> ((s, d) => {
       import s.implicits._
       val out = "target/tmp/training_shards"
       documents(s, d)
         .withColumn("shard", pmod($"doc_id", lit(16)))
-        .repartition($"shard")
-        .sortWithinPartitions($"doc_id")
+        .repartition(16, $"shard")
+        .sortWithinPartitions($"shard", $"doc_id")
         .write.mode("overwrite").partitionBy("shard").parquet(out)
       s.read.parquet(out)
         // partition-dir values read back as INT; normalize to the
@@ -516,6 +521,67 @@ object Relational {
         .agg(count($"l_linenumber").as("n_lines"))
         .orderBy("o_orderkey")
     }),
+
+    // Numeric band join via BUCKET BLOCKING — the non-equi → equi
+    // rewrite. "pairs of same-brand parts within ±2.0 retail price" is a
+    // range predicate; Spark's native plan for it is BroadcastNestedLoop
+    // (O(N·M), the classic range-join scale killer). Instead: quantize
+    // price into band-width buckets, explode the probe side to its own
+    // bucket ±1 (any pair within ±2.0 differs by at most one bucket),
+    // hash-join on (brand, bucket), and apply the exact |Δ| ≤ 2.0 filter
+    // on the collisions only. Cost is one 3×-inflated shuffle join —
+    // linear in rows per bucket, not quadratic in the table; the same
+    // blocking the as-of join and the LSH dedups use. Each qualifying
+    // pair survives exactly once: the probe-side explode contains the
+    // build side's single bucket at most once, and k1 < k2 keeps one
+    // orientation.
+    "j_range_bucketed" -> ((s, d) => {
+      import s.implicits._
+      val p = part(s, d).select($"p_partkey", $"p_brand", $"p_retailprice",
+        floor($"p_retailprice" / 2.0d).cast("long").as("bkt"))
+      val probe = p.select($"p_brand", $"p_partkey".as("k1"),
+          $"p_retailprice".as("v1"),
+          explode(array($"bkt" - 1, $"bkt", $"bkt" + 1)).as("bkt"))
+      val build = p.select($"p_brand", $"p_partkey".as("k2"),
+        $"p_retailprice".as("v2"), $"bkt")
+      probe.join(build, Seq("p_brand", "bkt"))
+        .filter($"k1" < $"k2" && abs($"v1" - $"v2") <= 2.0d)
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(min(abs($"v1" - $"v2")), 6).as("min_gap"),
+          round(max(abs($"v1" - $"v2")), 6).as("max_gap"))
+        .orderBy("p_brand")
+    }),
+
+    // Snapshot diff (change-data-capture between corpus versions): v1 =
+    // yesterday's corpus (some docs absent, some rows stale), v2 = today's.
+    // One full-outer join on the stable key + md5 content compare →
+    // added / removed / changed / unchanged. At 100 TB this is the
+    // incremental-refresh primitive: both sides shuffle once on doc_id
+    // (or co-partitioned by the table layout → zero shuffle), and the
+    // md5 compare is map-side. Versions are carved deterministically
+    // from the fixture corpus so the op is provably non-vacuous: every
+    // status bucket is populated.
+    "snapshot_diff" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).select($"doc_id", $"text", $"source")
+      val v1 = docs.filter($"doc_id" % 7 =!= 3)            // %7==3 → added in v2
+        .select($"doc_id",
+          when($"doc_id" % 5 === 0, upper(substring($"text", 1, 40)))
+            .otherwise($"text").as("text"))                // %5==0 → stale in v1
+      val v2 = docs.filter($"doc_id" % 9 =!= 4)            // %9==4 → removed in v2
+        .select($"doc_id", $"text")
+      v1.select($"doc_id".as("k1"), md5($"text").as("h1"))
+        .join(v2.select($"doc_id".as("k2"), md5($"text").as("h2")),
+          $"k1" === $"k2", "full_outer")
+        .withColumn("status",
+          when($"k1".isNull, "added")
+            .when($"k2".isNull, "removed")
+            .when($"h1" =!= $"h2", "changed")
+            .otherwise("unchanged"))
+        .groupBy($"status").agg(count(lit(1)).as("n_docs"))
+        .orderBy("status")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -727,5 +793,33 @@ object Relational {
       """SELECT o_orderkey, COUNT(l_linenumber) AS n_lines
         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    // Oracle states the band join as the direct non-equi predicate — an
+    // independent formulation of the semantics the bucketed rewrite must
+    // reproduce.
+    "j_range_bucketed" ->
+      """SELECT a.p_brand,
+        |  COUNT(*) AS n_pairs,
+        |  ROUND(MIN(ABS(a.p_retailprice - b.p_retailprice)), 6) AS min_gap,
+        |  ROUND(MAX(ABS(a.p_retailprice - b.p_retailprice)), 6) AS max_gap
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  AND ABS(a.p_retailprice - b.p_retailprice) <= 2.0
+        |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin,
+    "snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN upper(substr(text, 1, 40))
+        |             ELSE text END) AS h1
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |v2 AS (
+        |  SELECT doc_id, md5(text) AS h2
+        |  FROM documents WHERE doc_id % 9 <> 4)
+        |SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |            WHEN v2.doc_id IS NULL THEN 'removed'
+        |            WHEN h1 <> h2 THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |  COUNT(*) AS n_docs
+        |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

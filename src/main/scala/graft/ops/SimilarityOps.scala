@@ -206,6 +206,26 @@ object SimilarityOps {
         .orderBy("pos")
     }),
 
+    // Recall@k evaluation — the quality harness every approximate index
+    // needs: join the LSH top-k against the exact top-k ground truth and
+    // report per-query hit counts. At scale this runs on a sampled query
+    // set (the 20-query side is already the broadcast side in both
+    // inputs), so the evaluation costs two index probes + one tiny join,
+    // never a corpus scan of its own.
+    "ann_recall_at_k" -> ((s, d) => {
+      import s.implicits._
+      val exact = queries("ann_cosine_topk")(s, d)
+        .select($"query_id", $"neighbor_id")
+      val approx = queries("ann_lsh_topk")(s, d)
+        .select($"query_id", $"neighbor_id").withColumn("hit", lit(1L))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce($"hit", lit(0L))).as("n_hit"))
+        .withColumn("recall", round($"n_hit" / $"k", 6))
+        .orderBy("query_id")
+    }),
+
     // LSH bucket histogram — the skew diagnostic for the ANN path.
     "ann_lsh_bucket_stats" -> ((s, d) => {
       import s.implicits._
@@ -325,5 +345,39 @@ object SimilarityOps {
       s"""WITH $prepSql
          |SELECT ${bucketSql("e")} AS bucket, COUNT(*) AS n_vectors
          |FROM n GROUP BY 1 ORDER BY n_vectors DESC, bucket ASC LIMIT 100""".stripMargin,
+    "ann_recall_at_k" ->
+      s"""WITH $prepSql,
+         |b AS (SELECT vec_id, e, norm, ${bucketSql("e")} AS bucket FROM n),
+         |ex AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_exact DESC, vec_id ASC) AS rank
+         |    FROM (
+         |      SELECT q.vec_id AS query_id, c.vec_id,
+         |        ${dotSql("c.e", "q.e")} / (c.norm * q.norm) AS cos_exact
+         |      FROM n c JOIN n q
+         |        ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id))
+         |  WHERE rank <= $TopK),
+         |ap AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_exact DESC, vec_id ASC) AS rank
+         |    FROM (
+         |      SELECT q.vec_id AS query_id, c.vec_id,
+         |        ${dotSql("c.e", "q.e")} / (c.norm * q.norm) AS cos_exact
+         |      FROM b c JOIN b q
+         |        ON q.vec_id < $NumQueries
+         |        AND c.bucket = q.bucket AND c.vec_id <> q.vec_id))
+         |  WHERE rank <= $TopK)
+         |SELECT ex.query_id, COUNT(*) AS k,
+         |  CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit,
+         |  ROUND(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+         |    / COUNT(*), 6) AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -109,6 +109,32 @@ object TextOps {
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
+  /** Shared LM-score pipeline (doc_id, lang, n_bigrams, avg_logprob):
+    * per-doc average bigram log-probability under corpus counts — the
+    * CCNet-style quality signal. Bigram count is a window over the bigram
+    * firehose (materializes once, one exchange on bg; the groupBy+self-
+    * join form recomputed the tokenize+explode for the probe side);
+    * unigram counts join back on the bigram's first word. Consumed by
+    * text_lm_score and text_ccnet_buckets.
+    */
+  private def lmScores(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = documents(s, d).select($"doc_id", $"lang", tokens($"text").as("t"))
+    val db = t.select($"doc_id", $"lang",
+        explode(when(size($"t") >= 2,
+          transform(sequence(lit(0), size($"t") - 2),
+            i => concat_ws(" ", element_at($"t", i + 1), element_at($"t", i + 2))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+    val uni = t.select(explode($"t").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cu"))
+    db.withColumn("cb", count(lit(1)).over(Window.partitionBy($"bg")))
+      .join(uni, substring_index($"bg", " ", 1) === $"w")
+      .withColumn("logp", log($"cb" / $"cu"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg($"logp"), 6).as("avg_logprob"))
+  }
+
   private val stopwordArray: Column =
     array(Lexicons.stopwordsEn.map(lit): _*)
 
@@ -371,27 +397,60 @@ object TextOps {
     // two equi-joins of the doc bigram stream against them and one
     // groupBy(doc_id) — all partial-aggregated, no broadcast of anything
     // corpus-sized.
-    "text_lm_score" -> ((s, d) => {
+    "text_lm_score" -> ((s, d) =>
+      lmScores(s, d).drop("lang").orderBy("doc_id")),
+
+    // CCNet-style perplexity bucketing: within each language, rank docs by
+    // LM score and cut into head/middle/tail thirds (CCNet keeps "head" as
+    // the cleanest pretraining slice). Composes the text_lm_score pipeline;
+    // the tertile is ARITHMETIC on (rank, group size) — no ntile() over a
+    // global sort, so the only per-lang state is the rank window the score
+    // already needs. Ties broken by doc_id: bucket membership is
+    // deterministic and oracle-reproducible.
+    "text_ccnet_buckets" -> ((s, d) => {
       import s.implicits._
-      val t = documents(s, d).select($"doc_id", tokens($"text").as("t"))
-      val db = t.select($"doc_id",
+      val byLang = Window.partitionBy($"lang")
+      val scored = lmScores(s, d)
+        .withColumn("rn", row_number().over(
+          byLang.orderBy($"avg_logprob".desc, $"doc_id".asc)))
+        .withColumn("n", count(lit(1)).over(byLang))
+        .withColumn("bucket",
+          element_at(typedLit(Seq("head", "middle", "tail")),
+            (floor(($"rn" - 1) * 3 / $"n") + 1).cast("int")))
+      scored.groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min($"avg_logprob"), 6).as("min_logprob"),
+          round(max($"avg_logprob"), 6).as("max_logprob"))
+        .orderBy("lang", "bucket")
+    }),
+
+    // DSIR-style importance weights (Xie et al.): per-doc average
+    // log-likelihood ratio of hashed-bigram features under the TARGET
+    // distribution (lang = 'en' here) vs the raw corpus. Weights are
+    // reported up to the additive constant ln(Nraw/Ntarget) — irrelevant
+    // for the ranking/resampling the weights feed, and dropping it keeps
+    // the whole op ONE exchange on the 8192-bucket key (both bucket
+    // counts come from a single window over the bigram firehose; the
+    // normalizing totals would need a second global pass). Laplace +1
+    // smoothing so unseen-in-target buckets stay finite.
+    "text_dsir_weights" -> ((s, d) => {
+      import s.implicits._
+      val t = documents(s, d).select($"doc_id", $"lang", tokens($"text").as("t"))
+      val db = t.select($"doc_id", $"lang",
           explode(when(size($"t") >= 2,
             transform(sequence(lit(0), size($"t") - 2),
               i => concat_ws(" ", element_at($"t", i + 1), element_at($"t", i + 2))))
             .otherwise(array().cast("array<string>"))).as("bg"))
-      val uni = t.select(explode($"t").as("w"))
-        .groupBy($"w").agg(count(lit(1)).as("cu"))
-      // bigram count as a window over bg, not groupBy+self-join: the
-      // bigram firehose materializes ONCE (the join form recomputed the
-      // tokenize+explode for the probe side) and pays one exchange on bg;
-      // bg partitions are tiny (bigram multiplicity), so window state is
-      // trivial at any corpus size.
-      db.withColumn("cb", count(lit(1)).over(Window.partitionBy($"bg")))
-        .join(uni, substring_index($"bg", " ", 1) === $"w")
-        .withColumn("logp", log($"cb" / $"cu"))
+        .withColumn("b",
+          pmod(graft.functions.PolyHash.poly_hash($"bg"), lit(8192L)))
+      val byBucket = Window.partitionBy($"b")
+      db.withColumn("cr", count(lit(1)).over(byBucket))
+        .withColumn("ct",
+          sum(when($"lang" === "en", 1L).otherwise(0L)).over(byBucket))
+        .withColumn("term", log(($"ct" + 1.0d) / ($"cr" + 1.0d)))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
-          round(avg($"logp"), 6).as("avg_logprob"))
+          round(avg($"term"), 6).as("dsir_weight"))
         .orderBy("doc_id")
     }),
 
@@ -420,6 +479,53 @@ object TextOps {
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")
+    }),
+
+    // Heavy hitters ("which tokens exceed 0.5% of the stream?") as the
+    // bounded-state two-pass: pass 1 runs the mergeable Misra-Gries
+    // sketch (m=256 entries per partial buffer — see MisraGries scaladoc)
+    // and collects the ≤256 candidates to the driver (bounded by
+    // construction, the same legitimate-collect class as the capped
+    // vocabulary); pass 2 exact-counts ONLY the candidates (map-side
+    // isin filter) and applies the threshold. MG guarantees every item
+    // above N/257 survives pass 1, so with threshold N/200 the final
+    // output equals the exact answer even though the sketch itself is
+    // partition-order dependent — a full groupBy over billions of
+    // distinct tokens never happens. Oracle = the direct HAVING query.
+    "a_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val tokStream = documents(s, d).select(explode(tokens($"text")).as("tok"))
+      val mg = new graft.functions.MisraGries(256).toColumn
+      val cands: Seq[String] =
+        tokStream.as[String].select(mg).head().map(_._1)
+      val n = documents(s, d)
+        .select(sum(size(tokens($"text")))).as[Long].head()
+      tokStream.filter($"tok".isin(cands: _*))
+        .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" > lit(n) / 200.0d)
+        .orderBy(desc("cnt"), asc("tok"))
+    }),
+
+    // Deterministic per-group k-sample: "5 uniform-random docs per source,
+    // reproducibly". Ranking by a content-independent hash of the stable
+    // id IS a uniform draw (the hash is equidistributed over ids), but
+    // unlike reservoir sampling with rand() it survives reruns,
+    // repartitions, and engine swaps — the oracle proves it by re-deriving
+    // the identical sample in DuckDB. The window form here is fine because
+    // k≪group size; the bounded-state scale path for huge groups is the
+    // same TopK aggregator o4 demonstrates (smallest-k = top-k on the
+    // negated key).
+    "sample_group_hash_topk" -> ((s, d) => {
+      import s.implicits._
+      val h = pmod(graft.functions.PolyHash.poly_hash($"doc_id".cast("string")),
+        lit(1000000L))
+      val w = Window.partitionBy($"source").orderBy($"h".asc, $"doc_id".asc)
+      documents(s, d)
+        .select($"source", $"doc_id", h.as("h"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"source", $"rank", $"doc_id")
+        .orderBy("source", "rank")
     }),
 
     // U1: POS-filter approximation (data_preparation.py:85-94 keeps
@@ -593,8 +699,12 @@ object TextOps {
     // groupBy on source.
     "corpus_mixture_sample" -> ((s, d) => {
       import s.implicits._
-      // rate per mille, derived from the numeric source suffix
-      val srcNum = regexp_extract($"source", "(\\d+)", 1).cast("long")
+      // rate per mille, derived from the numeric source suffix; try_cast +
+      // coalesce so a digitless source gets the base rate instead of an
+      // ANSI cast error (and the oracle's TRY_CAST fails the same way:
+      // not at all)
+      val srcNum = coalesce(
+        regexp_extract($"source", "(\\d+)", 1).try_cast("long"), lit(0L))
       val rate = lit(100) + (srcNum % 10) * 50
       val h = pmod(graft.functions.PolyHash.poly_hash($"doc_id".cast("string")), lit(1000))
       documents(s, d)
@@ -604,6 +714,33 @@ object TextOps {
         .groupBy($"source", $"rate_permille")
         .agg(count(lit(1)).as("n_docs"), sum($"kept").as("n_kept"))
         .withColumn("kept_ratio", round($"n_kept" / $"n_docs", 6))
+        .orderBy("source")
+    }),
+
+    // Temperature-scaled mixture resampling (the GPT-3/PaLM "flatten the
+    // source distribution" op, α = 0.5): per-source Bernoulli keep rate
+    // (n_min/n_s)^(1-α), so sampled proportions track n_s^α and the
+    // smallest source keeps everything. Rates come from one tiny
+    // source-count aggregate broadcast back to the corpus; the keep
+    // decision is the same portable id-hash as corpus_mixture_sample —
+    // map-side, rerun/repartition-stable, oracle-reproducible. Rate is
+    // quantized to integer per-mille (floor) so both engines threshold
+    // on identical integers.
+    "corpus_temperature_resample" -> ((s, d) => {
+      import s.implicits._
+      val counts = documents(s, d).groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"))
+      val rates = counts
+        .crossJoin(broadcast(counts.agg(min($"n_docs").as("n_min"))))
+        .withColumn("rate_permille",
+          floor(sqrt($"n_min".cast("double") / $"n_docs") * 1000).cast("long"))
+      val h = pmod(graft.functions.PolyHash.poly_hash($"doc_id".cast("string")),
+        lit(1000L))
+      documents(s, d).select($"source", $"doc_id")
+        .join(broadcast(rates), "source")
+        .withColumn("kept", when(h < $"rate_permille", 1L).otherwise(0L))
+        .groupBy($"source", $"n_docs", $"rate_permille")
+        .agg(sum($"kept").as("n_kept"))
         .orderBy("source")
     }),
 
@@ -840,6 +977,63 @@ object TextOps {
       s"""SELECT lang, COUNT(*) AS n_sampled FROM documents
          |WHERE ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 2
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "a_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($tokensSql) AS tok FROM documents)
+         |SELECT tok, COUNT(*) AS cnt FROM tok
+         |GROUP BY tok
+         |HAVING COUNT(*) > (SELECT COUNT(*) FROM tok) / 200.0
+         |ORDER BY cnt DESC, tok ASC""".stripMargin,
+    "sample_group_hash_topk" ->
+      s"""SELECT source, rank, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY
+         |      ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")} % 1000000 ASC,
+         |      doc_id ASC) AS rank
+         |  FROM documents)
+         |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "text_ccnet_buckets" ->
+      s"""WITH t AS (SELECT doc_id, lang, $tokensSql AS toks FROM documents),
+         |db AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_transform(range(len(toks) - 1),
+         |      i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+         |  FROM t),
+         |uni AS (SELECT w, COUNT(*) AS cu FROM (
+         |  SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |bgc AS (SELECT bg, COUNT(*) AS cb FROM db GROUP BY bg),
+         |sc AS (
+         |  SELECT doc_id, lang, ROUND(AVG(ln(CAST(cb AS DOUBLE) / cu)), 6) AS avg_logprob
+         |  FROM db JOIN bgc USING (bg)
+         |  JOIN uni ON split_part(bg, ' ', 1) = uni.w
+         |  GROUP BY doc_id, lang),
+         |r AS (
+         |  SELECT lang, avg_logprob,
+         |    CASE CAST(FLOOR((row_number() OVER (PARTITION BY lang
+         |        ORDER BY avg_logprob DESC, doc_id ASC) - 1) * 3
+         |      / (COUNT(*) OVER (PARTITION BY lang))) AS INT)
+         |      WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+         |  FROM sc)
+         |SELECT lang, bucket, COUNT(*) AS n_docs,
+         |  ROUND(MIN(avg_logprob), 6) AS min_logprob,
+         |  ROUND(MAX(avg_logprob), 6) AS max_logprob
+         |FROM r GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    "text_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang, $tokensSql AS toks FROM documents),
+         |db AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_transform(range(len(toks) - 1),
+         |      i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+         |  FROM t),
+         |hb AS (SELECT doc_id, lang, ${graft.ops.DedupOps.polyHashSql("bg")} % 8192 AS b
+         |  FROM db),
+         |cnt AS (
+         |  SELECT b, COUNT(*) AS cr,
+         |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+         |  FROM hb GROUP BY b)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ROUND(AVG(ln((ct + 1.0) / (cr + 1.0))), 6) AS dsir_weight
+         |FROM hb JOIN cnt USING (b)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "u1_pos_filter" ->
       s"""WITH t AS (SELECT unnest($tokensSql) AS word FROM documents),
          |c AS (
@@ -895,16 +1089,29 @@ object TextOps {
     "corpus_mixture_sample" ->
       s"""WITH t AS (
          |  SELECT source, doc_id,
-         |    100 + (CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 10) * 50
+         |    100 + (COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0) % 10) * 50
          |      AS rate_permille,
          |    CASE WHEN ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")} % 1000 <
-         |      100 + (CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 10) * 50
+         |      100 + (COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0) % 10) * 50
          |      THEN 1 ELSE 0 END AS kept
          |  FROM documents)
          |SELECT source, rate_permille, COUNT(*) AS n_docs,
          |  CAST(SUM(kept) AS BIGINT) AS n_kept,
          |  ROUND(SUM(kept) * 1.0 / COUNT(*), 6) AS kept_ratio
          |FROM t GROUP BY 1, 2 ORDER BY source""".stripMargin,
+    "corpus_temperature_resample" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+         |r AS (
+         |  SELECT source, n_docs,
+         |    CAST(FLOOR(sqrt(CAST((SELECT MIN(n_docs) FROM c) AS DOUBLE) / n_docs)
+         |      * 1000) AS BIGINT) AS rate_permille
+         |  FROM c)
+         |SELECT d.source, r.n_docs, r.rate_permille,
+         |  CAST(SUM(CASE WHEN
+         |    ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")} % 1000
+         |      < rate_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents d JOIN r ON d.source = r.source
+         |GROUP BY 1, 2, 3 ORDER BY d.source""".stripMargin,
     "text_pii_redact" ->
       s"""WITH dec AS (
          |  SELECT doc_id,

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.MisraGries
+
+/** Misra-Gries sketch guarantees + the two-pass heavy-hitter query built
+  * on it, and the incremental-dedup batch semantics.
+  */
+class MGSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MG summary: superset of true heavy hitters, counts within N/(m+1)") {
+    // skewed synthetic stream: item i appears (50-i)^2 times, shuffled
+    // deterministically so partitions interleave items
+    val raw = (0 until 50).flatMap(i => Seq.fill((50 - i) * (50 - i))(s"it$i"))
+    val stream = new scala.util.Random(7).shuffle(raw)
+    val n = stream.size.toLong
+    val m = 16
+    val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val summary = stream.toDF("tok").repartition(8).as[String]
+      .select(new MisraGries(m).toColumn).head().toMap
+    // every true heavy hitter (> N/(m+1)) present
+    val bound = n.toDouble / (m + 1)
+    exact.filter(_._2 > bound).keys.foreach { k =>
+      assert(summary.contains(k), s"heavy hitter $k missing from MG summary")
+    }
+    // kept counts never overestimate and undershoot by at most N/(m+1)
+    summary.foreach { case (k, c) =>
+      val t = exact(k)
+      assert(c <= t, s"$k overcounted: $c > $t")
+      assert(t - c <= bound, s"$k undercounted beyond bound: $t - $c > $bound")
+    }
+    assert(summary.size <= m)
+  }
+
+  test("a_heavy_hitters equals the direct exact computation") {
+    val got = SparkEntry.queries("a_heavy_hitters")(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    val toks = ops.Tables.documents(spark, sf)
+      .select(explode(filter(split(lower($"text"), "\\s+"),
+        t => length(t) > 0)).as("tok"))
+    val n = toks.count()
+    val want = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" > n / 200.0)
+      .orderBy(desc("cnt"), asc("tok"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("dedup_incremental: planted copies flagged dup, novelty preserved") {
+    val rows = SparkEntry.queries("dedup_incremental")(spark, sf)
+      .as[(Long, String, Long, Option[Long])].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    // every planted re-keyed copy (source doc_id % 25 == 7, % 10 != 0) is
+    // a dup of exactly its source (possibly among other matches)
+    val planted = rows.filter(_._1 >= 2000000)
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, status, nm, first) =>
+      assert(status == "dup", s"planted copy $id not flagged dup")
+      assert(nm >= 1 && first.isDefined)
+      assert(first.get <= id - 2000000,
+        s"first_match ${first.get} should be <= source ${id - 2000000}")
+    }
+    // statuses partition the batch; novel docs report no match
+    rows.foreach { case (_, status, nm, first) =>
+      if (status == "novel") assert(nm == 0 && first.isEmpty)
+      else assert(nm >= 1 && first.isDefined)
+    }
+    assert(rows.exists(_._2 == "novel"))
+  }
+}

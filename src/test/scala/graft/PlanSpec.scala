@@ -73,6 +73,8 @@ class PlanSpec extends SparkSpec {
     "u6_npmi_pairs", "u6_npmi_coherence",            // scalar n_docs join
     "u6_npmi_windowed",                              // scalar n_units join
     "text_bm25_topk",                                // scalar corpus-stats join
+    "corpus_temperature_resample",                   // 1-row n_min broadcast
+    "ann_recall_at_k",                               // embeds the brute-force baseline
   )
 
   test("no unintended cartesian or nested-loop joins across the suite") {

@@ -70,7 +70,10 @@ class RelationalSpec extends SparkSpec {
       "text_lm_score", "stream_dedup_keys",
       "pack_sequences", "dedup_substring_spans", "corpus_mixture_sample",
       "pipeline_pretrain_corpus", "a_sketch_merge",
-      "o4_topk_aggregator_per_group", "stream_interval_join").foreach { name =>
+      "o4_topk_aggregator_per_group", "stream_interval_join",
+      "dedup_incremental", "a_heavy_hitters", "j_range_bucketed",
+      "snapshot_diff", "text_dsir_weights", "text_ccnet_buckets",
+      "sample_group_hash_topk").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
