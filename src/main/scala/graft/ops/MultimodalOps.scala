@@ -225,6 +225,48 @@ object MultimodalOps {
         }(enc)
         .orderBy("doc_id", "frame_idx")
     }),
+
+    // Audio-style framing: payload bytes as unsigned 8-bit PCM centered
+    // at 128, non-overlapping 64-sample windows, per-window RMS energy —
+    // the frame-level feature extraction (VAD / loudness gating) of an
+    // audio ingest, in the same batched mapPartitions shape as the other
+    // decoders. Sum-of-squares is integer (exact), one double division +
+    // sqrt per window, so both engines agree bit-for-bit pre-rounding.
+    // Map-only until the output sort.
+    "mm_audio_rms" -> ((s, d) => {
+      import s.implicits._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("window_idx", IntegerType, nullable = false),
+        StructField("n_samples", IntegerType, nullable = false),
+        StructField("rms", DoubleType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      withPayload(s, d).select($"doc_id", $"payload")
+        .mapPartitions { it =>
+          it.grouped(64).flatMap { batch => // codec-style fixed batches
+            batch.iterator.flatMap { r =>
+              val docId = r.getLong(0)
+              val bytes = r.getAs[Array[Byte]](1)
+              val nWin = (bytes.length + 63) / 64
+              (0 until nWin).iterator.map { w =>
+                val from = w * 64
+                val until = math.min(from + 64, bytes.length)
+                var ss = 0L
+                var i = from
+                while (i < until) {
+                  val v = (bytes(i) & 0xff) - 128
+                  ss += v.toLong * v
+                  i += 1
+                }
+                val n = until - from
+                Row(docId, w, n, math.sqrt(ss.toDouble / n))
+              }
+            }
+          }
+        }(enc)
+        .withColumn("rms", round($"rms", 6))
+        .orderBy("doc_id", "window_idx")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -286,6 +328,21 @@ object MultimodalOps {
         |         ELSE 0 END), 'sum') / 16.0 AS avg_val
         |FROM documents d CROSS JOIN b byy CROSS JOIN b bxx
         |ORDER BY doc_id, by, bx""".stripMargin,
+    "mm_audio_rms" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, strlen(text) AS n,
+        |    unnest(range(0, CAST(ceil(strlen(text) / 64.0) AS BIGINT))) AS window_idx
+        |  FROM documents)
+        |SELECT doc_id, CAST(window_idx AS INT) AS window_idx,
+        |  CAST(LEAST(64, n - window_idx * 64) AS INT) AS n_samples,
+        |  ROUND(sqrt(
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split(substr(text, CAST(window_idx * 64 + 1 AS INT), 64), ''),
+        |        c -> CAST((ascii(c) - 128) * (ascii(c) - 128) AS BIGINT))),
+        |      (a, b) -> a + b)
+        |    * 1.0 / LEAST(64, n - window_idx * 64)), 6) AS rms
+        |FROM w ORDER BY doc_id, window_idx""".stripMargin,
     "mm_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, text, strlen(text) AS n,

@@ -553,6 +553,28 @@ object Relational {
         .orderBy("p_brand")
     }),
 
+    // Salted skew join as a first-class query: event_type has 5 values —
+    // a plain join on it lands each key's millions of rows on ONE reducer
+    // at scale. Skew.saltedJoin scatters each hot key across 8 salts and
+    // replicates the (tiny) dim side per salt; the result set is
+    // provably identical (oracle = the plain join), only the shuffle
+    // layout changes. AQE's skew split covers sort-merge joins
+    // adaptively; explicit salting stays the tool for aggregate-heavy
+    // shapes and pre-AQE plans — SkewAndBucketingSpec holds the
+    // equivalence property, this entry keeps the op differentially
+    // tested end to end.
+    "j_salted_skew_join" -> ((s, d) => {
+      import s.implicits._
+      val dim = Seq(
+        ("click", "engagement"), ("view", "engagement"),
+        ("purchase", "conversion"), ("signup", "conversion"),
+        ("error", "ops")).toDF("event_type", "category")
+      Skew.saltedJoin(events(s, d).select($"event_id", $"event_type"),
+          dim, "event_type", 8)
+        .groupBy($"category").agg(count(lit(1)).as("n"))
+        .orderBy("category")
+    }),
+
     // Snapshot diff (change-data-capture between corpus versions): v1 =
     // yesterday's corpus (some docs absent, some rows stale), v2 = today's.
     // One full-outer join on the stable key + md5 content compare →
@@ -805,6 +827,14 @@ object Relational {
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |  AND ABS(a.p_retailprice - b.p_retailprice) <= 2.0
         |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin,
+    "j_salted_skew_join" ->
+      """WITH dim(event_type, category) AS (VALUES
+        |  ('click', 'engagement'), ('view', 'engagement'),
+        |  ('purchase', 'conversion'), ('signup', 'conversion'),
+        |  ('error', 'ops'))
+        |SELECT category, COUNT(*) AS n
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY category ORDER BY category""".stripMargin,
     "snapshot_diff" ->
       """WITH v1 AS (
         |  SELECT doc_id,
