@@ -382,6 +382,26 @@ object DedupOps {
         .orderBy("d1", "d2")
     }),
 
+    // Edit-distance GATE: same candidate set as dedup_levenshtein_verify
+    // but filtering `levenshtein(prefix) <= 15` instead of reporting the
+    // distance. Under GraftExtensions the LevenshteinThresholdRewrite
+    // turns the predicate into Spark's banded three-arg form — per-pair
+    // cost ∝ k·len instead of len² (ExtensionsSpec proves rewrite +
+    // equivalence; the query stays correct without the rule, just
+    // slower).
+    "dedup_levenshtein_gate" -> ((s, d) => {
+      import s.implicits._
+      val pairs = queries("dedup_ngram_jaccard")(s, d).select($"d1", $"d2")
+      val prefixes = documents(s, d)
+        .select($"doc_id", substring($"text", 1, 60).as("prefix"))
+      pairs
+        .join(prefixes.toDF("d1", "p1"), "d1")
+        .join(prefixes.toDF("d2", "p2"), "d2")
+        .filter(levenshtein($"p1", $"p2") <= 15)
+        .select($"d1", $"d2")
+        .orderBy("d1", "d2")
+    }),
+
     // SimHash: 30-bit sketch (bits j ∈ 0..29) — per-token polynomial hash,
     // bit-weighted by term frequency, sign-aggregated per bit position.
     "dedup_simhash" -> ((s, d) => {
@@ -678,6 +698,21 @@ object DedupOps {
          |JOIN sz sa ON d1 = sa.doc_id
          |JOIN sz sb ON d2 = sb.doc_id
          |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+         |ORDER BY d1, d2""".stripMargin,
+    "dedup_levenshtein_gate" ->
+      s"""WITH $shingleCte,
+         |jac AS (
+         |  SELECT d1, d2 FROM (
+         |    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         |    FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sz sa ON d1 = sa.doc_id
+         |  JOIN sz sb ON d2 = sb.doc_id
+         |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8),
+         |pre AS (SELECT doc_id, substr(text, 1, 60) AS prefix FROM documents)
+         |SELECT d1, d2
+         |FROM jac JOIN pre a ON d1 = a.doc_id JOIN pre b ON d2 = b.doc_id
+         |WHERE levenshtein(a.prefix, b.prefix) <= 15
          |ORDER BY d1, d2""".stripMargin,
     "dedup_incremental" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),

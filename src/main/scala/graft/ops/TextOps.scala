@@ -444,9 +444,11 @@ object TextOps {
         .withColumn("b",
           pmod(graft.functions.PolyHash.poly_hash($"bg"), lit(8192L)))
       val byBucket = Window.partitionBy($"b")
-      db.withColumn("cr", count(lit(1)).over(byBucket))
-        .withColumn("ct",
-          sum(when($"lang" === "en", 1L).otherwise(0L)).over(byBucket))
+      // both counts in ONE select so they land in a single Window node
+      // (withColumn chains insert Projects that block CollapseWindow)
+      db.select($"doc_id", $"bg",
+          count(lit(1)).over(byBucket).as("cr"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).over(byBucket).as("ct"))
         .withColumn("term", log(($"ct" + 1.0d) / ($"cr" + 1.0d)))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_bigrams"),

@@ -6,18 +6,20 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{MinHashSig, PolyHash, ShingleHashes, VecDot}
 
 /** Session extension registering the engine's custom codegen'd expressions
-  * as SQL functions, so `spark.sql("SELECT poly_hash(text) ...")` works
-  * alongside the Column API.
+  * as SQL functions (so `spark.sql("SELECT poly_hash(text) ...")` works
+  * alongside the Column API) plus the one optimizer rule that pays for
+  * itself: [[LevenshteinThresholdRewrite]] (bounded edit-distance
+  * predicates run Spark's banded early-exit algorithm).
   *
   * Register via
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`. No optimizer Rule
-  * or SparkStrategy is injected — SURVEY §4's conclusion (every reference
-  * operator plans onto built-in physical operators) holds; the extension
-  * surface is scalar expressions only.
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. No SparkStrategy
+  * is injected — SURVEY §4's conclusion (every reference operator plans
+  * onto built-in physical operators) holds.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => LevenshteinThresholdRewrite)
     ext.injectFunction((
       new FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),

@@ -95,4 +95,36 @@ class ExtensionsSpec extends SparkSpec {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     ext(e) // must not throw
   }
+
+  test("levenshtein threshold rewrite: plan uses banded form, results exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.LevenshteinThresholdRewrite)
+    try {
+      // parquet-backed input: ConvertToLocalRelation would fold a local
+      // Seq through the filter before the rewrite is observable
+      val docs = ops.Tables.documents(spark, sf)
+        .select($"doc_id", substring($"text", 1, 20).as("a"),
+          substring($"text", 21, 20).as("b"))
+      // ground truth via a Project (no comparison → rule never fires)
+      val dist = docs.select($"doc_id", levenshtein($"a", $"b").as("d"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      for (k <- Seq(0, 3, 15)) {
+        val q = docs.filter(levenshtein($"a", $"b") <= k).select($"doc_id")
+        val opt = q.queryExecution.optimizedPlan.toString
+        // rewritten: three-arg levenshtein + the -1 guard
+        assert(opt.contains(s"Some($k)") && opt.contains(">= 0"), opt)
+        val got = q.as[Long].collect().toSet
+        assert(got == dist.filter(_._2 <= k).keySet, s"k=$k")
+      }
+      // strict and reversed comparison forms rewrite too
+      val strict = docs.filter(levenshtein($"a", $"b") < 15)
+      assert(strict.queryExecution.optimizedPlan.toString.contains(">= 0"))
+      assert(strict.count() == dist.count(_._2 < 15))
+      val rev = docs.filter(lit(15) >= levenshtein($"a", $"b"))
+      assert(rev.queryExecution.optimizedPlan.toString.contains(">= 0"))
+      assert(rev.count() == dist.count(_._2 <= 15))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
 }

@@ -73,7 +73,9 @@ class RelationalSpec extends SparkSpec {
       "o4_topk_aggregator_per_group", "stream_interval_join",
       "dedup_incremental", "a_heavy_hitters", "j_range_bucketed",
       "snapshot_diff", "text_dsir_weights", "text_ccnet_buckets",
-      "sample_group_hash_topk").foreach { name =>
+      "sample_group_hash_topk", "dedup_levenshtein_gate", "mm_audio_rms",
+      "j_salted_skew_join", "ann_recall_at_k",
+      "corpus_temperature_resample").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
