@@ -206,6 +206,46 @@ object SimilarityOps {
         .orderBy("pos")
     }),
 
+    // SQ8 quantized search — the storage path emb_quantize_error
+    // profiles, as an actual index probe: candidates are ranked by the
+    // dot product of DEQUANTIZED int8 vectors (what a real SQ index
+    // stores — 4× smaller than float32, 8× than float64), the top-2k
+    // per query then rescored with exact floats. The per-dim (lo, hi)
+    // range table is 64 rows — collected and inlined as literals, the
+    // same legitimately-bounded driver collect as the capped vocabulary
+    // (at scale it is a parquet-footer min/max, refreshed per index
+    // build). Quantization arithmetic is identical to
+    // emb_quantize_error, so both engines dequantize bit-for-bit.
+    "ann_sq8_topk" -> ((s, d) => {
+      import s.implicits._
+      val v = prepared(s, d)
+      val rngRows = v.select(posexplode($"e")).toDF("pos", "x")
+        .groupBy($"pos").agg(min($"x").as("lo"), max($"x").as("hi"))
+        .orderBy("pos").collect()
+      val lo = array(rngRows.map(r => lit(r.getDouble(1))): _*)
+      val hi = array(rngRows.map(r => lit(r.getDouble(2))): _*)
+      def dq(e: Column): Column = transform(e, (x, i) => {
+        val l = element_at(lo, i + 1)
+        val h = element_at(hi, i + 1)
+        when(h === l, l)
+          .otherwise(l + round((x - l) / (h - l) * 255) / 255.0d * (h - l))
+      })
+      // dequantized vector materialized in its own Project (HOF re-eval)
+      val qv = v.select($"vec_id", $"e", $"norm", dq($"e").as("dqe"))
+      val q = qv.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"e".as("qe"), $"norm".as("qn"),
+          $"dqe".as("qdqe"))
+      val approx = qv.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .withColumn("approx", dot($"dqe", $"qdqe"))
+      val wA = Window.partitionBy($"query_id")
+        .orderBy(desc("approx"), asc("vec_id"))
+      val cands = approx.withColumn("arank", row_number().over(wA))
+        .filter($"arank" <= 2 * TopK)
+      val rescored = cands
+        .withColumn("cos_exact", dot($"e", $"qe") / ($"norm" * $"qn"))
+      topkWithin(s, rescored)
+    }),
+
     // Recall@k evaluation — the quality harness every approximate index
     // needs: join the LSH top-k against the exact top-k ground truth and
     // report per-query hit counts. At scale this runs on a sampled query
@@ -345,6 +385,48 @@ object SimilarityOps {
       s"""WITH $prepSql
          |SELECT ${bucketSql("e")} AS bucket, COUNT(*) AS n_vectors
          |FROM n GROUP BY 1 ORDER BY n_vectors DESC, bucket ASC LIMIT 100""".stripMargin,
+    "ann_sq8_topk" ->
+      s"""WITH $prepSql,
+         |x AS (
+         |  SELECT CAST(i - 1 AS INT) AS pos, CAST(vv AS DOUBLE) AS vv FROM (
+         |    SELECT unnest(embedding) AS vv,
+         |      generate_subscripts(embedding, 1) AS i
+         |    FROM embeddings)),
+         |rr AS (SELECT pos, MIN(vv) AS lo, MAX(vv) AS hi FROM x GROUP BY pos),
+         |rng AS (
+         |  SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+         |  FROM rr),
+         |dq AS (
+         |  SELECT vec_id, e, norm,
+         |    list_transform(range($Dim), i ->
+         |      CASE WHEN his[i+1] = los[i+1] THEN los[i+1]
+         |           ELSE los[i+1]
+         |             + ROUND((e[i+1] - los[i+1]) / (his[i+1] - los[i+1]) * 255)
+         |               / 255.0 * (his[i+1] - los[i+1]) END) AS dqe
+         |  FROM n CROSS JOIN rng),
+         |ap AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id,
+         |    c.e AS ce, c.norm AS cn, q.e AS qe2, q.norm AS qn,
+         |    ${dotSql("c.dqe", "q.dqe")} AS approx
+         |  FROM dq c JOIN dq q ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id),
+         |cand AS (
+         |  SELECT query_id, vec_id, ce, cn, qe2, qn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx DESC, vec_id ASC) AS arank
+         |    FROM ap)
+         |  WHERE arank <= ${2 * TopK})
+         |SELECT query_id, rank, vec_id AS neighbor_id,
+         |  ROUND(cos_exact, 6) AS cosine
+         |FROM (
+         |  SELECT query_id, vec_id, cos_exact,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_exact DESC, vec_id ASC) AS rank
+         |  FROM (
+         |    SELECT query_id, vec_id,
+         |      ${dotSql("ce", "qe2")} / (cn * qn) AS cos_exact
+         |    FROM cand))
+         |WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
     "ann_recall_at_k" ->
       s"""WITH $prepSql,
          |b AS (SELECT vec_id, e, norm, ${bucketSql("e")} AS bucket FROM n),

@@ -75,6 +75,7 @@ class PlanSpec extends SparkSpec {
     "text_bm25_topk",                                // scalar corpus-stats join
     "corpus_temperature_resample",                   // 1-row n_min broadcast
     "ann_recall_at_k",                               // embeds the brute-force baseline
+    "ann_sq8_topk",                                  // quantized-scan demo (broadcast query side)
   )
 
   test("no unintended cartesian or nested-loop joins across the suite") {

@@ -74,7 +74,7 @@ class RelationalSpec extends SparkSpec {
       "dedup_incremental", "a_heavy_hitters", "j_range_bucketed",
       "snapshot_diff", "text_dsir_weights", "text_ccnet_buckets",
       "sample_group_hash_topk", "dedup_levenshtein_gate", "mm_audio_rms",
-      "j_salted_skew_join", "ann_recall_at_k",
+      "j_salted_skew_join", "ann_recall_at_k", "ann_sq8_topk",
       "corpus_temperature_resample").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq

@@ -54,4 +54,23 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect()
     ivf.foreach { case (q, _, n, _) => assert(labels(q) == labels(n)) }
   }
+
+  test("SQ8 probe rescores its candidates with the exact cosines") {
+    // any (query, neighbor) pair the quantized probe surfaces that also
+    // sits in the exact top-k must carry the identical rescored cosine —
+    // the rescore stage is exact, only candidate GENERATION is quantized
+    val exact = SparkEntry.queries("ann_cosine_topk")(spark, sf)
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val sq = SparkEntry.queries("ann_sq8_topk")(spark, sf)
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(sq.nonEmpty)
+    val overlapping = sq.flatMap { case (q, n, c) =>
+      exact.get((q, n)).map(ec => (q, n, c, ec)) }
+    assert(overlapping.nonEmpty)
+    overlapping.foreach { case (q, n, c, ec) =>
+      assert(c == ec, s"($q,$n): sq8 rescore $c != exact $ec") }
+  }
 }
