@@ -542,6 +542,42 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
+    // Winnowing fingerprints (Schleimer et al., the MOSS algorithm): per
+    // doc, 5-gram rolling hashes, then the MINIMUM hash of each window
+    // of 4 consecutive grams is selected — guaranteeing any shared run
+    // of ≥ 8 tokens yields a shared fingerprint while storing only
+    // ~2/(w+1) of the gram hashes. Pairs sharing ≥ 3 fingerprints are
+    // reported. Scale shape: gram hashing and window-min are per-doc
+    // (one exchange on doc_id), the pair join is DF-BOUNDED — only
+    // fingerprints held by 2..10 docs pair up, so a boilerplate phrase
+    // selected corpus-wide can never drive a quadratic join (the same
+    // prefix-filter discipline the shingle pipeline uses).
+    "dedup_winnow_pairs" -> ((s, d) => {
+      import s.implicits._
+      val tokd = documents(s, d).select($"doc_id", toks($"text").as("tk"))
+      val grams = tokd
+        .withColumn("ng", size($"tk") - 4)
+        .filter($"ng" >= 1)
+        .select($"doc_id", $"ng", posexplode(
+          transform(sequence(lit(0), $"ng" - 1),
+            i => polyHash(concat_ws(" ", slice($"tk", i + 1, lit(5)))))))
+        .toDF("doc_id", "ng", "p", "h")
+      val win = Window.partitionBy($"doc_id").orderBy($"p").rowsBetween(0, 3)
+      val sel = grams
+        .withColumn("wmin", min($"h").over(win))
+        .filter($"p" <= $"ng" - 4)
+        .select($"doc_id", $"wmin".as("h")).distinct()
+      val rare = sel.groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" >= 2 && $"df" <= 10)
+        .select($"h")
+      val fp = sel.join(rare, "h")
+      fp.toDF("h", "d1").join(fp.toDF("h", "d2"), "h")
+        .filter($"d1" < $"d2")
+        .groupBy($"d1", $"d2").agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 3)
+        .orderBy("d1", "d2")
+    }),
+
     "dedup_contamination" -> ((s, d) => {
       import s.implicits._
       val (e, sizes) = explodedShingles(s, d)
@@ -698,6 +734,27 @@ object DedupOps {
          |JOIN sz sa ON d1 = sa.doc_id
          |JOIN sz sb ON d2 = sb.doc_id
          |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+         |ORDER BY d1, d2""".stripMargin,
+    "dedup_winnow_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, len(toks) - 4 AS ng, i AS p,
+         |    ${polyHashSql("array_to_string(toks[(i+1):(i+5)], ' ')")} AS h
+         |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 4)) AS i
+         |        FROM t WHERE len(toks) >= 5)),
+         |wm AS (
+         |  SELECT doc_id, ng, p,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+         |  FROM g),
+         |sel AS (SELECT DISTINCT doc_id, wmin AS h FROM wm WHERE p <= ng - 4),
+         |rare AS (
+         |  SELECT h FROM (SELECT h, COUNT(*) AS df FROM sel GROUP BY h)
+         |  WHERE df BETWEEN 2 AND 10),
+         |fp AS (SELECT doc_id, h FROM sel JOIN rare USING (h))
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+         |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
          |ORDER BY d1, d2""".stripMargin,
     "dedup_levenshtein_gate" ->
       s"""WITH $shingleCte,
