@@ -478,6 +478,33 @@ object Aggregates {
         .agg(countDistinct($"user_id").as("n_users"), count("*").as("n"))
         .orderBy("event_type")
     }),
+
+    // Market-basket co-occurrence (association mining): part pairs that
+    // show up together in ≥ 3 orders, ranked by lift. Pair generation is
+    // a within-basket self-join — cost ∝ Σ lines(order)², bounded by the
+    // small per-order line count, never corpus² — then one partial-
+    // aggregated shuffle on the pair key. Item frequencies join back on
+    // the part key; the basket total is a one-value driver scalar (at
+    // scale: a cached count, not data). Counts are integers, so support
+    // and lift are one exact division each — oracle-identical.
+    "a_market_basket" -> ((s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d).select($"l_orderkey", $"l_partkey").distinct()
+      val nOrders = li.select($"l_orderkey").distinct().count()
+      val pf = li.groupBy($"l_partkey").agg(count(lit(1)).as("np"))
+      li.toDF("o", "p1").join(li.toDF("o", "p2"), "o")
+        .filter($"p1" < $"p2")
+        .groupBy($"p1", $"p2").agg(count(lit(1)).as("n_ab"))
+        .filter($"n_ab" >= 3)
+        .join(pf.toDF("p1", "n1"), "p1")
+        .join(pf.toDF("p2", "n2"), "p2")
+        .withColumn("support", round($"n_ab" / lit(nOrders.toDouble), 6))
+        .withColumn("lift",
+          round($"n_ab" * lit(nOrders.toDouble) / ($"n1" * $"n2"), 6))
+        .orderBy(desc("lift"), asc("p1"), asc("p2"))
+        .limit(20)
+        .select($"p1", $"p2", $"n_ab", $"support", $"lift")
+    }),
   )
 
   private val pivotCols =
@@ -661,5 +688,22 @@ object Aggregates {
     "a_distinct_users_per_type" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pf AS (SELECT l_partkey, COUNT(*) AS np FROM li GROUP BY 1),
+        |pr AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_ab
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS nn FROM li)
+        |SELECT p1, p2, n_ab,
+        |  ROUND(n_ab / nn, 6) AS support,
+        |  ROUND(n_ab * nn / (f1.np * f2.np), 6) AS lift
+        |FROM pr
+        |JOIN pf f1 ON p1 = f1.l_partkey
+        |JOIN pf f2 ON p2 = f2.l_partkey
+        |CROSS JOIN nb
+        |ORDER BY lift DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin,
   )
 }
