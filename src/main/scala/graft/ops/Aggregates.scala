@@ -479,6 +479,35 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // Trailing-window z-score anomaly detection — the monitoring op over
+    // any keyed daily series: each (day, type) count scored against the
+    // prior 7 days' mean/std. Variance is EXPLICIT arithmetic
+    // (E[x²]−E[x]², clamped at 0 for float cancellation) over integer
+    // window sums, so both engines compute bit-identical doubles —
+    // stddev_samp would diverge (Welford vs naive accumulation). All
+    // three window aggregates share one spec in one select → a single
+    // Window node, one exchange on event_type; frame state is 7 rows.
+    // z is null until a full trailing week exists or when σ = 0.
+    "w_anomaly_zscore" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(-7, -1)
+      val scored = daily.select($"day", $"event_type", $"n",
+        count($"n").over(w).as("cnt"),
+        sum($"n").over(w).as("s1"),
+        sum($"n" * $"n").over(w).as("s2"))
+      val mu = $"s1" / $"cnt"
+      val sd = sqrt(greatest($"s2" / $"cnt" - mu * mu, lit(0.0d)))
+      scored
+        .withColumn("z",
+          when($"cnt" === 7 && sd > 0, round(($"n" - mu) / sd, 6)))
+        .select($"day", $"event_type", $"n", $"z")
+        .orderBy("day", "event_type")
+    }),
+
     // Market-basket co-occurrence (association mining): part pairs that
     // show up together in ≥ 3 orders, ranked by lift. Pair generation is
     // a within-basket self-join — cost ∝ Σ lines(order)², bounded by the
@@ -688,6 +717,25 @@ object Aggregates {
     "a_distinct_users_per_type" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "w_anomaly_zscore" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT day, event_type, n,
+        |    COUNT(n) OVER win AS cnt,
+        |    SUM(n) OVER win AS s1,
+        |    SUM(n * n) OVER win AS s2
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT day, event_type, n,
+        |  CASE WHEN cnt = 7
+        |        AND sqrt(GREATEST(s2 / cnt - (s1 / cnt) * (s1 / cnt), 0)) > 0
+        |       THEN ROUND((n - s1 / cnt)
+        |         / sqrt(GREATEST(s2 / cnt - (s1 / cnt) * (s1 / cnt), 0)), 6)
+        |  END AS z
+        |FROM w ORDER BY day, event_type""".stripMargin,
     "a_market_basket" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pf AS (SELECT l_partkey, COUNT(*) AS np FROM li GROUP BY 1),

@@ -75,7 +75,7 @@ class RelationalSpec extends SparkSpec {
       "snapshot_diff", "text_dsir_weights", "text_ccnet_buckets",
       "sample_group_hash_topk", "dedup_levenshtein_gate", "mm_audio_rms",
       "j_salted_skew_join", "ann_recall_at_k", "ann_sq8_topk",
-      "dedup_winnow_pairs", "a_market_basket",
+      "dedup_winnow_pairs", "a_market_basket", "w_anomaly_zscore",
       "corpus_temperature_resample").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
