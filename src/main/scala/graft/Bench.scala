@@ -43,15 +43,21 @@ object Bench {
       // A crashed query must not masquerade as a fast one: report -1.
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val results = names.map { name =>
-      val a = timeOne(name)
-      val b = timeOne(name)
+    // Both raw passes are recorded alongside the min: pass 1 runs against a
+    // cold OS page cache / partially-JIT'd JVM, pass 2 is fully warm, and
+    // the min is systematically a warm-pass number. Publishing the pair
+    // makes that explicit and keeps the headline `queries` map comparable
+    // with earlier min-of-2 rounds while still exposing cold-run cost.
+    val raw = names.map { name => name -> (timeOne(name), timeOne(name)) }
+    val results = raw.map { case (name, (a, b)) =>
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ps = raw.map { case (k, (a, b)) => s"\"" + k + "\":[" + a + "," + b + "]" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_warm","queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

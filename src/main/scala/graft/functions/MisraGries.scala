@@ -34,10 +34,11 @@ class MisraGries(m: Int)
       case Some(c) => b.update(tok, c + 1)
       case None if b.size < m => b.update(tok, 1L)
       case None =>
-        // decrement-all step; drop zeros
-        val dead = mutable.ArrayBuffer.empty[String]
-        b.foreach { case (k, c) => if (c == 1) dead += k else b.update(k, c - 1) }
-        dead.foreach(b.remove)
+        // decrement-all step; drop zeros. Iterate a snapshot: mutating a
+        // mutable.Map mid-traversal is unspecified in general (only
+        // happens to be safe for value-in-place updates on the current
+        // HashMap impl, and Kryo may deserialize a different Map type).
+        for ((k, c) <- b.toList) if (c == 1) b.remove(k) else b.update(k, c - 1)
     }
     b
   }
@@ -46,9 +47,8 @@ class MisraGries(m: Int)
     b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
     if (a.size > m) {
       val cut = a.values.toSeq.sorted(Ordering[Long].reverse).apply(m)
-      val dead = mutable.ArrayBuffer.empty[String]
-      a.foreach { case (k, c) => if (c - cut <= 0) dead += k else a.update(k, c - cut) }
-      dead.foreach(a.remove)
+      // snapshot before mutating — see reduce()
+      for ((k, c) <- a.toList) if (c - cut <= 0) a.remove(k) else a.update(k, c - cut)
     }
     a
   }

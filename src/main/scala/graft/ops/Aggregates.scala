@@ -481,21 +481,32 @@ object Aggregates {
 
     // Trailing-window z-score anomaly detection — the monitoring op over
     // any keyed daily series: each (day, type) count scored against the
-    // prior 7 days' mean/std. Variance is EXPLICIT arithmetic
-    // (E[x²]−E[x]², clamped at 0 for float cancellation) over integer
-    // window sums, so both engines compute bit-identical doubles —
-    // stddev_samp would diverge (Welford vs naive accumulation). All
-    // three window aggregates share one spec in one select → a single
-    // Window node, one exchange on event_type; frame state is 7 rows.
-    // z is null until a full trailing week exists or when σ = 0.
+    // prior 7 CALENDAR days' mean/std. The per-type series is densified
+    // first (a per-type date spine left-joined against the observed
+    // counts, gaps filled with 0) so a day with zero events counts as a
+    // zero observation instead of silently widening the lookback — with a
+    // dense series, ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING IS the prior
+    // week. Spine cost is |types| × |days| rows — trivial at any scale.
+    // Variance is EXPLICIT arithmetic (E[x²]−E[x]², clamped at 0 for
+    // float cancellation) over integer window sums, so both engines
+    // compute bit-identical doubles — stddev_samp would diverge (Welford
+    // vs naive accumulation). All three window aggregates share one spec
+    // in one select → a single Window node, one exchange on event_type;
+    // frame state is 7 rows. z is null until a full trailing week exists
+    // or when σ = 0.
     "w_anomaly_zscore" -> ((s, d) => {
       import s.implicits._
       val daily = events(s, d)
         .groupBy(to_date($"ts").as("day"), $"event_type")
         .agg(count(lit(1)).as("n"))
+      val spine = daily.groupBy($"event_type")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"event_type", explode(sequence($"d0", $"d1")).as("day"))
+      val dense = spine.join(daily, Seq("event_type", "day"), "left")
+        .na.fill(Map("n" -> 0L))
       val w = Window.partitionBy($"event_type").orderBy($"day")
         .rowsBetween(-7, -1)
-      val scored = daily.select($"day", $"event_type", $"n",
+      val scored = dense.select($"day", $"event_type", $"n",
         count($"n").over(w).as("cnt"),
         sum($"n").over(w).as("s1"),
         sum($"n" * $"n").over(w).as("s2"))
@@ -721,12 +732,21 @@ object Aggregates {
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
         |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type,
+        |    CAST(UNNEST(generate_series(CAST(MIN(day) AS TIMESTAMP),
+        |      CAST(MAX(day) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM daily GROUP BY event_type),
+        |dense AS (
+        |  SELECT s.day, s.event_type, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+        |  FROM spine s LEFT JOIN daily d
+        |    ON s.day = d.day AND s.event_type = d.event_type),
         |w AS (
         |  SELECT day, event_type, n,
         |    COUNT(n) OVER win AS cnt,
         |    SUM(n) OVER win AS s1,
         |    SUM(n * n) OVER win AS s2
-        |  FROM daily
+        |  FROM dense
         |  WINDOW win AS (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |SELECT day, event_type, n,
