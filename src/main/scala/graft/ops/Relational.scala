@@ -512,6 +512,23 @@ object Relational {
         .orderBy("source", "rank")
     }),
 
+    // O4 as a WHOLE-OPERATOR physical plan (graft.plans.GroupTopK): the
+    // custom LogicalPlan → SparkStrategy → partial/final SparkPlan pair.
+    // Unlike the window form there is no per-group sort and no rank
+    // column: each task keeps one k-row heap per group, the partial exec
+    // prunes BEFORE the exchange (shuffle volume ∝ answer, not input),
+    // and the final exec demands ClusteredDistribution(source, lang) so
+    // EnsureRequirements/AQE place and size the one shuffle. Ordering
+    // (n_chars desc, doc_id asc) is total per group → deterministic and
+    // oracle-checkable against the ordinary row_number SQL.
+    "o4_group_topk_exec" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).select($"source", $"lang", $"doc_id", $"n_chars")
+      graft.plans.GroupTopK
+        .topK(docs, Seq("source", "lang"), Seq(("n_chars", true), ("doc_id", false)), 2)
+        .orderBy("source", "lang", "doc_id")
+    }),
+
     // Left outer join + per-key aggregate: order line counts incl. empty.
     "j_left_order_line_counts" -> ((s, d) => {
       import s.implicits._
@@ -811,6 +828,13 @@ object Relational {
         |      ORDER BY n_chars DESC, doc_id ASC) AS rank
         |  FROM documents)
         |WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
+    "o4_group_topk_exec" ->
+      """SELECT source, lang, doc_id, n_chars FROM (
+        |  SELECT source, lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source, lang
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 2 ORDER BY source, lang, doc_id""".stripMargin,
     "j_left_order_line_counts" ->
       """SELECT o_orderkey, COUNT(l_linenumber) AS n_lines
         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey

@@ -13,13 +13,16 @@ import graft.functions.{MinHashSig, PolyHash, ShingleHashes, VecDot}
   *
   * Register via
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`. No SparkStrategy
-  * is injected — SURVEY §4's conclusion (every reference operator plans
-  * onto built-in physical operators) holds.
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. One SparkStrategy
+  * is injected — [[GroupTopKStrategy]], planning the explicit
+  * [[GroupTopKPlan]] whole-operator node (every REFERENCE operator still
+  * plans onto built-in physical operators per SURVEY §4; GroupTopK is
+  * the engine's opt-in sort-free top-k path beyond the reference).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => LevenshteinThresholdRewrite)
+    ext.injectPlannerStrategy(_ => GroupTopKStrategy)
     ext.injectFunction((
       new FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
