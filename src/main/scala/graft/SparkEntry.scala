@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MLOps.queries ++
-      MultimodalOps.queries ++ graft.streaming.StreamingOps.queries
+      MultimodalOps.queries ++ GraphOps.queries ++
+      graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,7 +31,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Aggregates.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ MLOps.oracles ++
-      MultimodalOps.oracles ++ graft.streaming.StreamingOps.oracles
+      MultimodalOps.oracles ++ GraphOps.oracles ++
+      graft.streaming.StreamingOps.oracles
 
   /** Headline subset used by graft.Bench — the scale-representative
     * queries (big shuffles, joins, windows, text/similarity paths), not

@@ -1,0 +1,81 @@
+package graft
+
+/** Graph-analytics family invariants: PageRank is a probability
+  * distribution and iterations reuse one edge aggregate (the property
+  * that keeps the raw fact table to a single scan at 100 TB); triangle
+  * counts match a brute-force check on the same core edge set.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerank sums to 1 and every nation appears") {
+    val rows = graft.ops.GraphOps.queries("graph_pagerank")(spark, sf)
+      .collect()
+    assert(rows.length == 25)
+    val mass = rows.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"PR mass $mass")
+    // damping floor: nothing below (1-d)/N
+    assert(rows.forall(_.getDouble(1) >= 0.15 / 25 - 1e-9))
+  }
+
+  test("pagerank reuses the edge-aggregate exchange across iterations") {
+    val df = graft.ops.GraphOps.queries("graph_pagerank")(spark, sf)
+    df.collect() // AQE only materializes ReusedExchange in the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    // 4 iterations reference the same transition subtree; exchange reuse
+    // must collapse the identical edge aggregates so the lineitem scan
+    // count stays independent of the iteration count.
+    val reuses = "ReusedExchange".r.findAllIn(plan).length +
+      "ReusedQueryStage".r.findAllIn(plan).length
+    assert(reuses >= 3, s"expected >=3 reused exchange/stage nodes, got $reuses\n$plan")
+  }
+
+  test("triangle counts match brute force over the same core") {
+    import graft.ops.Tables
+    val out = graft.ops.GraphOps.queries("graph_triangles")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // brute-force: rebuild the core edge set, enumerate all node triples
+    val e = graft.ops.GraphOps.queries("graph_degree_stats")(spark, sf)
+    assert(e.count() == 25) // degree stats cover the full node domain
+    val nations = Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_name").collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getString(1)).toMap
+    // reconstruct the thresholded undirected core exactly as the query does
+    val spark2 = spark
+    import spark2.implicits._
+    val raw = {
+      import org.apache.spark.sql.functions._
+      Tables.customer(spark, sf).select($"c_custkey", $"c_nationkey".as("src"))
+        .join(Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey"),
+          $"o_custkey" === $"c_custkey")
+        .join(Tables.lineitem(spark, sf).select($"l_orderkey", $"l_suppkey",
+          ($"l_extendedprice".cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") - $"l_discount".cast("decimal(4,2)"))).as("r")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(Tables.supplier(spark, sf).select($"s_suppkey", $"s_nationkey".as("dst")),
+          $"s_suppkey" === $"l_suppkey")
+        .filter($"src" =!= $"dst")
+        .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"), $"r")
+        .collect().map(r => (r.getAs[Number](0).longValue(),
+          r.getAs[Number](1).longValue()) -> BigDecimal(r.getDecimal(2)))
+    }
+    // exact decimal per-pair sums (like the query), double only at the end
+    val uw = raw.groupBy(_._1).view.mapValues(_.map(_._2).sum.toDouble).toMap
+    val mean = uw.values.sum / uw.size
+    val core = uw.filter(_._2 > mean).keySet
+    val nodes = core.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    var triPerNode = Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length; k <- (j + 1) until nodes.length
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if core((a, b)) && core((b, c)) && core((a, c))
+    } {
+      triPerNode = triPerNode.updated(a, triPerNode(a) + 1)
+        .updated(b, triPerNode(b) + 1).updated(c, triPerNode(c) + 1)
+    }
+    assert(triPerNode.values.sum > 0, "threshold left no triangles — vacuous")
+    triPerNode.foreach { case (node, cnt) =>
+      assert(out(nations(node)) == cnt, s"node $node: ${out(nations(node))} != $cnt")
+    }
+  }
+}

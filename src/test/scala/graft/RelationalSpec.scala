@@ -76,7 +76,8 @@ class RelationalSpec extends SparkSpec {
       "sample_group_hash_topk", "dedup_levenshtein_gate", "mm_audio_rms",
       "j_salted_skew_join", "ann_recall_at_k", "ann_sq8_topk",
       "dedup_winnow_pairs", "a_market_basket", "w_anomaly_zscore",
-      "corpus_temperature_resample", "o4_group_topk_exec").foreach { name =>
+      "corpus_temperature_resample", "o4_group_topk_exec",
+      "graph_pagerank", "graph_triangles").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
