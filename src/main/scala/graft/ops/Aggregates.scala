@@ -197,6 +197,33 @@ object Aggregates {
         .orderBy("day")
     }),
 
+    // EWMA smoothing of the per-type daily value series (pandas
+    // ewm(alpha=0.5, adjust=True) semantics — stats_visualization.py's
+    // trend charts smooth this way). Closed form, no recursion:
+    // ewma_t = Σ_{i≤t} x_i·(1-α)^(t-i) / Σ_{i≤t} (1-α)^(t-i); with
+    // α = 0.5 both sides divide by 0.5^t, which cancels, leaving
+    // Σ x_i·2^(d_i) / Σ 2^(d_i) over day-offsets d_i — every weight is an
+    // exact power of two in IEEE, so the only cross-engine noise is
+    // summation order, absorbed by the rounding. Two running window sums
+    // per type — calendar-bounded frames, same posture as the other
+    // daily-series windows. (At multi-year spans 2^d overflows: re-anchor
+    // d per epoch — the α^t cancellation works from any anchor.)
+    "w_ewma_daily" -> ((s, d) => {
+      import s.implicits._
+      val byType = Window.partitionBy($"event_type")
+      val w = byType.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("day", to_date($"ts"))
+        .groupBy($"event_type", $"day").agg(avg($"value").as("x"))
+        .withColumn("t", datediff($"day", min($"day").over(byType)))
+        .withColumn("ewma", round(
+          sum($"x" * pow(lit(2.0), $"t")).over(w) /
+            sum(pow(lit(2.0), $"t")).over(w), 6))
+        .select($"event_type", $"day", round($"x", 6).as("x"), $"ewma")
+        .orderBy("event_type", "day")
+    }),
+
     // ROLLUP (beyond the reference — SURVEY §2.4 notes it lacks grouping
     // sets): day × type counts with subtotals and grand total.
     "a_rollup_daily_type" -> ((s, d) => {
@@ -588,6 +615,20 @@ object Aggregates {
     "a8_top_order" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1""".stripMargin,
+    "w_ewma_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS x
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, day, x,
+        |    date_diff('day', MIN(day) OVER (PARTITION BY event_type), day) AS t
+        |  FROM daily)
+        |SELECT event_type, day, ROUND(x, 6) AS x,
+        |  ROUND(SUM(x * pow(2.0, t)) OVER w / SUM(pow(2.0, t)) OVER w, 6) AS ewma
+        |FROM b
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
     "w1_top_suppliers_per_nation" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

@@ -630,6 +630,52 @@ object DedupOps {
         .orderBy("v1", "v2")
     }),
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    // cluster the embedding space coarsely, then within each cluster drop
+    // all but one of every ε-similar group, keeping the member with the
+    // LOWEST cosine similarity to the cluster centroid (the most
+    // "prototypical" examples are the redundant ones). The label column
+    // is the coarse quantizer stand-in (k-means assignment at scale —
+    // same shape as ann_ivf_label_topk). Pairwise work is CLUSTER-
+    // bounded, not corpus-bounded — exactly the paper's trick: with
+    // k ∝ √N clusters the quadratic term stays linear overall.
+    // Centroids are one (label, pos) shuffle; pair + keep-rule joins
+    // co-partition on label. Pair cosines are fold-exact both engines
+    // (VecDot vs list_reduce, same sequence); centroid similarities are
+    // rounded to 6dp BEFORE the keep-rule comparison so cross-engine
+    // avg() summation-order ulps can't flip the survivor choice.
+    "dedup_semantic" -> ((s, d) => {
+      import s.implicits._
+      val Tau = 0.3
+      val base = embeddings(s, d)
+        .withColumn("e", transform($"embedding", x => x.cast("double")))
+        .withColumn("norm", sqrt(graft.functions.VecDot.vec_dot($"e", $"e")))
+        .select($"vec_id", $"label", $"e", $"norm")
+      val cent = base.select($"label", posexplode($"e"))
+        .groupBy($"label", $"pos").agg(avg($"col").as("m"))
+        .groupBy($"label").agg(
+          transform(array_sort(collect_list(struct($"pos", $"m"))),
+            x => x.getField("m")).as("c"))
+        .withColumn("cnorm", sqrt(graft.functions.VecDot.vec_dot($"c", $"c")))
+      val cs = base.join(broadcast(cent), "label")
+        .withColumn("cs", round(
+          graft.functions.VecDot.vec_dot($"e", $"c") / ($"norm" * $"cnorm"), 6))
+        .select($"vec_id", $"label", $"e", $"norm", $"cs")
+      val a = cs.toDF("v1", "label", "e1", "n1", "cs1")
+      val b = cs.toDF("v2", "label", "e2", "n2", "cs2")
+      val losers = a.join(b, "label")
+        .filter($"v1" < $"v2")
+        .filter(round(graft.functions.VecDot.vec_dot($"e1", $"e2") /
+          ($"n1" * $"n2"), 6) >= Tau)
+        // keep the lower-centroid-similarity member; on a cs tie keep the
+        // lower vec_id (v1 < v2 here, so ties drop v2)
+        .select(when($"cs1" > $"cs2", $"v1").otherwise($"v2").as("vec_id"))
+        .distinct()
+      losers.join(cs.select($"vec_id", $"label", $"cs"), "vec_id")
+        .select($"vec_id", $"label", $"cs")
+        .orderBy("label", "vec_id")
+    }),
+
     // Embedding near-dup via multi-table sign-LSH — the sub-quadratic
     // scale path. Near-duplicates are PLANTED (every 50th vector is
     // re-keyed +100000 with dim 0 bumped by +0.1 → cosine ≈ 0.995 on the
@@ -940,6 +986,42 @@ object DedupOps {
         |    list_transform(range(len(a.e)), i -> a.e[i+1] * b.e[i+1])),
         |  (x, y) -> x + y) / (a.norm * b.norm) >= 0.45
         |ORDER BY v1, v2""".stripMargin,
+    "dedup_semantic" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, e,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+        |      (a, b) -> a + b)) AS norm
+        |  FROM v),
+        |cm AS (
+        |  SELECT label, i, AVG(x) AS m FROM (
+        |    SELECT label, unnest(e) AS x, generate_subscripts(e, 1) AS i
+        |    FROM n)
+        |  GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY label),
+        |centn AS (
+        |  SELECT label, c,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(c, x -> x * x)),
+        |      (a, b) -> a + b)) AS cnorm
+        |  FROM cent),
+        |cs AS (
+        |  SELECT vec_id, n.label, e, norm,
+        |    ROUND(list_reduce(list_prepend(0.0,
+        |        list_transform(range(len(e)), i -> e[i+1] * c[i+1])),
+        |      (x, y) -> x + y) / (norm * cnorm), 6) AS cs
+        |  FROM n JOIN centn ON n.label = centn.label),
+        |losers AS (
+        |  SELECT DISTINCT CASE WHEN a.cs > b.cs THEN a.vec_id ELSE b.vec_id END AS vec_id
+        |  FROM cs a JOIN cs b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE ROUND(list_reduce(list_prepend(0.0,
+        |      list_transform(range(len(a.e)), i -> a.e[i+1] * b.e[i+1])),
+        |    (x, y) -> x + y) / (a.norm * b.norm), 6) >= 0.3)
+        |SELECT l.vec_id AS vec_id, cs.label, cs.cs
+        |FROM losers l JOIN cs ON l.vec_id = cs.vec_id
+        |ORDER BY cs.label, l.vec_id""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH base AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

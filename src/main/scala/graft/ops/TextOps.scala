@@ -400,6 +400,40 @@ object TextOps {
     "text_lm_score" -> ((s, d) =>
       lmScores(s, d).drop("lang").orderBy("doc_id")),
 
+    // Gensim-Phrases collocation scoring (models/phrases.py original_scorer;
+    // the reference pipeline's NLP stack is Gensim): score(a,b) =
+    // (count(ab) - min_count) * |V| / (count(a) * count(b)), top 20 by
+    // score. All inputs are exact integers; the single double division is
+    // correctly rounded identically in both engines, so ordering and the
+    // rounded score are oracle-stable. One tokenize pass feeds both the
+    // unigram and bigram counts; |V| rides along as an unpartitioned
+    // window over the vocabulary-sized unigram aggregate (vocab-bounded,
+    // never corpus-bounded — the same posture as the TF-IDF df table).
+    "u_phrase_bigrams" -> ((s, d) => {
+      import s.implicits._
+      val MinCount = 5
+      val t = documents(s, d).select($"doc_id", tokens($"text").as("t"))
+      val bg = t.select(explode(when(size($"t") >= 2,
+          transform(sequence(lit(0), size($"t") - 2),
+            i => concat_ws(" ", element_at($"t", i + 1), element_at($"t", i + 2))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+        .groupBy($"bg").agg(count(lit(1)).as("cab"))
+        .filter($"cab" > MinCount)
+      val uni = t.select(explode($"t").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+        .withColumn("v", count(lit(1)).over(Window.partitionBy()))
+      val c1 = uni.select($"w".as("w1"), $"c".as("c1"), $"v")
+      val c2 = uni.select($"w".as("w2"), $"c".as("c2"))
+      bg.withColumn("w1", substring_index($"bg", " ", 1))
+        .withColumn("w2", substring_index($"bg", " ", -1))
+        .join(c1, "w1").join(c2, "w2")
+        .select($"w1", $"w2", $"cab",
+          round((($"cab" - MinCount) * $"v").cast("double") /
+            ($"c1" * $"c2").cast("double"), 6).as("score"))
+        .orderBy(desc("score"), asc("w1"), asc("w2"))
+        .limit(20)
+    }),
+
     // CCNet-style perplexity bucketing: within each language, rank docs by
     // LM score and cut into head/middle/tail thirds (CCNet keeps "head" as
     // the cleanest pretraining slice). Composes the text_lm_score pipeline;
@@ -506,6 +540,48 @@ object TextOps {
         .groupBy($"tok").agg(count(lit(1)).as("cnt"))
         .filter($"cnt" > lit(n) / 200.0d)
         .orderBy(desc("cnt"), asc("tok"))
+    }),
+
+    // Count-Min sketch (Cormode & Muthukrishnan 2005) built relationally
+    // and probed for the top-30 bigrams: cell(r, c) = Σ counts of keys
+    // with h_r(key) = c; est(key) = min_r cell(r, h_r(key)). The bigram
+    // domain (~1k keys) into a 4×64 sketch forces genuine collisions, so
+    // est ≥ true with visible overestimates — the one-sided CM guarantee
+    // (asserted for every probe in MGSpec). Hashes are affine maps of the
+    // portable PolyHash, so the oracle rebuilds the identical sketch.
+    // Scale story: the sketch build is one groupBy over (r, col) — 256
+    // cells regardless of corpus size; the d×w table is the mergeable
+    // shard artifact (same posture as a_sketch_merge's HLLs), and the
+    // token firehose never shuffles by raw key.
+    "a_countmin_probe" -> ((s, d) => {
+      import s.implicits._
+      val W = 64L
+      val P = 1000000007L
+      val rcs = Seq((0, 131L, 17L), (1, 137L, 1009L),
+        (2, 139L, 65537L), (3, 149L, 999983L))
+      val t = documents(s, d).select(tokens($"text").as("t"))
+      val bg = t.select(explode(when(size($"t") >= 2,
+          transform(sequence(lit(0), size($"t") - 2),
+            i => concat_ws(" ", element_at($"t", i + 1), element_at($"t", i + 2))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+        .groupBy($"bg").agg(count(lit(1)).as("cnt"))
+      // all d hash rows in ONE explode (a d-way union would recompute the
+      // bigram aggregate per branch — 8 scans; this shape keeps it to the
+      // two consumers, which exchange-reuse collapses further)
+      val hcols = array(rcs.map { case (r, a, b) =>
+        struct(lit(r).as("r"),
+          ((graft.functions.PolyHash.poly_hash($"bg") * a + b) % P % W).as("col"))
+      }: _*)
+      val cells = bg.select(explode(hcols).as("rc"), $"cnt")
+        .groupBy($"rc.r".as("r"), $"rc.col".as("col"))
+        .agg(sum($"cnt").as("cell"))
+      bg.orderBy(desc("cnt"), asc("bg")).limit(30)
+        .select($"bg", $"cnt", explode(hcols).as("rc"))
+        .select($"bg", $"cnt", $"rc.r".as("r"), $"rc.col".as("col"))
+        .join(cells, Seq("r", "col"))
+        .groupBy($"bg", $"cnt").agg(min($"cell").as("est_cnt"))
+        .select($"bg", $"cnt".as("true_cnt"), $"est_cnt")
+        .orderBy(desc("true_cnt"), asc("bg"))
     }),
 
     // Deterministic per-group k-sample: "5 uniform-random docs per source,
@@ -966,6 +1042,23 @@ object TextOps {
          |FROM db JOIN bgc USING (bg)
          |JOIN uni ON split_part(bg, ' ', 1) = uni.w
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "u_phrase_bigrams" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |db AS (
+         |  SELECT unnest(list_transform(range(len(toks) - 1),
+         |    i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+         |  FROM t),
+         |bgc AS (SELECT bg, COUNT(*) AS cab FROM db GROUP BY bg HAVING COUNT(*) > 5),
+         |uni AS (SELECT w, COUNT(*) AS c FROM (
+         |  SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |v AS (SELECT COUNT(*) AS v FROM uni)
+         |SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', -1) AS w2, cab,
+         |  ROUND(CAST((cab - 5) * v.v AS DOUBLE) /
+         |        CAST(c1.c * c2.c AS DOUBLE), 6) AS score
+         |FROM bgc CROSS JOIN v
+         |JOIN uni c1 ON split_part(bg, ' ', 1) = c1.w
+         |JOIN uni c2 ON split_part(bg, ' ', -1) = c2.w
+         |ORDER BY score DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
     "split_train_test" ->
       s"""WITH b AS (
          |  SELECT n_chars,
@@ -979,6 +1072,26 @@ object TextOps {
       s"""SELECT lang, COUNT(*) AS n_sampled FROM documents
          |WHERE ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 2
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "a_countmin_probe" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |db AS (
+         |  SELECT unnest(list_transform(range(len(toks) - 1),
+         |    i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+         |  FROM t),
+         |bgc AS (SELECT bg, COUNT(*) AS cnt FROM db GROUP BY bg),
+         |hs AS (SELECT bg, cnt, ${graft.ops.DedupOps.polyHashSql("bg")} AS h FROM bgc),
+         |params(r, a, b) AS (VALUES (0, 131, 17), (1, 137, 1009),
+         |                          (2, 139, 65537), (3, 149, 999983)),
+         |cells AS (
+         |  SELECT r, ((h * a + b) % 1000000007) % 64 AS col,
+         |    CAST(SUM(cnt) AS BIGINT) AS cell
+         |  FROM hs CROSS JOIN params GROUP BY 1, 2),
+         |probes AS (SELECT bg, cnt, h FROM hs ORDER BY cnt DESC, bg ASC LIMIT 30)
+         |SELECT probes.bg, probes.cnt AS true_cnt, MIN(cell) AS est_cnt
+         |FROM probes CROSS JOIN params
+         |JOIN cells ON cells.r = params.r
+         |  AND cells.col = ((probes.h * params.a + params.b) % 1000000007) % 64
+         |GROUP BY 1, 2 ORDER BY true_cnt DESC, bg ASC""".stripMargin,
     "a_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($tokensSql) AS tok FROM documents)
          |SELECT tok, COUNT(*) AS cnt FROM tok

@@ -69,4 +69,46 @@ class MGSpec extends SparkSpec {
     }
     assert(rows.exists(_._2 == "novel"))
   }
+
+  test("count-min probe: one-sided guarantee, with real collisions") {
+    val rows = SparkEntry.queries("a_countmin_probe")(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 30)
+    // CM never underestimates
+    rows.foreach { case (bg, t, est) =>
+      assert(est >= t, s"$bg: est $est < true $t")
+    }
+    // the 1k-key bigram domain into 4x64 cells must actually collide —
+    // if every estimate were exact the sketch would be vacuously wide
+    assert(rows.exists { case (_, t, est) => est > t }, "no collisions — sketch too wide to test anything")
+  }
+
+  test("semantic dedup keeps the least-prototypical member of each dup pair") {
+    val dropped = SparkEntry.queries("dedup_semantic")(spark, sf)
+      .as[(Long, Int, Double)].collect().map(_._1).toSet
+    assert(dropped.nonEmpty)
+    // rebuild pairs: for every within-label pair above tau, at least one
+    // side must be dropped (coverage), and never both sides kept
+    val emb = graft.ops.Tables.embeddings(spark, sf)
+      .collect().map { r =>
+        val e = r.getSeq[Float](1).map(_.toDouble).toArray
+        (r.getLong(0), r.getInt(2), e)
+      }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    var pairs = 0
+    for {
+      i <- emb.indices; j <- (i + 1) until emb.length
+      if emb(i)._2 == emb(j)._2
+      if math.rint(cos(emb(i)._3, emb(j)._3) * 1e6) / 1e6 >= 0.3
+    } {
+      pairs += 1
+      assert(dropped(emb(i)._1) || dropped(emb(j)._1),
+        s"pair (${emb(i)._1}, ${emb(j)._1}) above tau but neither dropped")
+    }
+    assert(pairs > 0, "no qualifying pairs — vacuous")
+  }
 }

@@ -77,7 +77,8 @@ class RelationalSpec extends SparkSpec {
       "j_salted_skew_join", "ann_recall_at_k", "ann_sq8_topk",
       "dedup_winnow_pairs", "a_market_basket", "w_anomaly_zscore",
       "corpus_temperature_resample", "o4_group_topk_exec",
-      "graph_pagerank", "graph_triangles").foreach { name =>
+      "graph_pagerank", "graph_triangles", "dedup_semantic",
+      "a_countmin_probe", "u_phrase_bigrams", "w_ewma_daily").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
