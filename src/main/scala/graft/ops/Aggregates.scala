@@ -482,6 +482,47 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // HyperLogLog built RELATIONALLY and oracle-checked exactly (unlike
+    // a_approx_stats, whose datasketches internals have no SQL twin):
+    // register j = max over values of rho, with j = portable-hash % 16
+    // and rho = trailing-zeros(h div 16) + 1 — trailing zeros are
+    // geometric(1/2) for uniform hashes (the FM/PCSA orientation, chosen
+    // because (w & -w) is exact integer algebra in both engines, where
+    // leading-zero counts would need a float log2). Estimate = the
+    // standard bias-corrected harmonic mean with the small-range
+    // linear-counting correction. Every step is deterministic, so DuckDB
+    // reproduces the estimate bit-for-bit pre-rounding. Scale story: the
+    // register table is groupBy(key, j) max — 16 rows per key regardless
+    // of corpus size, the mergeable persist-partial artifact.
+    "a_hll_probe" -> ((s, d) => {
+      import s.implicits._
+      val M = 16
+      val base = events(s, d).select($"event_type",
+        graft.functions.PolyHash.poly_hash($"user_id".cast("string")).as("h"))
+        .select($"event_type", ($"h" % M).as("j"), expr(s"h div $M").as("w"))
+      val rho = base.withColumn("rho",
+        when($"w" === 0, lit(27))
+          .otherwise(expr("bit_count((w & -w) - 1) + 1")))
+      val regs = rho.groupBy($"event_type", $"j").agg(max($"rho").as("r"))
+      // densify to all 16 registers (absent register = 0)
+      val dom = events(s, d).select($"event_type").distinct()
+        .select($"event_type", explode(sequence(lit(0), lit(M - 1))).as("j"))
+      val full = dom.join(regs, Seq("event_type", "j"), "left")
+        .na.fill(0, Seq("r"))
+      val est = full.groupBy($"event_type").agg(
+        sum(pow(lit(2.0), -$"r")).as("s"),
+        sum(when($"r" === 0, 1).otherwise(0)).as("zeros"))
+        .withColumn("raw", lit(0.673) * lit(M.toDouble * M) / $"s")
+        .withColumn("hll_est", round(
+          when($"raw" <= 2.5 * M && $"zeros" > 0,
+            lit(M.toDouble) * log(lit(M.toDouble) / $"zeros"))
+            .otherwise($"raw"), 3))
+      events(s, d).groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+        .join(est.select($"event_type", $"hll_est"), "event_type")
+        .orderBy("event_type")
+    }),
+
     "a_approx_stats" -> ((s, d) => {
       import s.implicits._
       events(s, d)
@@ -615,6 +656,38 @@ object Aggregates {
     "a8_top_order" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1""".stripMargin,
+    "a_hll_probe" ->
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    ${graft.ops.DedupOps.polyHashSql("CAST(user_id AS VARCHAR)")} % 16 AS j,
+         |    ${graft.ops.DedupOps.polyHashSql("CAST(user_id AS VARCHAR)")} // 16 AS w
+         |  FROM events),
+         |rho AS (
+         |  SELECT event_type, j,
+         |    CASE WHEN w = 0 THEN 27
+         |         ELSE bit_count((w & -w) - 1) + 1 END AS rho
+         |  FROM b),
+         |regs AS (SELECT event_type, j, MAX(rho) AS r FROM rho GROUP BY 1, 2),
+         |dom AS (
+         |  SELECT DISTINCT event_type, g.j
+         |  FROM events CROSS JOIN (SELECT unnest(range(16)) AS j) g),
+         |fl AS (
+         |  SELECT dom.event_type, dom.j, COALESCE(regs.r, 0) AS r
+         |  FROM dom LEFT JOIN regs
+         |    ON dom.event_type = regs.event_type AND dom.j = regs.j),
+         |est AS (
+         |  SELECT event_type,
+         |    SUM(pow(2.0, -r)) AS s,
+         |    SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+         |  FROM fl GROUP BY 1),
+         |e2 AS (
+         |  SELECT event_type, 0.673 * 256.0 / s AS raw, zeros FROM est)
+         |SELECT events.event_type,
+         |  COUNT(DISTINCT user_id) AS exact_users,
+         |  ANY_VALUE(ROUND(CASE WHEN raw <= 40.0 AND zeros > 0
+         |       THEN 16.0 * ln(16.0 / zeros) ELSE raw END, 3)) AS hll_est
+         |FROM events JOIN e2 ON events.event_type = e2.event_type
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "w_ewma_daily" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS x

@@ -369,6 +369,38 @@ object Relational {
         .orderBy("day", "event_type")
     }),
 
+    // Z-order clustered layout (the multi-dimensional locality sink —
+    // Delta OPTIMIZE ZORDER / Iceberg sort-order territory): interleave
+    // the bits of two fixed-domain dims (l_quantity 1..50 → 6 bits,
+    // l_discount 0..0.10 → 4 bits of cents), bucket the Morton code,
+    // cluster the write by bucket (one file per bucket dir, s9b rule),
+    // and profile each bucket's min/max per dim from the re-read. The
+    // point the profile proves: a z-bucket bounds BOTH dims at once, so
+    // a predicate on either dim prunes most buckets — where a single-
+    // column sort would bound one dim and scatter the other. Pure integer
+    // bit algebra end to end; the oracle replays it exactly.
+    "sink_zorder_layout" -> ((s, d) => {
+      import s.implicits._
+      val out = "target/tmp/zorder_layout"
+      val x = $"l_quantity".cast("int")                    // 1..50, 6 bits
+      val y = round($"l_discount" * 100, 0).cast("int")    // 0..10, 4 bits
+      val zbits =
+        (0 until 6).map(k => (shiftright($"x", k) % 2) * lit(1 << (2 * k))) ++
+          (0 until 4).map(k => (shiftright($"y", k) % 2) * lit(1 << (2 * k + 1)))
+      lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber", x.as("x"), y.as("y"))
+        .withColumn("z", zbits.reduce(_ + _))
+        .withColumn("zbucket", expr("z div 64"))
+        .repartition($"zbucket")
+        .write.mode("overwrite").partitionBy("zbucket").parquet(out)
+      s.read.parquet(out)
+        .groupBy($"zbucket")
+        .agg(count(lit(1)).as("n"),
+          min($"x").as("min_q"), max($"x").as("max_q"),
+          min($"y").as("min_d"), max($"y").as("max_d"))
+        .orderBy("zbucket")
+    }),
+
     // S9 (data_preparation.py:53-55): overwrite-refresh sink + re-scan —
     // the delete_many+insert_many full-refresh shape as parquet overwrite.
     "s9_parquet_roundtrip" -> ((s, d) => {
@@ -763,6 +795,20 @@ object Relational {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s9_parquet_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    "sink_zorder_layout" -> {
+      val zExpr = ((0 until 6).map(k => s"((x >> $k) % 2) * ${1 << (2 * k)}") ++
+        (0 until 4).map(k => s"((y >> $k) % 2) * ${1 << (2 * k + 1)}"))
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT CAST(l_quantity AS INT) AS x,
+         |    CAST(ROUND(l_discount * 100, 0) AS INT) AS y
+         |  FROM lineitem),
+         |z AS (SELECT x, y, $zExpr AS z FROM b)
+         |SELECT z // 64 AS zbucket, COUNT(*) AS n,
+         |  MIN(x) AS min_q, MAX(x) AS max_q,
+         |  MIN(y) AS min_d, MAX(y) AS max_d
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "d5_stopword_union" ->
       s"""WITH tok AS (
          |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),

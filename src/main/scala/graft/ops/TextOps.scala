@@ -30,6 +30,9 @@ object TextOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** BPE training rounds (text_bpe_merges + its unrolled oracle). */
+  val BpeRounds = 8
+
   /** F1-F9 cleaning chain (data_preparation.py:61-96), as a composable
     * Column transform — lower/trim, strip URLs, strip HTML tags, keep
     * [0-9a-z ], drop multi-digit tokens, drop scheme words, drop single
@@ -540,6 +543,49 @@ object TextOps {
         .groupBy($"tok").agg(count(lit(1)).as("cnt"))
         .filter($"cnt" > lit(n) / 200.0d)
         .orderBy(desc("cnt"), asc("tok"))
+    }),
+
+    // BPE merge training (Sennrich et al. 2016), 8 rounds over the word-
+    // frequency table: start from characters + a </w> end marker, each
+    // round count adjacent symbol pairs (positional, freq-weighted), merge
+    // the top pair (ties: lexicographic) via literal left-to-right
+    // non-overlapping replace. Output = the merge table, which IS the
+    // trained tokenizer. Distribution posture (how every real BPE trainer
+    // works, incl. HF tokenizers/SentencePiece): the corpus-scale pass is
+    // the distributed word count; the merge iteration runs on the VOCAB-
+    // scale aggregate, which is driver-local by design — vocabulary size
+    // is corpus-independent (Heaps' law: ~1e6 entries at 100 TB), so this
+    // is an S12-family scalar path, not a data-scale collect. The oracle
+    // replays the identical algorithm as 8 unrolled SQL rounds in DuckDB —
+    // a genuine differential test of the training loop.
+    "text_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      val wf = documents(s, d).select(explode(tokens($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
+        .as[(String, Long)].collect()
+      var seqs: Array[(String, Long)] = wf.map { case (w, f) =>
+        (" " + w.map(_.toString).mkString(" ") + " </w> ", f)
+      }
+      val merges = Seq.newBuilder[(Int, String, Long)]
+      for (r <- 1 to BpeRounds) {
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        seqs.foreach { case (seq, f) =>
+          val toks = seq.split(" ").filter(_.nonEmpty)
+          var i = 0
+          while (i < toks.length - 1) {
+            val p = toks(i) + " " + toks(i + 1)
+            counts.update(p, counts.getOrElse(p, 0L) + f)
+            i += 1
+          }
+        }
+        val (bestPair, bestCnt) =
+          counts.toSeq.minBy { case (p, c) => (-c, p) }
+        val pat = " " + bestPair + " "
+        val rep = " " + bestPair.replace(" ", "") + " "
+        seqs = seqs.map { case (seq, f) => (seq.replace(pat, rep), f) }
+        merges += ((r, bestPair, bestCnt))
+      }
+      merges.result().toDF("round", "pair", "cnt").orderBy("round")
     }),
 
     // Count-Min sketch (Cormode & Muthukrishnan 2005) built relationally
@@ -1072,6 +1118,37 @@ object TextOps {
       s"""SELECT lang, COUNT(*) AS n_sampled FROM documents
          |WHERE ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 2
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_bpe_merges" -> {
+      // MATERIALIZED is load-bearing: s_i references s_{i-1} through both
+      // the pair count and the merge, so inlined CTEs expand 2^rounds.
+      val rounds = (1 to BpeRounds).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, unnest(list_transform(range(len(toks) - 1),
+           |      k -> toks[k+1] || ' ' || toks[k+2])) AS pair
+           |    FROM (SELECT freq, list_filter(string_split(seq, ' '),
+           |          t -> len(t) > 0) AS toks FROM s${i - 1}))
+           |  GROUP BY 1),
+           |b$i AS MATERIALIZED (SELECT $i AS round, pair, cnt FROM p$i
+           |        ORDER BY cnt DESC, pair ASC LIMIT 1),
+           |s$i AS MATERIALIZED (SELECT word, freq,
+           |  replace(seq, ' ' || (SELECT pair FROM b$i) || ' ',
+           |    ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ') AS seq
+           |  FROM s${i - 1})""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to BpeRounds)
+        .map(i => s"SELECT round, pair, cnt FROM b$i").mkString(" UNION ALL ")
+      s"""WITH w AS MATERIALIZED (
+         |  SELECT word, COUNT(*) AS freq FROM (
+         |    SELECT unnest($tokensSql) AS word FROM documents)
+         |  GROUP BY 1),
+         |s0 AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    ' ' || array_to_string(string_split(word, ''), ' ') || ' </w> ' AS seq
+         |  FROM w),
+         |$rounds
+         |$union ORDER BY round""".stripMargin
+    },
     "a_countmin_probe" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |db AS (
