@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.ml.clustering.{LDA, LDAModel, LocalLDAModel}
 import org.apache.spark.ml.feature.CountVectorizerModel
 import org.apache.spark.ml.linalg.{Vector => MLVector}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Lexicons
@@ -233,7 +233,62 @@ object MLOps {
       }
     })
 
+  /** K-means config (ml_kmeans + its unrolled oracle). */
+  val KmK = 8
+  val KmIters = 3
+
   val queries: Map[String, Q] = Map(
+    // Distributed k-means, 3 Lloyd iterations over the embeddings table —
+    // the coarse-quantizer trainer the ANN/SemDeDup ops reference (their
+    // label column stands in for exactly this model's assignment). The
+    // execution shape is MLlib's own: centroids are MODEL-scale state
+    // (K×dim doubles) held driver-side and broadcast into each map-side
+    // assignment pass (lit arrays → zip_with/aggregate fold per centroid,
+    // argmin via array_min over (dist, cid) structs — ties break on cid);
+    // the update is one (cid, pos) partial-aggregated shuffle. Centroid
+    // components are ROUNDED to 6dp each iteration, which quantizes away
+    // cross-engine avg() summation-order ulps — from identical rounded
+    // centroids, every distance is fold-exact in both engines, so the
+    // whole trajectory (assignments included) matches bit-for-bit.
+    // Init = the K smallest vec_ids (deterministic; k-means++ needs RNG).
+    // Empty clusters keep their previous centroid (COALESCE both sides).
+    // Output: per-cluster size, inertia, and centroid norm after 3 rounds.
+    "ml_kmeans" -> ((s, d) => {
+      import s.implicits._
+      val corpus = embeddings(s, d)
+        .select($"vec_id", transform($"embedding", x => x.cast("double")).as("e"))
+      var cents: Array[(Int, Seq[Double])] = corpus.orderBy($"vec_id").limit(KmK)
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1)) }
+      def distCol(c: Seq[Double]): Column =
+        aggregate(zip_with($"e", typedLit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+      def distArr: Column = array(cents.map { case (k, c) =>
+        struct(distCol(c).as("d"), lit(k).as("k"))
+      }: _*)
+      for (_ <- 1 to KmIters) {
+        val means = corpus.withColumn("a", array_min(distArr))
+          .select($"a.k".as("cid"), posexplode($"e"))
+          .groupBy($"cid", $"pos").agg(round(avg($"col"), 6).as("m"))
+          .groupBy($"cid").agg(
+            transform(array_sort(collect_list(struct($"pos", $"m"))),
+              x => x.getField("m")).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        cents = cents.map { case (k, old) => (k, means.getOrElse(k, old)) }
+      }
+      def round6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val cnorms = cents.map { case (k, c) =>
+        (k, round6(math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))))
+      }.toMap
+      corpus.withColumn("a", array_min(distArr))
+        .select($"a.k".as("cid"), $"a.d".as("d"))
+        .groupBy($"cid").agg(count(lit(1)).as("n"), round(sum($"d"), 6).as("inertia"))
+        .withColumn("cnorm",
+          element_at(typedLit((0 until KmK).map(cnorms)), $"cid" + 1))
+        .orderBy("cid")
+    }),
+
     // U8/A11: the learned vocabulary with corpus counts (deterministic
     // output order by term).
     "u8_bow_vocabulary" -> ((s, d) => {
@@ -463,7 +518,53 @@ object MLOps {
        |  JOIN dfs d1 ON d1.word = p.w1
        |  JOIN dfs d2 ON d2.word = p.w2)""".stripMargin
 
+  private val kmeansSql: String = {
+    val fold = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(0.0, list_transform(range(len($a)),
+         |      i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]))),
+         |    (x, y) -> x + y)""".stripMargin
+    val iters = (1 to KmIters).map { t =>
+      s"""d$t AS MATERIALIZED (
+         |  SELECT v.vec_id, v.e, c.cid, ${fold("v.e", "c.c")} AS d
+         |  FROM v CROSS JOIN c${t - 1} c),
+         |a$t AS MATERIALIZED (
+         |  SELECT vec_id, e, cid FROM (
+         |    SELECT vec_id, e, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |    FROM d$t) WHERE rn = 1),
+         |m$t AS MATERIALIZED (
+         |  SELECT cid, i, ROUND(AVG(x), 6) AS m FROM (
+         |    SELECT cid, unnest(e) AS x, generate_subscripts(e, 1) AS i
+         |    FROM a$t)
+         |  GROUP BY 1, 2),
+         |c$t AS MATERIALIZED (
+         |  SELECT p.cid, COALESCE(n.c, p.c) AS c
+         |  FROM c${t - 1} p LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY i) AS c FROM m$t GROUP BY cid) n
+         |  ON p.cid = n.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e AS c
+       |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $KmK)),
+       |$iters,
+       |fin AS MATERIALIZED (
+       |  SELECT vec_id, cid, d FROM (
+       |    SELECT v.vec_id, c.cid, ${fold("v.e", "c.c")} AS d,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${fold("v.e", "c.c")} ASC, c.cid ASC) AS rn
+       |    FROM v CROSS JOIN c$KmIters c) WHERE rn = 1)
+       |SELECT fin.cid, COUNT(*) AS n, ROUND(SUM(d), 6) AS inertia,
+       |  ANY_VALUE(ROUND(sqrt(list_reduce(list_prepend(0.0,
+       |    list_transform(cc.c, x -> x * x)), (x, y) -> x + y)), 6)) AS cnorm
+       |FROM fin JOIN c$KmIters cc ON fin.cid = cc.cid
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ml_kmeans" -> kmeansSql,
     "u6_npmi_windowed" ->
       s"""WITH $npmiWindowedCte
          |SELECT topic, ROUND(AVG(npmi), 6) AS npmi_coherence,

@@ -79,7 +79,8 @@ class RelationalSpec extends SparkSpec {
       "corpus_temperature_resample", "o4_group_topk_exec",
       "graph_pagerank", "graph_triangles", "dedup_semantic",
       "a_countmin_probe", "u_phrase_bigrams", "w_ewma_daily",
-      "text_bpe_merges", "a_hll_probe", "sink_zorder_layout").foreach { name =>
+      "text_bpe_merges", "a_hll_probe", "sink_zorder_layout",
+      "ml_kmeans").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
