@@ -482,6 +482,42 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // One-pass Poisson bootstrap (Chamandy et al., "Estimating Uncertainty
+    // for Massive Data Streams" — the distributed bootstrap): classic
+    // resampling needs B passes with shared RNG state; the Poisson trick
+    // draws each row's multiplicity in resample b independently as
+    // ~Poisson(1), so ALL B resamples happen in ONE scan (explode b,
+    // weight, partial-aggregate to B×types cells — the shuffle carries
+    // 32×5 rows, not the corpus). The weight here is a DETERMINISTIC
+    // pseudo-Poisson surrogate — hash-indexed into [0,0,0,0,1,1,1,2,2,3],
+    // which matches Poisson(1)'s mean AND variance exactly (E=1, Var=1) —
+    // so the op is rerun-stable and oracle-reproducible. CI bounds are
+    // the 2nd/31st order statistics of the 32 resample means (~93.8%
+    // coverage), ties broken by resample id.
+    "a_bootstrap_ci" -> ((s, d) => {
+      import s.implicits._
+      val B = 32
+      val wTable = typedLit(Seq(0, 0, 0, 0, 1, 1, 1, 2, 2, 3))
+      val rs = events(s, d)
+        .select($"event_type", $"event_id".cast("string").as("eid"), $"value")
+        .select($"event_type", $"value",
+          explode(sequence(lit(0), lit(B - 1))).as("b"), $"eid")
+        .withColumn("h", graft.functions.PolyHash.poly_hash(
+          concat($"eid", lit(":"), $"b".cast("string"))))
+        .withColumn("w", element_at(wTable, ($"h" % 10 + 1).cast("int")))
+      val meansB = rs.groupBy($"event_type", $"b")
+        .agg(round(sum($"w" * $"value") / sum($"w"), 6).as("m"))
+      val byType = Window.partitionBy($"event_type").orderBy($"m", $"b")
+      val ci = meansB.withColumn("rn", row_number().over(byType))
+        .groupBy($"event_type").agg(
+          min(when($"rn" === 2, $"m")).as("ci_lo"),
+          min(when($"rn" === B - 1, $"m")).as("ci_hi"))
+      events(s, d).groupBy($"event_type")
+        .agg(round(avg($"value"), 6).as("mean_value"))
+        .join(ci, "event_type")
+        .orderBy("event_type")
+    }),
+
     // HyperLogLog built RELATIONALLY and oracle-checked exactly (unlike
     // a_approx_stats, whose datasketches internals have no SQL twin):
     // register j = max over values of rho, with j = portable-hash % 16
@@ -656,6 +692,29 @@ object Aggregates {
     "a8_top_order" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1""".stripMargin,
+    "a_bootstrap_ci" ->
+      s"""WITH rs AS (
+         |  SELECT event_type, value, g.b,
+         |    [0,0,0,0,1,1,1,2,2,3][
+         |      ${graft.ops.DedupOps.polyHashSql(
+        "CAST(event_id AS VARCHAR) || ':' || CAST(g.b AS VARCHAR)")} % 10 + 1] AS w
+         |  FROM events CROSS JOIN (SELECT unnest(range(32)) AS b) g),
+         |mb AS (
+         |  SELECT event_type, b, ROUND(SUM(w * value) / SUM(w), 6) AS m
+         |  FROM rs GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT event_type, m,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS rn
+         |  FROM mb),
+         |ci AS (
+         |  SELECT event_type,
+         |    MIN(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+         |    MIN(CASE WHEN rn = 31 THEN m END) AS ci_hi
+         |  FROM rk GROUP BY 1)
+         |SELECT events.event_type, ROUND(AVG(value), 6) AS mean_value,
+         |  ANY_VALUE(ci_lo) AS ci_lo, ANY_VALUE(ci_hi) AS ci_hi
+         |FROM events JOIN ci ON events.event_type = ci.event_type
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a_hll_probe" ->
       s"""WITH b AS (
          |  SELECT event_type,

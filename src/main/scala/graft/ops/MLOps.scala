@@ -237,6 +237,51 @@ object MLOps {
   val KmK = 8
   val KmIters = 3
 
+  /** The double-widened embedding corpus the k-means trainer runs on. */
+  private[ops] def kmeansCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, d)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("e"))
+  }
+
+  /** Per-centroid squared-L2 + id structs; array_min over this is the
+    * map-side assignment (ties break on centroid id).
+    */
+  private[ops] def kmeansDistArr(cents: Array[(Int, Seq[Double])]): Column = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    def distCol(c: Seq[Double]): Column =
+      aggregate(zip_with(fcol("e"), typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    array(cents.map { case (k, c) =>
+      struct(distCol(c).as("d"), lit(k).as("k"))
+    }: _*)
+  }
+
+  /** Runs the KmIters Lloyd rounds and returns the trained centroids —
+    * model-scale (K×dim) driver state, 6dp-rounded per round (see
+    * ml_kmeans scaladoc for why rounding makes the trajectory portable).
+    * Shared by ml_kmeans and the IVF index (SimilarityOps
+    * ann_ivf_kmeans_topk).
+    */
+  private[ops] def kmeansCentroids(s: SparkSession, d: String): Array[(Int, Seq[Double])] = {
+    import s.implicits._
+    val corpus = kmeansCorpus(s, d)
+    var cents: Array[(Int, Seq[Double])] = corpus.orderBy($"vec_id").limit(KmK)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+    for (_ <- 1 to KmIters) {
+      val means = corpus.withColumn("a", array_min(kmeansDistArr(cents)))
+        .select($"a.k".as("cid"), posexplode($"e"))
+        .groupBy($"cid", $"pos").agg(round(avg($"col"), 6).as("m"))
+        .groupBy($"cid").agg(
+          transform(array_sort(collect_list(struct($"pos", $"m"))),
+            x => x.getField("m")).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (k, old) => (k, means.getOrElse(k, old)) }
+    }
+    cents
+  }
+
   val queries: Map[String, Q] = Map(
     // Distributed k-means, 3 Lloyd iterations over the embeddings table —
     // the coarse-quantizer trainer the ANN/SemDeDup ops reference (their
@@ -255,33 +300,14 @@ object MLOps {
     // Output: per-cluster size, inertia, and centroid norm after 3 rounds.
     "ml_kmeans" -> ((s, d) => {
       import s.implicits._
-      val corpus = embeddings(s, d)
-        .select($"vec_id", transform($"embedding", x => x.cast("double")).as("e"))
-      var cents: Array[(Int, Seq[Double])] = corpus.orderBy($"vec_id").limit(KmK)
-        .collect().zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Double](1)) }
-      def distCol(c: Seq[Double]): Column =
-        aggregate(zip_with($"e", typedLit(c), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x)
-      def distArr: Column = array(cents.map { case (k, c) =>
-        struct(distCol(c).as("d"), lit(k).as("k"))
-      }: _*)
-      for (_ <- 1 to KmIters) {
-        val means = corpus.withColumn("a", array_min(distArr))
-          .select($"a.k".as("cid"), posexplode($"e"))
-          .groupBy($"cid", $"pos").agg(round(avg($"col"), 6).as("m"))
-          .groupBy($"cid").agg(
-            transform(array_sort(collect_list(struct($"pos", $"m"))),
-              x => x.getField("m")).as("c"))
-          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-        cents = cents.map { case (k, old) => (k, means.getOrElse(k, old)) }
-      }
+      val corpus = kmeansCorpus(s, d)
+      val cents = kmeansCentroids(s, d)
       def round6(x: Double): Double =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       val cnorms = cents.map { case (k, c) =>
         (k, round6(math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))))
       }.toMap
-      corpus.withColumn("a", array_min(distArr))
+      corpus.withColumn("a", array_min(kmeansDistArr(cents)))
         .select($"a.k".as("cid"), $"a.d".as("d"))
         .groupBy($"cid").agg(count(lit(1)).as("n"), round(sum($"d"), 6).as("inertia"))
         .withColumn("cnorm",
@@ -518,7 +544,11 @@ object MLOps {
        |  JOIN dfs d1 ON d1.word = p.w1
        |  JOIN dfs d2 ON d2.word = p.w2)""".stripMargin
 
-  private val kmeansSql: String = {
+  /** The kmeans CTE chain (v, c0, per-round d/a/m/c, fin = final
+    * assignments with distances) — shared verbatim by the ml_kmeans
+    * oracle and the IVF-index oracle in SimilarityOps.
+    */
+  private[ops] val kmeansCtesSql: String = {
     val fold = (a: String, b: String) =>
       s"""list_reduce(list_prepend(0.0, list_transform(range(len($a)),
          |      i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]))),
@@ -543,7 +573,7 @@ object MLOps {
          |    SELECT cid, list(m ORDER BY i) AS c FROM m$t GROUP BY cid) n
          |  ON p.cid = n.cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS MATERIALIZED (
+    s"""v AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings),
        |c0 AS MATERIALIZED (
@@ -555,13 +585,16 @@ object MLOps {
        |    SELECT v.vec_id, c.cid, ${fold("v.e", "c.c")} AS d,
        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |        ${fold("v.e", "c.c")} ASC, c.cid ASC) AS rn
-       |    FROM v CROSS JOIN c$KmIters c) WHERE rn = 1)
+       |    FROM v CROSS JOIN c$KmIters c) WHERE rn = 1)""".stripMargin
+  }
+
+  private val kmeansSql: String =
+    s"""WITH $kmeansCtesSql
        |SELECT fin.cid, COUNT(*) AS n, ROUND(SUM(d), 6) AS inertia,
        |  ANY_VALUE(ROUND(sqrt(list_reduce(list_prepend(0.0,
        |    list_transform(cc.c, x -> x * x)), (x, y) -> x + y)), 6)) AS cnorm
        |FROM fin JOIN c$KmIters cc ON fin.cid = cc.cid
        |GROUP BY 1 ORDER BY 1""".stripMargin
-  }
 
   val oracles: Map[String, String] = Map(
     "ml_kmeans" -> kmeansSql,

@@ -168,6 +168,32 @@ object SimilarityOps {
       topkWithin(s, pairs)
     }),
 
+    // TRUE IVF index probe: cells come from the trained k-means coarse
+    // quantizer (MLOps.kmeansCentroids — the model ann_ivf_label_topk's
+    // label column merely stands in for). Index build = map-side argmin
+    // assignment under the broadcast centroids; probe = the query's own
+    // cell (nprobe=1, a corpus query's nearest cell IS its assigned
+    // cell), exact-cosine rescore within the cell. The oracle composes
+    // the full 3-round training trajectory (MLOps.kmeansCtesSql) with
+    // the same probe — training AND search are differentially tested
+    // end to end. Scale story: assignment is embarrassingly parallel,
+    // the pair join co-partitions on cid, and cell population is
+    // balanced by the trainer rather than by the label prior.
+    "ann_ivf_kmeans_topk" -> ((s, d) => {
+      import s.implicits._
+      val cents = MLOps.kmeansCentroids(s, d)
+      val assigned = MLOps.kmeansCorpus(s, d)
+        .withColumn("a", array_min(MLOps.kmeansDistArr(cents)))
+        .withColumn("norm", sqrt(graft.functions.VecDot.vec_dot($"e", $"e")))
+        .select($"vec_id", $"a.k".as("cid"), $"e", $"norm")
+      val q = assigned.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"cid", $"e".as("qe"), $"norm".as("qn"))
+      val pairs = assigned.join(broadcast(q),
+          Seq("cid")).filter($"vec_id" =!= $"query_id")
+        .withColumn("cos_exact", dot($"e", $"qe") / ($"norm" * $"qn"))
+      topkWithin(s, pairs)
+    }),
+
     // Per-label embedding centroids (class centroids / IVF cell centers):
     // position-wise mean via posexplode — one shuffle on (label, dim),
     // partial-aggregated; the building block for k-means-style assignment.
@@ -357,6 +383,18 @@ object SimilarityOps {
            |  ${dotSql("c.e", "q.e")} / (c.norm * q.norm) AS cos_exact
            |FROM n c JOIN n q ON q.vec_id < $NumQueries
            |  AND c.label = q.label AND c.vec_id <> q.vec_id""".stripMargin)}""".stripMargin,
+    "ann_ivf_kmeans_topk" ->
+      s"""WITH ${MLOps.kmeansCtesSql},
+         |nrm AS MATERIALIZED (
+         |  SELECT fin.vec_id, fin.cid, v.e,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(v.e, x -> x * x)),
+         |      (a, b) -> a + b)) AS norm
+         |  FROM fin JOIN v ON fin.vec_id = v.vec_id)
+         |${topkSql(
+        s"""SELECT q.vec_id AS query_id, c.vec_id,
+           |  ${dotSql("c.e", "q.e")} / (c.norm * q.norm) AS cos_exact
+           |FROM nrm c JOIN nrm q ON q.vec_id < $NumQueries
+           |  AND c.cid = q.cid AND c.vec_id <> q.vec_id""".stripMargin)}""".stripMargin,
     "emb_label_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS pos,
         |  ROUND(AVG(CAST(x AS DOUBLE)), 6) AS mean_val
