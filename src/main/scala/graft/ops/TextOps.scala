@@ -33,6 +33,42 @@ object TextOps {
   /** BPE training rounds (text_bpe_merges + its unrolled oracle). */
   val BpeRounds = 8
 
+  /** The BPE merge-training loop (see text_bpe_merges scaladoc for the
+    * distribution posture): distributed word count, vocab-scale merge
+    * iteration driver-side. Returns (round, "a b" pair, weighted count)
+    * in training order. Shared by text_bpe_merges and text_bpe_encode.
+    */
+  private def bpeTrain(s: SparkSession, d: String): Seq[(Int, String, Long)] = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val wf = documents(s, d).select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect()
+    var seqs: Array[(String, Long)] = wf.map { case (w, f) =>
+      (" " + w.map(_.toString).mkString(" ") + " </w> ", f)
+    }
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      seqs.foreach { case (seq, f) =>
+        val toks = seq.split(" ").filter(_.nonEmpty)
+        var i = 0
+        while (i < toks.length - 1) {
+          val p = toks(i) + " " + toks(i + 1)
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      val (bestPair, bestCnt) =
+        counts.toSeq.minBy { case (p, c) => (-c, p) }
+      val pat = " " + bestPair + " "
+      val rep = " " + bestPair.replace(" ", "") + " "
+      seqs = seqs.map { case (seq, f) => (seq.replace(pat, rep), f) }
+      merges += ((r, bestPair, bestCnt))
+    }
+    merges.result()
+  }
+
   /** F1-F9 cleaning chain (data_preparation.py:61-96), as a composable
     * Column transform — lower/trim, strip URLs, strip HTML tags, keep
     * [0-9a-z ], drop multi-digit tokens, drop scheme words, drop single
@@ -111,6 +147,38 @@ object TextOps {
 
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+
+  /** The BPE training CTE chain (w, s0, per-round p/b/s) — shared by the
+    * text_bpe_merges and text_bpe_encode oracles. MATERIALIZED is
+    * load-bearing: s_i references s_{i-1} through both the pair count and
+    * the merge, so inlined CTEs expand 2^rounds.
+    */
+  private lazy val bpeCtesSql: String = {
+    val rounds = (1 to BpeRounds).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(len(toks) - 1),
+         |      k -> toks[k+1] || ' ' || toks[k+2])) AS pair
+         |    FROM (SELECT freq, list_filter(string_split(seq, ' '),
+         |          t -> len(t) > 0) AS toks FROM s${i - 1}))
+         |  GROUP BY 1),
+         |b$i AS MATERIALIZED (SELECT $i AS round, pair, cnt FROM p$i
+         |        ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT word, freq,
+         |  replace(seq, ' ' || (SELECT pair FROM b$i) || ' ',
+         |    ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ') AS seq
+         |  FROM s${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""w AS MATERIALIZED (
+       |  SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT unnest($tokensSql) AS word FROM documents)
+       |  GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    ' ' || array_to_string(string_split(word, ''), ' ') || ' </w> ' AS seq
+       |  FROM w),
+       |$rounds""".stripMargin
+  }
 
   /** Shared LM-score pipeline (doc_id, lang, n_bigrams, avg_logprob):
     * per-doc average bigram log-probability under corpus counts — the
@@ -545,6 +613,64 @@ object TextOps {
         .orderBy(desc("cnt"), asc("tok"))
     }),
 
+    // Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    // Language Models in Machine Translation" — the count-table LM built
+    // FOR distributed engines: no normalization pass, just sharded n-gram
+    // counts and a fixed 0.4 backoff multiplier). Counts come from the
+    // hash-split train buckets (0-7); the held-out test bucket (9) is
+    // scored, so backoff genuinely fires (~44% of test trigrams are
+    // unseen here). S(w3|w1 w2) = c123/c12, else 0.4·c23/c2, else
+    // 0.4²·c3/N (unseen unigram → count 1). All ratios are exact-integer
+    // divisions; per-doc avg log10 rounds to 6dp. Scale story: the count
+    // tables shard by n-gram key (the paper's design); scoring is three
+    // equi-joins of the test trigram stream against them, all partial-
+    // aggregated — nothing corpus-scale ever sits on one node.
+    "text_lm_backoff" -> ((s, d) => {
+      import s.implicits._
+      val bucketed = documents(s, d).select($"doc_id", tokens($"text").as("t"),
+        (graft.functions.PolyHash.poly_hash($"doc_id".cast("string")) % 10).as("bucket"))
+      val train = bucketed.filter($"bucket" < 8)
+      val uni = train.select(explode($"t").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("cu"))
+      // corpus token total: an S12-family scalar (one aggregate of the
+      // train split), embedded as a literal like a_heavy_hitters' N
+      val nTokens = train.select(sum(size($"t"))).as[Long].head()
+      val bi = train.select(explode(when(size($"t") >= 2,
+          transform(sequence(lit(0), size($"t") - 2),
+            i => concat_ws(" ", element_at($"t", i + 1), element_at($"t", i + 2))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+        .groupBy($"bg").agg(count(lit(1)).as("cb"))
+      val tri = train.select(explode(when(size($"t") >= 3,
+          transform(sequence(lit(0), size($"t") - 3),
+            i => concat_ws(" ", element_at($"t", i + 1), element_at($"t", i + 2),
+              element_at($"t", i + 3))))
+          .otherwise(array().cast("array<string>"))).as("tg"))
+        .groupBy($"tg").agg(count(lit(1)).as("ct"))
+      val test = bucketed.filter($"bucket" === 9)
+        .select($"doc_id", explode(when(size($"t") >= 3,
+          transform(sequence(lit(0), size($"t") - 3),
+            i => struct(element_at($"t", i + 1).as("w1"),
+              element_at($"t", i + 2).as("w2"),
+              element_at($"t", i + 3).as("w3"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))).as("g"))
+        .select($"doc_id", $"g.w1", $"g.w2", $"g.w3")
+      test
+        .join(tri, concat_ws(" ", $"w1", $"w2", $"w3") === tri("tg"), "left")
+        .join(bi.toDF("bg12", "c12"), concat_ws(" ", $"w1", $"w2") === $"bg12", "left")
+        .join(bi.toDF("bg23", "c23"), concat_ws(" ", $"w2", $"w3") === $"bg23", "left")
+        .join(uni.select($"w".as("wu2"), $"cu".as("c2")), $"w2" === $"wu2", "left")
+        .join(broadcast(uni.select($"w".as("wu3"), $"cu".as("c3"))),
+          $"w3" === $"wu3", "left")
+        .withColumn("sc",
+          when($"ct".isNotNull, $"ct".cast("double") / $"c12")
+            .when($"c23".isNotNull, lit(0.4) * $"c23" / $"c2")
+            .otherwise(lit(0.4) * lit(0.4) * coalesce($"c3", lit(1L)) / lit(nTokens.toDouble)))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          round(avg(log10($"sc")), 6).as("avg_logscore"))
+        .orderBy("doc_id")
+    }),
+
     // BPE merge training (Sennrich et al. 2016), 8 rounds over the word-
     // frequency table: start from characters + a </w> end marker, each
     // round count adjacent symbol pairs (positional, freq-weighted), merge
@@ -560,32 +686,36 @@ object TextOps {
     // a genuine differential test of the training loop.
     "text_bpe_merges" -> ((s, d) => {
       import s.implicits._
-      val wf = documents(s, d).select(explode(tokens($"text")).as("w"))
-        .groupBy($"w").agg(count(lit(1)).as("freq"))
-        .as[(String, Long)].collect()
-      var seqs: Array[(String, Long)] = wf.map { case (w, f) =>
-        (" " + w.map(_.toString).mkString(" ") + " </w> ", f)
+      bpeTrain(s, d).toDF("round", "pair", "cnt").orderBy("round")
+    }),
+
+    // BPE ENCODING — applying the trained merge table (tokenizer
+    // inference, the other half of text_bpe_merges): each distinct word
+    // char-splits and replays the 8 merges in training order as literal
+    // map-side replaces (the merge table is broadcast model state, the
+    // per-word work is embarrassingly parallel — exactly how a tokenizer
+    // runs over a 100 TB corpus); docs then join their words to the
+    // per-word subword counts. Output: per-doc BPE token count and the
+    // chars-per-token compression ratio the tokenizer buys.
+    "text_bpe_encode" -> ((s, d) => {
+      import s.implicits._
+      val merges = bpeTrain(s, d).map(_._2)
+      val words = documents(s, d)
+        .select($"source", explode(tokens($"text")).as("w"))
+      val start: Column =
+        concat(lit(" "), regexp_replace($"w", "(.)", "$1 "), lit("</w> "))
+      val encoded = merges.foldLeft(start) { (c, m) =>
+        replace(c, lit(" " + m + " "), lit(" " + m.replace(" ", "") + " "))
       }
-      val merges = Seq.newBuilder[(Int, String, Long)]
-      for (r <- 1 to BpeRounds) {
-        val counts = scala.collection.mutable.HashMap.empty[String, Long]
-        seqs.foreach { case (seq, f) =>
-          val toks = seq.split(" ").filter(_.nonEmpty)
-          var i = 0
-          while (i < toks.length - 1) {
-            val p = toks(i) + " " + toks(i + 1)
-            counts.update(p, counts.getOrElse(p, 0L) + f)
-            i += 1
-          }
-        }
-        val (bestPair, bestCnt) =
-          counts.toSeq.minBy { case (p, c) => (-c, p) }
-        val pat = " " + bestPair + " "
-        val rep = " " + bestPair.replace(" ", "") + " "
-        seqs = seqs.map { case (seq, f) => (seq.replace(pat, rep), f) }
-        merges += ((r, bestPair, bestCnt))
-      }
-      merges.result().toDF("round", "pair", "cnt").orderBy("round")
+      val perWord = words.select($"w").distinct()
+        .withColumn("n_sub",
+          size(filter(split(trim(encoded), " "), t => length(t) > 0)))
+      words.join(broadcast(perWord), "w")
+        .groupBy($"source").agg(count(lit(1)).as("n_words"),
+          sum($"n_sub").as("n_bpe_tokens"),
+          round(sum(length($"w")).cast("double") / sum($"n_sub"), 6)
+            .as("chars_per_token"))
+        .orderBy("source")
     }),
 
     // Count-Min sketch (Cormode & Muthukrishnan 2005) built relationally
@@ -1118,37 +1248,61 @@ object TextOps {
       s"""SELECT lang, COUNT(*) AS n_sampled FROM documents
          |WHERE ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 2
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_lm_backoff" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, $tokensSql AS toks,
+         |    ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+         |  FROM documents),
+         |uni AS (SELECT w, COUNT(*) AS cu FROM (
+         |  SELECT unnest(toks) AS w FROM d WHERE bucket < 8) GROUP BY 1),
+         |n AS (SELECT SUM(len(toks)) AS n FROM d WHERE bucket < 8),
+         |bi AS (SELECT bg, COUNT(*) AS cb FROM (
+         |  SELECT unnest(list_transform(range(len(toks) - 1),
+         |    i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+         |  FROM d WHERE bucket < 8) GROUP BY 1),
+         |tri AS (SELECT tg, COUNT(*) AS ct FROM (
+         |  SELECT unnest(list_transform(range(len(toks) - 2),
+         |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS tg
+         |  FROM d WHERE bucket < 8) GROUP BY 1),
+         |test AS (
+         |  SELECT doc_id, g.w1, g.w2, g.w3 FROM (
+         |    SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+         |      i -> {'w1': toks[i+1], 'w2': toks[i+2], 'w3': toks[i+3]})) AS g
+         |    FROM d WHERE bucket = 9)),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ct IS NOT NULL THEN CAST(ct AS DOUBLE) / c12
+         |         WHEN c23 IS NOT NULL THEN CAST(0.4 AS DOUBLE) * c23 / c2
+         |         ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) *
+         |              COALESCE(c3, 1) / (SELECT CAST(n AS DOUBLE) FROM n)
+         |    END AS sc
+         |  FROM test
+         |  LEFT JOIN tri ON w1 || ' ' || w2 || ' ' || w3 = tri.tg
+         |  LEFT JOIN (SELECT bg, cb AS c12 FROM bi) b12 ON w1 || ' ' || w2 = b12.bg
+         |  LEFT JOIN (SELECT bg, cb AS c23 FROM bi) b23 ON w2 || ' ' || w3 = b23.bg
+         |  LEFT JOIN (SELECT w, cu AS c2 FROM uni) u2 ON w2 = u2.w
+         |  LEFT JOIN (SELECT w, cu AS c3 FROM uni) u3 ON w3 = u3.w)
+         |SELECT doc_id, COUNT(*) AS n_trigrams,
+         |  ROUND(AVG(log10(sc)), 6) AS avg_logscore
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_bpe_merges" -> {
-      // MATERIALIZED is load-bearing: s_i references s_{i-1} through both
-      // the pair count and the merge, so inlined CTEs expand 2^rounds.
-      val rounds = (1 to BpeRounds).map { i =>
-        s"""p$i AS MATERIALIZED (
-           |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-           |    SELECT freq, unnest(list_transform(range(len(toks) - 1),
-           |      k -> toks[k+1] || ' ' || toks[k+2])) AS pair
-           |    FROM (SELECT freq, list_filter(string_split(seq, ' '),
-           |          t -> len(t) > 0) AS toks FROM s${i - 1}))
-           |  GROUP BY 1),
-           |b$i AS MATERIALIZED (SELECT $i AS round, pair, cnt FROM p$i
-           |        ORDER BY cnt DESC, pair ASC LIMIT 1),
-           |s$i AS MATERIALIZED (SELECT word, freq,
-           |  replace(seq, ' ' || (SELECT pair FROM b$i) || ' ',
-           |    ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ') AS seq
-           |  FROM s${i - 1})""".stripMargin
-      }.mkString(",\n")
       val union = (1 to BpeRounds)
         .map(i => s"SELECT round, pair, cnt FROM b$i").mkString(" UNION ALL ")
-      s"""WITH w AS MATERIALIZED (
-         |  SELECT word, COUNT(*) AS freq FROM (
-         |    SELECT unnest($tokensSql) AS word FROM documents)
-         |  GROUP BY 1),
-         |s0 AS MATERIALIZED (
-         |  SELECT word, freq,
-         |    ' ' || array_to_string(string_split(word, ''), ' ') || ' </w> ' AS seq
-         |  FROM w),
-         |$rounds
+      s"""WITH $bpeCtesSql
          |$union ORDER BY round""".stripMargin
     },
+    "text_bpe_encode" ->
+      s"""WITH $bpeCtesSql,
+         |enc AS (
+         |  SELECT word, len(list_filter(string_split(seq, ' '),
+         |    t -> len(t) > 0)) AS n_sub
+         |  FROM s$BpeRounds),
+         |tok AS (SELECT source, unnest($tokensSql) AS w FROM documents)
+         |SELECT source, COUNT(*) AS n_words,
+         |  CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens,
+         |  ROUND(CAST(SUM(len(w)) AS DOUBLE) / SUM(n_sub), 6) AS chars_per_token
+         |FROM tok JOIN enc ON tok.w = enc.word
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a_countmin_probe" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |db AS (

@@ -80,7 +80,8 @@ class RelationalSpec extends SparkSpec {
       "graph_pagerank", "graph_triangles", "dedup_semantic",
       "a_countmin_probe", "u_phrase_bigrams", "w_ewma_daily",
       "text_bpe_merges", "a_hll_probe", "sink_zorder_layout",
-      "ml_kmeans", "ann_ivf_kmeans_topk", "a_bootstrap_ci").foreach { name =>
+      "ml_kmeans", "ann_ivf_kmeans_topk", "a_bootstrap_ci",
+      "text_lm_backoff", "text_bpe_encode").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
