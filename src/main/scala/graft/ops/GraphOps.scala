@@ -123,6 +123,48 @@ object GraphOps {
         .orderBy("n_name")
     }),
 
+    // Truncated harmonic centrality (the Common Crawl host-ranking
+    // measure; truncation at radius 4 is the standard web-graph practice
+    // — HyperBall computes exactly this with HLL counters): H(v) =
+    // Σ_{u≠v, d(u,v)≤4} 1/d(u,v) over the undirected above-average-
+    // weight core. Distances come from 4 rounds of relational multi-
+    // source BFS — frontier ⋈ edges, min-distance groupBy per round,
+    // localCheckpoint truncating the lineage (the |V|²-bounded distance
+    // table is the only state; at web scale this is exactly HyperBall's
+    // shape with the exact per-source set replaced by an HLL register —
+    // a_hll_probe's machinery).
+    "graph_harmonic" -> ((s, d) => {
+      import s.implicits._
+      val core = tradeEdges(s, d).filter($"src" =!= $"dst")
+        .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"), $"w")
+        .groupBy($"a", $"b").agg(sum($"w").cast("double").as("uw"))
+        .withColumn("mw", avg($"uw").over(Window.partitionBy()))
+        .filter($"uw" > $"mw")
+        .select($"a", $"b")
+      val und = core.union(core.select($"b".as("a"), $"a".as("b")))
+        .localCheckpoint()
+      var dist = nation(s, d)
+        .select($"n_nationkey".as("s"), $"n_nationkey".as("v"), lit(0).as("dd"))
+        .localCheckpoint()
+      for (r <- 1 to 4) {
+        dist = dist.join(und, $"v" === $"a")
+          .select($"s", $"b".as("v"), ($"dd" + 1).as("dd"))
+          .union(dist)
+          .groupBy($"s", $"v").agg(min($"dd").as("dd"))
+          .localCheckpoint()
+      }
+      val h = dist.filter($"dd" > 0)
+        .groupBy($"s").agg(
+          round(sum(lit(1.0) / $"dd"), 6).as("harmonic"),
+          count(lit(1)).as("n_reached"))
+      nation(s, d).select($"n_nationkey".as("s"), $"n_name")
+        .join(h, Seq("s"), "left")
+        .select($"n_name",
+          coalesce($"harmonic", lit(0.0)).as("harmonic"),
+          coalesce($"n_reached", lit(0L)).as("n_reached"))
+        .orderBy(desc("harmonic"), asc("n_name"))
+    }),
+
     // Per-node triangle participation in the above-average-weight core:
     // symmetrize, keep undirected pairs whose combined weight exceeds the
     // global mean (self-loops dropped), orient a<b, and count each
@@ -192,6 +234,40 @@ object GraphOps {
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql,
+    "graph_harmonic" -> {
+      val rounds = (1 to 4).map { r =>
+        s"""d$r AS MATERIALIZED (
+           |  SELECT s, v, MIN(dd) AS dd FROM (
+           |    SELECT d${r - 1}.s, und.b AS v, d${r - 1}.dd + 1 AS dd
+           |    FROM d${r - 1} JOIN und ON d${r - 1}.v = und.a
+           |    UNION ALL SELECT s, v, dd FROM d${r - 1})
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  $edgesSql),
+         |u0 AS MATERIALIZED (
+         |  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         |    CAST(SUM(w) AS DOUBLE) AS uw
+         |  FROM e WHERE src <> dst GROUP BY 1, 2),
+         |core AS MATERIALIZED (
+         |  SELECT a, b FROM (
+         |    SELECT a, b, uw, AVG(uw) OVER () AS mw FROM u0)
+         |  WHERE uw > mw),
+         |und AS MATERIALIZED (
+         |  SELECT a, b FROM core UNION ALL SELECT b AS a, a AS b FROM core),
+         |d0 AS MATERIALIZED (
+         |  SELECT n_nationkey AS s, n_nationkey AS v, 0 AS dd FROM nation),
+         |$rounds,
+         |h AS (
+         |  SELECT s, ROUND(SUM(CAST(1 AS DOUBLE) / dd), 6) AS harmonic,
+         |    COUNT(*) AS n_reached
+         |  FROM d4 WHERE dd > 0 GROUP BY 1)
+         |SELECT n_name,
+         |  COALESCE(h.harmonic, CAST(0 AS DOUBLE)) AS harmonic,
+         |  COALESCE(h.n_reached, 0) AS n_reached
+         |FROM nation LEFT JOIN h ON n_nationkey = h.s
+         |ORDER BY harmonic DESC, n_name ASC""".stripMargin
+    },
     "graph_degree_stats" ->
       s"""WITH e AS (
          |  $edgesSql)

@@ -30,21 +30,15 @@ class GraphSpec extends SparkSpec {
     assert(reuses >= 3, s"expected >=3 reused exchange/stage nodes, got $reuses\n$plan")
   }
 
-  test("triangle counts match brute force over the same core") {
+  /** The thresholded undirected core, reconstructed exactly as the
+    * queries build it (exact decimal pair sums, double mean threshold).
+    */
+  private lazy val coreEdges: Set[(Long, Long)] = {
     import graft.ops.Tables
-    val out = graft.ops.GraphOps.queries("graph_triangles")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // brute-force: rebuild the core edge set, enumerate all node triples
-    val e = graft.ops.GraphOps.queries("graph_degree_stats")(spark, sf)
-    assert(e.count() == 25) // degree stats cover the full node domain
-    val nations = Tables.nation(spark, sf)
-      .select($"n_nationkey", $"n_name").collect()
-      .map(r => r.getAs[Number](0).longValue() -> r.getString(1)).toMap
-    // reconstruct the thresholded undirected core exactly as the query does
     val spark2 = spark
     import spark2.implicits._
-    val raw = {
-      import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.functions._
+    val raw =
       Tables.customer(spark, sf).select($"c_custkey", $"c_nationkey".as("src"))
         .join(Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey"),
           $"o_custkey" === $"c_custkey")
@@ -58,11 +52,23 @@ class GraphSpec extends SparkSpec {
         .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"), $"r")
         .collect().map(r => (r.getAs[Number](0).longValue(),
           r.getAs[Number](1).longValue()) -> BigDecimal(r.getDecimal(2)))
-    }
     // exact decimal per-pair sums (like the query), double only at the end
     val uw = raw.groupBy(_._1).view.mapValues(_.map(_._2).sum.toDouble).toMap
     val mean = uw.values.sum / uw.size
-    val core = uw.filter(_._2 > mean).keySet
+    uw.filter(_._2 > mean).keySet
+  }
+
+  test("triangle counts match brute force over the same core") {
+    import graft.ops.Tables
+    val out = graft.ops.GraphOps.queries("graph_triangles")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // brute-force: enumerate all node triples over the reconstructed core
+    val e = graft.ops.GraphOps.queries("graph_degree_stats")(spark, sf)
+    assert(e.count() == 25) // degree stats cover the full node domain
+    val nations = Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_name").collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getString(1)).toMap
+    val core = coreEdges
     val nodes = core.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
     var triPerNode = Map.empty[Long, Long].withDefaultValue(0L)
     for {
@@ -77,5 +83,34 @@ class GraphSpec extends SparkSpec {
     triPerNode.foreach { case (node, cnt) =>
       assert(out(nations(node)) == cnt, s"node $node: ${out(nations(node))} != $cnt")
     }
+  }
+
+  test("harmonic centrality matches driver BFS over the same core") {
+    import graft.ops.Tables
+    val out = graft.ops.GraphOps.queries("graph_harmonic")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val nations = Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_name").collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getString(1)).toMap
+    val adj = coreEdges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    nations.keys.foreach { s =>
+      // BFS to depth 4
+      var dist = Map(s -> 0)
+      var frontier = Set(s)
+      for (d <- 1 to 4) {
+        val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+          .filterNot(dist.contains)
+        dist = dist ++ next.map(_ -> d)
+        frontier = next
+      }
+      val reached = dist.filter { case (v, dd) => dd > 0 }
+      val h = reached.values.map(dd => 1.0 / dd).sum
+      val (gotH, gotN) = out(nations(s))
+      assert(gotN == reached.size,
+        s"node $s: reached $gotN vs ${reached.size}")
+      assert(math.abs(gotH - h) < 1e-5, s"node $s: harmonic $gotH vs $h")
+    }
+    assert(out.values.exists(_._1 > 0), "no node reaches anything — vacuous")
   }
 }
