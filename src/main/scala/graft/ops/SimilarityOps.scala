@@ -34,6 +34,54 @@ object SimilarityOps {
   val NumLshTables = 4
   val PlanesPerTable = 4
 
+  /** Product-quantization config: M subspaces × SubDim dims, K' codes
+    * per subspace, Lloyd rounds (ann_pq_topk + its oracle).
+    */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqK = 16
+  val PqIters = 2
+
+  /** Trains the M per-subspace codebooks simultaneously — one corpus
+    * pass + one (m, code, pos) shuffle per Lloyd round; codewords round
+    * to 6dp per round so the trajectory is engine-portable. Init: the
+    * K' smallest vec_ids' subvectors. Empty codes keep their previous
+    * codeword.
+    */
+  private def pqTrain(s: SparkSession, d: String): Array[Array[(Int, Seq[Double])]] = {
+    import s.implicits._
+    val corpus = graft.ops.MLOps.kmeansCorpus(s, d)
+    val initVecs = corpus.orderBy($"vec_id").limit(PqK).collect()
+      .zipWithIndex.map { case (r, k) => (k, r.getSeq[Double](1)) }
+    var cbs: Array[Array[(Int, Seq[Double])]] = Array.tabulate(PqM)(m =>
+      initVecs.map { case (k, e) =>
+        (k, e.slice(m * PqSubDim, m * PqSubDim + PqSubDim))
+      })
+    def d2(a: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(a, typedLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    for (_ <- 1 to PqIters) {
+      val groups = corpus.select($"vec_id", explode(array((0 until PqM).map { m =>
+          val sub = slice($"e", m * PqSubDim + 1, PqSubDim)
+          struct(lit(m).as("m"),
+            array_min(array(cbs(m).map { case (k, c) =>
+              struct(d2(sub, c).as("d"), lit(k).as("k"))
+            }: _*)).getField("k").as("code"),
+            sub.as("sub"))
+        }: _*)).as("g"))
+        .select($"g.m", $"g.code", posexplode($"g.sub"))
+        .groupBy($"m", $"code", $"pos").agg(round(avg($"col"), 6).as("v"))
+        .groupBy($"m", $"code").agg(
+          transform(array_sort(collect_list(struct($"pos", $"v"))),
+            x => x.getField("v")).as("c"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      cbs = Array.tabulate(PqM)(m => cbs(m).map { case (k, old) =>
+        (k, groups.getOrElse((m, k), old))
+      })
+    }
+    cbs
+  }
+
   /** Deterministic hyperplanes: java.util.Random(42) Gaussians (the LCG and
     * nextGaussian algorithms are fixed by the Java spec, so these constants
     * are stable across JVMs; the oracle embeds the same literals).
@@ -242,6 +290,57 @@ object SimilarityOps {
     // (at scale it is a parquet-footer min/max, refreshed per index
     // build). Quantization arithmetic is identical to
     // emb_quantize_error, so both engines dequantize bit-for-bit.
+    // Product quantization ANN (Jégou et al. 2011, "Product Quantization
+    // for Nearest Neighbor Search") — THE embedding-compression scheme at
+    // corpus scale: 64 dims → 8 subspace codes of 4 bits (8 bytes/vector,
+    // 32× smaller than float32). Training runs all 8 per-subspace k-means
+    // (K'=16) SIMULTANEOUSLY — one explode carries (subspace, code,
+    // subvector) so each Lloyd round is ONE corpus pass + one
+    // (m, code, pos) shuffle, not 8 separate trainers; codewords round to
+    // 6dp per round (the ml_kmeans portability trick). Search is ADC:
+    // dist(q, v) ≈ Σ_m d²(q_sub_m, codeword_m(v)) with the query side
+    // exact — computed as an explicit 8-term sum of per-subspace folds,
+    // so the value is bit-identical in both engines and candidate
+    // ranking needs no rounding. Top-2k ADC candidates rescore by exact
+    // cosine (the sq8 contract). The oracle replays training, encoding,
+    // and search — the full index lifecycle is differentially tested.
+    "ann_pq_topk" -> ((s, d) => {
+      import s.implicits._
+      val cbs = pqTrain(s, d)
+      val corpus = graft.ops.MLOps.kmeansCorpus(s, d)
+        .withColumn("norm", sqrt(graft.functions.VecDot.vec_dot($"e", $"e")))
+      def subCol(m: Int): Column = slice($"e", m * PqSubDim + 1, PqSubDim)
+      def d2(a: Column, c: Seq[Double]): Column =
+        aggregate(zip_with(a, typedLit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      val codeCols = (0 until PqM).map { m =>
+        array_min(array(cbs(m).map { case (k, c) =>
+          struct(d2(subCol(m), c).as("d"), lit(k).as("k"))
+        }: _*)).getField("k").as(s"code_$m")
+      }
+      val coded = corpus.select(
+        ($"vec_id" +: $"e".as("e") +: $"norm".as("norm") +: codeCols): _*)
+      val q = corpus.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"e".as("qe"), $"norm".as("qn"))
+      // ADC: per-subspace fold against the codeword selected by the
+      // corpus row's code, summed in fixed m-order (exact both engines)
+      def qsub(m: Int): Column = slice($"qe", m * PqSubDim + 1, PqSubDim)
+      val adc = (0 until PqM).map { m =>
+        val cw = element_at(
+          typedLit(cbs(m).sortBy(_._1).map(_._2)), col(s"code_$m") + 1)
+        aggregate(zip_with(qsub(m), cw, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      }.reduce(_ + _)
+      val wA = Window.partitionBy($"query_id").orderBy(asc("adc"), asc("vec_id"))
+      val cands = coded.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .withColumn("adc", adc)
+        .withColumn("arank", row_number().over(wA))
+        .filter($"arank" <= 2 * TopK)
+      val rescored = cands
+        .withColumn("cos_exact", dot($"e", $"qe") / ($"norm" * $"qn"))
+      topkWithin(s, rescored)
+    }),
+
     "ann_sq8_topk" -> ((s, d) => {
       import s.implicits._
       val v = prepared(s, d)
@@ -304,6 +403,91 @@ object SimilarityOps {
   )
 
   // ---- oracle SQL ----
+
+  /** The PQ oracle: training (unrolled Lloyd rounds), final encoding,
+    * and ADC search — mirrors pqTrain + ann_pq_topk exactly (6dp-rounded
+    * codewords, fixed-order 8-term ADC sum, ties on code/vec ids).
+    */
+  private lazy val pqSql: String = {
+    val F = PqIters
+    def foldSub(eExpr: String, mRef: String, cwExpr: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range($PqSubDim),
+         |      i -> ($eExpr[$mRef * $PqSubDim + i + 1] - $cwExpr[i+1]) *
+         |           ($eExpr[$mRef * $PqSubDim + i + 1] - $cwExpr[i+1]))),
+         |    (x, y) -> x + y)""".stripMargin
+    def assignCtes(t: String, cbRef: String) =
+      s"""pd$t AS MATERIALIZED (
+         |  SELECT pv.vec_id, cb.m, cb.k,
+         |    ${foldSub("pv.e", "cb.m", "cb.c")} AS dd
+         |  FROM pv CROSS JOIN $cbRef cb),
+         |pa$t AS MATERIALIZED (
+         |  SELECT vec_id, m, k AS code FROM (
+         |    SELECT vec_id, m, k,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dd ASC, k ASC) AS rn
+         |    FROM pd$t) WHERE rn = 1)""".stripMargin
+    val iters = (1 to F).map { t =>
+      s"""${assignCtes(t.toString, s"cb${t - 1}")},
+         |pm$t AS MATERIALIZED (
+         |  SELECT pa.m, pa.code, ii.i,
+         |    ROUND(AVG(pv.e[pa.m * $PqSubDim + ii.i]), 6) AS val
+         |  FROM pa$t pa JOIN pv ON pa.vec_id = pv.vec_id
+         |  CROSS JOIN (SELECT unnest(range(1, ${PqSubDim + 1})) AS i) ii
+         |  GROUP BY 1, 2, 3),
+         |cb$t AS MATERIALIZED (
+         |  SELECT p.m, p.k, COALESCE(nw.c, p.c) AS c
+         |  FROM cb${t - 1} p LEFT JOIN (
+         |    SELECT m, code AS k, list(val ORDER BY i) AS c
+         |    FROM pm$t GROUP BY 1, 2) nw
+         |  ON p.m = nw.m AND p.k = nw.k)""".stripMargin
+    }.mkString(",\n")
+    val adcTerms = (0 until PqM).map { m =>
+      s"""(list_reduce(list_prepend(0.0, list_transform(range($PqSubDim),
+         |  i -> (q.qe[${m * PqSubDim} + i + 1] -
+         |        cba.cbs[${m + 1}][c.codes[${m + 1}] + 1][i+1]) *
+         |       (q.qe[${m * PqSubDim} + i + 1] -
+         |        cba.cbs[${m + 1}][c.codes[${m + 1}] + 1][i+1]))),
+         |  (x, y) -> x + y))""".stripMargin
+    }.mkString(" +\n")
+    s"""WITH pv AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |cb0 AS MATERIALIZED (
+       |  SELECT mm.m, iv.k,
+       |    iv.e[mm.m * $PqSubDim + 1 : mm.m * $PqSubDim + $PqSubDim] AS c
+       |  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k, e
+       |        FROM (SELECT vec_id, e FROM pv ORDER BY vec_id LIMIT $PqK)) iv
+       |  CROSS JOIN (SELECT CAST(unnest(range($PqM)) AS INT) AS m) mm),
+       |$iters,
+       |${assignCtes("F", s"cb$F")},
+       |pcodes AS MATERIALIZED (
+       |  SELECT vec_id, list(code ORDER BY m) AS codes FROM paF GROUP BY 1),
+       |cbl AS MATERIALIZED (
+       |  SELECT m, list(c ORDER BY k) AS cl FROM cb$F GROUP BY m),
+       |cba AS MATERIALIZED (SELECT list(cl ORDER BY m) AS cbs FROM cbl),
+       |pn AS MATERIALIZED (
+       |  SELECT pv.vec_id, pv.e,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(pv.e, x -> x * x)),
+       |      (a, b) -> a + b)) AS norm,
+       |    pcodes.codes
+       |  FROM pv JOIN pcodes ON pv.vec_id = pcodes.vec_id),
+       |adcp AS MATERIALIZED (
+       |  SELECT c.vec_id, q.query_id, c.e, c.norm, q.qe, q.qn,
+       |    $adcTerms AS adc
+       |  FROM pn c
+       |  CROSS JOIN (SELECT vec_id AS query_id, e AS qe, norm AS qn
+       |              FROM pn WHERE vec_id < $NumQueries) q
+       |  CROSS JOIN cba
+       |  WHERE c.vec_id <> q.query_id),
+       |cands AS MATERIALIZED (
+       |  SELECT vec_id, query_id, e, norm, qe, qn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc ASC, vec_id ASC) AS arank
+       |    FROM adcp) WHERE arank <= ${2 * TopK})
+       |${topkSql(
+      s"""SELECT query_id, vec_id,
+         |  ${dotSql("e", "qe")} / (norm * qn) AS cos_exact
+         |FROM cands""".stripMargin)}""".stripMargin
+  }
 
   private val prepSql =
     """v AS (
@@ -423,6 +607,7 @@ object SimilarityOps {
       s"""WITH $prepSql
          |SELECT ${bucketSql("e")} AS bucket, COUNT(*) AS n_vectors
          |FROM n GROUP BY 1 ORDER BY n_vectors DESC, bucket ASC LIMIT 100""".stripMargin,
+    "ann_pq_topk" -> pqSql,
     "ann_sq8_topk" ->
       s"""WITH $prepSql,
          |x AS (

@@ -76,6 +76,7 @@ class PlanSpec extends SparkSpec {
     "corpus_temperature_resample",                   // 1-row n_min broadcast
     "ann_recall_at_k",                               // embeds the brute-force baseline
     "ann_sq8_topk",                                  // quantized-scan demo (broadcast query side)
+    "ann_pq_topk",                                   // ADC scan (broadcast query side, like sq8)
   )
 
   test("no unintended cartesian or nested-loop joins across the suite") {

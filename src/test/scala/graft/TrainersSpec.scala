@@ -41,6 +41,15 @@ class TrainersSpec extends SparkSpec {
     assert(ivf.nonEmpty)
   }
 
+  test("ann_pq_topk: ADC candidates carry meaningful recall") {
+    val exact = SparkEntry.queries("ann_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = SparkEntry.queries("ann_pq_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.2, s"PQ recall@5 collapsed to $recall")
+  }
+
   test("a_bootstrap_ci: interval brackets the full-sample mean, lo <= hi") {
     val rows = SparkEntry.queries("a_bootstrap_ci")(spark, sf).collect()
     assert(rows.length == 5)
