@@ -598,6 +598,27 @@ object MLOps {
 
   val oracles: Map[String, String] = Map(
     "ml_kmeans" -> kmeansSql,
+    // the deterministic vocabulary is pure relational algebra (len >= 3,
+    // stopword-filtered, df >= 5, total order tf desc / word asc, 50k
+    // cap), so the CountVectorizerModel contents are oracle-checkable
+    // even though the model OBJECT isn't SQL
+    "u8_bow_vocabulary" -> {
+      val sw = graft.functions.Lexicons.stopwordsEn.toSeq.sorted
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+         |    FROM documents)
+         |  WHERE len(word) >= 3 AND word NOT IN ($sw)),
+         |v AS (
+         |  SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+         |  FROM tok GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 5)
+         |SELECT word,
+         |  CAST(row_number() OVER (ORDER BY tf DESC, word ASC) - 1 AS INT)
+         |    AS vocab_index
+         |FROM (SELECT * FROM v ORDER BY tf DESC, word ASC LIMIT 50000)
+         |ORDER BY word""".stripMargin
+    },
     "u6_npmi_windowed" ->
       s"""WITH $npmiWindowedCte
          |SELECT topic, ROUND(AVG(npmi), 6) AS npmi_coherence,
