@@ -371,6 +371,47 @@ object SimilarityOps {
       topkWithin(s, rescored)
     }),
 
+    // Matryoshka truncation sweep (Kusupati et al. 2022, "Matryoshka
+    // Representation Learning" — the modern serve-time trade-off: store
+    // full vectors, search a prefix): recall@5 of cosine top-5 computed
+    // on the first d dims against the full-dim baseline, for d ∈
+    // {8,16,32,64}. One explode carries all four truncations through a
+    // single corpus×query pass; truncated norms/dots are folds over
+    // sliced arrays, exact in both engines, so per-(d, query) rankings
+    // need no rounding. The 100 TB story: prefix search reads d/64 of
+    // the bytes — this query IS the eval that picks d.
+    "ann_matryoshka_recall" -> ((s, d) => {
+      import s.implicits._
+      val v = prepared(s, d)
+      val q = v.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"e".as("qe"), $"norm".as("qn"))
+      val wF = Window.partitionBy($"query_id").orderBy(desc("cos_full"), asc("vec_id"))
+      val exact = v.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .withColumn("cos_full", dot($"e", $"qe") / ($"norm" * $"qn"))
+        .withColumn("rank", row_number().over(wF))
+        .filter($"rank" <= TopK)
+        .select($"query_id".as("eq"), $"vec_id".as("ev"))
+      val truncDims = Seq(8, 16, 32, 64)
+      def tnorm(c: Column, dd: Column): Column =
+        sqrt(graft.functions.VecDot.vec_dot(slice(c, lit(1), dd), slice(c, lit(1), dd)))
+      val wT = Window.partitionBy($"dim", $"query_id")
+        .orderBy(desc("cos_t"), asc("vec_id"))
+      val trunc = v.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .select($"vec_id", $"e", $"query_id", $"qe",
+          explode(typedLit(truncDims)).as("dim"))
+        .withColumn("cos_t",
+          graft.functions.VecDot.vec_dot(slice($"e", lit(1), $"dim"), slice($"qe", lit(1), $"dim")) /
+            (tnorm($"e", $"dim") * tnorm($"qe", $"dim")))
+        .withColumn("rank", row_number().over(wT))
+        .filter($"rank" <= TopK)
+      trunc
+        .join(exact, $"query_id" === $"eq" && $"vec_id" === $"ev", "left")
+        .groupBy($"dim", $"query_id")
+        .agg((sum(when($"ev".isNotNull, 1).otherwise(0)).cast("double") / TopK).as("r"))
+        .groupBy($"dim").agg(round(avg($"r"), 6).as("recall_at_5"))
+        .orderBy("dim")
+    }),
+
     // Recall@k evaluation — the quality harness every approximate index
     // needs: join the LSH top-k against the exact top-k ground truth and
     // report per-query hit counts. At scale this runs on a sampled query
@@ -608,6 +649,40 @@ object SimilarityOps {
          |SELECT ${bucketSql("e")} AS bucket, COUNT(*) AS n_vectors
          |FROM n GROUP BY 1 ORDER BY n_vectors DESC, bucket ASC LIMIT 100""".stripMargin,
     "ann_pq_topk" -> pqSql,
+    "ann_matryoshka_recall" ->
+      s"""WITH $prepSql,
+         |q AS (SELECT vec_id AS query_id, e AS qe, norm AS qn
+         |      FROM n WHERE vec_id < $NumQueries),
+         |ex AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        ${dotSql("c.e", "q.qe")} / (c.norm * q.qn) DESC,
+         |        c.vec_id ASC) AS rank
+         |    FROM n c JOIN q ON c.vec_id <> q.query_id)
+         |  WHERE rank <= $TopK),
+         |tr AS (
+         |  SELECT dim, query_id, vec_id FROM (
+         |    SELECT dd.dim, q.query_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY dd.dim, q.query_id ORDER BY
+         |        list_reduce(list_prepend(0.0, list_transform(range(dd.dim),
+         |          i -> c.e[i+1] * q.qe[i+1])), (x, y) -> x + y) /
+         |        (sqrt(list_reduce(list_prepend(0.0,
+         |           list_transform(c.e[1:dd.dim], x -> x * x)), (a, b) -> a + b)) *
+         |         sqrt(list_reduce(list_prepend(0.0,
+         |           list_transform(q.qe[1:dd.dim], x -> x * x)), (a, b) -> a + b)))
+         |        DESC, c.vec_id ASC) AS rank
+         |    FROM n c JOIN q ON c.vec_id <> q.query_id
+         |    CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS dim) dd)
+         |  WHERE rank <= $TopK)
+         |SELECT dim, ROUND(AVG(r), 6) AS recall_at_5 FROM (
+         |  SELECT tr.dim, tr.query_id,
+         |    CAST(SUM(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / $TopK AS r
+         |  FROM tr LEFT JOIN ex
+         |    ON tr.query_id = ex.query_id AND tr.vec_id = ex.vec_id
+         |  GROUP BY 1, 2)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_sq8_topk" ->
       s"""WITH $prepSql,
          |x AS (

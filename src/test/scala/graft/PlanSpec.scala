@@ -77,6 +77,7 @@ class PlanSpec extends SparkSpec {
     "ann_recall_at_k",                               // embeds the brute-force baseline
     "ann_sq8_topk",                                  // quantized-scan demo (broadcast query side)
     "ann_pq_topk",                                   // ADC scan (broadcast query side, like sq8)
+    "ann_matryoshka_recall",                         // truncation eval embeds the brute-force baseline
   )
 
   test("no unintended cartesian or nested-loop joins across the suite") {
