@@ -93,6 +93,21 @@ object Relational {
         .orderBy($"doc_id")
     }),
 
+    // ORC source/sink roundtrip — the other columnar format a lakehouse
+    // speaks (Spark's built-in orc datasource: same pushdown/pruning
+    // machinery as parquet, ZLIB stripes). Content fidelity checked the
+    // s_jsonl way: md5 of the text column survives the format hop.
+    "s_orc_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val out = "target/tmp/s_orc_roundtrip"
+      documents(s, d).select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter($"n_chars" > 200)
+        .select($"doc_id", md5($"text").as("text_md5"), $"lang", $"source")
+        .orderBy($"doc_id")
+    }),
+
     // Training-shard writer: the sink shape of a pretraining-data dump —
     // deterministic shard assignment (doc_id % 16, stable across reruns,
     // unlike a range partitioner's sampled boundaries). repartition(16,
@@ -670,6 +685,9 @@ object Relational {
     "s_jsonl_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "s_orc_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source
+        |FROM documents WHERE n_chars > 200 ORDER BY doc_id""".stripMargin,
     "url_domain_filter" ->
       """WITH u AS (
         |  SELECT doc_id,
