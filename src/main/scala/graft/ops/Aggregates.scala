@@ -204,22 +204,38 @@ object Aggregates {
     // α = 0.5 both sides divide by 0.5^t, which cancels, leaving
     // Σ x_i·2^(d_i) / Σ 2^(d_i) over day-offsets d_i — every weight is an
     // exact power of two in IEEE, so the only cross-engine noise is
-    // summation order, absorbed by the rounding. Two running window sums
-    // per type — calendar-bounded frames, same posture as the other
-    // daily-series windows. (At multi-year spans 2^d overflows: re-anchor
-    // d per epoch — the α^t cancellation works from any anchor.)
+    // summation order, absorbed by the rounding.
+    //
+    // Overflow guard (unbounded spans): naive 2^t overflows to Inf past
+    // ~1024 days. Re-anchor per EPOCH of F=64 days instead: the frame is
+    // RANGE 63 PRECEDING (weights older than that are < 2^-63 relative —
+    // below double ulp, so truncation is exact at any rounding), and
+    // within a ≤64-day frame only the current epoch and its predecessor
+    // can appear, distinguishable by epoch PARITY. Weight of a frame row
+    // = 2^(t mod F) for same-parity rows, 2^(t mod F - F) for the other
+    // parity — all exponents in [-64, 63], every scale an exact power of
+    // two, and the common factor 2^(F·epoch) cancels in the ratio. Same
+    // two-conditional-sum form in the DuckDB oracle.
     "w_ewma_daily" -> ((s, d) => {
       import s.implicits._
+      val F = 64
       val byType = Window.partitionBy($"event_type")
-      val w = byType.orderBy($"day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wr = byType.orderBy($"t").rangeBetween(-(F - 1), 0)
+      def ew(par: Int, c: Column) =
+        sum(when($"pe" === par, c * pow(lit(2.0), $"r"))
+          .otherwise(lit(0.0))).over(wr)
+      val half = pow(lit(2.0), lit(-F))
       events(s, d)
         .withColumn("day", to_date($"ts"))
         .groupBy($"event_type", $"day").agg(avg($"value").as("x"))
         .withColumn("t", datediff($"day", min($"day").over(byType)))
-        .withColumn("ewma", round(
-          sum($"x" * pow(lit(2.0), $"t")).over(w) /
-            sum(pow(lit(2.0), $"t")).over(w), 6))
+        .withColumn("r", pmod($"t", lit(F)))
+        .withColumn("pe", pmod(floor($"t" / lit(F)), lit(2)))
+        .withColumn("num", when($"pe" === 0, ew(0, $"x") + ew(1, $"x") * half)
+          .otherwise(ew(1, $"x") + ew(0, $"x") * half))
+        .withColumn("den", when($"pe" === 0, ew(0, lit(1.0)) + ew(1, lit(1.0)) * half)
+          .otherwise(ew(1, lit(1.0)) + ew(0, lit(1.0)) * half))
+        .withColumn("ewma", round($"num" / $"den", 6))
         .select($"event_type", $"day", round($"x", 6).as("x"), $"ewma")
         .orderBy("event_type", "day")
     }),
@@ -754,12 +770,28 @@ object Aggregates {
         |b AS (
         |  SELECT event_type, day, x,
         |    date_diff('day', MIN(day) OVER (PARTITION BY event_type), day) AS t
-        |  FROM daily)
+        |  FROM daily),
+        |c AS (
+        |  SELECT event_type, day, x, t,
+        |    t % 64 AS r, (t // 64) % 2 AS pe
+        |  FROM b)
         |SELECT event_type, day, ROUND(x, 6) AS x,
-        |  ROUND(SUM(x * pow(2.0, t)) OVER w / SUM(pow(2.0, t)) OVER w, 6) AS ewma
-        |FROM b
-        |WINDOW w AS (PARTITION BY event_type ORDER BY day
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  ROUND(
+        |    (CASE WHEN pe = 0
+        |       THEN SUM(CASE WHEN pe = 0 THEN x * pow(2.0, r) ELSE 0.0 END) OVER w
+        |          + pow(2.0, -64) * SUM(CASE WHEN pe = 1 THEN x * pow(2.0, r) ELSE 0.0 END) OVER w
+        |       ELSE SUM(CASE WHEN pe = 1 THEN x * pow(2.0, r) ELSE 0.0 END) OVER w
+        |          + pow(2.0, -64) * SUM(CASE WHEN pe = 0 THEN x * pow(2.0, r) ELSE 0.0 END) OVER w
+        |     END) /
+        |    (CASE WHEN pe = 0
+        |       THEN SUM(CASE WHEN pe = 0 THEN pow(2.0, r) ELSE 0.0 END) OVER w
+        |          + pow(2.0, -64) * SUM(CASE WHEN pe = 1 THEN pow(2.0, r) ELSE 0.0 END) OVER w
+        |       ELSE SUM(CASE WHEN pe = 1 THEN pow(2.0, r) ELSE 0.0 END) OVER w
+        |          + pow(2.0, -64) * SUM(CASE WHEN pe = 0 THEN pow(2.0, r) ELSE 0.0 END) OVER w
+        |     END), 6) AS ewma
+        |FROM c
+        |WINDOW w AS (PARTITION BY event_type ORDER BY t
+        |             RANGE BETWEEN 63 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, day""".stripMargin,
     "w1_top_suppliers_per_nation" ->
       """WITH rev AS (

@@ -641,9 +641,11 @@ object DedupOps {
     // k ∝ √N clusters the quadratic term stays linear overall.
     // Centroids are one (label, pos) shuffle; pair + keep-rule joins
     // co-partition on label. Pair cosines are fold-exact both engines
-    // (VecDot vs list_reduce, same sequence); centroid similarities are
-    // rounded to 6dp BEFORE the keep-rule comparison so cross-engine
-    // avg() summation-order ulps can't flip the survivor choice.
+    // (VecDot vs list_reduce, same sequence); centroid COMPONENTS are
+    // rounded to 6dp at the avg() (the k-means/PQ trainer posture) and
+    // centroid similarities again BEFORE the keep-rule comparison, so
+    // cross-engine avg() summation-order ulps can't reach the cosine and
+    // flip the survivor choice even when a cs lands on a rounding edge.
     "dedup_semantic" -> ((s, d) => {
       import s.implicits._
       val Tau = 0.3
@@ -652,7 +654,7 @@ object DedupOps {
         .withColumn("norm", sqrt(graft.functions.VecDot.vec_dot($"e", $"e")))
         .select($"vec_id", $"label", $"e", $"norm")
       val cent = base.select($"label", posexplode($"e"))
-        .groupBy($"label", $"pos").agg(avg($"col").as("m"))
+        .groupBy($"label", $"pos").agg(round(avg($"col"), 6).as("m"))
         .groupBy($"label").agg(
           transform(array_sort(collect_list(struct($"pos", $"m"))),
             x => x.getField("m")).as("c"))
@@ -996,7 +998,7 @@ object DedupOps {
         |      (a, b) -> a + b)) AS norm
         |  FROM v),
         |cm AS (
-        |  SELECT label, i, AVG(x) AS m FROM (
+        |  SELECT label, i, ROUND(AVG(x), 6) AS m FROM (
         |    SELECT label, unnest(e) AS x, generate_subscripts(e, 1) AS i
         |    FROM n)
         |  GROUP BY 1, 2),

@@ -138,8 +138,11 @@ object GraphOps {
       val core = tradeEdges(s, d).filter($"src" =!= $"dst")
         .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"), $"w")
         .groupBy($"a", $"b").agg(sum($"w").cast("double").as("uw"))
+        // uw is decimal-exact; mw = avg() is summation-order-sensitive.
+        // Round BOTH to 6dp before the threshold so a cross-engine ulp in
+        // the mean can't flip membership of an edge sitting on it.
         .withColumn("mw", avg($"uw").over(Window.partitionBy()))
-        .filter($"uw" > $"mw")
+        .filter(round($"uw", 6) > round($"mw", 6))
         .select($"a", $"b")
       val und = core.union(core.select($"b".as("a"), $"a".as("b")))
         .localCheckpoint()
@@ -176,8 +179,9 @@ object GraphOps {
         .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"), $"w")
         .groupBy($"a", $"b").agg(sum($"w").cast("double").as("uw"))
       val core = e
+        // same 6dp-rounded threshold as graph_harmonic — see that op.
         .withColumn("mw", avg($"uw").over(Window.partitionBy()))
-        .filter($"uw" > $"mw")
+        .filter(round($"uw", 6) > round($"mw", 6))
         .select($"a", $"b")
       val e1 = core.select($"a".as("x"), $"b".as("y"))
       val e2 = core.select($"a".as("y2"), $"b".as("z"))
@@ -252,7 +256,7 @@ object GraphOps {
          |core AS MATERIALIZED (
          |  SELECT a, b FROM (
          |    SELECT a, b, uw, AVG(uw) OVER () AS mw FROM u0)
-         |  WHERE uw > mw),
+         |  WHERE ROUND(uw, 6) > ROUND(mw, 6)),
          |und AS MATERIALIZED (
          |  SELECT a, b FROM core UNION ALL SELECT b AS a, a AS b FROM core),
          |d0 AS MATERIALIZED (
@@ -292,7 +296,7 @@ object GraphOps {
          |core AS (
          |  SELECT a, b FROM (
          |    SELECT a, b, uw, AVG(uw) OVER () AS mw FROM u)
-         |  WHERE uw > mw),
+         |  WHERE ROUND(uw, 6) > ROUND(mw, 6)),
          |tri AS (
          |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
          |  FROM core e1

@@ -44,8 +44,15 @@ object TextOps {
     val wf = documents(s, d).select(explode(tokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       .as[(String, Long)].collect()
+    // Split per Unicode CODE POINT, not UTF-16 char: the encoder's
+    // regexp_replace("(.)") and both DuckDB oracles' string_split(word,'')
+    // are code-point-wise, so a surrogate-pair split here would diverge
+    // on any non-BMP text (emoji, CJK-B). One character definition for
+    // trainer, encoder, and oracle.
     var seqs: Array[(String, Long)] = wf.map { case (w, f) =>
-      (" " + w.map(_.toString).mkString(" ") + " </w> ", f)
+      val cps = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      (" " + cps.mkString(" ") + " </w> ", f)
     }
     val merges = Seq.newBuilder[(Int, String, Long)]
     for (r <- 1 to BpeRounds) {
