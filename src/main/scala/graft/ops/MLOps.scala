@@ -124,6 +124,7 @@ object MLOps {
     inputCache.values.foreach { case (_, vec) => vec.unpersist(blocking = true) }
     inputCache.clear()
     modelCache.clear()
+    emCache.clear()
   }
 
   /** (topic: string, word) rows for a fitted model's top-N topic words. */
@@ -233,6 +234,113 @@ object MLOps {
       }
     })
 
+  // ---- Relational EM LDA (the oracle-checkable twin of the MLlib fit) ----
+
+  /** Topic count / EM rounds / smoothing for the relational trainer.
+    * Priors are held in MICRO units (millionths) so every normalization
+    * divides exact integers: α = 0.1, β = 0.01.
+    */
+  val EmK = 4
+  val EmIters = 5
+  val EmAlphaMicro = 100000L
+  val EmBetaMicro = 10000L
+
+  /** (doc_id, word, n) counts over the deterministic df>=5 vocabulary —
+    * same token stream and bounds as the BoW vocabulary, but kept fully
+    * relational (the vocabulary is a broadcast-joined frame, never
+    * collected): the EM twin demonstrates the DISTRIBUTED trainer shape.
+    */
+  private def emCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = docTokens(s, d).select($"doc_id", explode($"toks").as("word"))
+    val vocab = toks.groupBy($"word")
+      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+      .filter($"df" >= 5)
+      .orderBy(desc("tf"), asc("word")).limit(50000)
+      .select("word")
+    toks.join(broadcast(vocab), "word")
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("n"))
+  }
+
+  /** (k, p) structs sorted by k → the k-ordered probability array; the
+    * fixed element order is what makes the per-(doc,word) K-fold in the
+    * E-step bit-identical to the oracle's list_reduce.
+    */
+  private def kArr(k: Column, p: Column): Column =
+    transform(array_sort(collect_list(struct(k, p))), x => x.getField("p"))
+
+  /** Fixed-iteration seeded MAP-EM for LDA (the smoothed-EM member of the
+    * estimator family in Asuncion et al. 2009, "On Smoothing and Inference
+    * for Topic Models"; reference anchor: topic_modeling.py:195-206 train,
+    * :251-254 argmax assign). Returns (phi, theta) after EmIters rounds:
+    * phi = (word, ph: array[K] of P(w|k)), theta = (doc_id, th: array[K]).
+    *
+    * Why this is cross-engine exact (the k-means/PQ/BPE posture, tightened):
+    *  - Init is INTEGER: word-topic seed weights 1000 + (polyhash(word)*31
+    *    + k*7919) mod 997; φ0 divides two exact integers. θ0 = 1/K exact.
+    *  - E-step per (doc, word): products θ_k·φ_k of identical doubles,
+    *    denominator folded 0.0+q_0+…+q_{K-1} in fixed k order (zip_with +
+    *    aggregate here, list(q ORDER BY k) + list_reduce in DuckDB), so
+    *    responsibilities are bit-identical.
+    *  - M-step sums over docs/words are the ONLY order-sensitive step:
+    *    each sum is quantized to an exact BIGINT in millionths
+    *    (round(sum·1e6)), and both normalizations then divide exact
+    *    integers — (s+β')/(Σs+Vβ') and (s+α')/(Σs+Kα') — so no float
+    *    noise survives a round, and the next E-step starts bit-identical.
+    *
+    * Scale: per round = one broadcast join of vocab-scale φ + two partial-
+    * aggregated shuffles (word×K, doc×K). θ is doc-scale DISTRIBUTED
+    * state (never collected — unlike the MLlib fit there is no
+    * single-partition constraint); localCheckpoint truncates the
+    * per-round lineage exactly like the PageRank/BFS iterations.
+    */
+  private val emCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  def ldaEmState(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    emCache.getOrElseUpdate((s, d), {
+      import s.implicits._
+      val dw = emCounts(s, d).localCheckpoint()
+      val nVocab = dw.select($"word").distinct().count()
+      val ks = 0 until EmK
+      var phi = dw.select($"word").distinct()
+        .select($"word", posexplode(array(ks.map(k =>
+          lit(1000L) + (graft.functions.PolyHash.poly_hash($"word") * 31
+            + k * 7919) % 997): _*)))
+        .toDF("word", "k", "wt")
+        .withColumn("p", $"wt".cast("double") /
+          sum($"wt").over(Window.partitionBy($"k")).cast("double"))
+        .groupBy($"word").agg(kArr($"k", $"p").as("ph"))
+        .localCheckpoint()
+      var theta = dw.select($"doc_id").distinct()
+        .select($"doc_id", array(ks.map(_ => lit(1.0 / EmK)): _*).as("th"))
+        .localCheckpoint()
+      for (_ <- 1 to EmIters) {
+        val resp = dw.join(theta, "doc_id").join(broadcast(phi), "word")
+          .withColumn("rl", zip_with($"th", $"ph", (a, b) => a * b))
+          .withColumn("den", aggregate($"rl", lit(0.0), (acc, x) => acc + x))
+          .select($"doc_id", $"word", $"n",
+            posexplode(transform($"rl", x => x / $"den")))
+          .toDF("doc_id", "word", "n", "k", "resp")
+          .withColumn("wk", $"n" * $"resp")
+        phi = resp.groupBy($"word", $"k")
+          .agg(round(sum($"wk") * 1e6, 0).cast("long").as("s"))
+          .withColumn("p", ($"s" + EmBetaMicro).cast("double") /
+            (sum($"s").over(Window.partitionBy($"k"))
+              + nVocab * EmBetaMicro).cast("double"))
+          .groupBy($"word").agg(kArr($"k", $"p").as("ph"))
+          .localCheckpoint()
+        theta = resp.groupBy($"doc_id", $"k")
+          .agg(round(sum($"wk") * 1e6, 0).cast("long").as("s"))
+          .withColumn("p", ($"s" + EmAlphaMicro).cast("double") /
+            (sum($"s").over(Window.partitionBy($"doc_id"))
+              + EmK * EmAlphaMicro).cast("double"))
+          .groupBy($"doc_id").agg(kArr($"k", $"p").as("th"))
+          .localCheckpoint()
+      }
+      (phi, theta)
+    })
+
   /** K-means config (ml_kmeans + its unrolled oracle). */
   val KmK = 8
   val KmIters = 3
@@ -313,6 +421,36 @@ object MLOps {
         .withColumn("cnorm",
           element_at(typedLit((0 until KmK).map(cnorms)), $"cid" + 1))
         .orderBy("cid")
+    }),
+
+    // U5 twin (oracle-checked): topic top-words from the relational
+    // MAP-EM trainer — the u5_lda_topics shape with a DuckDB-replayable
+    // training loop (see ldaEmState for the exactness argument).
+    "lda_em_topics" -> ((s, d) => {
+      import s.implicits._
+      val (phi, _) = ldaEmState(s, d)
+      val w = Window.partitionBy($"k").orderBy(desc("p"), asc("word"))
+      phi.select($"word", posexplode($"ph")).toDF("word", "k", "p")
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= TopWords)
+        .select($"k".cast("int").as("topic_id"), $"rank", $"word",
+          round($"p", 6).as("weight"))
+        .orderBy("topic_id", "rank")
+    }),
+
+    // U5+A7 twin (oracle-checked): per-doc dominant topic from the
+    // relational trainer's θ, aggregated to the topic histogram —
+    // the u5_lda_doc_topics shape. Ties break on the lower topic id.
+    "lda_em_doc_topics" -> ((s, d) => {
+      import s.implicits._
+      val (_, theta) = ldaEmState(s, d)
+      val w = Window.partitionBy($"doc_id").orderBy(desc("p"), asc("k"))
+      theta.select($"doc_id", posexplode($"th")).toDF("doc_id", "k", "p")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .groupBy($"k".cast("int").as("main_topic"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("main_topic")
     }),
 
     // U8/A11: the learned vocabulary with corpus counts (deterministic
@@ -588,6 +726,75 @@ object MLOps {
        |    FROM v CROSS JOIN c$KmIters c) WHERE rn = 1)""".stripMargin
   }
 
+  /** The EM-LDA CTE chain, unrolled EmIters times — shared by both
+    * lda_em_* oracles. Mirrors ldaEmState step for step; the per-(doc,
+    * word) denominator folds list(q ORDER BY k) left-to-right from 0.0,
+    * matching Spark's zip_with + aggregate element order.
+    */
+  private val ldaEmCtesSql: String = {
+    val iters = (1 to EmIters).map { t =>
+      s"""j$t AS (
+         |  SELECT dw.doc_id, dw.word, dw.n, th.k, th.p * ph.p AS q
+         |  FROM dw
+         |  JOIN th${t - 1} th ON th.doc_id = dw.doc_id
+         |  JOIN ph${t - 1} ph ON ph.word = dw.word AND ph.k = th.k),
+         |den$t AS (
+         |  SELECT doc_id, word,
+         |    list_reduce(list_prepend(0.0, list(q ORDER BY k)),
+         |      (a, b) -> a + b) AS den
+         |  FROM j$t GROUP BY 1, 2),
+         |r$t AS MATERIALIZED (
+         |  SELECT j.doc_id, j.word, j.k, j.n * (j.q / d.den) AS wk
+         |  FROM j$t j JOIN den$t d
+         |    ON j.doc_id = d.doc_id AND j.word = d.word),
+         |skw$t AS (
+         |  SELECT k, word, CAST(ROUND(SUM(wk) * 1000000.0) AS BIGINT) AS s
+         |  FROM r$t GROUP BY 1, 2),
+         |ph$t AS MATERIALIZED (
+         |  SELECT k, word, CAST(s + $EmBetaMicro AS DOUBLE) /
+         |    CAST(SUM(s) OVER (PARTITION BY k)
+         |         + (SELECT v FROM nv) * $EmBetaMicro AS DOUBLE) AS p
+         |  FROM skw$t),
+         |sdk$t AS (
+         |  SELECT doc_id, k, CAST(ROUND(SUM(wk) * 1000000.0) AS BIGINT) AS s
+         |  FROM r$t GROUP BY 1, 2),
+         |th$t AS MATERIALIZED (
+         |  SELECT doc_id, k, CAST(s + $EmAlphaMicro AS DOUBLE) /
+         |    CAST(SUM(s) OVER (PARTITION BY doc_id)
+         |         + $EmK * $EmAlphaMicro AS DOUBLE) AS p
+         |  FROM sdk$t)""".stripMargin
+    }.mkString(",\n")
+    s"""sw(word) AS (VALUES ${Lexicons.stopwordsEnSqlValues}),
+       |tok AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest($tokensSql) AS word FROM documents)
+       |  WHERE len(word) >= 3 AND word NOT IN (SELECT word FROM sw)),
+       |vdf AS (
+       |  SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+       |  FROM tok GROUP BY 1),
+       |vocab AS MATERIALIZED (
+       |  SELECT word FROM vdf WHERE df >= 5
+       |  ORDER BY tf DESC, word ASC LIMIT 50000),
+       |nv AS (SELECT COUNT(*) AS v FROM vocab),
+       |dw AS MATERIALIZED (
+       |  SELECT doc_id, tok.word, COUNT(*) AS n
+       |  FROM tok JOIN vocab ON tok.word = vocab.word GROUP BY 1, 2),
+       |ks AS (SELECT CAST(unnest(range($EmK)) AS BIGINT) AS k),
+       |w0 AS (
+       |  SELECT k, word,
+       |    1000 + (${graft.ops.DedupOps.polyHashSql("word")} * 31
+       |            + k * 7919) % 997 AS wt
+       |  FROM vocab CROSS JOIN ks),
+       |ph0 AS MATERIALIZED (
+       |  SELECT k, word, CAST(wt AS DOUBLE) /
+       |    CAST(SUM(wt) OVER (PARTITION BY k) AS DOUBLE) AS p
+       |  FROM w0),
+       |th0 AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, k, CAST(1 AS DOUBLE) / $EmK AS p
+       |  FROM dw CROSS JOIN ks),
+       |$iters""".stripMargin
+  }
+
   private val kmeansSql: String =
     s"""WITH $kmeansCtesSql
        |SELECT fin.cid, COUNT(*) AS n, ROUND(SUM(d), 6) AS inertia,
@@ -598,6 +805,24 @@ object MLOps {
 
   val oracles: Map[String, String] = Map(
     "ml_kmeans" -> kmeansSql,
+    "lda_em_topics" ->
+      s"""WITH $ldaEmCtesSql
+         |SELECT topic_id, rank, word, weight FROM (
+         |  SELECT CAST(k AS INT) AS topic_id,
+         |    row_number() OVER (PARTITION BY k ORDER BY p DESC, word ASC)
+         |      AS rank,
+         |    word, ROUND(p, 6) AS weight
+         |  FROM ph$EmIters)
+         |WHERE rank <= $TopWords
+         |ORDER BY topic_id, rank""".stripMargin,
+    "lda_em_doc_topics" ->
+      s"""WITH $ldaEmCtesSql
+         |SELECT main_topic, COUNT(*) AS n_docs FROM (
+         |  SELECT doc_id, CAST(k AS INT) AS main_topic,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY p DESC, k ASC)
+         |      AS rn
+         |  FROM th$EmIters)
+         |WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     // the deterministic vocabulary is pure relational algebra (len >= 3,
     // stopword-filtered, df >= 5, total order tf desc / word asc, 50k
     // cap), so the CountVectorizerModel contents are oracle-checkable

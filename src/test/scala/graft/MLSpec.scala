@@ -22,6 +22,37 @@ class MLSpec extends SparkSpec {
     assert(sum == total)
   }
 
+  test("relational EM-LDA retrains to identical topics (seeded, no cache)") {
+    val q = SparkEntry.queries("lda_em_topics")
+    val a = q(spark, sf).collect().map(_.toSeq).toSeq
+    graft.ops.MLOps.clear() // drop the cached (phi, theta) — force a full retrain
+    val b = q(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+    assert(a.length == graft.ops.MLOps.EmK * graft.ops.MLOps.TopWords)
+    val ranks = a.map(r => (r(0), r(1)))
+    assert(ranks.distinct.length == a.length)
+  }
+
+  test("relational EM-LDA theta rows are normalized distributions") {
+    import org.apache.spark.sql.functions._
+    val (_, theta) = graft.ops.MLOps.ldaEmState(spark, sf)
+    val bad = theta
+      .select(aggregate($"th", lit(0.0), (a, x) => a + x).as("tot"),
+        array_min($"th").as("mn"))
+      .filter(abs($"tot" - 1.0) > 1e-4 || $"mn" < 0.0)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("relational EM-LDA doc-topic histogram covers every modeled doc") {
+    import org.apache.spark.sql.functions._
+    val (_, theta) = graft.ops.MLOps.ldaEmState(spark, sf)
+    val modeled = theta.count()
+    val histSum = SparkEntry.queries("lda_em_doc_topics")(spark, sf)
+      .agg(sum($"n_docs")).as[Long].collect().head
+    assert(histSum == modeled && modeled > 0)
+  }
+
   test("vocabulary respects minDF bound") {
     import org.apache.spark.sql.functions._
     val vocab = SparkEntry.queries("u8_bow_vocabulary")(spark, sf)

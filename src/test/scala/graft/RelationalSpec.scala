@@ -82,7 +82,8 @@ class RelationalSpec extends SparkSpec {
       "text_bpe_merges", "a_hll_probe", "sink_zorder_layout",
       "ml_kmeans", "ann_ivf_kmeans_topk", "a_bootstrap_ci",
       "text_lm_backoff", "text_bpe_encode", "graph_harmonic",
-      "ann_pq_topk", "ann_matryoshka_recall").foreach { name =>
+      "ann_pq_topk", "ann_matryoshka_recall", "lda_em_topics",
+      "lda_em_doc_topics").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
