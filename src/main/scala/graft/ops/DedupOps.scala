@@ -542,6 +542,65 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
+    // EXACT substring dedup (Lee et al.'s ExactSubstr variant): the
+    // windowed op above flags that a doc shares 20-token windows; this
+    // one recovers the LONGEST exactly-duplicated token span per doc
+    // pair, with its start offsets — the suffix-array result expressed
+    // as sorted-k-gram extension. Two matched windows at positions
+    // (p1, p2) and (p1+1, p2+1) extend the same span, so every maximal
+    // duplicated span of length L is a maximal run of L−W+1 consecutive
+    // matches on one DIAGONAL p1−p2; runs fall out of the classic
+    // gaps-and-islands trick (island = p1 − row_number ordered by p1),
+    // no iteration, no per-token comparison. Scale shape: the pair join
+    // is DF-BOUNDED (windows held by 2..10 docs, winnowing's discipline
+    // — corpus-wide boilerplate can't go quadratic), runs group on
+    // (pair, diagonal) — dup-multiplicity-sized partitions; this is the
+    // relational stand-in for distributed suffix-array construction,
+    // with the k-gram index playing the LCP-bucket role. PolyHash
+    // windows, so a "match" is mod-1e9+7 hash equality — a false
+    // single-window match is ~1e-9 and a false EXTENDED run is ~1e-18
+    // per candidate; the verify-exactly pass of the paper is a
+    // per-span substring compare, candidate-bounded, omitted here and
+    // in the oracle alike. Same planted half-doc copies as
+    // dedup_substring_spans; spans shorter than 25 tokens are noise-
+    // suppressed from the report.
+    "dedup_substring_exact" -> ((s, d) => {
+      import s.implicits._
+      val W = 20
+      val tokd = documents(s, d).select($"doc_id", toks($"text").as("tk"))
+      val halves = tokd.filter($"doc_id" % 50 === 0)
+        .select(($"doc_id" + 2000000).as("doc_id"),
+          slice($"tk", lit(1), floor(size($"tk") / 2).cast("int")).as("tk"))
+      val wins = tokd.union(halves)
+        .withColumn("n", size($"tk"))
+        .filter($"n" >= W)
+        .select($"doc_id", posexplode(
+          transform(sequence(lit(0), $"n" - W),
+            i => polyHash(concat_ws(" ", slice($"tk", i + 1, lit(W)))))))
+        .toDF("doc_id", "p", "h")
+      val bounded = wins.join(
+        wins.groupBy($"h").agg(countDistinct($"doc_id").as("df"))
+          .filter($"df" >= 2 && $"df" <= 10).select($"h"), "h")
+      val m = bounded.toDF("h", "d1", "p1")
+        .join(bounded.toDF("h", "d2", "p2"), "h")
+        .filter($"d1" < $"d2")
+        .select($"d1", $"d2", $"p1", $"p2", ($"p1" - $"p2").as("diag"))
+      val wRun = Window.partitionBy($"d1", $"d2", $"diag").orderBy($"p1")
+      val runs = m
+        .withColumn("isl", $"p1" - row_number().over(wRun))
+        .groupBy($"d1", $"d2", $"diag", $"isl")
+        .agg(count(lit(1)).as("nwin"), min($"p1").as("s1"), min($"p2").as("s2"))
+        .withColumn("span_tokens", $"nwin" + (W - 1))
+      val wPair = Window.partitionBy($"d1", $"d2")
+        .orderBy(desc("span_tokens"), asc("s1"), asc("s2"))
+      runs
+        .withColumn("rk", row_number().over(wPair))
+        .filter($"rk" === 1 && $"span_tokens" >= W + 5)
+        .select($"d1", $"d2", $"span_tokens",
+          $"s1".as("d1_start"), $"s2".as("d2_start"))
+        .orderBy("d1", "d2")
+    }),
+
     // Winnowing fingerprints (Schleimer et al., the MOSS algorithm): per
     // doc, 5-gram rolling hashes, then the MINIMUM hash of each window
     // of 4 consecutive grams is selected — guaranteeing any shared run
@@ -958,6 +1017,38 @@ object DedupOps {
          |SELECT doc_id, n_windows, n_shared,
          |  ROUND(n_shared * 1.0 / n_windows, 6) AS shared_ratio
          |FROM pd JOIN fd USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "dedup_substring_exact" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |h0 AS (
+         |  SELECT doc_id + 2000000 AS doc_id, tk[1:len(tk)//2] AS tk
+         |  FROM t WHERE doc_id % 50 = 0),
+         |a AS (SELECT * FROM t UNION ALL SELECT * FROM h0),
+         |w AS MATERIALIZED (
+         |  SELECT doc_id, i AS p,
+         |    ${polyHashSql("array_to_string(tk[(i+1):(i+20)], ' ')")} AS h
+         |  FROM (SELECT doc_id, tk, unnest(range(len(tk) - 19)) AS i
+         |        FROM a WHERE len(tk) >= 20)),
+         |bnd AS (
+         |  SELECT h FROM w GROUP BY h
+         |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 10),
+         |b AS MATERIALIZED (SELECT doc_id, p, h FROM w JOIN bnd USING (h)),
+         |m AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2, x.p AS p1, y.p AS p2,
+         |    x.p - y.p AS diag
+         |  FROM b x JOIN b y ON x.h = y.h AND x.doc_id < y.doc_id),
+         |runs AS (
+         |  SELECT d1, d2, diag, isl, COUNT(*) + 19 AS span_tokens,
+         |    MIN(p1) AS s1, MIN(p2) AS s2
+         |  FROM (SELECT *, p1 - row_number() OVER (
+         |          PARTITION BY d1, d2, diag ORDER BY p1) AS isl FROM m)
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT d1, d2, span_tokens, d1_start, d2_start FROM (
+         |  SELECT d1, d2, span_tokens, s1 AS d1_start, s2 AS d2_start,
+         |    row_number() OVER (PARTITION BY d1, d2
+         |      ORDER BY span_tokens DESC, s1 ASC, s2 ASC) AS rk
+         |  FROM runs)
+         |WHERE rk = 1 AND span_tokens >= 25
+         |ORDER BY d1, d2""".stripMargin,
     "dedup_contamination" ->
       s"""WITH $shingleCte,
          |bench AS (SELECT DISTINCT sh FROM e WHERE doc_id % 97 = 0),

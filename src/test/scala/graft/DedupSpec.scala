@@ -197,6 +197,40 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("exact substring dedup: spans are truly exact and halves fully recovered") {
+    val rows = SparkEntry.queries("dedup_substring_exact")(spark, sf)
+      .as[(Long, Long, Long, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    // rebuild the exact token corpus (originals + planted halves)
+    val toks = graft.ops.Tables.documents(spark, sf)
+      .select($"doc_id", filter(split(lower($"text"), "\\s+"),
+        t => length(t) > 0).as("tk"))
+      .as[(Long, Seq[String])].collect().toMap
+    def tk(id: Long): Seq[String] =
+      if (id >= 2000000) { val t = toks(id - 2000000); t.take(t.length / 2) }
+      else toks(id)
+    // every reported span is an exact token-for-token duplicate — the
+    // paper's verify-exactly pass, run as the test oracle
+    rows.foreach { case (d1, d2, span, s1, s2) =>
+      assert(span >= 25)
+      val a = tk(d1).slice(s1, s1 + span.toInt)
+      val b = tk(d2).slice(s2, s2 + span.toInt)
+      assert(a.length == span && a == b, s"span ($d1,$d2) not an exact dup")
+    }
+    // every planted half long enough to clear the 25-token report floor
+    // is recovered at FULL half length, anchored at offset 0 of both
+    val pairs = rows.map(r => (r._1, r._2) -> r).toMap
+    toks.keys.filter(id => id % 50 == 0 && toks(id).length / 2 >= 25)
+      .foreach { id =>
+        val half = toks(id).length / 2
+        val hit = pairs.get((id, id + 2000000))
+        assert(hit.nonEmpty, s"planted pair for doc $id missing")
+        val (_, _, span, s1, s2) = hit.get
+        assert(span == half && s1 == 0 && s2 == 0,
+          s"doc $id: expected full-half span $half, got $span@($s1,$s2)")
+      }
+  }
+
   test("simhash near-dup candidates cover most true near-dup pairs") {
     val truePairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
