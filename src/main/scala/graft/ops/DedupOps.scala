@@ -231,6 +231,62 @@ object DedupOps {
     labels
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the web-scale upgrade of the pointer-jumping helper
+    * above. Pointer jumping needs O(diameter) label-relax rounds before
+    * the doubling kicks in and keeps a full |V| label table live per
+    * round; the star algorithm rewrites the EDGE set itself and provably
+    * converges in O(log² n) rounds on ANY topology, skewed components
+    * included. Each round is two self-contained map-reduce steps:
+    *   large-star: every node attaches its strictly-larger neighbors to
+    *     the minimum of its closed neighborhood (each undirected edge is
+    *     processed from its smaller endpoint — connectivity-preserving);
+    *   small-star: every node attaches its smaller-or-equal neighbors
+    *     and itself to the minimum of the smaller neighborhood.
+    * Both are one groupBy(min) + one equi-join on the candidate-scale
+    * edge list; at convergence the edges ARE the component stars
+    * (node → component-min), so labels read off without a closure pass.
+    */
+  def ccStars(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val p = pairs.toDF("d1", "d2").filter($"d1" =!= $"d2")
+    val nodes = p.select($"d1".as("node"))
+      .union(p.select($"d2".as("node"))).distinct().localCheckpoint()
+    // orientation invariant: u > v on every stored edge
+    var edges = p
+      .select(greatest($"d1", $"d2").as("u"), least($"d1", $"d2").as("v"))
+      .distinct().localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 50) {
+      val sym = edges.select($"u".as("x"), $"v".as("y"))
+        .union(edges.select($"v".as("x"), $"u".as("y")))
+      val mLarge = sym.groupBy($"x").agg(min($"y").as("mn"))
+        .select($"x", least($"mn", $"x").as("m"))
+      // (y, m_x) for y > x: each edge re-emitted from its smaller
+      // endpoint, pointed at that endpoint's closed-neighborhood min;
+      // y > x >= m, so the u > v orientation is preserved for free.
+      val large = sym.filter($"y" > $"x").join(mLarge, "x")
+        .select($"y".as("u"), $"m".as("v")).distinct()
+      val mSmall = large.groupBy($"u").agg(min($"v").as("m"))
+      val small = large.join(mSmall, "u")
+        .select($"v".as("node"), $"m")
+        .union(mSmall.select($"u".as("node"), $"m"))
+        .filter($"node" =!= $"m")
+        .select($"node".as("u"), $"m".as("v"))
+        .distinct().localCheckpoint()
+      // converged ⟺ the small-star output is the same edge set:
+      // |AΔB| = 2|A∪B| − |A| − |B| (both sides are distinct sets)
+      val union = small.union(edges).distinct().count()
+      changed = 2 * union - small.count() - edges.count()
+      edges = small
+      iters += 1
+    }
+    nodes.join(edges.toDF("node", "lbl"), Seq("node"), "left")
+      .select($"node", coalesce($"lbl", $"node").as("lbl"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on md5(text), keep lowest doc_id. Input is
     // the corpus unioned with re-keyed copies of every 100th doc, so the
@@ -463,6 +519,21 @@ object DedupOps {
       import s.implicits._
       val pairs = queries("dedup_ngram_jaccard")(s, d).select($"d1", $"d2")
       connectedComponents(s, pairs)
+        .toDF("doc_id", "cluster_rep")
+        .withColumn("is_survivor", $"doc_id" === $"cluster_rep")
+        .orderBy("doc_id")
+    }),
+
+    // Same resolution computed by the alternating large-star/small-star
+    // algorithm (see ccStars) — bitwise-identical output to
+    // dedup_cluster_reps by construction (both assign the component
+    // minimum), differentially proven by the shared oracle; the spec
+    // additionally pits both against a local union-find on a planted
+    // high-diameter chain, the topology where pointer jumping is weakest.
+    "dedup_cluster_reps_star" -> ((s, d) => {
+      import s.implicits._
+      val pairs = queries("dedup_ngram_jaccard")(s, d).select($"d1", $"d2")
+      ccStars(s, pairs)
         .toDF("doc_id", "cluster_rep")
         .withColumn("is_survivor", $"doc_id" === $"cluster_rep")
         .orderBy("doc_id")
@@ -787,6 +858,28 @@ object DedupOps {
        |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
        |ORDER BY d1, d2""".stripMargin
 
+  /** Transitive closure over the >=0.8-Jaccard pairs with min-label
+    * components — the shared oracle for both CC implementations.
+    */
+  private val clusterRepsSql =
+    s"""WITH RECURSIVE $shingleCte,
+       |jp AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+       |    FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) p
+       |  JOIN sz sa ON d1 = sa.doc_id
+       |  JOIN sz sb ON d2 = sb.doc_id
+       |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8),
+       |ed AS (SELECT d1 AS a, d2 AS b FROM jp UNION SELECT d2, d1 FROM jp),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM ed UNION SELECT a, a FROM ed
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a)
+       |SELECT a AS doc_id, MIN(b) AS cluster_rep,
+       |  (a = MIN(b)) AS is_survivor
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH all_docs AS (
@@ -980,24 +1073,10 @@ object DedupOps {
          |SELECT s1, s2, COUNT(*) AS n_pairs, (s1 <> s2) AS leaks
          |FROM sp GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
     },
-    "dedup_cluster_reps" ->
-      s"""WITH RECURSIVE $shingleCte,
-         |jp AS (
-         |  SELECT d1, d2 FROM (
-         |    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-         |    FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |    GROUP BY 1, 2) p
-         |  JOIN sz sa ON d1 = sa.doc_id
-         |  JOIN sz sb ON d2 = sb.doc_id
-         |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8),
-         |ed AS (SELECT d1 AS a, d2 AS b FROM jp UNION SELECT d2, d1 FROM jp),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM ed UNION SELECT a, a FROM ed
-         |  UNION
-         |  SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a)
-         |SELECT a AS doc_id, MIN(b) AS cluster_rep,
-         |  (a = MIN(b)) AS is_survivor
-         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_reps" -> clusterRepsSql,
+    // the star-algorithm variant computes the SAME resolution — one
+    // recursive-CTE transitive-closure twin serves both
+    "dedup_cluster_reps_star" -> clusterRepsSql,
     "dedup_substring_spans" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |h0 AS (

@@ -146,6 +146,28 @@ class DedupSpec extends SparkSpec {
       Seq((1000L, 1000L), (1001L, 1000L), (1002L, 1000L))).toSet)
   }
 
+  test("large-star/small-star CC matches pointer jumping on adversarial chains") {
+    // the high-diameter path is exactly where the star algorithm earns
+    // its keep: edge rewriting halves the diameter every other round
+    val chain = (0L until 200L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val got = DedupOps.ccStars(spark, chain.toDF("d1", "d2"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == (0L until 200L).map(n => (n, 0L)).toSet)
+    // two chains + an isolated edge resolve to their own minima
+    val two = chain ++ Seq((1000L, 1001L), (1001L, 1002L), (7L, 3L))
+    val got2 = DedupOps.ccStars(spark, two.toDF("d1", "d2"))
+      .as[(Long, Long)].collect().toSet
+    val want2 = DedupOps.connectedComponents(spark, two.toDF("d1", "d2"))
+      .as[(Long, Long)].collect().toSet
+    assert(got2 == want2)
+    // and the two engine queries agree row for row on the real pairs
+    val a = SparkEntry.queries("dedup_cluster_reps")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("dedup_cluster_reps_star")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("cluster reps equal a union-find over the same near-dup pairs") {
     val pairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
       .select($"d1", $"d2").as[(Long, Long)].collect()
