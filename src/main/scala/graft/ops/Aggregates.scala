@@ -575,6 +575,67 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // Quantile sketch built RELATIONALLY and oracle-checked exactly (the
+    // KLL/MRL compactor family, same conversion the HLL and Count-Min
+    // sketches got; a_approx_stats stays as the built-in-sketch
+    // showcase). A KLL compaction sorts a full buffer and keeps
+    // alternating items at doubled weight; repeating until ≤ k survive
+    // is the one-shot batch equivalent. The parity each round comes from
+    // the portable hash of (key, round) — KLL's randomized-parity
+    // debiasing without RNG. The trick that keeps this ONE data pass:
+    // alternating selection composes, so after r rounds the survivors
+    // are exactly the ranks ≡ c (mod 2^r), and (c, 2^r, survivor count)
+    // evolve by integer recurrences on the per-key COUNT alone. The
+    // compaction schedule is therefore computed on the key-cardinality
+    // table (model-scale, broadcast back), and the data pays one keyed
+    // sort-shuffle + a modular filter. Estimates are raw input values
+    // (order statistics) selected by integer rank comparisons — zero
+    // float arithmetic end to end, so the DuckDB replay is bit-exact.
+    // Capacity: Rounds=12 halvings ⇒ exact up to k·2^12 ≈ 262k rows per
+    // key; beyond that survivors stay ≤ 2k with the same guarantees
+    // after raising Rounds. Rank error ≤ 2^r/2 ≈ n/(2k) — bounds
+    // asserted against exact percentiles in MGSpec.
+    "a_quantile_sketch" -> ((s, d) => {
+      import s.implicits._
+      val K = 64L
+      val Rounds = 12
+      val wKey = Window.partitionBy($"event_type")
+      val base = events(s, d)
+        .select($"event_type", $"value", $"event_id".cast("long").as("eid"))
+        .withColumn("rn", row_number().over(wKey.orderBy($"value", $"eid")))
+        .withColumn("cnt0", count(lit(1)).over(wKey))
+      // per-key compaction schedule: c (smallest surviving rank), m (the
+      // rank modulus = 2^active rounds), ns (survivor count) — integer
+      // recurrences over the 1-row-per-key count table. Each round is a
+      // PROJECTION on that tiny frame (not a nested column expression:
+      // ns feeds three branches per round, so an expression-tree unroll
+      // is 3^Rounds nodes — measured OOM at 12 rounds).
+      var sched = base.groupBy($"event_type").agg(max($"cnt0").as("ns"))
+        .select($"event_type", lit(1L).as("c"), lit(1L).as("m"), $"ns")
+      for (j <- 1 to Rounds) {
+        val p = pmod(graft.functions.PolyHash.poly_hash(
+          concat($"event_type", lit("#"), lit(j.toString))), lit(2L))
+        sched = sched
+          .withColumn("act", $"ns" > K)
+          .withColumn("p", p)
+          .select($"event_type",
+            when($"act" && $"p" === 0, $"c" + $"m").otherwise($"c").as("c"),
+            when($"act", $"m" * 2).otherwise($"m").as("m"),
+            when($"act", when($"p" === 1, floor(($"ns" + 1) / 2).cast("long"))
+              .otherwise(floor($"ns" / 2).cast("long")))
+              .otherwise($"ns").as("ns"))
+      }
+      val surv = base.join(broadcast(sched), "event_type")
+        .filter(pmod($"rn" - $"c", $"m") === 0)
+        .withColumn("i", row_number().over(wKey.orderBy($"value", $"eid")))
+      surv.groupBy($"event_type").agg(
+        max($"cnt0").as("n_rows"),
+        max($"ns").as("n_sketch"),
+        min(when(lit(2) * $"i" >= $"ns", $"value")).as("est_p50"),
+        min(when(lit(20) * $"i" >= lit(19) * $"ns", $"value")).as("est_p95"))
+        .orderBy("event_type")
+    }),
+
     "a_approx_stats" -> ((s, d) => {
       import s.implicits._
       events(s, d)
@@ -731,6 +792,43 @@ object Aggregates {
          |  ANY_VALUE(ci_lo) AS ci_lo, ANY_VALUE(ci_hi) AS ci_hi
          |FROM events JOIN ci ON events.event_type = ci.event_type
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_quantile_sketch" -> {
+      val rounds = (1 to 12).map { j =>
+        val p = graft.ops.DedupOps.polyHashSql(s"event_type || '#' || '$j'") + " % 2"
+        s"""s$j AS (
+           |  SELECT event_type, ($p) AS p, n > 64 AS act, c, m, n
+           |  FROM t${j - 1}),
+           |t$j AS (
+           |  SELECT event_type,
+           |    CASE WHEN act AND p = 0 THEN c + m ELSE c END AS c,
+           |    CASE WHEN act THEN m * 2 ELSE m END AS m,
+           |    CASE WHEN act THEN
+           |      CASE WHEN p = 1 THEN (n + 1) // 2 ELSE n // 2 END
+           |    ELSE n END AS n
+           |  FROM s$j)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT event_type, value, event_id,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY value, event_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS cnt0
+         |  FROM events),
+         |t0 AS (
+         |  SELECT event_type, CAST(1 AS BIGINT) AS c, CAST(1 AS BIGINT) AS m,
+         |    MAX(cnt0) AS n
+         |  FROM base GROUP BY 1),
+         |$rounds
+         |,surv AS (
+         |  SELECT b.event_type, b.value, b.cnt0, s.n AS ns,
+         |    row_number() OVER (PARTITION BY b.event_type
+         |      ORDER BY b.value, b.event_id) AS i
+         |  FROM base b JOIN t12 s USING (event_type)
+         |  WHERE (b.rn - s.c) % s.m = 0)
+         |SELECT event_type, MAX(cnt0) AS n_rows, MAX(ns) AS n_sketch,
+         |  MIN(CASE WHEN 2 * i >= ns THEN value END) AS est_p50,
+         |  MIN(CASE WHEN 20 * i >= 19 * ns THEN value END) AS est_p95
+         |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "a_hll_probe" ->
       s"""WITH b AS (
          |  SELECT event_type,

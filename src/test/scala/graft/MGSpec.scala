@@ -83,6 +83,32 @@ class MGSpec extends SparkSpec {
     assert(rows.exists { case (_, t, est) => est > t }, "no collisions — sketch too wide to test anything")
   }
 
+  test("quantile sketch: rank error within the compaction bound") {
+    import org.apache.spark.sql.functions._
+    val est = SparkEntry.queries("a_quantile_sketch")(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(est.nonEmpty)
+    val vals = graft.ops.Tables.events(spark, sf)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    est.foreach { case (tpe, nRows, nSketch, p50, p95) =>
+      val v = vals(tpe)
+      assert(nRows == v.length)
+      // survivor count stayed within the k..2k compactor band
+      assert(nSketch >= 32 && nSketch <= 128)
+      // each estimate's TRUE rank must sit within n/(2k)·rounds of its
+      // target — use the loose practical bound 5% of n (k=64 ⇒ ~1.6%
+      // per the halving-error sum, headroom for parity drift)
+      def rankOf(x: Double): Long = v.count(_ <= x)
+      assert(math.abs(rankOf(p50) - 0.5 * nRows) <= 0.05 * nRows,
+        s"$tpe p50 rank off: ${rankOf(p50)} vs ${0.5 * nRows}")
+      assert(math.abs(rankOf(p95) - 0.95 * nRows) <= 0.05 * nRows,
+        s"$tpe p95 rank off: ${rankOf(p95)} vs ${0.95 * nRows}")
+      // estimates are genuine corpus values (order statistics, not math)
+      assert(v.contains(p50) && v.contains(p95))
+    }
+  }
+
   test("semantic dedup keeps the least-prototypical member of each dup pair") {
     val dropped = SparkEntry.queries("dedup_semantic")(spark, sf)
       .as[(Long, Int, Double)].collect().map(_._1).toSet
