@@ -41,8 +41,14 @@ object TextOps {
   private def bpeTrain(s: SparkSession, d: String): Seq[(Int, String, Long)] = {
     import s.implicits._
     import org.apache.spark.sql.functions._
+    // min-frequency guard BEFORE the collect: the distinct-"word" table
+    // of 100 TB of web text (typos, URLs, hashes) is far above the Heaps'
+    // ~1e6 clean-vocab estimate, but hapax strings cannot win a merge
+    // round anyway (every real BPE trainer prunes them), so freq >= 2
+    // caps the collected table at the true vocabulary scale.
     val wf = documents(s, d).select(explode(tokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .filter($"freq" >= 2)
       .as[(String, Long)].collect()
     // Split per Unicode CODE POINT, not UTF-16 char: the encoder's
     // regexp_replace("(.)") and both DuckDB oracles' string_split(word,'')
@@ -179,7 +185,7 @@ object TextOps {
     s"""w AS MATERIALIZED (
        |  SELECT word, COUNT(*) AS freq FROM (
        |    SELECT unnest($tokensSql) AS word FROM documents)
-       |  GROUP BY 1),
+       |  GROUP BY 1 HAVING COUNT(*) >= 2),
        |s0 AS MATERIALIZED (
        |  SELECT word, freq,
        |    ' ' || array_to_string(string_split(word, ''), ' ') || ' </w> ' AS seq
@@ -1005,6 +1011,37 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // Weighted sampling WITHOUT replacement per stratum (Efraimidis &
+    // Spirakis 2006; A-ExpJ is the streaming exponential-jump variant of
+    // the same distribution — a batch engine materializes every key, the
+    // jump trick only saves RNG draws on a sequential stream). The data-
+    // mixing op the rate-based samplers above can't express: "exactly m
+    // docs per source, longer docs proportionally likelier, never twice."
+    // Key: e_i = −ln(u_i)/w_i ~ Exp(w_i); the m SMALLEST e_i per stratum
+    // are the sample (the u^(1/w) top-k form, taken in log space so the
+    // only float ops are one ln and one divide). u_i comes from the
+    // portable id hash mapped into (0, 1], so the draw is rerun- and
+    // repartition-stable and the oracle replays it; keys are rounded to
+    // 9dp before ranking (ties → doc_id) so a cross-engine ln() ulp
+    // can't flip the selection boundary. Weight = token count. Scale:
+    // key assignment is map-side; selection is one per-stratum top-m —
+    // the GroupTopK physical operator's exact shape (plans/GroupTopK).
+    "sample_weighted_ares" -> ((s, d) => {
+      import s.implicits._
+      val M = 10
+      val base = documents(s, d)
+        .select($"source", $"doc_id", size(tokens($"text")).as("w_tok"))
+        .filter($"w_tok" >= 1)
+      val u = (graft.functions.PolyHash.poly_hash($"doc_id".cast("string")) + 1)
+        .cast("double") / lit(1000000008.0)
+      val w = Window.partitionBy($"source").orderBy($"ekey".asc, $"doc_id".asc)
+      base.withColumn("ekey", round(-log(u) / $"w_tok", 9))
+        .withColumn("pick", row_number().over(w))
+        .filter($"pick" <= M)
+        .select($"source", $"pick", $"doc_id", $"w_tok", $"ekey")
+        .orderBy("source", "pick")
+    }),
+
     // §3-style composed entry point for the PRETRAINING-DATA path: the
     // end-to-end corpus build a training-data user actually runs —
     // length gate (quality) → exact dedup keep-first (provable: the
@@ -1298,18 +1335,31 @@ object TextOps {
       s"""WITH $bpeCtesSql
          |$union ORDER BY round""".stripMargin
     },
-    "text_bpe_encode" ->
+    "text_bpe_encode" -> {
+      // the encoder covers EVERY distinct word (the freq>=2 guard prunes
+      // the TRAINING table only), so the merges replay here as nested
+      // literal replaces over an all-words table — the same fold the
+      // Spark encoder runs
+      val encSeq = (1 to BpeRounds).foldLeft(
+        "' ' || array_to_string(string_split(word, ''), ' ') || ' </w> '") {
+        (acc, i) =>
+          s"""replace($acc,
+             |  ' ' || (SELECT pair FROM b$i) || ' ',
+             |  ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ')""".stripMargin
+      }
       s"""WITH $bpeCtesSql,
+         |aw AS (SELECT DISTINCT unnest($tokensSql) AS word FROM documents),
          |enc AS (
-         |  SELECT word, len(list_filter(string_split(seq, ' '),
+         |  SELECT word, len(list_filter(string_split($encSeq, ' '),
          |    t -> len(t) > 0)) AS n_sub
-         |  FROM s$BpeRounds),
+         |  FROM aw),
          |tok AS (SELECT source, unnest($tokensSql) AS w FROM documents)
          |SELECT source, COUNT(*) AS n_words,
          |  CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens,
          |  ROUND(CAST(SUM(len(w)) AS DOUBLE) / SUM(n_sub), 6) AS chars_per_token
          |FROM tok JOIN enc ON tok.w = enc.word
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "a_countmin_probe" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |db AS (
@@ -1439,6 +1489,20 @@ object TextOps {
         "array_to_string(tk[(chunk_id*48+1):(chunk_id*48 + LEAST(64, n - chunk_id*48))], ' ')")}
          |    AS fp
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "sample_weighted_ares" ->
+      s"""WITH base AS (
+         |  SELECT source, doc_id, len($tokensSql) AS w_tok FROM documents),
+         |k AS (
+         |  SELECT source, doc_id, w_tok,
+         |    ROUND(-ln((${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")}
+         |        + 1) / 1000000008.0) / w_tok, 9) AS ekey
+         |  FROM base WHERE w_tok >= 1),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY ekey ASC, doc_id ASC) AS pick
+         |  FROM k)
+         |SELECT source, pick, doc_id, w_tok, ekey
+         |FROM r WHERE pick <= 10 ORDER BY source, pick""".stripMargin,
     "corpus_mixture_sample" ->
       s"""WITH t AS (
          |  SELECT source, doc_id,

@@ -175,6 +175,37 @@ class TextOpsSpec extends SparkSpec {
     assert(rate > 0.7 && rate < 0.9, s"sample rate $rate")
   }
 
+  test("weighted WOR sample: conservation, no repeats, matches local A-ES") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("sample_weighted_ares")(spark, sf)
+      .as[(String, Int, Long, Int, Double)].collect()
+    assert(got.nonEmpty)
+    // local ground truth: same hash-uniform, same exponential key, same
+    // rounding, top-10 smallest per stratum — an independent replay of
+    // the Efraimidis–Spirakis draw
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val corpus = graft.ops.Tables.documents(spark, sf)
+      .select($"source", $"doc_id",
+        size(filter(split(lower($"text"), "\\s+"), t => length(t) > 0)).as("w"))
+      .as[(String, Long, Int)].collect()
+    val want = corpus.filter(_._3 >= 1).groupBy(_._1).toSeq
+      .flatMap { case (src, rows) =>
+        rows.toSeq.map { case (_, id, w) =>
+          val u = (graft.functions.PolyHash.hashString(id.toString) + 1) / 1000000008.0
+          (round9(-math.log(u) / w), id, w)
+        }.sortBy(r => (r._1, r._2)).take(10).zipWithIndex
+          .map { case ((k, id, w), i) => (src, i + 1, id, w, k) }
+      }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want)
+    // conservation: exactly min(10, stratum size) picks per stratum
+    val bySrc = corpus.filter(_._3 >= 1).groupBy(_._1).view.mapValues(_.length)
+    got.groupBy(_._1).foreach { case (src, picks) =>
+      assert(picks.length == math.min(10, bySrc(src)))
+      assert(picks.map(_._3).distinct.length == picks.length, "WOR violated")
+    }
+  }
+
   test("corpus stats card is a consistent datasheet") {
     val rows = SparkEntry.queries("corpus_stats_card")(spark, sf)
       .as[(String, String, Long, Long, Long, Long, Double, Double)].collect()
