@@ -28,6 +28,7 @@ object Bench {
     // query so each one pays its own full cost against a clean JVM heap.
     def clearState(): Unit = {
       graft.ops.DedupOps.clear()
+      graft.ops.MLOps.clear()
       spark.catalog.clearCache()
     }
     // Two timed passes, report the per-query MIN: a transient burst of
@@ -48,16 +49,33 @@ object Bench {
     // the min is systematically a warm-pass number. Publishing the pair
     // makes that explicit and keeps the headline `queries` map comparable
     // with earlier min-of-2 rounds while still exposing cold-run cost.
-    val raw = names.map { name => name -> (timeOne(name), timeOne(name)) }
-    val results = raw.map { case (name, (a, b)) =>
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val ps = raw.map { case (k, (a, b)) => s"\"" + k + "\":[" + a + "," + b + "]" }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_warm","queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
+    def timeGroup(groupNames: Seq[String]) = {
+      val raw = groupNames.map { name => name -> (timeOne(name), timeOne(name)) }
+      val results = raw.map { case (name, (a, b)) =>
+        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      }
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val ps = raw.map { case (k, (a, b)) => s"\"" + k + "\":[" + a + "," + b + "]" }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      (total, qs, ps)
+    }
+    // Group 1 is the frozen round-1 headline set — `value`/`queries` keep
+    // their meaning across all rounds. Group 2 (round-7 addition) covers
+    // the newer families (graph, PQ/IVF ANN, trainers, sketches) under
+    // separate keys so their regressions are visible without perturbing
+    // the group-1 trendline. Group 2 has its own warm-up pass: these
+    // queries were never touched by the group-1 warm-up, and an unwarmed
+    // first family would bill one-time JIT/classload to its first query.
+    val (total, qs, ps) = timeGroup(names)
+    val names2 = SparkEntry.benchQueries2
+    names2.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
+    val (total2, qs2, ps2) = timeGroup(names2)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_warm","queries":$qs,"passes":$ps,"total2":$total2,"queries2":$qs2,"passes2":$ps2,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

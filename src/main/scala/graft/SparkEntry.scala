@@ -67,4 +67,36 @@ object SparkEntry {
     "mm_feature_histogram",
     "mm_frame_sample",
   ).filter(queries.contains)
+
+  /** Second bench group (round 7): the round-2+ families — graph, PQ/IVF
+    * ANN, trainers, sketches, and the round-7 ops — that the frozen group
+    * above predates. Timed and reported SEPARATELY (`total2`/`queries2`
+    * in the Bench JSON) so group 1 stays comparable across every round
+    * while regressions in the newer families become visible. Excludes
+    * the MLlib LDA family (pipeline_topic_fanout's single-partition fits
+    * are a documented ~28 s constant that would drown the signal).
+    */
+  def benchQueries2: Seq[String] = Seq(
+    "graph_pagerank",
+    "graph_harmonic",
+    "graph_triangles",
+    "graph_degree_stats",
+    "ann_pq_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_sq8_topk",
+    "ann_lsh_multi_topk",
+    "ml_kmeans",
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "text_lm_backoff",
+    "a_hll_probe",
+    "a_countmin_probe",
+    "a_heavy_hitters",
+    "a_sketch_merge",
+    "a_quantile_sketch",
+    "dedup_substring_exact",
+    "dedup_cluster_reps_star",
+    "lda_em_topics",
+    "sample_weighted_ares",
+  ).filter(queries.contains)
 }

@@ -83,7 +83,9 @@ class RelationalSpec extends SparkSpec {
       "ml_kmeans", "ann_ivf_kmeans_topk", "a_bootstrap_ci",
       "text_lm_backoff", "text_bpe_encode", "graph_harmonic",
       "ann_pq_topk", "ann_matryoshka_recall", "lda_em_topics",
-      "lda_em_doc_topics", "dedup_substring_exact").foreach { name =>
+      "lda_em_doc_topics", "dedup_substring_exact",
+      "dedup_cluster_reps_star", "a_quantile_sketch",
+      "sample_weighted_ares").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq

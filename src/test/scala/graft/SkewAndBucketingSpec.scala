@@ -65,4 +65,44 @@ class SkewAndBucketingSpec extends SparkSpec {
       .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey").count()
     assert(joined.count() == expect)
   }
+
+  test("AQE splits the planted skew-join partition without manual salting") {
+    // Evidence for SCALE.md's salting-vs-AQE boundary: JOIN-stage skew is
+    // handled for free by AQE's OptimizeSkewedJoin (this test), so
+    // Skew.saltedJoin is only needed where AQE can't see or act —
+    // skewed AGGREGATIONS (two-phase salted groupBy) and stateful
+    // streaming keys. Thresholds are scaled down so the planted hot key
+    // trips detection on test-sized data; the assertions are on the
+    // FINAL adaptive plan, after execution.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 80% of 400k rows land on key 0 → one shuffle partition ~10× the
+      // median, well past factor 2 × 1MB
+      val left = spark.range(0, 400000)
+        .select(when($"id" % 5 =!= 0, lit(0L))
+          .otherwise(pmod($"id", lit(100L))).as("k"), $"id".as("v"))
+      val right = spark.range(0, 100).select($"id".as("k"), $"id".as("w"))
+      val q = left.join(right, "k").agg(sum($"v" + $"w").as("s"))
+      val got = q.collect()
+      assert(got.length == 1 && !got.head.isNullAt(0))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew split did not fire in the final plan:\n$plan")
+    } finally {
+      saved.foreach { case (k, vOpt) =>
+        vOpt match {
+          case Some(v) => spark.conf.set(k, v)
+          case None => spark.conf.unset(k)
+        }
+      }
+    }
+  }
 }
