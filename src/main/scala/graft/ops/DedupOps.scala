@@ -250,9 +250,12 @@ object DedupOps {
     */
   def ccStars(s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
-    val p = pairs.toDF("d1", "d2").filter($"d1" =!= $"d2")
+    // checkpoint the INPUT once: the candidate-pair producer is often a
+    // whole LSH/shingle pipeline, and deriving nodes + edges from a lazy
+    // frame would run it once per derivation
+    val p = pairs.toDF("d1", "d2").filter($"d1" =!= $"d2").localCheckpoint()
     val nodes = p.select($"d1".as("node"))
-      .union(p.select($"d2".as("node"))).distinct().localCheckpoint()
+      .union(p.select($"d2".as("node"))).distinct()
     // orientation invariant: u > v on every stored edge
     var edges = p
       .select(greatest($"d1", $"d2").as("u"), least($"d1", $"d2").as("v"))
@@ -276,10 +279,13 @@ object DedupOps {
         .filter($"node" =!= $"m")
         .select($"node".as("u"), $"m".as("v"))
         .distinct().localCheckpoint()
-      // converged ⟺ the small-star output is the same edge set:
-      // |AΔB| = 2|A∪B| − |A| − |B| (both sides are distinct sets)
-      val union = small.union(edges).distinct().count()
-      changed = 2 * union - small.count() - edges.count()
+      // converged ⟺ the small-star output is the same edge set; one
+      // full-outer-join count job (the |AΔB| = 2|A∪B|−|A|−|B| form cost
+      // three jobs per round)
+      changed = small.withColumn("sflag", lit(1))
+        .join(edges.withColumn("eflag", lit(1)), Seq("u", "v"), "full")
+        .filter($"sflag".isNull || $"eflag".isNull)
+        .count()
       edges = small
       iters += 1
     }

@@ -316,6 +316,11 @@ object MLOps {
         .select($"doc_id", array(ks.map(_ => lit(1.0 / EmK)): _*).as("th"))
         .localCheckpoint()
       for (_ <- 1 to EmIters) {
+        // one E-step materialization per round: BOTH M-step aggregates
+        // read the checkpointed responsibilities (the lazy form re-ran
+        // the 3-way join per consumer — measured 2× the round cost), and
+        // the checkpoint also truncates the cross-round lineage, so the
+        // vocab- and doc-scale M-step frames can stay lazy.
         val resp = dw.join(theta, "doc_id").join(broadcast(phi), "word")
           .withColumn("rl", zip_with($"th", $"ph", (a, b) => a * b))
           .withColumn("den", aggregate($"rl", lit(0.0), (acc, x) => acc + x))
@@ -323,20 +328,19 @@ object MLOps {
             posexplode(transform($"rl", x => x / $"den")))
           .toDF("doc_id", "word", "n", "k", "resp")
           .withColumn("wk", $"n" * $"resp")
+          .localCheckpoint()
         phi = resp.groupBy($"word", $"k")
           .agg(round(sum($"wk") * 1e6, 0).cast("long").as("s"))
           .withColumn("p", ($"s" + EmBetaMicro).cast("double") /
             (sum($"s").over(Window.partitionBy($"k"))
               + nVocab * EmBetaMicro).cast("double"))
           .groupBy($"word").agg(kArr($"k", $"p").as("ph"))
-          .localCheckpoint()
         theta = resp.groupBy($"doc_id", $"k")
           .agg(round(sum($"wk") * 1e6, 0).cast("long").as("s"))
           .withColumn("p", ($"s" + EmAlphaMicro).cast("double") /
             (sum($"s").over(Window.partitionBy($"doc_id"))
               + EmK * EmAlphaMicro).cast("double"))
           .groupBy($"doc_id").agg(kArr($"k", $"p").as("th"))
-          .localCheckpoint()
       }
       (phi, theta)
     })
