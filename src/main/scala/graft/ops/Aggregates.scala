@@ -636,6 +636,47 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // The MERGE half of the relational HLL, oracle-checked (a_sketch_merge
+    // exercises the same shape with Spark-datasketches binaries, which
+    // have no SQL twin): build one register table per (event_type, day)
+    // SHARD, then max-merge the shard registers per type. Register max
+    // is associative/commutative/idempotent, so the merged estimate must
+    // equal a_hll_probe's direct global build — asserted in MGSpec; this
+    // is the property that makes HLL shards a persistable incremental
+    // artifact (union = re-aggregation, never a raw re-scan).
+    "a_hll_shard_merge" -> ((s, d) => {
+      import s.implicits._
+      val M = 16
+      val base = events(s, d).select($"event_type", to_date($"ts").as("day"),
+        graft.functions.PolyHash.poly_hash($"user_id".cast("string")).as("h"))
+        .select($"event_type", $"day", ($"h" % M).as("j"), expr(s"h div $M").as("w"))
+      val rho = base.withColumn("rho",
+        when($"w" === 0, lit(27))
+          .otherwise(expr("bit_count((w & -w) - 1) + 1")))
+      val shardRegs = rho.groupBy($"event_type", $"day", $"j")
+        .agg(max($"rho").as("r"))
+      val merged = shardRegs.groupBy($"event_type", $"j").agg(max($"r").as("r"))
+      val nShards = shardRegs.select($"event_type", $"day").distinct()
+        .groupBy($"event_type").agg(count(lit(1)).as("n_shards"))
+      val dom = events(s, d).select($"event_type").distinct()
+        .select($"event_type", explode(sequence(lit(0), lit(M - 1))).as("j"))
+      val full = dom.join(merged, Seq("event_type", "j"), "left")
+        .na.fill(0, Seq("r"))
+      val est = full.groupBy($"event_type").agg(
+        sum(pow(lit(2.0), -$"r")).as("s"),
+        sum(when($"r" === 0, 1).otherwise(0)).as("zeros"))
+        .withColumn("raw", lit(0.673) * lit(M.toDouble * M) / $"s")
+        .withColumn("hll_est", round(
+          when($"raw" <= 2.5 * M && $"zeros" > 0,
+            lit(M.toDouble) * log(lit(M.toDouble) / $"zeros"))
+            .otherwise($"raw"), 3))
+      events(s, d).groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+        .join(nShards, "event_type")
+        .join(est.select($"event_type", $"hll_est"), "event_type")
+        .orderBy("event_type")
+    }),
+
     "a_approx_stats" -> ((s, d) => {
       import s.implicits._
       events(s, d)
@@ -829,6 +870,46 @@ object Aggregates {
          |  MIN(CASE WHEN 20 * i >= 19 * ns THEN value END) AS est_p95
          |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "a_hll_shard_merge" ->
+      s"""WITH b AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${graft.ops.DedupOps.polyHashSql("CAST(user_id AS VARCHAR)")} % 16 AS j,
+         |    ${graft.ops.DedupOps.polyHashSql("CAST(user_id AS VARCHAR)")} // 16 AS w
+         |  FROM events),
+         |rho AS (
+         |  SELECT event_type, day, j,
+         |    CASE WHEN w = 0 THEN 27
+         |         ELSE bit_count((w & -w) - 1) + 1 END AS rho
+         |  FROM b),
+         |sregs AS (
+         |  SELECT event_type, day, j, MAX(rho) AS r FROM rho GROUP BY 1, 2, 3),
+         |regs AS (SELECT event_type, j, MAX(r) AS r FROM sregs GROUP BY 1, 2),
+         |nsh AS (
+         |  SELECT event_type, COUNT(DISTINCT day) AS n_shards
+         |  FROM sregs GROUP BY 1),
+         |dom AS (
+         |  SELECT DISTINCT event_type, g.j
+         |  FROM events CROSS JOIN (SELECT unnest(range(16)) AS j) g),
+         |fl AS (
+         |  SELECT dom.event_type, dom.j, COALESCE(regs.r, 0) AS r
+         |  FROM dom LEFT JOIN regs
+         |    ON dom.event_type = regs.event_type AND dom.j = regs.j),
+         |est AS (
+         |  SELECT event_type,
+         |    SUM(pow(2.0, -r)) AS s,
+         |    SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+         |  FROM fl GROUP BY 1),
+         |e2 AS (
+         |  SELECT event_type, 0.673 * 256.0 / s AS raw, zeros FROM est)
+         |SELECT events.event_type,
+         |  COUNT(DISTINCT user_id) AS exact_users,
+         |  ANY_VALUE(nsh.n_shards) AS n_shards,
+         |  ANY_VALUE(ROUND(CASE WHEN raw <= 40.0 AND zeros > 0
+         |       THEN 16.0 * ln(16.0 / zeros) ELSE raw END, 3)) AS hll_est
+         |FROM events
+         |JOIN e2 ON events.event_type = e2.event_type
+         |JOIN nsh ON events.event_type = nsh.event_type
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a_hll_probe" ->
       s"""WITH b AS (
          |  SELECT event_type,

@@ -814,6 +814,44 @@ object DedupOps {
         .orderBy("label", "vec_id")
     }),
 
+    // Bloom-filter decontamination — the broadcast-membership sketch
+    // (Bloom 1970) the exact version above pays a distinct-set join for:
+    // the benchmark's shingle set compresses to a 4096-bit filter (k=3
+    // affine maps of the portable shingle hash), so the corpus side
+    // probes a constant-size broadcast bitset — at 100 TB the filter is
+    // KILOBYTES where the exact shingle set is GBs, and the probe stays
+    // map-side + one groupBy(doc). Relational form: set-bit positions
+    // are a ≤4096-row broadcast table; "all k bits set" is a count-k
+    // conjunction per probe shingle. Output reports the sketch's
+    // n_maybe beside the exact n_exact (same definition as
+    // dedup_contamination), so the one-sided guarantee (no false
+    // negatives, measurable false-positive overshoot) is an oracle-
+    // checked observable, asserted per doc in MGSpec.
+    "dedup_bloom_contamination" -> ((s, d) => {
+      import s.implicits._
+      val MBits = 4096L
+      val hs = Seq((131L, 17L), (137L, 1009L), (139L, 65537L))
+      val (e, sizes) = explodedShingles(s, d)
+      val posArr = array(hs.map { case (a, b) =>
+        ($"sh" * a + b) % P_POLY % MBits
+      }: _*)
+      val bench = e.filter($"doc_id" % 97 === 0)
+      val bits = bench.select(explode(posArr).as("bit")).distinct()
+      val maybe = e.filter($"doc_id" % 97 =!= 0)
+        .select($"doc_id", $"sh", explode(posArr).as("bit"))
+        .join(broadcast(bits), "bit")
+        .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("hits"))
+        .filter($"hits" === hs.length)
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_maybe"))
+      val exact = e.filter($"doc_id" % 97 =!= 0)
+        .join(broadcast(bench.select($"sh").distinct()), "sh")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_exact"))
+      maybe.join(sizes.toDF("doc_id", "n_shingles"), "doc_id")
+        .join(exact, Seq("doc_id"), "left").na.fill(0L, Seq("n_exact"))
+        .select($"doc_id", $"n_shingles", $"n_maybe", $"n_exact")
+        .orderBy("doc_id")
+    }),
+
     // Embedding near-dup via multi-table sign-LSH — the sub-quadratic
     // scale path. Near-duplicates are PLANTED (every 50th vector is
     // re-keyed +100000 with dim 0 bumped by +0.1 → cosine ≈ 0.995 on the
@@ -1146,6 +1184,30 @@ object DedupOps {
          |  ROUND(CAST(n_shared AS DOUBLE) / sz.sz, 6) AS ratio
          |FROM hits h JOIN sz ON h.doc_id = sz.doc_id
          |ORDER BY h.doc_id""".stripMargin,
+    "dedup_bloom_contamination" ->
+      s"""WITH $shingleCte,
+         |hx AS (
+         |  SELECT doc_id, sh, unnest([
+         |    (sh * 131 + 17) % $P_POLY % 4096,
+         |    (sh * 137 + 1009) % $P_POLY % 4096,
+         |    (sh * 139 + 65537) % $P_POLY % 4096]) AS bit
+         |  FROM e),
+         |bits AS (SELECT DISTINCT bit FROM hx WHERE doc_id % 97 = 0),
+         |mb AS (
+         |  SELECT doc_id, sh FROM hx JOIN bits USING (bit)
+         |  WHERE doc_id % 97 <> 0
+         |  GROUP BY doc_id, sh HAVING COUNT(*) = 3),
+         |nm AS (SELECT doc_id, COUNT(*) AS n_maybe FROM mb GROUP BY 1),
+         |bsh AS (SELECT DISTINCT sh FROM e WHERE doc_id % 97 = 0),
+         |ne AS (
+         |  SELECT e.doc_id, COUNT(*) AS n_exact
+         |  FROM e JOIN bsh USING (sh)
+         |  WHERE e.doc_id % 97 <> 0 GROUP BY 1)
+         |SELECT nm.doc_id, sz.sz AS n_shingles, nm.n_maybe,
+         |  COALESCE(ne.n_exact, 0) AS n_exact
+         |FROM nm JOIN sz ON nm.doc_id = sz.doc_id
+         |LEFT JOIN ne ON nm.doc_id = ne.doc_id
+         |ORDER BY nm.doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -109,6 +109,45 @@ class MGSpec extends SparkSpec {
     }
   }
 
+  test("HLL shard-merge equals the direct global build (mergeability)") {
+    val direct = SparkEntry.queries("a_hll_probe")(spark, sf)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val merged = SparkEntry.queries("a_hll_shard_merge")(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(merged.nonEmpty)
+    val days = graft.ops.Tables.events(spark, sf)
+      .select($"event_type", org.apache.spark.sql.functions.to_date($"ts").as("d"))
+      .distinct().as[(String, java.sql.Date)].collect()
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    merged.foreach { case (tpe, exact, nShards, est) =>
+      // register max is associative: merging day shards must reproduce
+      // the direct estimate bit-for-bit, and the exact count alongside
+      assert((exact, est) == direct(tpe), s"$tpe merge != direct")
+      assert(nShards == days(tpe))
+    }
+  }
+
+  test("Bloom contamination: no false negatives, bounded overshoot") {
+    val bloom = SparkEntry.queries("dedup_bloom_contamination")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(bloom.nonEmpty)
+    val exact = SparkEntry.queries("dedup_contamination")(spark, sf)
+      .select($"doc_id", $"n_shared").as[(Long, Long)].collect().toMap
+    // one-sided guarantee: every exactly-contaminated doc is flagged,
+    // with n_maybe >= its exact overlap; and n_maybe never exceeds the
+    // doc's shingle count
+    val byId = bloom.map(r => r._1 -> r).toMap
+    exact.foreach { case (id, nShared) =>
+      val hit = byId.get(id)
+      assert(hit.nonEmpty, s"doc $id missed by the Bloom probe")
+      assert(hit.get._3 >= nShared && hit.get._4 == nShared)
+    }
+    bloom.foreach { case (id, nShingles, nMaybe, nExact) =>
+      assert(nMaybe >= nExact && nMaybe <= nShingles, s"doc $id bounds")
+    }
+  }
+
   test("semantic dedup keeps the least-prototypical member of each dup pair") {
     val dropped = SparkEntry.queries("dedup_semantic")(spark, sf)
       .as[(Long, Int, Double)].collect().map(_._1).toSet

@@ -85,7 +85,8 @@ class RelationalSpec extends SparkSpec {
       "ann_pq_topk", "ann_matryoshka_recall", "lda_em_topics",
       "lda_em_doc_topics", "dedup_substring_exact",
       "dedup_cluster_reps_star", "a_quantile_sketch",
-      "sample_weighted_ares").foreach { name =>
+      "sample_weighted_ares", "a_hll_shard_merge",
+      "dedup_bloom_contamination").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
