@@ -318,6 +318,47 @@ object DedupOps {
       jaccardPairs(s, e, sizes, 0.8)
     }),
 
+    // PPJoin-family prefix-filtered EXACT similarity join (Chaudhuri et
+    // al. SSJoin / Bayardo et al. All-Pairs / Xiao et al. PPJoin): same
+    // result as dedup_ngram_jaccard — it shares that oracle — but the
+    // candidate generator joins only each doc's PREFIX: the
+    // |S|−⌈t·|S|⌉+1 globally-rarest shingles under the (df, sh) total
+    // order. Two sets with Jaccard ≥ t MUST intersect within these
+    // prefixes, so the filter is lossless; what it buys at scale is that
+    // the inverted index shrinks to each doc's rare tail — corpus-wide
+    // boilerplate shingles (the df² blowup of a full-index join) never
+    // generate a candidate, the same discipline LSH gets probabilistically
+    // but here with an exact-threshold guarantee. Verification re-joins
+    // full shingle sets against the bounded candidate list only.
+    // DedupSpec asserts output equality with the full-index join and
+    // that the prefix index is strictly smaller.
+    "dedup_prefix_filter" -> ((s, d) => {
+      import s.implicits._
+      val T = 0.8
+      val (e, sizes) = explodedShingles(s, d)
+      val dfs = e.groupBy($"sh").agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy($"doc_id").orderBy($"df".asc, $"sh".asc)
+      val pref = e.join(dfs, "sh")
+        .join(sizes.toDF("doc_id", "sz"), "doc_id")
+        .withColumn("rk", row_number().over(wDoc))
+        .filter($"rk" <= $"sz" - ceil(lit(T) * $"sz") + 1)
+        .select($"doc_id", $"sh")
+      val cands = pref.toDF("d1", "sh").join(pref.toDF("d2", "sh"), "sh")
+        .filter($"d1" < $"d2").select($"d1", $"d2").distinct()
+      val inter = cands
+        .join(e.toDF("d1", "sh"), "d1")
+        .join(e.toDF("d2", "sh"), Seq("d2", "sh"))
+        .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.toDF("d1", "s1"), "d1")
+        .join(sizes.toDF("d2", "s2"), "d2")
+        .withColumn("jaccard",
+          round($"inter" / ($"s1" + $"s2" - $"inter"), 6))
+        .filter($"jaccard" >= T)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    }),
+
     // MinHash + banded LSH: 32 permutation-hash minima per doc, 8 bands ×
     // 4 rows, band-collision join for candidates, exact-Jaccard
     // verification ≥ 0.8.
@@ -648,6 +689,9 @@ object DedupOps {
       val halves = tokd.filter($"doc_id" % 50 === 0)
         .select(($"doc_id" + 2000000).as("doc_id"),
           slice($"tk", lit(1), floor(size($"tk") / 2).cast("int")).as("tk"))
+      // checkpoint the window firehose: the df-bound aggregate and both
+      // sides of the pair join consume it — lazy, the tokenize+hash pass
+      // would run three times
       val wins = tokd.union(halves)
         .withColumn("n", size($"tk"))
         .filter($"n" >= W)
@@ -655,6 +699,7 @@ object DedupOps {
           transform(sequence(lit(0), $"n" - W),
             i => polyHash(concat_ws(" ", slice($"tk", i + 1, lit(W)))))))
         .toDF("doc_id", "p", "h")
+        .localCheckpoint()
       val bounded = wins.join(
         wins.groupBy($"h").agg(countDistinct($"doc_id").as("df"))
           .filter($"df" >= 2 && $"df" <= 10).select($"h"), "h")
@@ -935,6 +980,10 @@ object DedupOps {
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) = 1
         |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
+      s"WITH $shingleCte,\n$jaccardSql",
+    // prefix filtering is lossless at the declared threshold, so the
+    // full-index twin is the oracle for the PPJoin-style path too
+    "dedup_prefix_filter" ->
       s"WITH $shingleCte,\n$jaccardSql",
     "dedup_levenshtein_verify" ->
       s"""WITH $shingleCte,

@@ -457,6 +457,28 @@ object MLOps {
         .orderBy("main_topic")
     }),
 
+    // U6 twin (oracle-checked): mean NPMI coherence of the RELATIONAL
+    // trainer's topics — the model-quality half of the reference's
+    // coherence-ranked selection, now differential end to end: training
+    // loop (ldaEmState) AND scoring machinery (npmiPairs) replay in one
+    // DuckDB query. The MLlib scan (u6_lda_model_scan) keeps the same
+    // scoring but can only be rows-only checked; this entry proves the
+    // whole train→score pipeline against the oracle.
+    "lda_em_coherence" -> ((s, d) => {
+      import s.implicits._
+      val (phi, _) = ldaEmState(s, d)
+      val w = Window.partitionBy($"k").orderBy(desc("p"), asc("word"))
+      val topics = phi.select($"word", posexplode($"ph")).toDF("word", "k", "p")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= TopWords)
+        .select($"k".cast("string").as("topic"), $"word")
+      npmiPairs(s, d, topics)
+        .groupBy($"topic")
+        .agg(round(avg($"npmi"), 6).as("npmi_coherence"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy("topic")
+    }),
+
     // U8/A11: the learned vocabulary with corpus counts (deterministic
     // output order by term).
     "u8_bow_vocabulary" -> ((s, d) => {
@@ -827,6 +849,46 @@ object MLOps {
          |      AS rn
          |  FROM th$EmIters)
          |WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the EM chain's `tok` doubles as the NPMI incidence source (same
+    // docTokens definition the Spark-side npmiPairs uses)
+    "lda_em_coherence" ->
+      s"""WITH $ldaEmCtesSql,
+         |topics AS (
+         |  SELECT CAST(k AS VARCHAR) AS topic, word FROM (
+         |    SELECT k, word,
+         |      row_number() OVER (PARTITION BY k ORDER BY p DESC, word ASC)
+         |        AS rk
+         |    FROM ph$EmIters)
+         |  WHERE rk <= $TopWords),
+         |inc AS (
+         |  SELECT DISTINCT word, doc_id FROM tok
+         |  WHERE word IN (SELECT word FROM topics)),
+         |dfs AS (SELECT word, COUNT(*) AS df FROM inc GROUP BY word),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |prs AS (
+         |  SELECT a.topic, a.word AS w1, b.word AS w2
+         |  FROM topics a JOIN topics b ON a.topic = b.topic AND a.word < b.word),
+         |jt AS (
+         |  SELECT p.topic, p.w1, p.w2, COUNT(*) AS joint
+         |  FROM prs p
+         |  JOIN inc i1 ON i1.word = p.w1
+         |  JOIN inc i2 ON i2.word = p.w2 AND i2.doc_id = i1.doc_id
+         |  GROUP BY p.topic, p.w1, p.w2),
+         |vv AS (
+         |  SELECT p.topic, p.w1, p.w2, COALESCE(j.joint, 0) AS joint,
+         |    CASE WHEN COALESCE(j.joint, 0) = (SELECT n_docs FROM nd) THEN 1.0
+         |         WHEN COALESCE(j.joint, 0) = 0 THEN -1.0
+         |         ELSE ln(CAST(j.joint * (SELECT n_docs FROM nd) AS DOUBLE)
+         |                 / (d1.df * d2.df))
+         |              / -ln(CAST(j.joint AS DOUBLE) / (SELECT n_docs FROM nd))
+         |    END AS npmi
+         |  FROM prs p
+         |  LEFT JOIN jt j ON p.topic = j.topic AND p.w1 = j.w1 AND p.w2 = j.w2
+         |  JOIN dfs d1 ON d1.word = p.w1
+         |  JOIN dfs d2 ON d2.word = p.w2)
+         |SELECT topic, ROUND(AVG(npmi), 6) AS npmi_coherence,
+         |  COUNT(*) AS n_pairs
+         |FROM vv GROUP BY topic ORDER BY topic""".stripMargin,
     // the deterministic vocabulary is pure relational algebra (len >= 3,
     // stopword-filtered, df >= 5, total order tf desc / word asc, 50k
     // cap), so the CountVectorizerModel contents are oracle-checkable

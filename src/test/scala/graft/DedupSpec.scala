@@ -146,6 +146,30 @@ class DedupSpec extends SparkSpec {
       Seq((1000L, 1000L), (1001L, 1000L), (1002L, 1000L))).toSet)
   }
 
+  test("prefix-filtered join is lossless and its index is strictly smaller") {
+    // losslessness: PPJoin-style candidates produce EXACTLY the
+    // full-inverted-index result at the same threshold
+    val full = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val pref = SparkEntry.queries("dedup_prefix_filter")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(pref == full && pref.nonEmpty)
+    // and the prefix guarantee is doing real work: the prefix index is
+    // a strict subset of the full shingle index
+    import org.apache.spark.sql.functions._
+    val docs = graft.ops.Tables.documents(spark, sf)
+      .select($"doc_id", filter(split(lower($"text"), "\\s+"),
+        t => length(t) > 0).as("t"))
+      .select($"doc_id",
+        graft.functions.ShingleHashes.poly_shingles($"t").as("xs"))
+      .filter(size($"xs") >= 1)
+    val fullIdx = docs.select(explode($"xs")).count()
+    val prefIdx = docs
+      .select((size($"xs") - ceil(lit(0.8) * size($"xs")) + 1).as("p"))
+      .agg(sum($"p")).as[Long].collect().head
+    assert(prefIdx < fullIdx)
+  }
+
   test("large-star/small-star CC matches pointer jumping on adversarial chains") {
     // the high-diameter path is exactly where the star algorithm earns
     // its keep: edge rewriting halves the diameter every other round

@@ -33,6 +33,18 @@ class MLSpec extends SparkSpec {
     assert(ranks.distinct.length == a.length)
   }
 
+  test("relational EM-LDA coherence is normalized and covers every topic") {
+    val rows = SparkEntry.queries("lda_em_coherence")(spark, sf)
+      .as[(String, Double, Long)].collect()
+    assert(rows.map(_._1).toSet == (0 until graft.ops.MLOps.EmK)
+      .map(_.toString).toSet)
+    rows.foreach { case (_, coh, nPairs) =>
+      assert(coh >= -1.0 && coh <= 1.0)
+      // 10 top words → C(10,2) pairs per topic
+      assert(nPairs == 45L)
+    }
+  }
+
   test("relational EM-LDA theta rows are normalized distributions") {
     import org.apache.spark.sql.functions._
     val (_, theta) = graft.ops.MLOps.ldaEmState(spark, sf)

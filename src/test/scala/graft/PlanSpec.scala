@@ -72,6 +72,7 @@ class PlanSpec extends SparkSpec {
     "a11_vocab_prune", "u7_tfidf_top_terms",         // scalar n_docs join
     "u6_npmi_pairs", "u6_npmi_coherence",            // scalar n_docs join
     "u6_npmi_windowed",                              // scalar n_units join
+    "lda_em_coherence",                              // scalar n_docs join (npmiPairs)
     "text_bm25_topk",                                // scalar corpus-stats join
     "corpus_temperature_resample",                   // 1-row n_min broadcast
     "ann_recall_at_k",                               // embeds the brute-force baseline
