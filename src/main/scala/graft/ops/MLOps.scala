@@ -295,14 +295,19 @@ object MLOps {
     * per-round lineage exactly like the PageRank/BFS iterations.
     */
   private val emCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+    .empty[(SparkSession, String, Int), (DataFrame, DataFrame)]
 
-  def ldaEmState(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    emCache.getOrElseUpdate((s, d), {
+  def ldaEmState(s: SparkSession, d: String, k: Int = EmK): (DataFrame, DataFrame) =
+    emCache.getOrElseUpdate((s, d, k), {
       import s.implicits._
-      val dw = emCounts(s, d).localCheckpoint()
+      // pre-partition by doc_id: the per-round E-step joins dw ⋈ theta on
+      // doc_id, and theta arrives hash-partitioned on doc_id from its own
+      // groupBy — a checkpoint preserves partitioning, so dw never
+      // re-shuffles across rounds
+      val dw = emCounts(s, d)
+        .repartition($"doc_id").localCheckpoint()
       val nVocab = dw.select($"word").distinct().count()
-      val ks = 0 until EmK
+      val ks = 0 until k
       var phi = dw.select($"word").distinct()
         .select($"word", posexplode(array(ks.map(k =>
           lit(1000L) + (graft.functions.PolyHash.poly_hash($"word") * 31
@@ -313,7 +318,7 @@ object MLOps {
         .groupBy($"word").agg(kArr($"k", $"p").as("ph"))
         .localCheckpoint()
       var theta = dw.select($"doc_id").distinct()
-        .select($"doc_id", array(ks.map(_ => lit(1.0 / EmK)): _*).as("th"))
+        .select($"doc_id", array(ks.map(_ => lit(1.0 / k)): _*).as("th"))
         .localCheckpoint()
       for (_ <- 1 to EmIters) {
         // one E-step materialization per round: BOTH M-step aggregates
@@ -339,7 +344,7 @@ object MLOps {
           .agg(round(sum($"wk") * 1e6, 0).cast("long").as("s"))
           .withColumn("p", ($"s" + EmAlphaMicro).cast("double") /
             (sum($"s").over(Window.partitionBy($"doc_id"))
-              + EmK * EmAlphaMicro).cast("double"))
+              + k * EmAlphaMicro).cast("double"))
           .groupBy($"doc_id").agg(kArr($"k", $"p").as("th"))
       }
       (phi, theta)
@@ -477,6 +482,27 @@ object MLOps {
         .agg(round(avg($"npmi"), 6).as("npmi_coherence"),
           count(lit(1)).as("n_pairs"))
         .orderBy("topic")
+    }),
+
+    // §3.1 fan-out TWIN (oracle-checked): the pipeline_topic_fanout shape
+    // — one prepared input consumed by multiple model configs — with the
+    // relational trainer, so the whole fan-out replays in DuckDB (two
+    // full EM chains in one WITH clause). Per config: dominant-topic
+    // histogram summary (config, k, n_topics_used, n_docs), exactly the
+    // MLlib fan-out's report.
+    "lda_em_fanout" -> ((s, d) => {
+      import s.implicits._
+      val configs = Seq(("fixed_large", 6), ("fixed_small", EmK))
+      configs.map { case (name, k) =>
+        val (_, theta) = ldaEmState(s, d, k)
+        val w = Window.partitionBy($"doc_id").orderBy(desc("p"), asc("k"))
+        val r = theta.select($"doc_id", posexplode($"th")).toDF("doc_id", "k", "p")
+          .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .agg(countDistinct($"k").as("u"), count(lit(1)).as("n"))
+          .collect().head
+        (name, k, r.getLong(0), r.getLong(1))
+      }.toDF("config", "k", "n_topics_used", "n_docs")
+        .orderBy("config")
     }),
 
     // U8/A11: the learned vocabulary with corpus counts (deterministic
@@ -752,74 +778,79 @@ object MLOps {
        |    FROM v CROSS JOIN c$KmIters c) WHERE rn = 1)""".stripMargin
   }
 
-  /** The EM-LDA CTE chain, unrolled EmIters times — shared by both
+  /** The EM-LDA CTE chain, unrolled EmIters times — shared by the
     * lda_em_* oracles. Mirrors ldaEmState step for step; the per-(doc,
     * word) denominator folds list(q ORDER BY k) left-to-right from 0.0,
-    * matching Spark's zip_with + aggregate element order.
+    * matching Spark's zip_with + aggregate element order. `pfx` prefixes
+    * every CTE name so two chains (different k) can coexist in one WITH
+    * clause — the fan-out oracle needs that.
     */
-  private val ldaEmCtesSql: String = {
+  private def ldaEmCtes(k: Int, pfx: String): String = {
     val iters = (1 to EmIters).map { t =>
-      s"""j$t AS (
+      s"""${pfx}j$t AS (
          |  SELECT dw.doc_id, dw.word, dw.n, th.k, th.p * ph.p AS q
-         |  FROM dw
-         |  JOIN th${t - 1} th ON th.doc_id = dw.doc_id
-         |  JOIN ph${t - 1} ph ON ph.word = dw.word AND ph.k = th.k),
-         |den$t AS (
+         |  FROM ${pfx}dw dw
+         |  JOIN ${pfx}th${t - 1} th ON th.doc_id = dw.doc_id
+         |  JOIN ${pfx}ph${t - 1} ph ON ph.word = dw.word AND ph.k = th.k),
+         |${pfx}den$t AS (
          |  SELECT doc_id, word,
          |    list_reduce(list_prepend(0.0, list(q ORDER BY k)),
          |      (a, b) -> a + b) AS den
-         |  FROM j$t GROUP BY 1, 2),
-         |r$t AS MATERIALIZED (
+         |  FROM ${pfx}j$t GROUP BY 1, 2),
+         |${pfx}r$t AS MATERIALIZED (
          |  SELECT j.doc_id, j.word, j.k, j.n * (j.q / d.den) AS wk
-         |  FROM j$t j JOIN den$t d
+         |  FROM ${pfx}j$t j JOIN ${pfx}den$t d
          |    ON j.doc_id = d.doc_id AND j.word = d.word),
-         |skw$t AS (
+         |${pfx}skw$t AS (
          |  SELECT k, word, CAST(ROUND(SUM(wk) * 1000000.0) AS BIGINT) AS s
-         |  FROM r$t GROUP BY 1, 2),
-         |ph$t AS MATERIALIZED (
+         |  FROM ${pfx}r$t GROUP BY 1, 2),
+         |${pfx}ph$t AS MATERIALIZED (
          |  SELECT k, word, CAST(s + $EmBetaMicro AS DOUBLE) /
          |    CAST(SUM(s) OVER (PARTITION BY k)
-         |         + (SELECT v FROM nv) * $EmBetaMicro AS DOUBLE) AS p
-         |  FROM skw$t),
-         |sdk$t AS (
+         |         + (SELECT v FROM ${pfx}nv) * $EmBetaMicro AS DOUBLE) AS p
+         |  FROM ${pfx}skw$t),
+         |${pfx}sdk$t AS (
          |  SELECT doc_id, k, CAST(ROUND(SUM(wk) * 1000000.0) AS BIGINT) AS s
-         |  FROM r$t GROUP BY 1, 2),
-         |th$t AS MATERIALIZED (
+         |  FROM ${pfx}r$t GROUP BY 1, 2),
+         |${pfx}th$t AS MATERIALIZED (
          |  SELECT doc_id, k, CAST(s + $EmAlphaMicro AS DOUBLE) /
          |    CAST(SUM(s) OVER (PARTITION BY doc_id)
-         |         + $EmK * $EmAlphaMicro AS DOUBLE) AS p
-         |  FROM sdk$t)""".stripMargin
+         |         + $k * $EmAlphaMicro AS DOUBLE) AS p
+         |  FROM ${pfx}sdk$t)""".stripMargin
     }.mkString(",\n")
-    s"""sw(word) AS (VALUES ${Lexicons.stopwordsEnSqlValues}),
-       |tok AS (
+    s"""${pfx}sw(word) AS (VALUES ${Lexicons.stopwordsEnSqlValues}),
+       |${pfx}tok AS (
        |  SELECT doc_id, word FROM (
        |    SELECT doc_id, unnest($tokensSql) AS word FROM documents)
-       |  WHERE len(word) >= 3 AND word NOT IN (SELECT word FROM sw)),
-       |vdf AS (
+       |  WHERE len(word) >= 3 AND word NOT IN (SELECT word FROM ${pfx}sw)),
+       |${pfx}vdf AS (
        |  SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
-       |  FROM tok GROUP BY 1),
-       |vocab AS MATERIALIZED (
-       |  SELECT word FROM vdf WHERE df >= 5
+       |  FROM ${pfx}tok GROUP BY 1),
+       |${pfx}vocab AS MATERIALIZED (
+       |  SELECT word FROM ${pfx}vdf WHERE df >= 5
        |  ORDER BY tf DESC, word ASC LIMIT 50000),
-       |nv AS (SELECT COUNT(*) AS v FROM vocab),
-       |dw AS MATERIALIZED (
+       |${pfx}nv AS (SELECT COUNT(*) AS v FROM ${pfx}vocab),
+       |${pfx}dw AS MATERIALIZED (
        |  SELECT doc_id, tok.word, COUNT(*) AS n
-       |  FROM tok JOIN vocab ON tok.word = vocab.word GROUP BY 1, 2),
-       |ks AS (SELECT CAST(unnest(range($EmK)) AS BIGINT) AS k),
-       |w0 AS (
+       |  FROM ${pfx}tok tok JOIN ${pfx}vocab vocab ON tok.word = vocab.word
+       |  GROUP BY 1, 2),
+       |${pfx}ks AS (SELECT CAST(unnest(range($k)) AS BIGINT) AS k),
+       |${pfx}w0 AS (
        |  SELECT k, word,
        |    1000 + (${graft.ops.DedupOps.polyHashSql("word")} * 31
        |            + k * 7919) % 997 AS wt
-       |  FROM vocab CROSS JOIN ks),
-       |ph0 AS MATERIALIZED (
+       |  FROM ${pfx}vocab CROSS JOIN ${pfx}ks),
+       |${pfx}ph0 AS MATERIALIZED (
        |  SELECT k, word, CAST(wt AS DOUBLE) /
        |    CAST(SUM(wt) OVER (PARTITION BY k) AS DOUBLE) AS p
-       |  FROM w0),
-       |th0 AS MATERIALIZED (
-       |  SELECT DISTINCT doc_id, k, CAST(1 AS DOUBLE) / $EmK AS p
-       |  FROM dw CROSS JOIN ks),
+       |  FROM ${pfx}w0),
+       |${pfx}th0 AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, k, CAST(1 AS DOUBLE) / $k AS p
+       |  FROM ${pfx}dw CROSS JOIN ${pfx}ks),
        |$iters""".stripMargin
   }
+
+  private val ldaEmCtesSql: String = ldaEmCtes(EmK, "")
 
   private val kmeansSql: String =
     s"""WITH $kmeansCtesSql
@@ -849,6 +880,24 @@ object MLOps {
          |      AS rn
          |  FROM th$EmIters)
          |WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lda_em_fanout" -> {
+      def hist(pfx: String) =
+        s"""SELECT COUNT(DISTINCT mk) AS u, COUNT(*) AS n FROM (
+           |  SELECT doc_id, k AS mk, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY p DESC, k ASC) AS rn
+           |  FROM ${pfx}th$EmIters)
+           |WHERE rn = 1""".stripMargin
+      s"""WITH ${ldaEmCtes(EmK, "a")},
+         |${ldaEmCtes(6, "b")},
+         |ha AS (${hist("a")}),
+         |hb AS (${hist("b")})
+         |SELECT config, k, n_topics_used, n_docs FROM (
+         |  SELECT 'fixed_small' AS config, $EmK AS k,
+         |    u AS n_topics_used, n AS n_docs FROM ha
+         |  UNION ALL
+         |  SELECT 'fixed_large', 6, u, n FROM hb)
+         |ORDER BY config""".stripMargin
+    },
     // the EM chain's `tok` doubles as the NPMI incidence source (same
     // docTokens definition the Spark-side npmiPairs uses)
     "lda_em_coherence" ->
