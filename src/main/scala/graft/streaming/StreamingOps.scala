@@ -123,6 +123,51 @@ object StreamingOps {
         .agg(count("*").as("n_sessions"), sum($"n").as("n_events"))
         .orderBy("user_id")
     }),
+
+    // Streaming approximate distinct — the sketch×streaming integration:
+    // per (1-day tumbling window, event_type), HLL registers (the same
+    // relational trailing-zero construction a_hll_probe oracle-checks)
+    // with the daily estimate alongside the exact count. The streaming
+    // form keeps ONE register aggregation in update mode — register max
+    // is idempotent/commutative, so late or replayed events never skew
+    // the state, which is exactly why HLL (not countDistinct's full key
+    // set) is the unbounded-stream answer; StreamingSpec runs that
+    // register aggregation through MemoryStream and asserts it lands on
+    // this batch result's registers. State per (window, key) is 16
+    // bytes-scale registers — watermark-bounded regardless of rate.
+    "stream_hll_daily" -> ((s, d) => {
+      import s.implicits._
+      val M = 16
+      val base = events(s, d).select(
+        window($"ts", "1 day").getField("start").as("win_start"),
+        $"event_type",
+        $"user_id",
+        graft.functions.PolyHash.poly_hash($"user_id".cast("string")).as("h"))
+        .select($"win_start", $"event_type", $"user_id",
+          ($"h" % M).as("j"), expr(s"h div $M").as("w"))
+      val regs = base
+        .withColumn("rho", when($"w" === 0, lit(27))
+          .otherwise(expr("bit_count((w & -w) - 1) + 1")))
+        .groupBy($"win_start", $"event_type", $"j").agg(max($"rho").as("r"))
+      val dom = base.select($"win_start", $"event_type").distinct()
+        .select($"win_start", $"event_type",
+          explode(sequence(lit(0), lit(M - 1))).as("j"))
+      val est = dom.join(regs, Seq("win_start", "event_type", "j"), "left")
+        .na.fill(0, Seq("r"))
+        .groupBy($"win_start", $"event_type").agg(
+          sum(pow(lit(2.0), -$"r")).as("s"),
+          sum(when($"r" === 0, 1).otherwise(0)).as("zeros"))
+        .withColumn("raw", lit(0.673) * lit(M.toDouble * M) / $"s")
+        .withColumn("hll_est", round(
+          when($"raw" <= 2.5 * M && $"zeros" > 0,
+            lit(M.toDouble) * log(lit(M.toDouble) / $"zeros"))
+            .otherwise($"raw"), 3))
+      base.groupBy($"win_start", $"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+        .join(est.select($"win_start", $"event_type", $"hll_est"),
+          Seq("win_start", "event_type"))
+        .orderBy("win_start", "event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -137,6 +182,42 @@ object StreamingOps {
         |  SELECT time_bucket(INTERVAL 6 HOUR, ts) - k * INTERVAL 6 HOUR AS win_start
         |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_hll_daily" ->
+      s"""WITH b AS (
+         |  SELECT date_trunc('day', ts) AS win_start, event_type, user_id,
+         |    ${graft.ops.DedupOps.polyHashSql("CAST(user_id AS VARCHAR)")} % 16 AS j,
+         |    ${graft.ops.DedupOps.polyHashSql("CAST(user_id AS VARCHAR)")} // 16 AS w
+         |  FROM events),
+         |rho AS (
+         |  SELECT win_start, event_type, j,
+         |    CASE WHEN w = 0 THEN 27
+         |         ELSE bit_count((w & -w) - 1) + 1 END AS rho
+         |  FROM b),
+         |regs AS (
+         |  SELECT win_start, event_type, j, MAX(rho) AS r
+         |  FROM rho GROUP BY 1, 2, 3),
+         |dom AS (
+         |  SELECT DISTINCT win_start, event_type, g.j
+         |  FROM b CROSS JOIN (SELECT unnest(range(16)) AS j) g),
+         |fl AS (
+         |  SELECT dom.win_start, dom.event_type, dom.j, COALESCE(regs.r, 0) AS r
+         |  FROM dom LEFT JOIN regs ON dom.win_start = regs.win_start
+         |    AND dom.event_type = regs.event_type AND dom.j = regs.j),
+         |est AS (
+         |  SELECT win_start, event_type,
+         |    SUM(pow(2.0, -r)) AS s,
+         |    SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+         |  FROM fl GROUP BY 1, 2),
+         |e2 AS (
+         |  SELECT win_start, event_type, 0.673 * 256.0 / s AS raw, zeros
+         |  FROM est)
+         |SELECT b.win_start, b.event_type,
+         |  COUNT(DISTINCT b.user_id) AS exact_users,
+         |  ANY_VALUE(ROUND(CASE WHEN raw <= 40.0 AND zeros > 0
+         |       THEN 16.0 * ln(16.0 / zeros) ELSE raw END, 3)) AS hll_est
+         |FROM b JOIN e2 ON b.win_start = e2.win_start
+         |  AND b.event_type = e2.event_type
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_dedup_keys" ->
       """SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
         |FROM events

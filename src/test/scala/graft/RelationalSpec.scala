@@ -87,7 +87,8 @@ class RelationalSpec extends SparkSpec {
       "dedup_cluster_reps_star", "a_quantile_sketch",
       "sample_weighted_ares", "a_hll_shard_merge",
       "dedup_bloom_contamination", "lda_em_coherence",
-      "dedup_prefix_filter", "lda_em_fanout").foreach { name =>
+      "dedup_prefix_filter", "lda_em_fanout",
+      "stream_hll_daily").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq

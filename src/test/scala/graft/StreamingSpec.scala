@@ -46,6 +46,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers equal the batch sketch (idempotent state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val M = 16
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val regs = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "1 day")
+      .select(window($"ts", "1 day").getField("start").as("win_start"),
+        $"event_type",
+        graft.functions.PolyHash.poly_hash($"user_id".cast("string")).as("h"))
+      .select($"win_start", $"event_type",
+        pmod($"h", lit(M)).as("j"), expr(s"h div $M").as("w"))
+      .withColumn("rho", when($"w" === 0, lit(27))
+        .otherwise(expr("bit_count((w & -w) - 1) + 1")))
+      .groupBy($"win_start", $"event_type", $"j").agg(max($"rho").as("r"))
+    val q = regs.writeStream.outputMode("complete")
+      .format("memory").queryName("t_hll_regs").start()
+    try {
+      // three micro-batches WITH the middle one replayed: register max is
+      // idempotent, so duplicate delivery must not move any register —
+      // the property that makes HLL the unbounded-stream distinct counter
+      val thirds = batchEvents.grouped(
+        math.max(1, batchEvents.length / 3)).toSeq
+      stream.addData(thirds.head.toSeq)
+      q.processAllAvailable()
+      stream.addData(thirds(1).toSeq)
+      q.processAllAvailable()
+      stream.addData(thirds(1).toSeq) // replay
+      thirds.drop(2).foreach(t => stream.addData(t.toSeq))
+      q.processAllAvailable()
+      val got = spark.table("t_hll_regs")
+        .orderBy("win_start", "event_type", "j")
+        .collect().map(_.toSeq).toSeq
+      // batch registers (the non-densified core of stream_hll_daily)
+      val want = graft.ops.Tables.events(spark, sf)
+        .select(window($"ts", "1 day").getField("start").as("win_start"),
+          $"event_type",
+          graft.functions.PolyHash.poly_hash($"user_id".cast("string")).as("h"))
+        .select($"win_start", $"event_type",
+          pmod($"h", lit(M)).as("j"), expr(s"h div $M").as("w"))
+        .withColumn("rho", when($"w" === 0, lit(27))
+          .otherwise(expr("bit_count((w & -w) - 1) + 1")))
+        .groupBy($"win_start", $"event_type", $"j").agg(max($"rho").as("r"))
+        .orderBy("win_start", "event_type", "j")
+        .collect().map(_.toSeq).toSeq
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("foreachBatch overwrite sink (S9 streaming form) lands the data") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
