@@ -484,6 +484,29 @@ object MLOps {
         .orderBy("topic")
     }),
 
+    // S11 twin (oracle-checked): model-artifact round-trip for the
+    // relational trainer — φ IS the model (vocab × K probabilities), so
+    // the artifact is a plain parquet table; save → reload → re-derive
+    // the ranked topic table, which must equal lda_em_topics exactly
+    // (they share that oracle). The MLlib save/load keeps its spec-only
+    // check — its artifact is opaque metadata+data files; this one is a
+    // queryable table any engine can read, which is the better 100 TB
+    // posture for model state anyway.
+    "lda_em_save_load" -> ((s, d) => {
+      import s.implicits._
+      val (phi, _) = ldaEmState(s, d)
+      val path = "target/tmp/lda_em_model"
+      phi.select($"word", $"ph").write.mode("overwrite").parquet(path)
+      val re = s.read.parquet(path)
+      val w = Window.partitionBy($"k").orderBy(desc("p"), asc("word"))
+      re.select($"word", posexplode($"ph")).toDF("word", "k", "p")
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= TopWords)
+        .select($"k".cast("int").as("topic_id"), $"rank", $"word",
+          round($"p", 6).as("weight"))
+        .orderBy("topic_id", "rank")
+    }),
+
     // §3.1 fan-out TWIN (oracle-checked): the pipeline_topic_fanout shape
     // — one prepared input consumed by multiple model configs — with the
     // relational trainer, so the whole fan-out replays in DuckDB (two
@@ -860,18 +883,23 @@ object MLOps {
        |FROM fin JOIN c$KmIters cc ON fin.cid = cc.cid
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val ldaEmTopicsSql =
+    s"""WITH $ldaEmCtesSql
+       |SELECT topic_id, rank, word, weight FROM (
+       |  SELECT CAST(k AS INT) AS topic_id,
+       |    row_number() OVER (PARTITION BY k ORDER BY p DESC, word ASC)
+       |      AS rank,
+       |    word, ROUND(p, 6) AS weight
+       |  FROM ph$EmIters)
+       |WHERE rank <= $TopWords
+       |ORDER BY topic_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ml_kmeans" -> kmeansSql,
-    "lda_em_topics" ->
-      s"""WITH $ldaEmCtesSql
-         |SELECT topic_id, rank, word, weight FROM (
-         |  SELECT CAST(k AS INT) AS topic_id,
-         |    row_number() OVER (PARTITION BY k ORDER BY p DESC, word ASC)
-         |      AS rank,
-         |    word, ROUND(p, 6) AS weight
-         |  FROM ph$EmIters)
-         |WHERE rank <= $TopWords
-         |ORDER BY topic_id, rank""".stripMargin,
+    "lda_em_topics" -> ldaEmTopicsSql,
+    // the artifact round-trip must reproduce the topics table exactly —
+    // one oracle serves both
+    "lda_em_save_load" -> ldaEmTopicsSql,
     "lda_em_doc_topics" ->
       s"""WITH $ldaEmCtesSql
          |SELECT main_topic, COUNT(*) AS n_docs FROM (

@@ -192,6 +192,34 @@ class DedupSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("both CC algorithms match union-find on seeded random graphs") {
+    // property sweep: sparse, dense, and multi-component regimes; both
+    // distributed implementations must agree with a local union-find on
+    // every instance
+    val rnd = new scala.util.Random(42)
+    Seq((40, 25), (40, 80), (200, 60)).foreach { case (n, m) =>
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map(v => (v, find(v))).toSet
+      val df = edges.toDF("d1", "d2")
+      val star = DedupOps.ccStars(spark, df).as[(Long, Long)].collect().toSet
+      val jump = DedupOps.connectedComponents(spark, df)
+        .as[(Long, Long)].collect().toSet
+      assert(star == want, s"ccStars wrong on n=$n m=$m")
+      assert(jump == want, s"pointer jumping wrong on n=$n m=$m")
+    }
+  }
+
   test("cluster reps equal a union-find over the same near-dup pairs") {
     val pairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
       .select($"d1", $"d2").as[(Long, Long)].collect()
