@@ -139,6 +139,36 @@ object Relational {
         .orderBy($"shard")
     }),
 
+    // Deterministic per-epoch training-order reshuffle: LLM training
+    // wants a DIFFERENT document order each epoch that is nonetheless
+    // reproducible across reruns and resumable mid-epoch — rand() gives
+    // neither. Order = rank of the portable hash of (epoch, doc_id)
+    // within the epoch, so epoch 0 and epoch 1 are two fixed,
+    // uncorrelated permutations (spec checks they differ and that each
+    // is a true permutation). The raw polynomial hash of short
+    // sequential id strings never wraps the modulus, so it is MONOTONE
+    // in the id (measured: the "shuffle" was the identity) — a Fibonacci
+    // multiplicative mix (Knuth's 2654435761) after the poly hash
+    // restores equidistribution, in exact integer algebra both engines
+    // share. At 100 TB the global row_number is not materialized: the
+    // mixed key doubles as the shard assignment (hk mod S →
+    // sink_training_shards' writer) and readers sort within shard —
+    // same keys, no global exchange; the full permutation here is the
+    // oracle-checkable small-scale witness of those keys.
+    "sink_epoch_shuffle" -> ((s, d) => {
+      import s.implicits._
+      val Epochs = 2
+      val w = Window.partitionBy($"epoch").orderBy($"hk", $"doc_id")
+      documents(s, d).select($"doc_id")
+        .select($"doc_id",
+          explode(sequence(lit(0), lit(Epochs - 1))).as("epoch"))
+        .withColumn("hk", (graft.functions.PolyHash.poly_hash(
+          concat($"epoch", lit("#"), $"doc_id")) * 2654435761L) % 1000000007L)
+        .withColumn("position", row_number().over(w))
+        .select($"epoch", $"position", $"doc_id")
+        .orderBy("epoch", "position")
+    }),
+
     "s7_csv_roundtrip" -> ((s, d) => {
       import s.implicits._
       val out = "target/tmp/s7_csv_roundtrip"
@@ -703,6 +733,19 @@ object Relational {
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+    "sink_epoch_shuffle" ->
+      s"""SELECT epoch, position, doc_id FROM (
+         |  SELECT g.epoch, doc_id,
+         |    row_number() OVER (PARTITION BY g.epoch ORDER BY hk, doc_id)
+         |      AS position
+         |  FROM (
+         |    SELECT doc_id, g.epoch,
+         |      (${graft.ops.DedupOps.polyHashSql(
+               "CAST(g.epoch AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR)")}
+         |       * 2654435761) % 1000000007 AS hk
+         |    FROM documents
+         |    CROSS JOIN (SELECT unnest(range(2)) AS epoch) g) g)
+         |ORDER BY epoch, position""".stripMargin,
     "p_quality_gate" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE text IS NOT NULL AND lang IS NOT NULL AND text <> 'N/A'

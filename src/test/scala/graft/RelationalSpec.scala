@@ -88,7 +88,8 @@ class RelationalSpec extends SparkSpec {
       "sample_weighted_ares", "a_hll_shard_merge",
       "dedup_bloom_contamination", "lda_em_coherence",
       "dedup_prefix_filter", "lda_em_fanout",
-      "stream_hll_daily", "lda_em_save_load").foreach { name =>
+      "stream_hll_daily", "lda_em_save_load",
+      "sink_epoch_shuffle").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq

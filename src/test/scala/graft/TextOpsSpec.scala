@@ -206,6 +206,26 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("epoch shuffle: true permutations, uncorrelated across epochs") {
+    val rows = SparkEntry.queries("sink_epoch_shuffle")(spark, sf)
+      .as[(Int, Int, Long)].collect()
+    val docs = graft.ops.Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0, 1))
+    byEpoch.foreach { case (_, es) =>
+      // each epoch covers every doc exactly once at contiguous positions
+      assert(es.map(_._3).toSet == docs)
+      assert(es.map(_._2).sorted.toSeq == (1 to docs.size))
+    }
+    // the two epoch orderings genuinely differ (hash-decorrelated)
+    val o0 = byEpoch(0).sortBy(_._2).map(_._3).toSeq
+    val o1 = byEpoch(1).sortBy(_._2).map(_._3).toSeq
+    assert(o0 != o1)
+    val agree = o0.zip(o1).count { case (a, b) => a == b }
+    assert(agree < docs.size / 10, s"epoch orders too correlated: $agree")
+  }
+
   test("corpus stats card is a consistent datasheet") {
     val rows = SparkEntry.queries("corpus_stats_card")(spark, sf)
       .as[(String, String, Long, Long, Long, Long, Double, Double)].collect()
