@@ -1011,6 +1011,41 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // N-gram novelty (the Gopher/PaLM-family memorization metric): what
+    // fraction of a held-out doc's 8-grams never occurs in the training
+    // split? Low novelty = the eval doc is effectively memorized train
+    // data — the doc-level signal benchmark decontamination acts on.
+    // Split = the standard portable id-hash split (train buckets 0-7).
+    // Shape: one rolling-hash pass (same machinery as the substring
+    // ops), train grams DISTINCT, then a left join probe + per-doc
+    // aggregate. At 100 TB the distinct train-gram table is the big
+    // artifact — it shards by gram hash and the probe co-partitions, or
+    // degrades gracefully to the Bloom-filter probe
+    // (dedup_bloom_contamination's machinery) when approximate novelty
+    // suffices.
+    "text_ngram_novelty" -> ((s, d) => {
+      import s.implicits._
+      val N = 8
+      val grams = documents(s, d)
+        .select($"doc_id", tokens($"text").as("tk"))
+        .withColumn("n", size($"tk"))
+        .filter($"n" >= N)
+        .select($"doc_id", explode(
+          transform(sequence(lit(0), $"n" - N),
+            i => graft.functions.PolyHash.poly_hash(
+              concat_ws(" ", slice($"tk", i + 1, lit(N)))))).as("g"))
+        .withColumn("bucket", pmod(graft.functions.PolyHash.poly_hash(
+          $"doc_id".cast("string")), lit(10L)))
+      val trainGrams = grams.filter($"bucket" < 8).select($"g").distinct()
+      grams.filter($"bucket" >= 8)
+        .join(trainGrams.withColumn("seen", lit(1)), Seq("g"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"seen".isNull, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", round($"n_novel" / $"n_grams", 6))
+        .orderBy("doc_id")
+    }),
+
     // Weighted sampling WITHOUT replacement per stratum (Efraimidis &
     // Spirakis 2006; A-ExpJ is the streaming exponential-jump variant of
     // the same distribution — a batch engine materializes every key, the
@@ -1489,6 +1524,25 @@ object TextOps {
         "array_to_string(tk[(chunk_id*48+1):(chunk_id*48 + LEAST(64, n - chunk_id*48))], ' ')")}
          |    AS fp
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    ${graft.ops.DedupOps.polyHashSql(
+               "array_to_string(tk[(i+1):(i+8)], ' ')")} AS g,
+         |    ${graft.ops.DedupOps.polyHashSql(
+               "CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+         |  FROM (SELECT doc_id, tk, unnest(range(len(tk) - 7)) AS i
+         |        FROM t WHERE len(tk) >= 8)),
+         |tg AS (SELECT DISTINCT g AS tgram FROM g WHERE bucket < 8)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN tgram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  ROUND(SUM(CASE WHEN tgram IS NULL THEN 1 ELSE 0 END) * 1.0
+         |        / COUNT(*), 6) AS novelty
+         |FROM g LEFT JOIN tg ON g.g = tg.tgram
+         |WHERE bucket >= 8
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sample_weighted_ares" ->
       s"""WITH base AS (
          |  SELECT source, doc_id, len($tokensSql) AS w_tok FROM documents),

@@ -206,6 +206,37 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("ngram novelty: covers exactly the test split, bounded, exact on a probe") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("text_ngram_novelty")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, novel, ratio) =>
+      assert(novel >= 0 && novel <= n && ratio >= 0.0 && ratio <= 1.0)
+    }
+    // the report covers exactly the hash-split test docs with >= 8 tokens
+    val toks = graft.ops.Tables.documents(spark, sf)
+      .select($"doc_id", filter(split(lower($"text"), "\\s+"),
+        t => length(t) > 0).as("tk"))
+      .as[(Long, Seq[String])].collect()
+    def bucket(id: Long): Long =
+      graft.functions.PolyHash.hashString(id.toString) % 10
+    val wantIds = toks.filter { case (id, tk) =>
+      bucket(id) >= 8 && tk.length >= 8
+    }.map(_._1).toSet
+    assert(rows.map(_._1).toSet == wantIds)
+    // local recompute of one doc's novelty — an independent probe of the
+    // anti-membership arithmetic
+    val trainGrams = toks.filter(t => bucket(t._1) < 8).flatMap { case (_, tk) =>
+      tk.sliding(8).filter(_.length == 8).map(_.mkString(" "))
+    }.toSet
+    val (pid, ptk) = toks.filter(t => wantIds.contains(t._1)).head
+    val probe = ptk.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSeq
+    val wantNovel = probe.count(g => !trainGrams.contains(g))
+    val got = rows.find(_._1 == pid).get
+    assert(got._2 == probe.size && got._3 == wantNovel)
+  }
+
   test("epoch shuffle: true permutations, uncorrelated across epochs") {
     val rows = SparkEntry.queries("sink_epoch_shuffle")(spark, sf)
       .as[(Int, Int, Long)].collect()
