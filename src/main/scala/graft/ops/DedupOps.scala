@@ -289,6 +289,13 @@ object DedupOps {
       edges = small
       iters += 1
     }
+    // O(log² n) convergence means the cap can only be hit by a broken
+    // invariant (orientation, min-propagation); returning a non-star
+    // edge set would silently emit duplicate (node,label) rows, so make
+    // it a loud failure rather than a fallback.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"ccStars failed to converge after $iters rounds ($changed edges still changing)")
     nodes.join(edges.toDF("node", "lbl"), Seq("node"), "left")
       .select($"node", coalesce($"lbl", $"node").as("lbl"))
   }
