@@ -82,6 +82,7 @@ object SparkEntry {
     "graph_triangles",
     "graph_degree_stats",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "ann_ivf_kmeans_topk",
     "ann_sq8_topk",
     "ann_lsh_multi_topk",

@@ -42,6 +42,27 @@ object SimilarityOps {
   val PqK = 16
   val PqIters = 2
 
+  /** Coarse cells probed per query by the IVF-ADC index (of KmK=8).
+    * nprobe=4 on THIS corpus: the synthetic embeddings are near-isotropic
+    * (no planted cluster structure), so coarse cells capture cosine
+    * neighborhoods weakly and recall tracks the scanned fraction almost
+    * linearly (measured at sf0.001: nprobe=2 → 0.35, nprobe=4 → 0.60).
+    * On real clustered embeddings the standard setting is nprobe ≪ K
+    * with recall far above the scanned fraction; the INDEX mechanics are
+    * identical — only the data's cluster structure differs.
+    */
+  val Nprobe = 4
+
+  /** ADC candidates rescored per query by IVF-ADC (FAISS's refine
+    * factor). Deeper than the flat scan's 2k: 16-code subquantizers on
+    * isotropic data rank coarsely, so the recall lever is the exact
+    * rescore depth, not the probed fraction (measured at sf0.001,
+    * nprobe=4: rescore 10 → 0.38 recall@5, rescore 50 → 0.77 / 0.73
+    * at sf0.01).
+    * 50 exact rescores per query is negligible at any scale.
+    */
+  val IvfRescoreK = 10 * TopK
+
   /** Trained PQ codebooks per (session, sfDir, variant). Model-scale
     * (M×K'×SubDim doubles) driver state, no block-manager footprint —
     * kept across Bench.clearState so timed ANN passes measure encode +
@@ -98,6 +119,40 @@ object SimilarityOps {
     }
     cbs
   }
+
+  /** The trained coarse centroids as one k-ordered literal array —
+    * element_at(…, cid+1) is the broadcast centroid lookup both the
+    * residual computation and the query-side probe use.
+    */
+  private def centArr(s: SparkSession, d: String): Column =
+    typedLit(graft.ops.MLOps.kmeansCentroids(s, d).sortBy(_._1).map(_._2))
+
+  /** Corpus assigned to its trained coarse cell (argmin over the k-means
+    * centroids, ties on cid) with the per-cell residual re = e − c(cid) —
+    * the vector the PQ stage of IVF-ADC codes. Map-only given the
+    * broadcast centroid literals.
+    */
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = graft.ops.MLOps.kmeansCentroids(s, d)
+    graft.ops.MLOps.kmeansCorpus(s, d)
+      .withColumn("cid", array_min(graft.ops.MLOps.kmeansDistArr(cents)).getField("k"))
+      .withColumn("norm", sqrt(graft.functions.VecDot.vec_dot($"e", $"e")))
+      .withColumn("re", zip_with($"e", element_at(centArr(s, d), $"cid" + 1),
+        (x, c) => x - c))
+  }
+
+  /** Residual PQ codebooks for the IVF-ADC index: same trainer as the
+    * flat index, run on the residual corpus (Jégou et al. §IV — coding
+    * residuals concentrates the quantizer's budget on within-cell
+    * variance). The residual frame is localCheckpoint'ed for the
+    * training passes only.
+    */
+  private def ivfResidualCbs(s: SparkSession, d: String): Array[Array[(Int, Seq[Double])]] =
+    pqCache.getOrElseUpdate((s, d, "ivf_residual"), {
+      import s.implicits._
+      pqTrainOn(s, ivfAssigned(s, d).select($"vec_id", $"re".as("e")).localCheckpoint())
+    })
 
   /** Deterministic hyperplanes: java.util.Random(42) Gaussians (the LCG and
     * nextGaussian algorithms are fixed by the Java spec, so these constants
@@ -358,6 +413,63 @@ object SimilarityOps {
       topkWithin(s, rescored)
     }),
 
+    // IVF-ADC — the composed billion-vector index (Jégou et al. 2011
+    // §IV; FAISS IVFADC): the trained k-means coarse quantizer
+    // (ann_ivf_kmeans_topk's model) partitions the corpus into cells,
+    // PQ codebooks are trained on the per-cell RESIDUALS e − c(cid), and
+    // each vector stores (cid, 8 residual codes) ≈ 9 B. Search: rank the
+    // query against the 8 cell centroids, probe the nprobe=2 nearest
+    // cells, ADC-scan ONLY those cells with the query's per-cell
+    // residual q − c(cell), top-2k candidates rescore by exact cosine.
+    // Unlike the flat ADC scan (ann_pq_topk) the corpus-wide candidate
+    // row never materializes — the scan touches nprobe/K of the data,
+    // which is THE property that makes the index viable at 10⁹ vectors
+    // (cells are separate partitions; a probe is a partition-pruned
+    // read). Every stage is deterministic (6dp-rounded centroids and
+    // codewords, fixed-order folds, ties on cid/code/vec_id), so the
+    // full lifecycle — coarse train → residual PQ train → encode →
+    // nprobe ADC → rescore — replays bit-for-bit in DuckDB.
+    "ann_ivfpq_topk" -> ((s, d) => {
+      import s.implicits._
+      val cents = MLOps.kmeansCentroids(s, d)
+      val rcbs = ivfResidualCbs(s, d)
+      def d2(a: Column, c: Seq[Double]): Column =
+        aggregate(zip_with(a, typedLit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      val codeCols = (0 until PqM).map { m =>
+        array_min(array(rcbs(m).map { case (k, c) =>
+          struct(d2(slice($"re", m * PqSubDim + 1, PqSubDim), c).as("d"),
+            lit(k).as("k"))
+        }: _*)).getField("k").as(s"code_$m")
+      }
+      val coded = ivfAssigned(s, d).select(
+        ($"vec_id" +: $"cid" +: $"e" +: $"norm" +: codeCols): _*)
+      // query probe: top-nprobe cells by centroid distance (ties cid),
+      // with the query's per-cell residual for the ADC
+      val qp = graft.ops.MLOps.kmeansCorpus(s, d)
+        .filter($"vec_id" < NumQueries)
+        .withColumn("qn", sqrt(graft.functions.VecDot.vec_dot($"e", $"e")))
+        .select($"vec_id".as("query_id"), $"e".as("qe"), $"qn",
+          explode(slice(array_sort(MLOps.kmeansDistArr(cents)), 1, Nprobe)).as("pr"))
+        .select($"query_id", $"qe", $"qn", $"pr.k".as("cid"))
+        .withColumn("qre", zip_with($"qe", element_at(centArr(s, d), $"cid" + 1),
+          (x, c) => x - c))
+      val adc = (0 until PqM).map { m =>
+        val cw = element_at(
+          typedLit(rcbs(m).sortBy(_._1).map(_._2)), col(s"code_$m") + 1)
+        aggregate(zip_with(slice($"qre", m * PqSubDim + 1, PqSubDim), cw,
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+      }.reduce(_ + _)
+      val wA = Window.partitionBy($"query_id").orderBy(asc("adc"), asc("vec_id"))
+      val cands = coded.join(broadcast(qp), Seq("cid"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("adc", adc)
+        .withColumn("arank", row_number().over(wA))
+        .filter($"arank" <= IvfRescoreK)
+      topkWithin(s, cands
+        .withColumn("cos_exact", dot($"e", $"qe") / ($"norm" * $"qn")))
+    }),
+
     "ann_sq8_topk" -> ((s, d) => {
       import s.implicits._
       val v = prepared(s, d)
@@ -462,29 +574,19 @@ object SimilarityOps {
 
   // ---- oracle SQL ----
 
-  /** The PQ oracle: training (unrolled Lloyd rounds), final encoding,
-    * and ADC search — mirrors pqTrain + ann_pq_topk exactly (6dp-rounded
-    * codewords, fixed-order 8-term ADC sum, ties on code/vec ids).
+  /** The PQ training + encoding CTE chain over an ALREADY-DEFINED
+    * relation `pv(vec_id, e)`: cb0 init (K' smallest vec_ids'
+    * subvectors) → unrolled Lloyd rounds → paF final assignment →
+    * pcodes (vec → 8 codes) and cbl/cba (k-ordered codebook lists the
+    * ADC indexes into). Mirrors pqTrainOn exactly (6dp-rounded
+    * codewords, ties on code id, empty codes keep their codeword).
+    * Shared by the flat-ADC oracle (pv = the raw embeddings) and the
+    * IVF-ADC oracle (pv = the per-cell residuals).
     */
-  private lazy val pqSql: String = {
+  private lazy val pqChainSql: String = {
     val F = PqIters
-    def foldSub(eExpr: String, mRef: String, cwExpr: String) =
-      s"""list_reduce(list_prepend(0.0, list_transform(range($PqSubDim),
-         |      i -> ($eExpr[$mRef * $PqSubDim + i + 1] - $cwExpr[i+1]) *
-         |           ($eExpr[$mRef * $PqSubDim + i + 1] - $cwExpr[i+1]))),
-         |    (x, y) -> x + y)""".stripMargin
-    def assignCtes(t: String, cbRef: String) =
-      s"""pd$t AS MATERIALIZED (
-         |  SELECT pv.vec_id, cb.m, cb.k,
-         |    ${foldSub("pv.e", "cb.m", "cb.c")} AS dd
-         |  FROM pv CROSS JOIN $cbRef cb),
-         |pa$t AS MATERIALIZED (
-         |  SELECT vec_id, m, k AS code FROM (
-         |    SELECT vec_id, m, k,
-         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dd ASC, k ASC) AS rn
-         |    FROM pd$t) WHERE rn = 1)""".stripMargin
     val iters = (1 to F).map { t =>
-      s"""${assignCtes(t.toString, s"cb${t - 1}")},
+      s"""${pqAssignCtes(t.toString, s"cb${t - 1}")},
          |pm$t AS MATERIALIZED (
          |  SELECT pa.m, pa.code, ii.i,
          |    ROUND(AVG(pv.e[pa.m * $PqSubDim + ii.i]), 6) AS val
@@ -498,30 +600,61 @@ object SimilarityOps {
          |    FROM pm$t GROUP BY 1, 2) nw
          |  ON p.m = nw.m AND p.k = nw.k)""".stripMargin
     }.mkString(",\n")
-    val adcTerms = (0 until PqM).map { m =>
-      s"""(list_reduce(list_prepend(0.0, list_transform(range($PqSubDim),
-         |  i -> (q.qe[${m * PqSubDim} + i + 1] -
-         |        cba.cbs[${m + 1}][c.codes[${m + 1}] + 1][i+1]) *
-         |       (q.qe[${m * PqSubDim} + i + 1] -
-         |        cba.cbs[${m + 1}][c.codes[${m + 1}] + 1][i+1]))),
-         |  (x, y) -> x + y))""".stripMargin
-    }.mkString(" +\n")
-    s"""WITH pv AS MATERIALIZED (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-       |  FROM embeddings),
-       |cb0 AS MATERIALIZED (
+    s"""cb0 AS MATERIALIZED (
        |  SELECT mm.m, iv.k,
        |    iv.e[mm.m * $PqSubDim + 1 : mm.m * $PqSubDim + $PqSubDim] AS c
        |  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k, e
        |        FROM (SELECT vec_id, e FROM pv ORDER BY vec_id LIMIT $PqK)) iv
        |  CROSS JOIN (SELECT CAST(unnest(range($PqM)) AS INT) AS m) mm),
        |$iters,
-       |${assignCtes("F", s"cb$F")},
+       |${pqAssignCtes("F", s"cb$F")},
        |pcodes AS MATERIALIZED (
        |  SELECT vec_id, list(code ORDER BY m) AS codes FROM paF GROUP BY 1),
        |cbl AS MATERIALIZED (
        |  SELECT m, list(c ORDER BY k) AS cl FROM cb$F GROUP BY m),
-       |cba AS MATERIALIZED (SELECT list(cl ORDER BY m) AS cbs FROM cbl),
+       |cba AS MATERIALIZED (SELECT list(cl ORDER BY m) AS cbs FROM cbl)""".stripMargin
+  }
+
+  private def pqFoldSub(eExpr: String, mRef: String, cwExpr: String) =
+    s"""list_reduce(list_prepend(0.0, list_transform(range($PqSubDim),
+       |      i -> ($eExpr[$mRef * $PqSubDim + i + 1] - $cwExpr[i+1]) *
+       |           ($eExpr[$mRef * $PqSubDim + i + 1] - $cwExpr[i+1]))),
+       |    (x, y) -> x + y)""".stripMargin
+
+  private def pqAssignCtes(t: String, cbRef: String) =
+    s"""pd$t AS MATERIALIZED (
+       |  SELECT pv.vec_id, cb.m, cb.k,
+       |    ${pqFoldSub("pv.e", "cb.m", "cb.c")} AS dd
+       |  FROM pv CROSS JOIN $cbRef cb),
+       |pa$t AS MATERIALIZED (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dd ASC, k ASC) AS rn
+       |    FROM pd$t) WHERE rn = 1)""".stripMargin
+
+  /** Fixed-order 8-term ADC sum against `cba`, with the query-side
+    * vector expression parameterized (`q.qe` for the flat scan, `q.qre`
+    * — the per-cell query residual — for IVF-ADC).
+    */
+  private def pqAdcTermsSql(qvec: String): String =
+    (0 until PqM).map { m =>
+      s"""(list_reduce(list_prepend(0.0, list_transform(range($PqSubDim),
+         |  i -> ($qvec[${m * PqSubDim} + i + 1] -
+         |        cba.cbs[${m + 1}][c.codes[${m + 1}] + 1][i+1]) *
+         |       ($qvec[${m * PqSubDim} + i + 1] -
+         |        cba.cbs[${m + 1}][c.codes[${m + 1}] + 1][i+1]))),
+         |  (x, y) -> x + y))""".stripMargin
+    }.mkString(" +\n")
+
+  /** The PQ oracle: training (unrolled Lloyd rounds), final encoding,
+    * and ADC search — mirrors pqTrain + ann_pq_topk exactly (6dp-rounded
+    * codewords, fixed-order 8-term ADC sum, ties on code/vec ids).
+    */
+  private lazy val pqSql: String =
+    s"""WITH pv AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |$pqChainSql,
        |pn AS MATERIALIZED (
        |  SELECT pv.vec_id, pv.e,
        |    sqrt(list_reduce(list_prepend(0.0, list_transform(pv.e, x -> x * x)),
@@ -530,7 +663,7 @@ object SimilarityOps {
        |  FROM pv JOIN pcodes ON pv.vec_id = pcodes.vec_id),
        |adcp AS MATERIALIZED (
        |  SELECT c.vec_id, q.query_id, c.e, c.norm, q.qe, q.qn,
-       |    $adcTerms AS adc
+       |    ${pqAdcTermsSql("q.qe")} AS adc
        |  FROM pn c
        |  CROSS JOIN (SELECT vec_id AS query_id, e AS qe, norm AS qn
        |              FROM pn WHERE vec_id < $NumQueries) q
@@ -541,6 +674,65 @@ object SimilarityOps {
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |      ORDER BY adc ASC, vec_id ASC) AS arank
        |    FROM adcp) WHERE arank <= ${2 * TopK})
+       |${topkSql(
+      s"""SELECT query_id, vec_id,
+         |  ${dotSql("e", "qe")} / (norm * qn) AS cos_exact
+         |FROM cands""".stripMargin)}""".stripMargin
+
+  /** The IVF-ADC oracle: the FULL composed lifecycle — k-means coarse
+    * training (kmeansCtesSql, shared with ml_kmeans/ann_ivf_kmeans),
+    * per-cell residuals, residual-PQ training (pqChainSql over pv =
+    * residuals), encoding, query-side nprobe cell ranking, per-cell
+    * query residuals, ADC over the probed cells only, exact rescore.
+    * Mirrors ann_ivfpq_topk step for step.
+    */
+  private lazy val ivfpqSql: String = {
+    val fold = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(0.0, list_transform(range(len($a)),
+         |      i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]))),
+         |    (x, y) -> x + y)""".stripMargin
+    s"""WITH ${MLOps.kmeansCtesSql},
+       |rv AS MATERIALIZED (
+       |  SELECT f.vec_id, f.cid,
+       |    list_transform(range($Dim), i -> v.e[i+1] - cc.c[i+1]) AS re,
+       |    v.e,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(v.e, x -> x * x)),
+       |      (a, b) -> a + b)) AS norm
+       |  FROM fin f
+       |  JOIN v ON f.vec_id = v.vec_id
+       |  JOIN c${MLOps.KmIters} cc ON f.cid = cc.cid),
+       |pv AS MATERIALIZED (SELECT vec_id, re AS e FROM rv),
+       |$pqChainSql,
+       |pn AS MATERIALIZED (
+       |  SELECT rv.vec_id, rv.cid, rv.e, rv.norm, pcodes.codes
+       |  FROM rv JOIN pcodes ON rv.vec_id = pcodes.vec_id),
+       |qd AS (
+       |  SELECT q.vec_id AS query_id, q.e AS qe, q.norm AS qn, cc.cid,
+       |    ${fold("q.e", "cc.c")} AS d
+       |  FROM (SELECT vec_id, e, norm FROM rv WHERE vec_id < $NumQueries) q
+       |  CROSS JOIN c${MLOps.KmIters} cc),
+       |qp AS MATERIALIZED (
+       |  SELECT t.query_id, t.qe, t.qn, t.cid,
+       |    list_transform(range($Dim), i -> t.qe[i+1] - cc.c[i+1]) AS qre
+       |  FROM (
+       |    SELECT query_id, qe, qn, cid FROM (
+       |      SELECT query_id, qe, qn, cid,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY d ASC, cid ASC) AS rn
+       |      FROM qd) WHERE rn <= $Nprobe) t
+       |  JOIN c${MLOps.KmIters} cc ON t.cid = cc.cid),
+       |adcp AS MATERIALIZED (
+       |  SELECT c.vec_id, q.query_id, c.e, c.norm, q.qe, q.qn,
+       |    ${pqAdcTermsSql("q.qre")} AS adc
+       |  FROM pn c
+       |  JOIN qp q ON c.cid = q.cid
+       |  CROSS JOIN cba
+       |  WHERE c.vec_id <> q.query_id),
+       |cands AS MATERIALIZED (
+       |  SELECT vec_id, query_id, e, norm, qe, qn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc ASC, vec_id ASC) AS arank
+       |    FROM adcp) WHERE arank <= $IvfRescoreK)
        |${topkSql(
       s"""SELECT query_id, vec_id,
          |  ${dotSql("e", "qe")} / (norm * qn) AS cos_exact
@@ -666,6 +858,7 @@ object SimilarityOps {
          |SELECT ${bucketSql("e")} AS bucket, COUNT(*) AS n_vectors
          |FROM n GROUP BY 1 ORDER BY n_vectors DESC, bucket ASC LIMIT 100""".stripMargin,
     "ann_pq_topk" -> pqSql,
+    "ann_ivfpq_topk" -> ivfpqSql,
     "ann_matryoshka_recall" ->
       s"""WITH $prepSql,
          |q AS (SELECT vec_id AS query_id, e AS qe, norm AS qn

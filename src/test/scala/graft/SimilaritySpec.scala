@@ -55,6 +55,29 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (q, _, n, _) => assert(labels(q) == labels(n)) }
   }
 
+  test("IVF-ADC index recalls most exact neighbors and rescores exactly") {
+    val ivfpq = SparkEntry.queries("ann_ivfpq_topk")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    // every query answered, ranks dense from 1
+    val byQ = ivfpq.groupBy(_._1)
+    assert(byQ.keySet == exact.map(_._1).toSet)
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+    }
+    // recall@5 vs the brute-force ground truth: nprobe=4 of 8 cells +
+    // 50-deep exact rescore on these near-isotropic synthetic embeddings
+    // (measured 0.77 at sf0.001, 0.73 at sf0.01; floor leaves slack)
+    val truth = exact.map(r => (r._1, r._3)).toSet
+    val hits = ivfpq.count(r => truth.contains((r._1, r._3)))
+    val recall = hits.toDouble / exact.length
+    assert(recall >= 0.5, s"recall@5 = $recall")
+    // the rescore stage is exact: any surfaced pair that also sits in the
+    // exact top-k carries the identical cosine
+    val exactCos = exact.map(r => (r._1, r._3) -> r._4).toMap
+    ivfpq.foreach { case (q, _, n, c) =>
+      exactCos.get((q, n)).foreach(ec => assert(c == ec, s"($q,$n)")) }
+  }
+
   test("SQ8 probe rescores its candidates with the exact cosines") {
     // any (query, neighbor) pair the quantized probe surfaces that also
     // sits in the exact top-k must carry the identical rescored cosine —
