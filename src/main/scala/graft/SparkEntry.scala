@@ -79,6 +79,7 @@ object SparkEntry {
   def benchQueries2: Seq[String] = Seq(
     "graph_pagerank",
     "graph_harmonic",
+    "graph_hyperball",
     "graph_triangles",
     "graph_degree_stats",
     "ann_pq_topk",

@@ -72,6 +72,23 @@ object GraphOps {
         ($"w".cast("double") / $"outw".cast("double")).as("p"))
   }
 
+  /** The above-average-weight undirected core, symmetrized — the shared
+    * traversal substrate of graph_harmonic (exact multi-source BFS) and
+    * graph_hyperball (HLL neighborhood counters). Threshold membership
+    * is 6dp-rounded on both sides so a cross-engine ulp in the mean
+    * can't flip an edge sitting on it.
+    */
+  private def undCore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val core = tradeEdges(s, d).filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"), $"w")
+      .groupBy($"a", $"b").agg(sum($"w").cast("double").as("uw"))
+      .withColumn("mw", avg($"uw").over(Window.partitionBy()))
+      .filter(round($"uw", 6) > round($"mw", 6))
+      .select($"a", $"b")
+    core.union(core.select($"b".as("a"), $"a".as("b")))
+  }
+
   val queries: Map[String, Q] = Map(
     // Weighted PageRank over the nation trade graph, 4 power iterations
     // unrolled: pr' = (1-d)/N + d * Σ_src pr(src) * p(src→dst). The node
@@ -135,17 +152,7 @@ object GraphOps {
     // a_hll_probe's machinery).
     "graph_harmonic" -> ((s, d) => {
       import s.implicits._
-      val core = tradeEdges(s, d).filter($"src" =!= $"dst")
-        .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"), $"w")
-        .groupBy($"a", $"b").agg(sum($"w").cast("double").as("uw"))
-        // uw is decimal-exact; mw = avg() is summation-order-sensitive.
-        // Round BOTH to 6dp before the threshold so a cross-engine ulp in
-        // the mean can't flip membership of an edge sitting on it.
-        .withColumn("mw", avg($"uw").over(Window.partitionBy()))
-        .filter(round($"uw", 6) > round($"mw", 6))
-        .select($"a", $"b")
-      val und = core.union(core.select($"b".as("a"), $"a".as("b")))
-        .localCheckpoint()
+      val und = undCore(s, d).localCheckpoint()
       var dist = nation(s, d)
         .select($"n_nationkey".as("s"), $"n_nationkey".as("v"), lit(0).as("dd"))
         .localCheckpoint()
@@ -166,6 +173,76 @@ object GraphOps {
           coalesce($"harmonic", lit(0.0)).as("harmonic"),
           coalesce($"n_reached", lit(0L)).as("n_reached"))
         .orderBy(desc("harmonic"), asc("n_name"))
+    }),
+
+    // HyperBall harmonic centrality (Boldi & Vigna 2013, "In-Core
+    // Computation of Geometric Centralities with HyperBall") — the
+    // web-scale swap for graph_harmonic's exact BFS: the per-(source,
+    // node) distance table is O(V²) state, while HyperBall keeps ONE
+    // fixed-size HLL counter per node (16 registers here — the
+    // a_hll_probe machinery) approximating |B(v,t)|, and each BFS round
+    // is a register-max merge over neighbors: c_t(v) = max(c_{t-1}(v),
+    // max_u~v c_{t-1}(u)) — associative, idempotent, one groupBy(v,j)
+    // per round on a |V|×16-row table regardless of graph size.
+    // Harmonic mass accumulates from counter DIFFERENCES:
+    // H(v) ≈ Σ_{t=1..4} (est_t − est_{t−1})/t. The delta chain is a
+    // single fixed-order expression over the five per-round estimates
+    // (NOT a groupBy sum — float summation order stays deterministic).
+    // Registers are integer-exact (portable hash, trailing-zero rho),
+    // and the estimator is a_hll_probe's bias-corrected harmonic mean
+    // with linear counting — identical doubles in both engines, so the
+    // whole 4-round trajectory replays in DuckDB. With n ≤ 25 ≪ M·lnM
+    // the estimator sits in the linear-counting regime, where accuracy
+    // is much better than the 1.04/√M ≈ 26% HLL rse; GraphSpec bounds
+    // the estimate against graph_harmonic's exact values.
+    "graph_hyperball" -> ((s, d) => {
+      import s.implicits._
+      val M = 16
+      val und = undCore(s, d).localCheckpoint()
+      val h = graft.functions.PolyHash.poly_hash($"v".cast("string"))
+      // dense init: all 16 registers per node, the node's own hash slot
+      // carrying its rho — densifying up front keeps every later round a
+      // pure union+max with no absent-register bookkeeping
+      var regs = nation(s, d).select($"n_nationkey".as("v"))
+        .withColumn("hh", h)
+        .withColumn("jv", $"hh" % M)
+        .withColumn("wv", expr(s"hh div $M"))
+        .withColumn("rhov",
+          when($"wv" === 0, lit(27))
+            .otherwise(expr("bit_count((wv & -wv) - 1) + 1")))
+        .select($"v", explode(sequence(lit(0), lit(M - 1))).as("j"),
+          $"jv", $"rhov")
+        .withColumn("r", when($"j" === $"jv", $"rhov").otherwise(lit(0)))
+        .select($"v", $"j", $"r")
+        .localCheckpoint()
+      def estOf(rt: DataFrame, t: Int): DataFrame =
+        rt.groupBy($"v").agg(
+          sum(pow(lit(2.0), -$"r")).as("s"),
+          sum(when($"r" === 0, 1).otherwise(0)).as("zeros"))
+          .withColumn("raw", lit(0.673) * lit(M.toDouble * M) / $"s")
+          .select($"v",
+            when($"raw" <= 2.5 * M && $"zeros" > 0,
+              lit(M.toDouble) * log(lit(M.toDouble) / $"zeros"))
+              .otherwise($"raw").as(s"est$t"))
+      var ests = Seq(estOf(regs, 0))
+      for (t <- 1 to 4) {
+        regs = regs.join(und, $"v" === $"a")
+          .select($"b".as("v"), $"j", $"r")
+          .union(regs)
+          .groupBy($"v", $"j").agg(max($"r").as("r"))
+          .localCheckpoint()
+        ests = ests :+ estOf(regs, t)
+      }
+      val joined = ests.reduce((x, y) => x.join(y, "v"))
+        .select($"v",
+          round(($"est1" - $"est0") / 1.0 + ($"est2" - $"est1") / 2.0 +
+            ($"est3" - $"est2") / 3.0 + ($"est4" - $"est3") / 4.0, 6)
+            .as("hb_harmonic"),
+          round($"est4", 3).as("hb_ball_est"))
+      nation(s, d).select($"n_nationkey".as("v"), $"n_name")
+        .join(joined, "v")
+        .select($"n_name", $"hb_harmonic", $"hb_ball_est")
+        .orderBy(desc("hb_harmonic"), asc("n_name"))
     }),
 
     // Per-node triangle participation in the above-average-weight core:
@@ -271,6 +348,64 @@ object GraphOps {
          |  COALESCE(h.n_reached, 0) AS n_reached
          |FROM nation LEFT JOIN h ON n_nationkey = h.s
          |ORDER BY harmonic DESC, n_name ASC""".stripMargin
+    },
+    "graph_hyperball" -> {
+      val M = 16
+      val rounds = (1 to 4).map { t =>
+        s"""r$t AS MATERIALIZED (
+           |  SELECT v, j, MAX(r) AS r FROM (
+           |    SELECT und.b AS v, p.j, p.r
+           |    FROM r${t - 1} p JOIN und ON p.v = und.a
+           |    UNION ALL SELECT v, j, r FROM r${t - 1})
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val ests = (0 to 4).map { t =>
+        s"""e$t AS (
+           |  SELECT v, CASE WHEN raw <= 40.0 AND zeros > 0
+           |      THEN 16.0 * ln(16.0 / zeros) ELSE raw END AS est$t
+           |  FROM (
+           |    SELECT v, 0.673 * 256.0 / SUM(pow(2.0, -r)) AS raw,
+           |      SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+           |    FROM r$t GROUP BY v))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  $edgesSql),
+         |u0 AS MATERIALIZED (
+         |  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         |    CAST(SUM(w) AS DOUBLE) AS uw
+         |  FROM e WHERE src <> dst GROUP BY 1, 2),
+         |core AS MATERIALIZED (
+         |  SELECT a, b FROM (
+         |    SELECT a, b, uw, AVG(uw) OVER () AS mw FROM u0)
+         |  WHERE ROUND(uw, 6) > ROUND(mw, 6)),
+         |und AS MATERIALIZED (
+         |  SELECT a, b FROM core UNION ALL SELECT b AS a, a AS b FROM core),
+         |sd AS (
+         |  SELECT n_nationkey AS v,
+         |    ${graft.ops.DedupOps.polyHashSql("CAST(n_nationkey AS VARCHAR)")}
+         |      % $M AS jv,
+         |    ${graft.ops.DedupOps.polyHashSql("CAST(n_nationkey AS VARCHAR)")}
+         |      // $M AS wv
+         |  FROM nation),
+         |r0 AS MATERIALIZED (
+         |  SELECT sd.v, g.j,
+         |    CASE WHEN g.j = sd.jv THEN
+         |      CASE WHEN sd.wv = 0 THEN 27
+         |           ELSE bit_count((sd.wv & -sd.wv) - 1) + 1 END
+         |    ELSE 0 END AS r
+         |  FROM sd CROSS JOIN (SELECT unnest(range($M)) AS j) g),
+         |$rounds,
+         |$ests
+         |SELECT n_name,
+         |  ROUND((e1.est1 - e0.est0) / 1.0 + (e2.est2 - e1.est1) / 2.0 +
+         |        (e3.est3 - e2.est2) / 3.0 + (e4.est4 - e3.est3) / 4.0, 6)
+         |    AS hb_harmonic,
+         |  ROUND(e4.est4, 3) AS hb_ball_est
+         |FROM nation
+         |JOIN e0 ON n_nationkey = e0.v JOIN e1 ON n_nationkey = e1.v
+         |JOIN e2 ON n_nationkey = e2.v JOIN e3 ON n_nationkey = e3.v
+         |JOIN e4 ON n_nationkey = e4.v
+         |ORDER BY hb_harmonic DESC, n_name ASC""".stripMargin
     },
     "graph_degree_stats" ->
       s"""WITH e AS (
