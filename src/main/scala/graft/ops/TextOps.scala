@@ -1011,6 +1011,50 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // DoReMi-lite domain reweighting (Xie et al. 2023 "DoReMi", the
+    // closed-form single-pass variant): the mixture family's FEEDBACK
+    // member — temperature resampling flattens by size alone, DSIR
+    // matches a target distribution, this one upweights the domains the
+    // corpus LM finds HARD. Per-source excess loss over the corpus-wide
+    // reference loss (both from text_lm_score's per-doc bigram NLL)
+    // tilts the natural sampling share: w_s ∝ (n_s/N) · exp(η·excess_s),
+    // η=1 — one exponentiated-gradient step of DoReMi's group-DRO update
+    // with the corpus LM standing in for the proxy/reference pair.
+    // Determinism posture (the EM/quantile-sketch pattern): the per-doc
+    // 6dp-rounded avg_logprob quantizes to micro-integer NLL per ROW, so
+    // every per-source and corpus-wide mean is a ratio of exact integer
+    // sums (order-insensitive); excess/exp run on identical doubles, the
+    // tilted weights re-quantize to micro-ints, and the normalization
+    // divides exact integers. Scale: doc-scale score join + one tiny
+    // source-level aggregate — the weights table is what a sampler
+    // (corpus_mixture_sample's machinery) consumes as rate_permille.
+    "corpus_doremi_weights" -> ((s, d) => {
+      import s.implicits._
+      val Eta = 1.0
+      val perDoc = lmScores(s, d)
+        .join(documents(s, d).select($"doc_id", $"source"), "doc_id")
+        .select($"source",
+          round($"avg_logprob" * -1e6, 0).cast("long").as("nllm"))
+      val bySrc = perDoc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"nllm").as("snll"))
+      val ref = bySrc.agg(sum($"snll").as("tsnll"), sum($"n_docs").as("tn"))
+      val w = bySrc.crossJoin(broadcast(ref))
+        .withColumn("mean_nll", $"snll".cast("double") / $"n_docs" / 1e6)
+        .withColumn("ref_nll", $"tsnll".cast("double") / $"tn" / 1e6)
+        .withColumn("excess", greatest(lit(0.0), $"mean_nll" - $"ref_nll"))
+        .withColumn("wraw",
+          ($"n_docs".cast("double") / $"tn") * exp(lit(Eta) * $"excess"))
+        .withColumn("wm", round($"wraw" * 1e6, 0).cast("long"))
+      w.withColumn("tw", sum($"wm").over(Window.partitionBy()))
+        .withColumn("mw", max($"wm").over(Window.partitionBy()))
+        .select($"source", $"n_docs",
+          round($"mean_nll", 6).as("mean_nll"),
+          round($"excess", 6).as("excess"),
+          round($"wm".cast("double") / $"tw", 6).as("doremi_weight"),
+          expr("(wm * 1000) div mw").as("rate_permille"))
+        .orderBy("source")
+    }),
+
     // N-gram novelty (the Gopher/PaLM-family memorization metric): what
     // fraction of a held-out doc's 8-grams never occurs in the training
     // split? Low novelty = the eval doc is effectively memorized train
@@ -1297,6 +1341,51 @@ object TextOps {
          |FROM db JOIN bgc USING (bg)
          |JOIN uni ON split_part(bg, ' ', 1) = uni.w
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "corpus_doremi_weights" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |db AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(len(toks) - 1),
+         |      i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+         |  FROM t),
+         |uni AS (SELECT w, COUNT(*) AS cu FROM (
+         |  SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |bgc AS (SELECT bg, COUNT(*) AS cb FROM db GROUP BY bg),
+         |pd AS (
+         |  SELECT doc_id,
+         |    ROUND(AVG(ln(CAST(cb AS DOUBLE) / cu)), 6) AS avg_logprob
+         |  FROM db JOIN bgc USING (bg)
+         |  JOIN uni ON split_part(bg, ' ', 1) = uni.w
+         |  GROUP BY doc_id),
+         |pm AS (
+         |  SELECT d.source,
+         |    CAST(ROUND(pd.avg_logprob * -1000000.0) AS BIGINT) AS nllm
+         |  FROM pd JOIN documents d ON pd.doc_id = d.doc_id),
+         |bs AS (
+         |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(nllm) AS BIGINT) AS snll
+         |  FROM pm GROUP BY 1),
+         |ref AS (
+         |  SELECT CAST(SUM(snll) AS BIGINT) AS tsnll,
+         |    CAST(SUM(n_docs) AS BIGINT) AS tn
+         |  FROM bs),
+         |w AS (
+         |  SELECT source, n_docs, tn,
+         |    CAST(snll AS DOUBLE) / n_docs / 1000000.0 AS mean_nll,
+         |    GREATEST(0.0, CAST(snll AS DOUBLE) / n_docs / 1000000.0
+         |      - CAST(tsnll AS DOUBLE) / tn / 1000000.0) AS excess
+         |  FROM bs CROSS JOIN ref),
+         |w2 AS (
+         |  SELECT source, n_docs, mean_nll, excess,
+         |    CAST(ROUND((CAST(n_docs AS DOUBLE) / tn) * exp(1.0 * excess)
+         |      * 1000000.0) AS BIGINT) AS wm
+         |  FROM w)
+         |SELECT source, n_docs,
+         |  ROUND(mean_nll, 6) AS mean_nll,
+         |  ROUND(excess, 6) AS excess,
+         |  ROUND(CAST(wm AS DOUBLE) / CAST((SELECT SUM(wm) FROM w2) AS DOUBLE), 6)
+         |    AS doremi_weight,
+         |  (wm * 1000) // (SELECT MAX(wm) FROM w2) AS rate_permille
+         |FROM w2 ORDER BY source""".stripMargin,
     "u_phrase_bigrams" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |db AS (

@@ -90,7 +90,8 @@ class RelationalSpec extends SparkSpec {
       "dedup_prefix_filter", "lda_em_fanout",
       "stream_hll_daily", "lda_em_save_load",
       "sink_epoch_shuffle", "text_ngram_novelty",
-      "ann_ivfpq_topk", "graph_hyperball").foreach { name =>
+      "ann_ivfpq_topk", "graph_hyperball",
+      "corpus_doremi_weights").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq

@@ -257,6 +257,42 @@ class TextOpsSpec extends SparkSpec {
     assert(agree < docs.size / 10, s"epoch orders too correlated: $agree")
   }
 
+  test("DoReMi weights follow the closed form from the LM scores") {
+    // replay the closed form locally from text_lm_score + the source map
+    // with the same micro-integer quantization, and compare every output
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val perDoc = SparkEntry.queries("text_lm_score")(spark, sf)
+      .select($"doc_id", $"avg_logprob").as[(Long, Double)].collect()
+    val bySrc = perDoc.groupBy { case (id, _) => srcOf(id) }
+      .map { case (src, rows) =>
+        src -> (rows.length.toLong,
+          rows.map { case (_, lp) => math.round(lp * -1e6) }.sum)
+      }
+    val tn = bySrc.values.map(_._1).sum
+    val tsnll = bySrc.values.map(_._2).sum
+    val refNll = tsnll.toDouble / tn / 1e6
+    val wm = bySrc.map { case (src, (n, snll)) =>
+      val excess = math.max(0.0, snll.toDouble / n / 1e6 - refNll)
+      src -> math.round((n.toDouble / tn) * math.exp(excess) * 1e6)
+    }
+    val tw = wm.values.sum
+    val mw = wm.values.max
+    val got = SparkEntry.queries("corpus_doremi_weights")(spark, sf)
+      .as[(String, Long, Double, Double, Double, Long)].collect()
+    assert(got.map(_._1).toSet == bySrc.keySet)
+    got.foreach { case (src, n, _, excess, weight, rate) =>
+      assert(n == bySrc(src)._1)
+      assert(math.abs(weight - wm(src).toDouble / tw) < 1e-6, src)
+      assert(rate == wm(src) * 1000 / mw, src)
+      assert(excess >= 0.0)
+    }
+    // weights normalize and the upweighting is real: every zero-excess
+    // source keeps exactly its baseline share of the tilted mass
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-4)
+    assert(got.map(_._6).max == 1000L)
+  }
+
   test("corpus stats card is a consistent datasheet") {
     val rows = SparkEntry.queries("corpus_stats_card")(spark, sf)
       .as[(String, String, Long, Long, Long, Long, Double, Double)].collect()
