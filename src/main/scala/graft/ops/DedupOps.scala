@@ -477,6 +477,61 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
+    // STREAMING LSH index probe, batch-equivalent form (§2.9 closure of
+    // the dedup family): what the in-flight filter computes when a
+    // stream of new docs runs against the PERSISTED corpus band index —
+    // per incoming doc, the distinct corpus docs sharing ≥1 LSH band
+    // (candidate-level; the full shingle-Jaccard verify needs corpus
+    // shingle access and stays in the batch/async path, which is
+    // dedup_incremental). In streaming this is literally: map-side
+    // signature+bands on the stream, stream-static equi-join against
+    // the static index (stateless), dropDuplicates(doc_id) to emit each
+    // flagged doc once — StreamingSpec runs exactly that through
+    // MemoryStream across micro-batches and must land on this result.
+    // Shares the incremental shingle cache; same corpus/incoming split
+    // so the planted re-keyed copies are guaranteed band hits.
+    "stream_lsh_incremental" -> ((s, d) => {
+      import s.implicits._
+      val base = documents(s, d).select($"doc_id", $"text")
+      val corpus = base.filter($"doc_id" % 10 =!= 0)
+      val incoming = base.filter($"doc_id" % 10 === 0)
+        .union(corpus.filter($"doc_id" % 25 === 7)
+          .select(($"doc_id" + 2000000).as("doc_id"), $"text"))
+      val all = corpus.withColumn("side", lit("old"))
+        .union(incoming.withColumn("side", lit("new")))
+      val sh = shingleCache.getOrElseUpdate((s, d + "#incremental"), {
+        all.repartition(s.sparkContext.defaultParallelism)
+          .select($"doc_id", $"side", toks($"text").as("t"))
+          .select($"doc_id", $"side",
+            graft.functions.ShingleHashes.poly_shingles($"t").as("xs"))
+          .filter(size($"xs") >= 1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+      val bandKeys = (0 until NumBands).map { b =>
+        concat_ws("_", (0 until RowsPerBand).map(r =>
+          element_at($"mh", b * RowsPerBand + r + 1).cast("string")): _*)
+      }
+      val bands = sh
+        .select($"doc_id", $"side",
+          graft.functions.MinHashSig.min_hash_sig($"xs").as("mh"))
+        .select($"doc_id", $"side", posexplode(array(bandKeys: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      val hits = bands.filter($"side" === "new")
+        .select($"doc_id".as("d_new"), $"band", $"key")
+        .join(bands.filter($"side" === "old")
+          .select($"doc_id".as("d_old"), $"band", $"key"), Seq("band", "key"))
+        .select("d_new", "d_old").distinct()
+        .groupBy($"d_new")
+        .agg(count(lit(1)).as("n_hit_docs"), min($"d_old").as("first_hit"))
+      incoming.select($"doc_id")
+        .join(hits.withColumnRenamed("d_new", "doc_id"), Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"n_hit_docs".isNull, "clean").otherwise("flagged").as("status"),
+          coalesce($"n_hit_docs", lit(0L)).as("n_hit_docs"),
+          $"first_hit")
+        .orderBy("doc_id")
+    }),
+
     // Edit-distance verification layer: Levenshtein over a fixed prefix of
     // the candidate pairs the Jaccard stage surfaced (never pairwise over
     // the corpus — distance ops only run on the candidate set).
@@ -1117,6 +1172,44 @@ object DedupOps {
          |SELECT i.doc_id,
          |  CASE WHEN m.d_new IS NULL THEN 'novel' ELSE 'dup' END AS status,
          |  COALESCE(n_matches, 0) AS n_matches, first_match
+         |FROM incoming i LEFT JOIN m ON i.doc_id = m.d_new
+         |ORDER BY i.doc_id""".stripMargin,
+    "stream_lsh_incremental" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+         |incoming AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text FROM corpus WHERE doc_id % 25 = 7),
+         |all_docs AS (
+         |  SELECT doc_id, text, 'old' AS side FROM corpus
+         |  UNION ALL
+         |  SELECT doc_id, text, 'new' AS side FROM incoming),
+         |t AS (SELECT doc_id, side,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS toks
+         |  FROM all_docs),
+         |shg AS (SELECT doc_id, side, $shinglesSql AS shs FROM t WHERE len(toks) >= 3),
+         |e0 AS (SELECT doc_id, side, unnest(shs) AS sh FROM shg),
+         |e AS (SELECT DISTINCT doc_id, side, ${polyHashSql("sh")} AS sh FROM e0),
+         |seeds(i, a, b) AS (VALUES ${permSeeds.zipWithIndex
+        .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")}),
+         |sig AS (
+         |  SELECT doc_id, side, i, MIN((a * sh + b) % $P_PERM) AS h
+         |  FROM e CROSS JOIN seeds GROUP BY doc_id, side, i),
+         |bands AS (
+         |  SELECT doc_id, side, i // $RowsPerBand AS band,
+         |    string_agg(CAST(h AS VARCHAR), '_' ORDER BY i) AS key
+         |  FROM sig GROUP BY doc_id, side, i // $RowsPerBand),
+         |cands AS (
+         |  SELECT DISTINCT n.doc_id AS d_new, o.doc_id AS d_old
+         |  FROM bands n JOIN bands o
+         |    ON n.band = o.band AND n.key = o.key
+         |    AND n.side = 'new' AND o.side = 'old'),
+         |m AS (
+         |  SELECT d_new, COUNT(*) AS n_hit_docs, MIN(d_old) AS first_hit
+         |  FROM cands GROUP BY d_new)
+         |SELECT i.doc_id,
+         |  CASE WHEN m.d_new IS NULL THEN 'clean' ELSE 'flagged' END AS status,
+         |  COALESCE(n_hit_docs, 0) AS n_hit_docs, first_hit
          |FROM incoming i LEFT JOIN m ON i.doc_id = m.d_new
          |ORDER BY i.doc_id""".stripMargin,
     "dedup_simhash" ->

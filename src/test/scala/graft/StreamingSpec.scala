@@ -294,6 +294,112 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH probe against the static corpus index matches the batch entry") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.DedupOps.{NumBands, RowsPerBand}
+    // the same signature→band pipeline as the batch entry, usable on
+    // either a static frame (the persisted corpus index) or the stream
+    def bands(df: org.apache.spark.sql.DataFrame) = {
+      val bandKeys = (0 until NumBands).map { b =>
+        concat_ws("_", (0 until RowsPerBand).map(r =>
+          element_at($"mh", b * RowsPerBand + r + 1).cast("string")): _*)
+      }
+      df.select($"doc_id",
+          filter(split(lower($"text"), "\\s+"), t => length(t) > 0).as("t"))
+        .select($"doc_id", graft.functions.ShingleHashes.poly_shingles($"t").as("xs"))
+        .filter(size($"xs") >= 1)
+        .select($"doc_id", graft.functions.MinHashSig.min_hash_sig($"xs").as("mh"))
+        .select($"doc_id", posexplode(array(bandKeys: _*)))
+        .toDF("doc_id", "band", "key")
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val index = bands(corpus).select($"doc_id".as("d_old"), $"band", $"key")
+      .persist()
+    index.count()
+    val stream = MemoryStream[(Long, String)]
+    // stream-static inner equi-join on the band key: stateless map-side
+    // probe; dropDuplicates(doc_id) emits each flagged doc once across
+    // micro-batches (in production this state is watermark-bounded)
+    val flagged = bands(stream.toDF().toDF("doc_id", "text"))
+      .join(index, Seq("band", "key"))
+      .select($"doc_id")
+      .dropDuplicates("doc_id")
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName("t_lsh_probe").start()
+    try {
+      // the batch entry's incoming set: unseen docs + re-keyed corpus
+      // copies (guaranteed band hits), split across two micro-batches
+      val fresh = docs.filter($"doc_id" % 10 === 0)
+        .as[(Long, String)].collect()
+      val planted = corpus.filter($"doc_id" % 25 === 7)
+        .select(($"doc_id" + 2000000).as("doc_id"), $"text")
+        .as[(Long, String)].collect()
+      val (f1, f2) = fresh.splitAt(fresh.length / 2)
+      val (p1, p2) = planted.splitAt(planted.length / 2)
+      stream.addData((f1 ++ p1).toSeq)
+      q.processAllAvailable()
+      stream.addData((f2 ++ p2).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("t_lsh_probe").as[Long].collect().toSet
+      val want = SparkEntry.queries("stream_lsh_incremental")(spark, sf)
+        .filter($"status" === "flagged")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got == want)
+      // every planted re-keyed copy was flagged, in whichever micro-batch
+      assert(planted.map(_._1).toSet.subsetOf(got))
+    } finally { q.stop(); index.unpersist() }
+  }
+
+  test("watermarked in-stream signature dedup collapses twins across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // the new×new half of incremental dedup: identical in-flight docs
+    // collapse on their MinHash signature key within the watermark
+    // horizon — bounded state, unlike an unconditional dropDuplicates
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val sigged = stream.toDF().toDF("doc_id", "ts", "text")
+      .select($"doc_id", $"ts",
+        filter(split(lower($"text"), "\\s+"), t => length(t) > 0).as("tk"))
+      .select($"doc_id", $"ts",
+        concat_ws("_", graft.functions.MinHashSig.min_hash_sig(
+          graft.functions.ShingleHashes.poly_shingles($"tk"))).as("sig_key"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("sig_key")
+    val q = sigged.writeStream.outputMode("append")
+      .format("memory").queryName("t_sig_wm_dedup").start()
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+        .filter(_._1 % 5 == 0)
+      val t0 = Timestamp.valueOf("2025-06-01 12:00:00")
+      val t1 = Timestamp.valueOf("2025-06-01 12:10:00") // within horizon
+      val originals = docs.map { case (id, tx) => (id, t0, tx) }
+      val twins = docs.filter(_._1 % 10 == 0)
+        .map { case (id, tx) => (id + 900000, t1, tx) }
+      stream.addData(originals.toSeq)
+      q.processAllAvailable()
+      stream.addData(twins.toSeq) // later micro-batch, same signatures
+      q.processAllAvailable()
+      val got = spark.table("t_sig_wm_dedup")
+        .select($"doc_id").as[Long].collect().toSet
+      // one survivor per distinct signature (the corpus plants duplicate
+      // texts, so originals may collapse among themselves too), every
+      // survivor is an original, and no twin survived — its signature
+      // was in state from the earlier micro-batch
+      val distinctSigs = docs.toSeq.toDF("doc_id", "text")
+        .select(concat_ws("_", graft.functions.MinHashSig.min_hash_sig(
+          graft.functions.ShingleHashes.poly_shingles(
+            filter(split(lower($"text"), "\\s+"), t => length(t) > 0))))
+          .as("sig_key"))
+        .distinct().count()
+      assert(got.size.toLong == distinctSigs)
+      assert(got.subsetOf(docs.map(_._1).toSet))
+      assert(twins.map(_._1).toSet.intersect(got).isEmpty,
+        "a twin survived the watermarked signature dedup")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches the stream like the batch join") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
