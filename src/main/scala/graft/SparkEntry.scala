@@ -90,6 +90,7 @@ object SparkEntry {
     "ml_kmeans",
     "text_bpe_merges",
     "text_bpe_encode",
+    "text_unigram_train",
     "text_lm_backoff",
     "a_hll_probe",
     "a_countmin_probe",

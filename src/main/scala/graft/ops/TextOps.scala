@@ -161,6 +161,211 @@ object TextOps {
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
+  // ---- Unigram-LM (SentencePiece-style) tokenizer trainer ----
+
+  /** Unigram trainer config: words up to 12 chars, pieces up to 4 chars,
+    * 200 seed multi-char pieces (+ every observed single char, never
+    * pruned — guarantees full segmentation coverage), 2 hard-EM rounds.
+    */
+  val UgMaxWordLen = 12
+  val UgMaxPieceLen = 4
+  val UgSeedMulti = 200
+  val UgEmRounds = 2
+  val UgTrainTopN = 100
+  val UgEncodeMinLen = 6
+  val UgEncodeTopN = 30
+
+  /** The word-frequency table the unigram trainer runs on: same token
+    * stream and freq>=2 hapax guard as the BPE trainer, plus the
+    * UgMaxWordLen cap that bounds the Viterbi DP unroll (the oracle
+    * unrolls one CTE per position). Long-tail words beyond the cap fall
+    * back to the char/BPE path in a real pipeline — documented scope.
+    */
+  private def ugWords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(explode(tokens($"text")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .filter($"freq" >= 2 && length($"word") <= UgMaxWordLen)
+  }
+
+  /** Viterbi segmentation under a fixed piece-probability model, as ONE
+    * codegen'd higher-order-function fold — no join, no shuffle, no
+    * iteration: the vocab broadcasts as a map literal (model-scale, the
+    * BPE-merge-table posture) and each word folds over its positions,
+    * keeping best(pos) = max_j best(pos-j)·p(piece(pos-j+1..pos)).
+    * State is an array of (ns, seg) structs where ns = NEGATED score, so
+    * array_sort's (ns asc, seg asc) struct order IS the (score desc,
+    * seg asc) tie-break the oracle's row_number uses; negation commutes
+    * exactly with positive multiplication, so magnitudes stay
+    * bit-identical to the oracle's un-negated products. Returns the
+    * final (ns, seg) struct; seg carries a leading space.
+    */
+  private def ugViterbi(word: Column, vocab: Seq[(String, Double)]): Column = {
+    val pm = map_from_arrays(
+      typedLit(vocab.map(_._1)), typedLit(vocab.map(_._2)))
+    val init = array(struct(lit(-1.0).as("ns"), lit("").as("seg")))
+    aggregate(
+      sequence(lit(1), length(word)),
+      init,
+      (state, pos) => {
+        val cands = (1 to UgMaxPieceLen).map { j =>
+          val piece = word.substr(pos - (j - 1), lit(j))
+          val p = try_element_at(pm, piece)
+          val prev = try_element_at(state, pos - (j - 1))
+          when(pos >= j && p.isNotNull,
+            struct((prev.getField("ns") * p).as("ns"),
+              concat(prev.getField("seg"), lit(" "), piece).as("seg")))
+            .otherwise(lit(null))
+        }
+        concat(state, array(element_at(
+          array_sort(filter(array(cands: _*), c => c.isNotNull)), 1)))
+      },
+      state => element_at(state, length(word) + 1))
+  }
+
+  /** Fixed-iteration hard-EM unigram training (Kudo 2018's trainer with
+    * Viterbi E-steps — the standard "EM" SentencePiece actually runs is
+    * likelihood-EM over the lattice; the Viterbi (hard) variant keeps
+    * every statistic an exact INTEGER count, which is what makes the
+    * whole loop DuckDB-replayable with zero quantization machinery):
+    *   seed: piece counts = freq-weighted occurrence counts of all
+    *     substrings (len<=4); vocab = all single chars + top-200 multis
+    *     (total order: count desc, piece asc);
+    *   round: Viterbi-segment every word under p = c/Σc (probabilities
+    *     are ratios of exact integers — identical doubles both engines),
+    *     re-count piece usage weighted by word freq, prune unused multis
+    *     (single chars floor at count 1 — coverage invariant).
+    * Per round: one map-side HOF pass over the word table + one
+    * vocab-scale groupBy; the only driver state is the vocab itself
+    * (model-scale, the BPE/k-means/PQ posture). Returns (vocab counts,
+    * total) after UgEmRounds.
+    */
+  private val ugCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[(String, Long)], Long)]
+
+  def unigramModel(s: SparkSession, d: String): (Seq[(String, Long)], Long) =
+    ugCache.getOrElseUpdate((s, d), {
+      import s.implicits._
+      val w = ugWords(s, d).localCheckpoint()
+      val subs = w.select($"word", $"freq",
+        explode(flatten(transform(sequence(lit(1), length($"word")), i =>
+          transform(sequence(lit(0), least(lit(UgMaxPieceLen - 1), length($"word") - i)),
+            j0 => word_substr($"word", i, j0))))).as("piece"))
+      val seedCounts = subs.groupBy($"piece").agg(sum($"freq").as("c"))
+      val singles = seedCounts.filter(length($"piece") === 1)
+      val multis = seedCounts.filter(length($"piece") > 1)
+        .orderBy(desc("c"), asc("piece")).limit(UgSeedMulti)
+      var vocab: Seq[(String, Long)] = singles.union(multis)
+        .as[(String, Long)].collect().toSeq.sortBy(_._1)
+      for (_ <- 1 to UgEmRounds) {
+        val total = vocab.map(_._2).sum
+        val probs = vocab.map { case (pc, c) => (pc, c.toDouble / total) }
+        val uses = w.withColumn("st", ugViterbi($"word", probs))
+          .select($"freq",
+            explode(split(ltrim($"st".getField("seg")), " ")).as("piece"))
+          .groupBy($"piece").agg(sum($"freq").as("c"))
+          .as[(String, Long)].collect().toMap
+        vocab = vocab.flatMap { case (pc, _) =>
+          val c = uses.getOrElse(pc, 0L)
+          if (pc.codePointCount(0, pc.length) == 1) Some((pc, math.max(c, 1L)))
+          else if (c > 0) Some((pc, c)) else None
+        }
+      }
+      (vocab, vocab.map(_._2).sum)
+    })
+
+  /** word.substr for HOF lambdas (i: 1-based start Column, j0: len-1). */
+  private def word_substr(word: Column, i: Column, j0: Column): Column =
+    word.substr(i, j0 + 1)
+
+  /** The unigram-trainer CTE chain: ugw (word table) → ugsub/ugvb0/ugp0
+    * (seed counts, vocab, probs) → per round r: a 12-step unrolled
+    * Viterbi DP (ug{r}p0..ug{r}p12, best prefix state per position,
+    * ties (score DESC, seg ASC) — the exact struct order the Spark HOF's
+    * negated-score array_sort implements) landing in ugfin{r}, then
+    * uguse/ugvb/ugt/ugp re-estimation (exact integer counts; single
+    * chars floored at 1, unused multis pruned). `dpRounds` >
+    * UgEmRounds appends the ENCODE pass: one more DP under the final
+    * probs with no re-estimation. MATERIALIZED is load-bearing on every
+    * DP step: step t references steps t-1..t-4, so inlined CTEs expand
+    * ~4^12.
+    */
+  private def ugCtesSql(dpRounds: Int): String = {
+    val WL = UgMaxWordLen
+    val PL = UgMaxPieceLen
+    def dpRound(r: Int): String = {
+      val probRel = s"ugp${r - 1}"
+      val steps = (1 to WL).map { t =>
+        val branches = (1 to math.min(PL, t)).map { j =>
+          s"""    SELECT s.word, s.freq, s.score * p.p AS score,
+             |      s.seg || ' ' || p.piece AS seg
+             |    FROM ug${r}p${t - j} s JOIN $probRel p
+             |      ON p.piece = substr(s.word, ${t - j + 1}, $j)
+             |    WHERE len(s.word) >= $t""".stripMargin
+        }.mkString("\n    UNION ALL\n")
+        s"""ug${r}p$t AS MATERIALIZED (
+           |  SELECT word, freq, score, seg FROM (
+           |    SELECT word, freq, score, seg,
+           |      row_number() OVER (PARTITION BY word
+           |        ORDER BY score DESC, seg ASC) AS rn
+           |    FROM (
+           |$branches)) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val fins = (1 to WL).map(t =>
+        s"  SELECT word, freq, seg FROM ug${r}p$t WHERE len(word) = $t")
+        .mkString("\n  UNION ALL\n")
+      s"""ug${r}p0 AS (
+         |  SELECT word, freq, CAST(1.0 AS DOUBLE) AS score, '' AS seg
+         |  FROM ugw),
+         |$steps,
+         |ugfin$r AS MATERIALIZED (
+         |$fins)""".stripMargin
+    }
+    def reestimate(r: Int): String =
+      s"""uguse$r AS (
+         |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS c FROM (
+         |    SELECT freq, unnest(string_split(trim(seg), ' ')) AS piece
+         |    FROM ugfin$r)
+         |  GROUP BY 1),
+         |ugvb$r AS MATERIALIZED (
+         |  SELECT vb.piece,
+         |    CASE WHEN len(vb.piece) = 1 THEN GREATEST(COALESCE(u.c, 0), 1)
+         |         ELSE COALESCE(u.c, 0) END AS c
+         |  FROM ugvb${r - 1} vb LEFT JOIN uguse$r u ON vb.piece = u.piece
+         |  WHERE len(vb.piece) = 1 OR COALESCE(u.c, 0) > 0),
+         |ugt$r AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM ugvb$r),
+         |ugp$r AS MATERIALIZED (
+         |  SELECT piece, CAST(c AS DOUBLE) / (SELECT t FROM ugt$r) AS p
+         |  FROM ugvb$r)""".stripMargin
+    val roundsSql = (1 to dpRounds).map { r =>
+      if (r <= UgEmRounds) dpRound(r) + ",\n" + reestimate(r)
+      else dpRound(r)
+    }.mkString(",\n")
+    s"""ugw AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest($tokensSql) AS word FROM documents)
+       |  GROUP BY 1 HAVING COUNT(*) >= 2 AND len(word) <= $WL),
+       |ugsub AS (
+       |  SELECT substr(w.word, ii.i, jj.j) AS piece,
+       |    CAST(SUM(w.freq) AS BIGINT) AS c
+       |  FROM ugw w
+       |  CROSS JOIN (SELECT CAST(unnest(range(1, ${WL + 1})) AS INT) AS i) ii
+       |  CROSS JOIN (SELECT CAST(unnest(range(1, ${PL + 1})) AS INT) AS j) jj
+       |  WHERE ii.i + jj.j - 1 <= len(w.word)
+       |  GROUP BY 1),
+       |ugvb0 AS MATERIALIZED (
+       |  SELECT piece, c FROM ugsub WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c FROM ugsub WHERE len(piece) > 1
+       |    ORDER BY c DESC, piece ASC LIMIT $UgSeedMulti)),
+       |ugt0 AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM ugvb0),
+       |ugp0 AS MATERIALIZED (
+       |  SELECT piece, CAST(c AS DOUBLE) / (SELECT t FROM ugt0) AS p
+       |  FROM ugvb0),
+       |$roundsSql""".stripMargin
+  }
+
   /** The BPE training CTE chain (w, s0, per-round p/b/s) — shared by the
     * text_bpe_merges and text_bpe_encode oracles. MATERIALIZED is
     * load-bearing: s_i references s_{i-1} through both the pair count and
@@ -729,6 +934,45 @@ object TextOps {
           round(sum(length($"w")).cast("double") / sum($"n_sub"), 6)
             .as("chars_per_token"))
         .orderBy("source")
+    }),
+
+    // UNIGRAM-LM TOKENIZER TRAINING (the other tokenizer family real
+    // pipelines train — see unigramModel for the algorithm and the
+    // exactness argument). Output: the trained model's top pieces with
+    // counts and probabilities. The full train loop (seed substring
+    // counts → 2 Viterbi-EM rounds → prune) replays as unrolled SQL.
+    "text_unigram_train" -> ((s, d) => {
+      import s.implicits._
+      val (vocab, total) = unigramModel(s, d)
+      vocab.toDF("piece", "cnt")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("cnt"), asc("piece"))))
+        .filter($"rank" <= UgTrainTopN)
+        .select($"rank", $"piece", length($"piece").as("piece_len"), $"cnt",
+          round($"cnt".cast("double") / lit(total).cast("double"), 6).as("prob"))
+        .orderBy("rank")
+    }),
+
+    // UNIGRAM-LM ENCODING: Viterbi-segment the word table under the
+    // trained model — tokenizer inference as one map-side HOF pass with
+    // the vocab broadcast as a map literal (no join, no shuffle; the
+    // 100 TB shape, same posture as text_bpe_encode). Output: the 30
+    // highest-frequency words of length >= 6 with their optimal
+    // segmentation — TrainersSpec proves each seg is Viterbi-optimal by
+    // exhaustive enumeration.
+    "text_unigram_encode" -> ((s, d) => {
+      import s.implicits._
+      val (vocab, total) = unigramModel(s, d)
+      val probs = vocab.map { case (pc, c) => (pc, c.toDouble / total) }
+      ugWords(s, d)
+        .withColumn("st", ugViterbi($"word", probs))
+        .select($"word", $"freq", ltrim($"st".getField("seg")).as("seg"))
+        .filter(length($"word") >= UgEncodeMinLen)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(desc("freq"), asc("word"))))
+        .filter($"rk" <= UgEncodeTopN)
+        .select($"word", $"freq", size(split($"seg", " ")).as("n_pieces"), $"seg")
+        .orderBy("word")
     }),
 
     // Count-Min sketch (Cormode & Muthukrishnan 2005) built relationally
@@ -1459,6 +1703,25 @@ object TextOps {
       s"""WITH $bpeCtesSql
          |$union ORDER BY round""".stripMargin
     },
+    "text_unigram_train" ->
+      s"""WITH ${ugCtesSql(UgEmRounds)}
+         |SELECT rank, piece, piece_len, cnt, prob FROM (
+         |  SELECT row_number() OVER (ORDER BY c DESC, piece ASC) AS rank,
+         |    piece, len(piece) AS piece_len, c AS cnt,
+         |    ROUND(CAST(c AS DOUBLE) / (SELECT t FROM ugt$UgEmRounds), 6)
+         |      AS prob
+         |  FROM ugvb$UgEmRounds)
+         |WHERE rank <= $UgTrainTopN ORDER BY rank""".stripMargin,
+    "text_unigram_encode" ->
+      s"""WITH ${ugCtesSql(UgEmRounds + 1)}
+         |SELECT word, freq, n_pieces, seg FROM (
+         |  SELECT word, freq,
+         |    len(string_split(trim(seg), ' ')) AS n_pieces,
+         |    trim(seg) AS seg,
+         |    row_number() OVER (ORDER BY freq DESC, word ASC) AS rk
+         |  FROM ugfin${UgEmRounds + 1}
+         |  WHERE len(word) >= $UgEncodeMinLen)
+         |WHERE rk <= $UgEncodeTopN ORDER BY word""".stripMargin,
     "text_bpe_encode" -> {
       // the encoder covers EVERY distinct word (the freq>=2 guard prunes
       // the TRAINING table only), so the merges replay here as nested

@@ -91,7 +91,8 @@ class RelationalSpec extends SparkSpec {
       "stream_hll_daily", "lda_em_save_load",
       "sink_epoch_shuffle", "text_ngram_novelty",
       "ann_ivfpq_topk", "graph_hyperball",
-      "corpus_doremi_weights", "stream_lsh_incremental").foreach { name =>
+      "corpus_doremi_weights", "stream_lsh_incremental",
+      "text_unigram_train", "text_unigram_encode").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq

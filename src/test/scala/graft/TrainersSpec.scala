@@ -89,4 +89,47 @@ class TrainersSpec extends SparkSpec {
         s"doc ${r.getLong(0)}: bad score $s")
     }
   }
+
+  test("text_unigram_encode: segmentations are Viterbi-optimal (exhaustive)") {
+    import spark.implicits._
+    val (vocab, total) = graft.ops.TextOps.unigramModel(spark, sf)
+    val probs = vocab.map { case (p, c) => p -> c.toDouble / total }.toMap
+    val rows = SparkEntry.queries("text_unigram_encode")(spark, sf)
+      .as[(String, Long, Int, String)].collect()
+    assert(rows.nonEmpty)
+    // exhaustive max over every segmentation into vocab pieces (words
+    // are <= 12 chars, pieces <= 4 — ~1.7k segmentations worst case)
+    def best(s: String): Double =
+      if (s.isEmpty) 1.0
+      else (1 to math.min(graft.ops.TextOps.UgMaxPieceLen, s.length))
+        .flatMap(j => probs.get(s.take(j)).map(_ * best(s.drop(j))))
+        .max
+    rows.foreach { case (word, _, n, seg) =>
+      val pieces = seg.split(" ").toSeq
+      assert(pieces.mkString == word, s"$word: pieces don't cover the word")
+      assert(pieces.length == n)
+      assert(pieces.forall(probs.contains), s"$word: piece outside vocab")
+      val segScore = pieces.map(probs).product
+      val b = best(word)
+      // scores may multiply in a different order locally — ulp tolerance
+      assert(segScore >= b * (1 - 1e-12) && segScore <= b * (1 + 1e-12),
+        s"$word: seg score $segScore vs exhaustive best $b")
+    }
+  }
+
+  test("text_unigram_train: normalized model, dense ranks, coverage floor") {
+    val (vocab, total) = graft.ops.TextOps.unigramModel(spark, sf)
+    assert(vocab.map(_._2).sum == total)
+    // single chars are never pruned and never hit zero count
+    val singles = vocab.filter(p => p._1.codePointCount(0, p._1.length) == 1)
+    assert(singles.nonEmpty && singles.forall(_._2 >= 1))
+    val rows = SparkEntry.queries("text_unigram_train")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    val byRank = rows.map(r => (r.getLong(3), r.getString(1)))
+    assert(byRank.sliding(2).forall {
+      case Array((c1, p1), (c2, p2)) => c1 > c2 || (c1 == c2 && p1 < p2)
+      case _ => true
+    }, "train output not in (cnt desc, piece asc) order")
+  }
+
 }
