@@ -519,11 +519,7 @@ object MLOps {
     "lda_em_save_load" -> ((s, d) => {
       import s.implicits._
       val (phi, _) = ldaEmState(s, d)
-      // sfDir-derived suffix: a bench run overlapping a verify run in the
-      // same working directory must not interleave write and re-read of
-      // one shared artifact path (cheap isolation, same tolerance posture
-      // as s7_csv_roundtrip)
-      val path = s"target/tmp/lda_em_model_${Integer.toHexString(d.hashCode)}"
+      val path = Tables.artifactDir("lda_em_model", d)
       phi.select($"word", $"ph").write.mode("overwrite").parquet(path)
       val re = s.read.parquet(path)
       val w = Window.partitionBy($"k").orderBy(desc("p"), asc("word"))
@@ -601,7 +597,7 @@ object MLOps {
     "u5_lda_save_load" -> ((s, d) => {
       import s.implicits._
       val (cv, _) = preparedInput(s, d)
-      val path = "target/tmp/u5_lda_model"
+      val path = Tables.artifactDir("u5_lda_model", d)
       fittedLda(s, d, K).asInstanceOf[LocalLDAModel]
         .write.overwrite().save(path)
       val re = LocalLDAModel.load(path)

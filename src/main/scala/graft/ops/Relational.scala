@@ -84,7 +84,7 @@ object Relational {
     // newline, so reads parallelize like CSV.
     "s_jsonl_roundtrip" -> ((s, d) => {
       import s.implicits._
-      val out = "target/tmp/s_jsonl_roundtrip"
+      val out = artifactDir("s_jsonl_roundtrip", d)
       documents(s, d).select($"doc_id", $"text", $"lang", $"source")
         .write.mode("overwrite").json(out)
       s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING")
@@ -99,7 +99,7 @@ object Relational {
     // s_jsonl way: md5 of the text column survives the format hop.
     "s_orc_roundtrip" -> ((s, d) => {
       import s.implicits._
-      val out = "target/tmp/s_orc_roundtrip"
+      val out = artifactDir("s_orc_roundtrip", d)
       documents(s, d).select($"doc_id", $"text", $"lang", $"source", $"n_chars")
         .write.mode("overwrite").orc(out)
       s.read.orc(out)
@@ -123,7 +123,7 @@ object Relational {
     // then.
     "sink_training_shards" -> ((s, d) => {
       import s.implicits._
-      val out = "target/tmp/training_shards"
+      val out = artifactDir("training_shards", d)
       documents(s, d)
         .withColumn("shard", pmod($"doc_id", lit(16)))
         .repartition(16, $"shard")
@@ -171,7 +171,7 @@ object Relational {
 
     "s7_csv_roundtrip" -> ((s, d) => {
       import s.implicits._
-      val out = "target/tmp/s7_csv_roundtrip"
+      val out = artifactDir("s7_csv_roundtrip", d)
       region(s, d).write.mode("overwrite").option("header", "true").csv(out)
       s.read.option("header", "true")
         .schema("r_regionkey INT, r_name STRING")
@@ -398,7 +398,7 @@ object Relational {
     // prunes to 2 of 30 partitions (PlanSpec asserts PartitionFilters).
     "s9b_partitioned_pruning" -> ((s, d) => {
       import s.implicits._
-      val out = "target/tmp/s9b_partitioned"
+      val out = artifactDir("s9b_partitioned", d)
       // Cluster by the partition column before the partitioned write:
       // without this, every shuffle partition writes a file into every
       // day directory (32 × 30 ≈ 960 tiny files — the classic small-files
@@ -426,7 +426,7 @@ object Relational {
     // bit algebra end to end; the oracle replays it exactly.
     "sink_zorder_layout" -> ((s, d) => {
       import s.implicits._
-      val out = "target/tmp/zorder_layout"
+      val out = artifactDir("zorder_layout", d)
       val x = $"l_quantity".cast("int")                    // 1..50, 6 bits
       val y = round($"l_discount" * 100, 0).cast("int")    // 0..10, 4 bits
       val zbits =
@@ -450,7 +450,7 @@ object Relational {
     // the delete_many+insert_many full-refresh shape as parquet overwrite.
     "s9_parquet_roundtrip" -> ((s, d) => {
       import s.implicits._
-      val out = "target/tmp/s9_parquet_roundtrip"
+      val out = artifactDir("s9_parquet_roundtrip", d)
       nation(s, d).write.mode("overwrite").parquet(out)
       s.read.parquet(out).orderBy("n_nationkey")
     }),

@@ -14,6 +14,16 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Artifact path for sink/roundtrip queries, suffixed by the sfDir
+    * hash: a Verify run and a spec/bench run on DIFFERENT sfDirs in the
+    * same working directory must not interleave writes on one shared
+    * path (round 8: a concurrent sf0.001 suite corrupted the sf0.01
+    * verify dump of sink_training_shards mid-write). Same-sfDir
+    * concurrency remains tolerated-but-confined, as before.
+    */
+  def artifactDir(name: String, sfDir: String): String =
+    s"target/tmp/${name}_${Integer.toHexString(sfDir.hashCode)}"
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

@@ -366,6 +366,16 @@ object TextOps {
        |$roundsSql""".stripMargin
   }
 
+  private lazy val ugTrainSql: String =
+    s"""WITH ${ugCtesSql(UgEmRounds)}
+       |SELECT rank, piece, piece_len, cnt, prob FROM (
+       |  SELECT row_number() OVER (ORDER BY c DESC, piece ASC) AS rank,
+       |    piece, len(piece) AS piece_len, c AS cnt,
+       |    ROUND(CAST(c AS DOUBLE) / (SELECT t FROM ugt$UgEmRounds), 6)
+       |      AS prob
+       |  FROM ugvb$UgEmRounds)
+       |WHERE rank <= $UgTrainTopN ORDER BY rank""".stripMargin
+
   /** The BPE training CTE chain (w, s0, per-round p/b/s) — shared by the
     * text_bpe_merges and text_bpe_encode oracles. MATERIALIZED is
     * load-bearing: s_i references s_{i-1} through both the pair count and
@@ -953,6 +963,26 @@ object TextOps {
         .orderBy("rank")
     }),
 
+    // S11-family artifact round-trip for the unigram model: the trained
+    // vocab IS the model (piece, cnt — probabilities are derived), so
+    // the artifact is a plain queryable parquet table; save → reload →
+    // re-derive the ranked model table, which must equal
+    // text_unigram_train exactly (they share that oracle). Same posture
+    // as lda_em_save_load: model state as an engine-agnostic table.
+    "text_unigram_save_load" -> ((s, d) => {
+      import s.implicits._
+      val (vocab, total) = unigramModel(s, d)
+      val path = Tables.artifactDir("unigram_model", d)
+      vocab.toDF("piece", "cnt").write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("cnt"), asc("piece"))))
+        .filter($"rank" <= UgTrainTopN)
+        .select($"rank", $"piece", length($"piece").as("piece_len"), $"cnt",
+          round($"cnt".cast("double") / lit(total).cast("double"), 6).as("prob"))
+        .orderBy("rank")
+    }),
+
     // UNIGRAM-LM ENCODING: Viterbi-segment the word table under the
     // trained model — tokenizer inference as one map-side HOF pass with
     // the vocab broadcast as a map literal (no join, no shuffle; the
@@ -1253,6 +1283,68 @@ object TextOps {
         .groupBy($"source", $"n_docs", $"rate_permille")
         .agg(sum($"kept").as("n_kept"))
         .orderBy("source")
+    }),
+
+    // Multinomial Naive Bayes lang classifier, trained AND evaluated
+    // in-engine (the fastText-style linear-classifier slot every
+    // curation pipeline fills for quality/language/domain gating —
+    // U4's inference contract covers serving a pretrained model; this
+    // is the trainable member). Train on the hash-split train buckets
+    // (0-7, the text_ngram_novelty split): per-(lang, word) counts with
+    // Laplace α=1 smoothing; score test docs by argmax_c [ln prior_c +
+    // Σ_tokens ln p(w|c)] over train-vocab tokens; output the confusion
+    // matrix. Determinism: every count is an exact integer, each
+    // log-prob quantizes to micro-integer per (word, class) — identical
+    // doubles both engines — so per-doc scores are INTEGER sums
+    // (order-free) and the argmax ties on class name. Scale: training
+    // is one explode+groupBy (vocab×5 model table, word-sharded);
+    // scoring is one word-keyed equi-join of the test token stream +
+    // per-doc integer aggregate — no corpus-sized broadcast.
+    "text_nb_classifier" -> ((s, d) => {
+      import s.implicits._
+      val bucket = pmod(graft.functions.PolyHash.poly_hash(
+        $"doc_id".cast("string")), lit(10L))
+      val docs = documents(s, d)
+        .select($"doc_id", $"lang", tokens($"text").as("t"),
+          bucket.as("bucket"))
+      val train = docs.filter($"bucket" < 8)
+      val test = docs.filter($"bucket" >= 8)
+      val tw = train.select($"lang", explode($"t").as("word"))
+      val classCounts = tw.groupBy($"lang", $"word").agg(count(lit(1)).as("cwc"))
+      val classTotals = tw.groupBy($"lang").agg(count(lit(1)).as("nc"))
+      // train-vocab size: a model-scale driver scalar (S12 family)
+      val vocabSize = tw.select($"word").distinct().count()
+      val priors = train.groupBy($"lang").agg(count(lit(1)).as("ndc"))
+        .crossJoin(broadcast(train.agg(count(lit(1)).as("nd"))))
+        .select($"lang",
+          round(log($"ndc".cast("double") / $"nd") * 1e6, 0)
+            .cast("long").as("prior_micro"))
+      val wl = tw.select($"word").distinct()
+        .crossJoin(broadcast(classTotals))
+        .join(classCounts, Seq("lang", "word"), "left")
+        .na.fill(0L, Seq("cwc"))
+        .select($"word", $"lang",
+          round(log(($"cwc" + 1).cast("double") / ($"nc" + vocabSize)) * 1e6, 0)
+            .cast("long").as("lp_micro"))
+      val docClass = test
+        .select($"doc_id", explode($"t").as("word"))
+        .join(wl, "word")
+        .groupBy($"doc_id", $"lang").agg(sum($"lp_micro").as("ssum"))
+        .withColumnRenamed("lang", "pred_cand")
+      val dom = test.select($"doc_id", $"lang".as("true_lang"))
+        .crossJoin(broadcast(priors
+          .select($"lang".as("pred_cand"), $"prior_micro")))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy(desc("score"), asc("pred_cand"))
+      dom.join(docClass, Seq("doc_id", "pred_cand"), "left")
+        .na.fill(0L, Seq("ssum"))
+        .withColumn("score", $"ssum" + $"prior_micro")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .groupBy($"true_lang", $"pred_cand")
+        .agg(count(lit(1)).as("n_docs"))
+        .select($"true_lang", $"pred_cand".as("pred_lang"), $"n_docs")
+        .orderBy("true_lang", "pred_lang")
     }),
 
     // DoReMi-lite domain reweighting (Xie et al. 2023 "DoReMi", the
@@ -1585,6 +1677,52 @@ object TextOps {
          |FROM db JOIN bgc USING (bg)
          |JOIN uni ON split_part(bg, ' ', 1) = uni.w
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_nb_classifier" ->
+      s"""WITH dz AS (
+         |  SELECT doc_id, lang, $tokensSql AS toks,
+         |    ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")}
+         |      % 10 AS bucket
+         |  FROM documents),
+         |tr AS (SELECT doc_id, lang, toks FROM dz WHERE bucket < 8),
+         |te AS (SELECT doc_id, lang, toks FROM dz WHERE bucket >= 8),
+         |tw AS (SELECT lang, unnest(toks) AS word FROM tr),
+         |cc AS (SELECT lang, word, COUNT(*) AS cwc FROM tw GROUP BY 1, 2),
+         |ct AS (SELECT lang, COUNT(*) AS nc FROM tw GROUP BY 1),
+         |vz AS (SELECT COUNT(DISTINCT word) AS v FROM tw),
+         |pri AS (
+         |  SELECT lang, CAST(ROUND(ln(CAST(ndc AS DOUBLE) / nd) * 1000000.0)
+         |    AS BIGINT) AS prior_micro
+         |  FROM (SELECT lang, COUNT(*) AS ndc FROM tr GROUP BY 1)
+         |  CROSS JOIN (SELECT COUNT(*) AS nd FROM tr)),
+         |vocab AS (SELECT DISTINCT word FROM tw),
+         |wl AS (
+         |  SELECT vocab.word, ct.lang,
+         |    CAST(ROUND(ln(CAST(COALESCE(cc.cwc, 0) + 1 AS DOUBLE)
+         |      / (ct.nc + (SELECT v FROM vz))) * 1000000.0) AS BIGINT)
+         |      AS lp_micro
+         |  FROM vocab CROSS JOIN ct
+         |  LEFT JOIN cc ON cc.word = vocab.word AND cc.lang = ct.lang),
+         |dc AS (
+         |  SELECT tt.doc_id, wl.lang AS pred_cand,
+         |    CAST(SUM(wl.lp_micro) AS BIGINT) AS ssum
+         |  FROM (SELECT doc_id, unnest(toks) AS word FROM te) tt
+         |  JOIN wl ON tt.word = wl.word
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT dom.doc_id, dom.true_lang, dom.pred_cand,
+         |    COALESCE(dc.ssum, 0) + dom.prior_micro AS score
+         |  FROM (
+         |    SELECT te.doc_id, te.lang AS true_lang,
+         |      pri.lang AS pred_cand, pri.prior_micro
+         |    FROM te CROSS JOIN pri) dom
+         |  LEFT JOIN dc ON dom.doc_id = dc.doc_id
+         |    AND dom.pred_cand = dc.pred_cand)
+         |SELECT true_lang, pred_cand AS pred_lang, COUNT(*) AS n_docs FROM (
+         |  SELECT doc_id, true_lang, pred_cand,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, pred_cand ASC) AS rn
+         |  FROM sc) WHERE rn = 1
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "corpus_doremi_weights" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |db AS (
@@ -1703,15 +1841,10 @@ object TextOps {
       s"""WITH $bpeCtesSql
          |$union ORDER BY round""".stripMargin
     },
-    "text_unigram_train" ->
-      s"""WITH ${ugCtesSql(UgEmRounds)}
-         |SELECT rank, piece, piece_len, cnt, prob FROM (
-         |  SELECT row_number() OVER (ORDER BY c DESC, piece ASC) AS rank,
-         |    piece, len(piece) AS piece_len, c AS cnt,
-         |    ROUND(CAST(c AS DOUBLE) / (SELECT t FROM ugt$UgEmRounds), 6)
-         |      AS prob
-         |  FROM ugvb$UgEmRounds)
-         |WHERE rank <= $UgTrainTopN ORDER BY rank""".stripMargin,
+    "text_unigram_train" -> ugTrainSql,
+    // the artifact round-trip must reproduce the model table exactly —
+    // one oracle serves both (the lda_em_save_load pattern)
+    "text_unigram_save_load" -> ugTrainSql,
     "text_unigram_encode" ->
       s"""WITH ${ugCtesSql(UgEmRounds + 1)}
          |SELECT word, freq, n_pieces, seg FROM (

@@ -76,6 +76,16 @@ object DumpPlans {
         "Weighted WOR sample: map-side exponential keys, one per-stratum rank window (GroupTopK shape)",
       "dedup_bloom_contamination" ->
         "Bloom decontamination: <=4096-row broadcast bit table, map-side probe, count-k conjunction, one doc aggregate",
+      "ann_ivfpq_topk" ->
+        "IVF-ADC: broadcast centroids + residual codebooks, nprobe-bounded cell equi-join, map-side 8-term residual ADC, 50-deep exact rescore",
+      "graph_hyperball" ->
+        "HyperBall: per-round register-max merge on the |V|x16 register table (lineage truncated); harmonic from one fixed-order delta expression",
+      "text_unigram_encode" ->
+        "Unigram Viterbi encode: ONE codegen'd HOF fold per word, vocab as broadcast map literal — no join/shuffle before the rank window",
+      "corpus_doremi_weights" ->
+        "DoReMi weights: doc-scale score join, one source-level aggregate, integer-quantized tilt + normalization",
+      "stream_lsh_incremental" ->
+        "Streaming LSH probe (batch twin): per-side band keys, new x old candidate equi-join only — no verify stage, no corpus self-join",
     )
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (`explain(\"formatted\")`)\n\n")

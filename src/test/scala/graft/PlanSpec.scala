@@ -79,6 +79,8 @@ class PlanSpec extends SparkSpec {
     "ann_sq8_topk",                                  // quantized-scan demo (broadcast query side)
     "ann_pq_topk",                                   // ADC scan (broadcast query side, like sq8)
     "ann_matryoshka_recall",                         // truncation eval embeds the brute-force baseline
+    "corpus_doremi_weights",                         // 1-row ref-loss broadcast
+    "text_nb_classifier",                            // 5-row class-domain broadcast
   )
 
   test("no unintended cartesian or nested-loop joins across the suite") {

@@ -92,7 +92,8 @@ class RelationalSpec extends SparkSpec {
       "sink_epoch_shuffle", "text_ngram_novelty",
       "ann_ivfpq_topk", "graph_hyperball",
       "corpus_doremi_weights", "stream_lsh_incremental",
-      "text_unigram_train", "text_unigram_encode").foreach { name =>
+      "text_unigram_train", "text_unigram_encode",
+      "text_unigram_save_load", "text_nb_classifier").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -102,7 +103,8 @@ class RelationalSpec extends SparkSpec {
 
   test("training shards land exactly one file per shard directory") {
     SparkEntry.queries("sink_training_shards")(spark, sf).collect()
-    val root = new java.io.File("target/tmp/training_shards")
+    val root = new java.io.File(
+      graft.ops.Tables.artifactDir("training_shards", sf))
     val shardDirs = root.listFiles().filter(_.getName.startsWith("shard="))
     assert(shardDirs.length == 16)
     shardDirs.foreach { dir =>
