@@ -688,6 +688,60 @@ object TextOps {
         .limit(15)
     }),
 
+    // Retrieval-quality harness (the eval loop a RAG corpus needs):
+    // self-retrieval MRR — for 10 hash-sampled query docs, the query is
+    // the doc's own top-3 informative terms (tf desc, len>=4,
+    // non-stopword) and the relevant answer is the doc itself; report
+    // each query's self-rank under BM25 and its reciprocal rank. A doc
+    // that can't retrieve itself flags tokenization/scoring drift, and
+    // planted exact duplicates legitimately outrank on doc_id ties.
+    // Determinism: per-(term,doc) BM25 weights quantize to
+    // micro-integers (identical doubles both engines — inputs are exact
+    // counts and the exact integer-sum avgdl), so per-(query,doc)
+    // scores are order-free integer sums and ranking ties on doc_id.
+    // Scale: the tf table is restricted to the ~30 query terms BEFORE
+    // any aggregation (broadcast semi-join on the token stream), so the
+    // eval costs one term-filtered pass, never a corpus×corpus score.
+    "text_bm25_eval" -> ((s, d) => {
+      import s.implicits._
+      val t = documents(s, d).select($"doc_id", tokens($"text").as("t"))
+      val qdocs = documents(s, d)
+        .filter(pmod(graft.functions.PolyHash.poly_hash(
+          $"doc_id".cast("string")), lit(50L)) === 0)
+        .orderBy($"doc_id").limit(10).select($"doc_id".as("qdoc"))
+      val qtf = t.join(broadcast(qdocs), $"doc_id" === $"qdoc")
+        .select($"qdoc", explode($"t").as("word"))
+        .filter(length($"word") >= 4 && !array_contains(stopwordArray, $"word"))
+        .groupBy($"qdoc", $"word").agg(count(lit(1)).as("qtf"))
+      val wq = Window.partitionBy($"qdoc").orderBy(desc("qtf"), asc("word"))
+      val qterms = qtf.withColumn("rk", row_number().over(wq))
+        .filter($"rk" <= 3).select($"qdoc", $"word")
+      val dl = t.select($"doc_id", size($"t").as("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+      val tf = t.select($"doc_id", explode($"t").as("word"))
+        .join(broadcast(qterms.select($"word").distinct()), "word")
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(qterms), "word")
+        .join(broadcast(df_), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .withColumn("dlr", $"dl".cast("double") / $"avgdl")
+        .withColumn("idf",
+          log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)))
+        .withColumn("w",
+          $"idf" * $"tf" * lit(2.2) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dlr")))
+        .withColumn("wm", round($"w" * 1e6, 0).cast("long"))
+        .groupBy($"qdoc", $"doc_id").agg(sum($"wm").as("score"))
+      val wr = Window.partitionBy($"qdoc").orderBy(desc("score"), asc("doc_id"))
+      scored.withColumn("rank", row_number().over(wr))
+        .filter($"doc_id" === $"qdoc")
+        .select($"qdoc".as("query_doc"), $"rank".as("self_rank"),
+          round(lit(1.0) / $"rank", 6).as("reciprocal_rank"))
+        .orderBy("query_doc")
+    }),
+
     // Corpus LM quality score (the CCNet/RedPajama perplexity filter,
     // here with the corpus itself as the LM): per-doc average bigram
     // log-probability ln P(w2|w1) = ln(c(w1 w2) / c(w1)) under corpus
@@ -1677,6 +1731,54 @@ object TextOps {
          |FROM db JOIN bgc USING (bg)
          |JOIN uni ON split_part(bg, ' ', 1) = uni.w
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_bm25_eval" ->
+      s"""WITH sw(word) AS (VALUES ${Lexicons.stopwordsEnSqlValues}),
+         |t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |qd AS (
+         |  SELECT doc_id AS qdoc FROM documents
+         |  WHERE ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")}
+         |    % 50 = 0
+         |  ORDER BY doc_id LIMIT 10),
+         |qtok AS (
+         |  SELECT qdoc, word FROM (
+         |    SELECT qd.qdoc, unnest(t.toks) AS word
+         |    FROM t JOIN qd ON t.doc_id = qd.qdoc)
+         |  WHERE len(word) >= 4 AND word NOT IN (SELECT word FROM sw)),
+         |qtf AS (SELECT qdoc, word, COUNT(*) AS qtf FROM qtok GROUP BY 1, 2),
+         |qterms AS (
+         |  SELECT qdoc, word FROM (
+         |    SELECT qdoc, word,
+         |      row_number() OVER (PARTITION BY qdoc
+         |        ORDER BY qtf DESC, word ASC) AS rk
+         |    FROM qtf) WHERE rk <= 3),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+         |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, word, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(toks) AS word FROM t)
+         |  WHERE word IN (SELECT word FROM qterms) GROUP BY 1, 2),
+         |dfx AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+         |wtab AS (
+         |  SELECT q.qdoc, tf.doc_id,
+         |    CAST(ROUND((ln((st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+         |      * tf.tf * 2.2 /
+         |      (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl))))
+         |      * 1000000.0) AS BIGINT) AS wm
+         |  FROM tf JOIN qterms q ON tf.word = q.word
+         |  JOIN dfx ON tf.word = dfx.word
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN st),
+         |sc AS (
+         |  SELECT qdoc, doc_id, CAST(SUM(wm) AS BIGINT) AS score
+         |  FROM wtab GROUP BY 1, 2)
+         |SELECT query_doc, self_rank,
+         |  ROUND(1.0 / self_rank, 6) AS reciprocal_rank
+         |FROM (
+         |  SELECT qdoc AS query_doc, doc_id,
+         |    row_number() OVER (PARTITION BY qdoc
+         |      ORDER BY score DESC, doc_id ASC) AS self_rank
+         |  FROM sc)
+         |WHERE doc_id = query_doc ORDER BY query_doc""".stripMargin,
     "text_nb_classifier" ->
       s"""WITH dz AS (
          |  SELECT doc_id, lang, $tokensSql AS toks,

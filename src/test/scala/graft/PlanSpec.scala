@@ -81,6 +81,7 @@ class PlanSpec extends SparkSpec {
     "ann_matryoshka_recall",                         // truncation eval embeds the brute-force baseline
     "corpus_doremi_weights",                         // 1-row ref-loss broadcast
     "text_nb_classifier",                            // 5-row class-domain broadcast
+    "text_bm25_eval",                                // scalar corpus-stats join
   )
 
   test("no unintended cartesian or nested-loop joins across the suite") {

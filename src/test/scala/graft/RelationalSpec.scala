@@ -93,7 +93,8 @@ class RelationalSpec extends SparkSpec {
       "ann_ivfpq_topk", "graph_hyperball",
       "corpus_doremi_weights", "stream_lsh_incremental",
       "text_unigram_train", "text_unigram_encode",
-      "text_unigram_save_load", "text_nb_classifier").foreach { name =>
+      "text_unigram_save_load", "text_nb_classifier",
+      "text_bm25_eval").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
