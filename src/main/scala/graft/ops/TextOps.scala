@@ -1059,6 +1059,46 @@ object TextOps {
         .orderBy("word")
     }),
 
+    // TOKENIZER FERTILITY COMPARISON — the eval that picks between the
+    // two trained tokenizer families: per source, tokens/word and
+    // chars/token under the BPE merges vs the unigram model, over the
+    // words both cover (the unigram trainer's freq>=2, len<=12 table).
+    // Both token counts are exact integers from deterministic encoders
+    // (merge replay / Viterbi), so the whole comparison is a pure
+    // integer aggregate. Note: BPE counts include the </w> end-of-word
+    // carrier (possibly merged into a subword — the text_bpe_encode
+    // convention), so absolute BPE fertility reads ~1 higher; the
+    // per-source RELATIVE ordering is the signal. Scale: two broadcast
+    // model tables against one doc-token pass.
+    "text_tokenizer_compare" -> ((s, d) => {
+      import s.implicits._
+      val merges = bpeTrain(s, d).map(_._2)
+      val (vocab, total) = unigramModel(s, d)
+      val probs = vocab.map { case (pc, c) => (pc, c.toDouble / total) }
+      val perWord = ugWords(s, d)
+        .withColumn("st", ugViterbi($"word", probs))
+        .select($"word",
+          size(split(ltrim($"st".getField("seg")), " ")).as("n_ug"))
+      val start: Column =
+        concat(lit(" "), regexp_replace($"word", "(.)", "$1 "), lit("</w> "))
+      val encoded = merges.foldLeft(start) { (c, m) =>
+        replace(c, lit(" " + m + " "), lit(" " + m.replace(" ", "") + " "))
+      }
+      val both = perWord.withColumn("n_bpe",
+        size(filter(split(trim(encoded), " "), t => length(t) > 0)))
+      documents(s, d).select($"source", explode(tokens($"text")).as("word"))
+        .join(broadcast(both), "word")
+        .groupBy($"source").agg(
+          count(lit(1)).as("n_words"),
+          sum($"n_bpe").as("bpe_tokens"),
+          sum($"n_ug").as("unigram_tokens"),
+          round(sum(length($"word")).cast("double") / sum($"n_bpe"), 6)
+            .as("bpe_chars_per_token"),
+          round(sum(length($"word")).cast("double") / sum($"n_ug"), 6)
+            .as("ug_chars_per_token"))
+        .orderBy("source")
+    }),
+
     // Count-Min sketch (Cormode & Muthukrishnan 2005) built relationally
     // and probed for the top-30 bigrams: cell(r, c) = Σ counts of keys
     // with h_r(key) = c; est(key) = min_r cell(r, h_r(key)). The bigram
@@ -1980,6 +2020,35 @@ object TextOps {
          |  CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens,
          |  ROUND(CAST(SUM(len(w)) AS DOUBLE) / SUM(n_sub), 6) AS chars_per_token
          |FROM tok JOIN enc ON tok.w = enc.word
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "text_tokenizer_compare" -> {
+      val encSeq = (1 to BpeRounds).foldLeft(
+        "' ' || array_to_string(string_split(word, ''), ' ') || ' </w> '") {
+        (acc, i) =>
+          s"""replace($acc,
+             |  ' ' || (SELECT pair FROM b$i) || ' ',
+             |  ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ')""".stripMargin
+      }
+      s"""WITH ${ugCtesSql(UgEmRounds + 1)},
+         |ugseg AS (
+         |  SELECT word, len(string_split(trim(seg), ' ')) AS n_ug
+         |  FROM ugfin${UgEmRounds + 1}),
+         |$bpeCtesSql,
+         |enc AS (
+         |  SELECT word, len(list_filter(string_split($encSeq, ' '),
+         |    t -> len(t) > 0)) AS n_bpe
+         |  FROM (SELECT word FROM ugw)),
+         |tok AS (SELECT source, unnest($tokensSql) AS word FROM documents)
+         |SELECT source, COUNT(*) AS n_words,
+         |  CAST(SUM(enc.n_bpe) AS BIGINT) AS bpe_tokens,
+         |  CAST(SUM(ugseg.n_ug) AS BIGINT) AS unigram_tokens,
+         |  ROUND(CAST(SUM(len(tok.word)) AS DOUBLE) / SUM(enc.n_bpe), 6)
+         |    AS bpe_chars_per_token,
+         |  ROUND(CAST(SUM(len(tok.word)) AS DOUBLE) / SUM(ugseg.n_ug), 6)
+         |    AS ug_chars_per_token
+         |FROM tok JOIN ugseg ON tok.word = ugseg.word
+         |JOIN enc ON tok.word = enc.word
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "a_countmin_probe" ->

@@ -117,6 +117,21 @@ class TrainersSpec extends SparkSpec {
     }
   }
 
+  test("text_tokenizer_compare: both tokenizers segment every covered word") {
+    val rows = SparkEntry.queries("text_tokenizer_compare")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, bpe, ug) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0)
+      // every word yields >= 1 token under either tokenizer; BPE counts
+      // carry the </w> marker so bpe >= n as well
+      assert(bpe >= n && ug >= n, s"${r.getString(0)}: $n words, bpe $bpe, ug $ug")
+      val (bcpt, ucpt) = (r.getDouble(4), r.getDouble(5))
+      assert(bcpt > 0 && ucpt > 0 && ucpt <= 12.0 + 1e-9)
+    }
+  }
+
   test("text_unigram_train: normalized model, dense ranks, coverage floor") {
     val (vocab, total) = graft.ops.TextOps.unigramModel(spark, sf)
     assert(vocab.map(_._2).sum == total)
