@@ -198,6 +198,96 @@ object MLOps {
       .select($"topic", $"w1", $"w2", $"joint", $"npmi")
   }
 
+  /** c_v sliding-window size. Gensim's default is 110 tokens; the
+    * synthetic docs are 10-99 tokens after stopword filtering, so 110
+    * would degenerate every document to a single window (= the boolean-
+    * document estimator u6_npmi_coherence already covers). 20 keeps the
+    * estimator genuinely windowed on this corpus; it is a parameter of
+    * the measure, not of the implementation.
+    */
+  val WinCv = 20
+  val CvEps = 1e-12
+
+  /** c_v coherence (Röder et al. 2015; the measure the reference's
+    * CoherenceModel(coherence='c_v') computes — topic_modeling.py:209-215,
+    * previously substituted by NPMI means). Pipeline per gensim:
+    * boolean sliding windows (size [[WinCv]], step 1, short docs = one
+    * window) as the probability space; S-one-set segmentation: each top
+    * word w_i is confirmed against the full top-word set W; indirect
+    * confirmation = cosine between NPMI context vectors
+    * v_i = (npmi(w_i, w_j))_{j in W} (γ=1, diagonal included) and
+    * v_W = Σ_k v_k; c_v = mean_i cos(v_i, v_W). NPMI uses gensim's
+    * ε=1e-12 form ln((P_ij+ε)/(P_i·P_j)) / −ln(P_ij+ε) with no clamps.
+    *
+    * Determinism: every npmi is one float expression over exact integers
+    * (joint, df, n_windows) — written identically in the DuckDB oracle —
+    * then quantized to a micro-integer, so all vector sums / dots /
+    * norms are EXACT integer arithmetic; each cosine is a ratio of
+    * integers (one sqrt per norm, both < 2^53 so exactly representable),
+    * quantized again per word before the topic mean. The EM/silhouette
+    * posture, applied to the coherence eval.
+    *
+    * Scale: the only corpus-sized work is the topic-word-filtered window
+    * explode (≤ [[WinCv]] units per occurrence) and its distinct — two
+    * keyed shuffles independent of topic count; everything after the
+    * (word, unit) incidence is topic-scale (K×10×10) and broadcast.
+    */
+  def cvCoherence(s: SparkSession, topics: DataFrame, toks: DataFrame): DataFrame = {
+    import s.implicits._
+    val win = WinCv - 1
+    val nWin = greatest(size($"toks") - win, lit(1))
+    val pos = toks.select($"doc_id", nWin.as("n_win"),
+      posexplode($"toks").as(Seq("p", "word")))
+    val nUnits = toks.select(nWin.as("n_win"))
+      .agg(sum($"n_win").as("n_units"))
+    val words = topics.select($"word").distinct()
+    // (word, doc, window) incidence: token at 0-based position p lies in
+    // windows [p-win, p] clipped to [0, n_win-1]
+    val inc = pos.join(broadcast(words), "word")
+      .select($"word", $"doc_id",
+        explode(sequence(greatest($"p" - win, lit(0)),
+          least($"p", $"n_win" - 1))).as("w"))
+      .distinct()
+    val dfs = inc.groupBy($"word").agg(count(lit(1)).as("df"))
+    val all = topics.select($"topic", $"word".as("w1"))
+      .join(topics.select($"topic", $"word".as("w2")), "topic")
+    // joint window counts once per unordered pair, mirrored to the full
+    // matrix; the diagonal is just df
+    val up = all.filter($"w1" < $"w2")
+    val jointUp = inc.toDF("w1", "doc_id", "w")
+      .join(broadcast(up), "w1")
+      .join(inc.toDF("w2", "doc_id", "w"), Seq("w2", "doc_id", "w"))
+      .groupBy($"topic", $"w1", $"w2").agg(count(lit(1)).as("joint"))
+    val joint = jointUp.union(
+      jointUp.select($"topic", $"w2".as("w1"), $"w1".as("w2"), $"joint"))
+    val q = all
+      .join(joint, Seq("topic", "w1", "w2"), "left")
+      .join(broadcast(dfs.toDF("w1", "df1")), "w1")
+      .join(broadcast(dfs.toDF("w2", "df2")), "w2")
+      .crossJoin(broadcast(nUnits))
+      .withColumn("jn",
+        when($"w1" === $"w2", $"df1").otherwise(coalesce($"joint", lit(0L))))
+      .withColumn("pj", $"jn".cast("double") / $"n_units" + lit(CvEps))
+      .withColumn("npmi",
+        log($"pj" * $"n_units" * $"n_units" / ($"df1" * $"df2")) / -log($"pj"))
+      .select($"topic", $"w1", $"w2",
+        round($"npmi" * 1e6, 0).cast("long").as("q"))
+    val ctx = q.groupBy($"topic", $"w2").agg(sum($"q").as("sq"))
+    val per = q.join(ctx, Seq("topic", "w2"))
+      .groupBy($"topic", $"w1")
+      .agg(sum($"q" * $"sq").as("dot"), sum($"q" * $"q").as("n1"))
+    val nrm = ctx.groupBy($"topic").agg(sum($"sq" * $"sq").as("n2"))
+    per.join(nrm, "topic")
+      .withColumn("phiq",
+        round($"dot".cast("double")
+          / (sqrt($"n1".cast("double")) * sqrt($"n2".cast("double"))) * 1e6, 0)
+          .cast("long"))
+      .groupBy($"topic")
+      .agg(round(sum($"phiq").cast("double") / count(lit(1)) / 1e6, 6)
+        .as("cv_coherence"), count(lit(1)).as("n_words"))
+      .orderBy("topic")
+  }
+
   /** Relationally-derived candidate topics: top-10 tokens by tf per
     * source (ties word asc) — deterministic and SQL-expressible, so the
     * NPMI machinery is differentially tested end-to-end.
@@ -453,6 +543,37 @@ object MLOps {
         .groupBy($"cid").agg(count(lit(1)).as("n"), round(sum($"d"), 6).as("inertia"))
         .withColumn("cnorm",
           element_at(typedLit((0 until KmK).map(cnorms)), $"cid" + 1))
+        .orderBy("cid")
+    }),
+
+    // Clustering-quality eval for the trained coarse quantizer
+    // (simplified silhouette, the centroid-based variant MLlib's
+    // ClusteringEvaluator implements): per point, a = squared L2 to its
+    // own centroid, b = min over OTHER centroids; s = (b−a)/max(a,b).
+    // The eval that decides k for the IVF/SemDeDup cell structure.
+    // Map-side against the broadcast trained centroids (one corpus
+    // pass, one cid-keyed aggregate). Determinism: a/b are the same
+    // fold-exact distances the assignment uses; s quantizes to a
+    // micro-integer per POINT, so the per-cluster mean is a ratio of
+    // exact integer sums (the EM/DoReMi posture) — the whole eval
+    // replays in DuckDB on top of the shared k-means training chain.
+    "ml_kmeans_silhouette" -> ((s, d) => {
+      import s.implicits._
+      val corpus = kmeansCorpus(s, d)
+      val cents = kmeansCentroids(s, d)
+      corpus.withColumn("ds", array_sort(kmeansDistArr(cents)))
+        .select($"vec_id",
+          element_at($"ds", 1).getField("k").as("cid"),
+          element_at($"ds", 1).getField("d").as("a"),
+          element_at($"ds", 2).getField("d").as("b"))
+        .withColumn("sm",
+          round(when(greatest($"a", $"b") === 0, lit(0.0))
+            .otherwise(($"b" - $"a") / greatest($"a", $"b")) * 1e6, 0)
+            .cast("long"))
+        .groupBy($"cid")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"sm").cast("double") / count(lit(1)) / 1e6, 6)
+            .as("mean_silhouette"))
         .orderBy("cid")
     }),
 
@@ -921,6 +1042,35 @@ object MLOps {
 
   val oracles: Map[String, String] = Map(
     "ml_kmeans" -> kmeansSql,
+    "ml_kmeans_silhouette" -> {
+      val fold = (a: String, b: String) =>
+        s"""list_reduce(list_prepend(0.0, list_transform(range(len($a)),
+           |      i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]))),
+           |    (x, y) -> x + y)""".stripMargin
+      s"""WITH $kmeansCtesSql,
+         |dall AS MATERIALIZED (
+         |  SELECT v.vec_id, c.cid, ${fold("v.e", "c.c")} AS d
+         |  FROM v CROSS JOIN c$KmIters c),
+         |rk AS (
+         |  SELECT vec_id, cid, d,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d ASC, cid ASC) AS rn
+         |  FROM dall),
+         |ab AS (
+         |  SELECT r1.vec_id, r1.cid, r1.d AS a, r2.d AS b
+         |  FROM rk r1 JOIN rk r2
+         |    ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2),
+         |sm AS (
+         |  SELECT cid,
+         |    CAST(ROUND((CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+         |      ELSE (b - a) / GREATEST(a, b) END) * 1000000.0) AS BIGINT)
+         |      AS sm
+         |  FROM ab)
+         |SELECT cid, COUNT(*) AS n,
+         |  ROUND(CAST(SUM(sm) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+         |    AS mean_silhouette
+         |FROM sm GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "lda_em_topics" -> ldaEmTopicsSql,
     // the artifact round-trip must reproduce the topics table exactly —
     // one oracle serves both

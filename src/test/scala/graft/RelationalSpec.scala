@@ -94,7 +94,8 @@ class RelationalSpec extends SparkSpec {
       "corpus_doremi_weights", "stream_lsh_incremental",
       "text_unigram_train", "text_unigram_encode",
       "text_unigram_save_load", "text_nb_classifier",
-      "text_bm25_eval", "text_tokenizer_compare").foreach { name =>
+      "text_bm25_eval", "text_tokenizer_compare",
+      "ml_kmeans_silhouette").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq

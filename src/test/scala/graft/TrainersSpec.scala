@@ -117,6 +117,18 @@ class TrainersSpec extends SparkSpec {
     }
   }
 
+  test("ml_kmeans_silhouette: full coverage, scores in [0, 1]") {
+    val rows = SparkEntry.queries("ml_kmeans_silhouette")(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val sil = r.getDouble(2)
+      // b is the SECOND-nearest centroid distance, so b >= a and the
+      // simplified silhouette is non-negative by construction
+      assert(sil >= 0.0 && sil <= 1.0, s"cid ${r.getInt(0)}: $sil")
+    }
+  }
+
   test("text_tokenizer_compare: both tokenizers segment every covered word") {
     val rows = SparkEntry.queries("text_tokenizer_compare")(spark, sf)
       .collect()
