@@ -763,6 +763,33 @@ object MLOps {
         .orderBy("topic")
     }),
 
+    // U6 (oracle-checked): the reference's ACTUAL coherence measure —
+    // c_v (sliding-window NPMI context vectors + indirect cosine; see
+    // cvCoherence for the pipeline and determinism argument) over the
+    // relational source topics. Closes the documented NPMI-for-c_v
+    // substitution: ranking word sets by THIS measure is what
+    // topic_modeling.py:209-215 does.
+    "u6_cv_coherence" -> ((s, d) => {
+      import s.implicits._
+      cvCoherence(s, sourceTopics(s, d),
+        docTokens(s, d).select($"doc_id", $"toks"))
+    }),
+
+    // U6 twin (oracle-checked): c_v of the relational EM trainer's
+    // topics — the reference's full train→c_v-score model-selection
+    // pipeline, differential end to end (training loop AND the c_v
+    // scorer replay in one DuckDB query).
+    "lda_em_cv" -> ((s, d) => {
+      import s.implicits._
+      val (phi, _) = ldaEmState(s, d)
+      val w = Window.partitionBy($"k").orderBy(desc("p"), asc("word"))
+      val topics = phi.select($"word", posexplode($"ph")).toDF("word", "k", "p")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= TopWords)
+        .select($"k".cast("string").as("topic"), $"word")
+      cvCoherence(s, topics, docTokens(s, d).select($"doc_id", $"toks"))
+    }),
+
     // U6 (oracle-checked): mean NPMI coherence per candidate word set.
     "u6_npmi_coherence" -> ((s, d) => {
       import s.implicits._
@@ -901,6 +928,95 @@ object MLOps {
        |  LEFT JOIN jt j ON p.topic = j.topic AND p.w1 = j.w1 AND p.w2 = j.w2
        |  JOIN dfs d1 ON d1.word = p.w1
        |  JOIN dfs d2 ON d2.word = p.w2)""".stripMargin
+
+  /** Shared c_v body (mirrors cvCoherence step for step — see its
+    * Scaladoc for the determinism argument). Expects CTEs
+    * `ft(doc_id, toks)` (ordered filtered tokens) and
+    * `topics(topic, word)` upstream; all internal names are cv-prefixed
+    * to compose with the EM chain without collisions. The final select
+    * lives in [[cvSelectSql]].
+    */
+  private val cvBodySql: String = {
+    val wm1 = WinCv - 1
+    s"""cvn AS (SELECT doc_id, GREATEST(len(toks) - $wm1, 1) AS n_win FROM ft),
+       |cvu AS (SELECT SUM(n_win) AS n_units FROM cvn),
+       |cvinc AS (
+       |  SELECT DISTINCT word, doc_id, w FROM (
+       |    SELECT t.word, t.doc_id,
+       |      unnest(range(GREATEST(t.p - $wm1, 0),
+       |                   LEAST(t.p, cvn.n_win - 1) + 1)) AS w
+       |    FROM (SELECT doc_id, unnest(toks) AS word,
+       |            generate_subscripts(toks, 1) - 1 AS p FROM ft) t
+       |    JOIN cvn USING (doc_id)
+       |    WHERE t.word IN (SELECT word FROM topics))),
+       |cvdf AS (SELECT word, COUNT(*) AS df FROM cvinc GROUP BY 1),
+       |cvall AS (
+       |  SELECT a.topic, a.word AS w1, b.word AS w2
+       |  FROM topics a JOIN topics b ON a.topic = b.topic),
+       |cvjtu AS (
+       |  SELECT p.topic, p.w1, p.w2, COUNT(*) AS joint
+       |  FROM (SELECT * FROM cvall WHERE w1 < w2) p
+       |  JOIN cvinc i1 ON i1.word = p.w1
+       |  JOIN cvinc i2 ON i2.word = p.w2 AND i2.doc_id = i1.doc_id
+       |    AND i2.w = i1.w
+       |  GROUP BY 1, 2, 3),
+       |cvjt AS (SELECT * FROM cvjtu
+       |  UNION ALL SELECT topic, w2, w1, joint FROM cvjtu),
+       |cvq AS (
+       |  SELECT topic, w1, w2, CAST(ROUND(
+       |      ln(pj * n_units * n_units / (df1 * df2)) / -ln(pj)
+       |      * 1000000.0) AS BIGINT) AS q
+       |  FROM (
+       |    SELECT p.topic, p.w1, p.w2, d1.df AS df1, d2.df AS df2,
+       |      (SELECT n_units FROM cvu) AS n_units,
+       |      CAST(CASE WHEN p.w1 = p.w2 THEN d1.df
+       |           ELSE COALESCE(j.joint, 0) END AS DOUBLE)
+       |        / (SELECT n_units FROM cvu) + 1e-12 AS pj
+       |    FROM cvall p
+       |    LEFT JOIN cvjt j ON p.topic = j.topic AND p.w1 = j.w1
+       |      AND p.w2 = j.w2
+       |    JOIN cvdf d1 ON d1.word = p.w1
+       |    JOIN cvdf d2 ON d2.word = p.w2)),
+       |cvctx AS (SELECT topic, w2, SUM(q) AS sq FROM cvq GROUP BY 1, 2),
+       |cvper AS (
+       |  SELECT q.topic, q.w1, SUM(q.q * c.sq) AS dot, SUM(q.q * q.q) AS n1
+       |  FROM cvq q JOIN cvctx c ON q.topic = c.topic AND q.w2 = c.w2
+       |  GROUP BY 1, 2),
+       |cvnrm AS (SELECT topic, SUM(sq * sq) AS n2 FROM cvctx GROUP BY 1),
+       |cvphi AS (
+       |  SELECT p.topic,
+       |    CAST(ROUND(CAST(p.dot AS DOUBLE)
+       |      / (sqrt(CAST(p.n1 AS DOUBLE)) * sqrt(CAST(n.n2 AS DOUBLE)))
+       |      * 1000000.0) AS BIGINT) AS phiq
+       |  FROM cvper p JOIN cvnrm n ON p.topic = n.topic)""".stripMargin
+  }
+
+  private val cvSelectSql =
+    """SELECT topic,
+      |  ROUND(CAST(SUM(phiq) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+      |    AS cv_coherence,
+      |  COUNT(*) AS n_words
+      |FROM cvphi GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** ft + topics prelude for the source-topic c_v (same ft/topics
+    * derivation as npmiWindowedCte).
+    */
+  private val cvU6PreludeSql =
+    s"""sw(word) AS (VALUES ${Lexicons.stopwordsEnSqlValues}),
+       |ft AS (
+       |  SELECT doc_id, source,
+       |    list_filter($tokensSql,
+       |      t -> len(t) >= 3 AND NOT list_contains(${Lexicons.stopwordsEnSqlList}, t)) AS toks
+       |  FROM documents),
+       |tw AS (
+       |  SELECT source, word, COUNT(*) AS cnt FROM (
+       |    SELECT source, unnest(toks) AS word FROM ft) GROUP BY 1, 2),
+       |topics AS (
+       |  SELECT source AS topic, word FROM (
+       |    SELECT source, word,
+       |      row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word ASC) AS rk
+       |    FROM tw)
+       |  WHERE rk <= $TopWords)""".stripMargin
 
   /** The kmeans CTE chain (v, c0, per-round d/a/m/c, fin = final
     * assignments with distances) — shared verbatim by the ml_kmeans
@@ -1167,6 +1283,26 @@ object MLOps {
          |SELECT topic, ROUND(AVG(npmi), 6) AS npmi_coherence,
          |  COUNT(*) AS n_pairs
          |FROM v GROUP BY topic ORDER BY topic""".stripMargin,
+    "u6_cv_coherence" ->
+      s"""WITH $cvU6PreludeSql,
+         |$cvBodySql
+         |$cvSelectSql""".stripMargin,
+    "lda_em_cv" ->
+      s"""WITH $ldaEmCtesSql,
+         |topics AS (
+         |  SELECT CAST(k AS VARCHAR) AS topic, word FROM (
+         |    SELECT k, word,
+         |      row_number() OVER (PARTITION BY k ORDER BY p DESC, word ASC)
+         |        AS rk
+         |    FROM ph$EmIters)
+         |  WHERE rk <= $TopWords),
+         |ft AS (
+         |  SELECT doc_id,
+         |    list_filter($tokensSql,
+         |      t -> len(t) >= 3 AND NOT list_contains(${Lexicons.stopwordsEnSqlList}, t)) AS toks
+         |  FROM documents),
+         |$cvBodySql
+         |$cvSelectSql""".stripMargin,
     "u6_npmi_pairs" ->
       s"""WITH $npmiCte
          |SELECT topic, w1, w2, joint, ROUND(npmi, 6) AS npmi

@@ -133,4 +133,36 @@ class MLSpec extends SparkSpec {
     val coh = SparkEntry.queries("u6_npmi_coherence")(spark, sf).collect()
     assert(coh.length == 20 && coh.forall(_.getLong(2) == 45))
   }
+
+  test("c_v separates co-occurring from disjoint word sets on a planted corpus") {
+    import org.apache.spark.sql.functions._
+    // 40 docs of 30 tokens: "aa bb" open every doc in the first half
+    // (always inside a shared window); "xx" appears only there and "yy"
+    // only in the second half (never co-occur). Filler words are unique
+    // per doc so they never enter a topic.
+    val docs = (0 until 40).map { i =>
+      val filler = (0 until 26).map(j => s"fill${i}_$j")
+      val head = if (i < 20) Seq("aa", "bb", "xx", s"pad$i")
+                 else Seq("cc", "dd", "yy", s"pad$i")
+      (s"d$i", (head ++ filler).toArray)
+    }.toDF("doc_id", "toks")
+    val topics = Seq(("good", "aa"), ("good", "bb"),
+      ("bad", "xx"), ("bad", "yy")).toDF("topic", "word")
+    val rows = graft.ops.MLOps.cvCoherence(spark, topics, docs)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet == Set("good", "bad"))
+    // perfectly co-occurring pair ⇒ identical context vectors ⇒ cv ≈ 1
+    assert(rows("good") > 0.99, s"good=${rows("good")}")
+    assert(rows("good") > rows("bad") + 0.1,
+      s"good=${rows("good")} bad=${rows("bad")}")
+    rows.values.foreach(v => assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9))
+  }
+
+  test("c_v of the source topics covers every source with full word sets") {
+    val rows = SparkEntry.queries("u6_cv_coherence")(spark, sf).collect()
+    assert(rows.length == 20 && rows.forall(_.getLong(2) == 10))
+    val emRows = SparkEntry.queries("lda_em_cv")(spark, sf).collect()
+    assert(emRows.length == graft.ops.MLOps.EmK
+      && emRows.forall(_.getLong(2) == 10))
+  }
 }

@@ -82,6 +82,7 @@ class PlanSpec extends SparkSpec {
     "corpus_doremi_weights",                         // 1-row ref-loss broadcast
     "text_nb_classifier",                            // 5-row class-domain broadcast
     "text_bm25_eval",                                // scalar corpus-stats join
+    "u6_cv_coherence", "lda_em_cv",                  // scalar n_units join (cvCoherence)
   )
 
   test("no unintended cartesian or nested-loop joins across the suite") {
