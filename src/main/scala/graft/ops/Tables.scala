@@ -31,17 +31,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects by default. Read nanos as long (legacy conf), then
-    * convert to TimestampType at microsecond precision — the generator
-    * writes micro-precision instants, so nothing below 1 µs is lost and
-    * the DuckDB oracle sees identical values.
+  /** Schema-adaptive events reader. The generator has shipped `ts` in two
+    * layouts across rounds: TIMESTAMP(NANOS) — which Spark's parquet reader
+    * only loads as a nanosecond LongType under the legacy `nanosAsLong`
+    * conf — and plain TIMESTAMP_MICROS, which loads as TimestampType
+    * directly. Branch on the loaded dtype instead of assuming either:
+    * LongType means nanos-as-long (convert to micros; generator instants
+    * are micro-precision so `div 1000` is lossless), Timestamp(NTZ) passes
+    * through (NTZ cast to session-zoned for uniform downstream semantics).
+    * The `nanosAsLong` conf is set unconditionally: it only affects
+    * TIMESTAMP(NANOS) columns and is a no-op for micros files, and setting
+    * it up front means a future nanos regeneration loads instead of
+    * throwing at analysis.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -1,0 +1,89 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.types._
+
+import graft.ops.Tables
+
+/** Schema-drift canary. Round 9 lost 51 queries, 21 tests, and 16 bench
+  * entries because the testdata generator silently switched `events.ts`
+  * from TIMESTAMP(NANOS) to TIMESTAMP_MICROS and the reader assumed one
+  * layout. This spec pins the contract at build time for every sf dir
+  * present under /root/testdata: each table loads, and the temporal /
+  * payload columns the operators depend on resolve to the dtypes the
+  * engine expects AFTER the adaptive readers in [[graft.ops.Tables]]
+  * normalize them. If the generator flips layout again, this fails with
+  * the observed dtype in the message instead of 51 queries dying at
+  * driver time.
+  */
+class SchemaCanarySpec extends SparkSpec {
+
+  private val sfDirs: Seq[String] = {
+    val root = new File("/root/testdata")
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("sf"))
+      .map(_.getAbsolutePath).toSeq.sorted
+  }
+
+  private val tables = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  test("at least one sf dir exists") {
+    assert(sfDirs.nonEmpty, "no sf* dirs under /root/testdata")
+  }
+
+  test("every table loads and has rows in every sf dir") {
+    for (d <- sfDirs; t <- tables) {
+      val df = Tables.table(spark, d, t)
+      assert(df.limit(1).count() == 1L, s"$d/$t.parquet is empty or unreadable")
+    }
+  }
+
+  test("events.ts normalizes to TimestampType in every sf dir") {
+    for (d <- sfDirs) {
+      // Raw layout, for the failure message: what the parquet footer says.
+      val raw = Tables.table(spark, d, "events").schema("ts").dataType
+      val normalized = Tables.events(spark, d).schema("ts").dataType
+      assert(normalized == TimestampType,
+        s"$d/events.parquet: ts loads as $raw, normalizes to $normalized " +
+          "(expected TimestampType) — generator layout changed; " +
+          "extend the dtype match in Tables.events")
+    }
+  }
+
+  test("events.ts values are sane instants after normalization") {
+    // A wrong nanos/micros branch is off by 1000x, landing centuries away.
+    import org.apache.spark.sql.functions._
+    for (d <- sfDirs) {
+      val yr = Tables.events(spark, d)
+        .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi"))
+        .head()
+      val (lo, hi) = (yr.getInt(0), yr.getInt(1))
+      assert(lo >= 1990 && hi <= 2100,
+        s"$d/events.parquet: ts year range [$lo, $hi] out of [1990, 2100] — " +
+          "unit mismatch in the nanos/micros conversion branch")
+    }
+  }
+
+  test("key typed columns keep their expected dtypes") {
+    val expected: Seq[(String, String, DataType => Boolean, String)] = Seq(
+      ("lineitem", "l_shipdate", dt => dt == DateType || dt == TimestampType || dt == TimestampNTZType, "Date/Timestamp"),
+      ("orders", "o_orderdate", dt => dt == DateType || dt == TimestampType || dt == TimestampNTZType, "Date/Timestamp"),
+      ("lineitem", "l_quantity", dt => dt.isInstanceOf[NumericType], "numeric"),
+      ("events", "value", dt => dt.isInstanceOf[NumericType], "numeric"),
+      ("documents", "text", dt => dt == StringType, "String"),
+      ("embeddings", "embedding", {
+        case ArrayType(et, _) => et == FloatType || et == DoubleType
+        case _                => false
+      }, "Array[Float/Double]")
+    )
+    for (d <- sfDirs; (t, c, ok, want) <- expected) {
+      val schema = Tables.table(spark, d, t).schema
+      assert(schema.fieldNames.contains(c), s"$d/$t.parquet: missing column $c")
+      val dt = schema(c).dataType
+      assert(ok(dt), s"$d/$t.parquet: $c is $dt, expected $want")
+    }
+  }
+}
