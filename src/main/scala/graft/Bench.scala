@@ -71,7 +71,7 @@ object Bench {
       val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
         .mkString("[", ",", "]")
       val total = results.map(_._2).filter(_ >= 0).sum
-      (total, qs, ps, failed)
+      (total, qs, ps, failed, results)
     }
     // Group 1 is the frozen round-1 headline set — `value`/`queries` keep
     // their meaning across all rounds. Group 2 (round-7 addition) covers
@@ -80,18 +80,27 @@ object Bench {
     // the group-1 trendline. Group 2 has its own warm-up pass: these
     // queries were never touched by the group-1 warm-up, and an unwarmed
     // first family would bill one-time JIT/classload to its first query.
-    val (total, qs, ps, failed) = timeGroup(names)
+    val (total, qs, ps, failed, res1) = timeGroup(names)
     val names2 = SparkEntry.benchQueries2
     names2.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    val (total2, qs2, ps2, failed2) = timeGroup(names2)
+    val (total2, qs2, ps2, failed2, _) = timeGroup(names2)
     println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_warm","queries":$qs,"passes":$ps,"failed":$failed,"total2":$total2,"queries2":$qs2,"passes2":$ps2,"failed2":$failed2,"sf":"$sfDir"}""")
-    // Truncation-proof summary: the driver captures only the LAST 2000
-    // chars of output, and round 7's full JSON grew past that — group 1's
-    // headline total fell off the front. This trailing compact line always
-    // survives the tail capture, whatever the full line grows to.
+    // Truncation-proof tail: the driver captures only the LAST 2000 chars
+    // of output, and the full line above is well past that — in round 9
+    // the group-1 per-query numbers fell off the front and per-query
+    // regressions became undiagnosable from the driver capture. So the
+    // LAST lines carry what a regression hunt needs, compact enough
+    // (~1 kB together) to always survive the tail cap: group-1 per-query
+    // mins at ms precision, then the headline totals. Neither repeats the
+    // "metric" key, so a driver grep for the contract line still uniquely
+    // hits the full JSON above.
+    val qs1ms = res1.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+    }.mkString("{", ",", "}")
+    println(s"""{"g1_queries_ms":$qs1ms,"g1_failed":$failed}""")
     println(s"""{"total":$total,"total2":$total2,"failed_count":${failed.count(_ == '"') / 2 + failed2.count(_ == '"') / 2}}""")
     spark.stop()
   }

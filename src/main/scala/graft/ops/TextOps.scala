@@ -33,6 +33,14 @@ object TextOps {
   /** BPE training rounds (text_bpe_merges + its unrolled oracle). */
   val BpeRounds = 8
 
+  /** Hard bound on the word table the BPE trainer collects to the driver:
+    * top-N distinct words by corpus frequency. 500k spans any realistic
+    * natural-language vocabulary (Heaps' law puts clean web-corpus vocab
+    * near 1e6 *including* hapaxes, which are already pruned upstream)
+    * while keeping the driver table ≲ 50 MB worst-case.
+    */
+  val MaxVocabCandidates = 500000
+
   /** The BPE merge-training loop (see text_bpe_merges scaladoc for the
     * distribution posture): distributed word count, vocab-scale merge
     * iteration driver-side. Returns (round, "a b" pair, weighted count)
@@ -45,10 +53,22 @@ object TextOps {
     // of 100 TB of web text (typos, URLs, hashes) is far above the Heaps'
     // ~1e6 clean-vocab estimate, but hapax strings cannot win a merge
     // round anyway (every real BPE trainer prunes them), so freq >= 2
-    // caps the collected table at the true vocabulary scale.
+    // caps the collected table at the true vocabulary scale. On top of
+    // that, an EXPLICIT hard cap: take the top MaxVocabCandidates words
+    // by frequency (word tie-break for determinism), so the driver
+    // collect is bounded by construction even on a corpus whose freq>=2
+    // tail is still tens of millions of rows. Merge counts are weighted
+    // by word frequency, so the excluded sub-threshold tail contributes
+    // a vanishing share of any pair's count and cannot flip a merge
+    // round in practice; at the test scales the freq>=2 table is far
+    // below the cap, so every word is collected and oracle results are
+    // bit-identical with or without the limit. TakeOrderedAndProject
+    // keeps this a per-partition top-N + driver merge — no global sort.
     val wf = documents(s, d).select(explode(tokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       .filter($"freq" >= 2)
+      .orderBy($"freq".desc, $"w".asc)
+      .limit(MaxVocabCandidates)
       .as[(String, Long)].collect()
     // Split per Unicode CODE POINT, not UTF-16 char: the encoder's
     // regexp_replace("(.)") and both DuckDB oracles' string_split(word,'')

@@ -67,6 +67,48 @@ class SchemaCanarySpec extends SparkSpec {
     }
   }
 
+  test("Tables.events normalizes all three ts layouts to the same instants") {
+    // The live testdata only ever exercises ONE branch of the adaptive
+    // reader; this test synthesizes the other layouts so every branch
+    // stays covered whatever the generator currently emits. The nanos
+    // layout is simulated by a LongType column of epoch-nanos — exactly
+    // what a TIMESTAMP(NANOS) file becomes under `nanosAsLong`, which is
+    // the only form that branch ever sees.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = graft.ops.Tables.artifactDir("schema_canary_layouts", sf)
+    val base = Seq(
+      (1L, "2024-03-01 12:34:56.789012"),
+      (2L, "2025-12-31 23:59:59.000001")
+    ).toDF("id", "s").withColumn("want", to_timestamp($"s")).select($"id", $"want")
+
+    val asNanosLong = base.select($"id",
+      (unix_micros($"want") * 1000L).as("ts"))
+    val asNtz = base.select($"id",
+      $"want".cast(TimestampNTZType).as("ts"))
+    val asMicros = base.select($"id", $"want".as("ts"))
+
+    val cases = Seq("long_nanos" -> asNanosLong, "ntz" -> asNtz, "micros" -> asMicros)
+    for ((label, df) <- cases) {
+      val path = s"$dir/$label"
+      df.write.mode("overwrite").parquet(path)
+      // Tables.events reads "$sfDir/events.parquet"; point it at a dir
+      // laid out the same way.
+      val fake = s"$dir/${label}_root"
+      val eventsPath = new File(s"$fake/events.parquet")
+      eventsPath.getParentFile.mkdirs()
+      // Re-write under the expected name rather than fs-rename: keeps the
+      // test independent of Hadoop FS semantics.
+      df.write.mode("overwrite").parquet(eventsPath.getPath)
+      val got = graft.ops.Tables.events(spark, fake)
+      assert(got.schema("ts").dataType == TimestampType,
+        s"layout $label: normalized dtype is ${got.schema("ts").dataType}")
+      val joined = got.join(base, "id")
+        .filter($"ts" =!= $"want").count()
+      assert(joined == 0L, s"layout $label: normalized instants diverge from source")
+    }
+  }
+
   test("key typed columns keep their expected dtypes") {
     val expected: Seq[(String, String, DataType => Boolean, String)] = Seq(
       ("lineitem", "l_shipdate", dt => dt == DateType || dt == TimestampType || dt == TimestampNTZType, "Date/Timestamp"),
