@@ -234,6 +234,24 @@ object MLOps {
     */
   def cvCoherence(s: SparkSession, topics: DataFrame, toks: DataFrame): DataFrame = {
     import s.implicits._
+    cvPhi(s, topics, toks)
+      .groupBy($"topic")
+      .agg(round(sum($"phiq").cast("double") / count(lit(1)) / 1e6, 6)
+        .as("cv_coherence"), count(lit(1)).as("n_words"))
+      .orderBy("topic")
+  }
+
+  /** The per-(topic, top-word) quantized cosine (φ) frame cvCoherence
+    * aggregates — exposed separately so the model-selection scan can
+    * aggregate the SAME exact-integer φ stream at a different grain
+    * (one global mean per candidate k) without re-rounding per topic:
+    * every topic has exactly [[TopWords]] rows here, so the global
+    * SUM(phiq)/COUNT mean is the mean of UNROUNDED topic means, and its
+    * single integer division is the only float step — bit-identical to
+    * the oracle's same division.
+    */
+  def cvPhi(s: SparkSession, topics: DataFrame, toks: DataFrame): DataFrame = {
+    import s.implicits._
     val win = WinCv - 1
     val nWin = greatest(size($"toks") - win, lit(1))
     val pos = toks.select($"doc_id", nWin.as("n_win"),
@@ -282,10 +300,7 @@ object MLOps {
         round($"dot".cast("double")
           / (sqrt($"n1".cast("double")) * sqrt($"n2".cast("double"))) * 1e6, 0)
           .cast("long"))
-      .groupBy($"topic")
-      .agg(round(sum($"phiq").cast("double") / count(lit(1)) / 1e6, 6)
-        .as("cv_coherence"), count(lit(1)).as("n_words"))
-      .orderBy("topic")
+      .select($"topic", $"w1", $"phiq")
   }
 
   /** Relationally-derived candidate topics: top-10 tokens by tf per
@@ -303,10 +318,15 @@ object MLOps {
       .select($"source".as("topic"), $"word")
   }
 
-  /** Mean NPMI coherence per candidate k over the LDA scan (cached per
+  /** Mean c_v coherence per candidate k over the LDA scan (cached per
     * (session, sfDir) — u6_lda_model_scan and pipeline_topic_fanout both
     * read it; fits are the cheap 5-iteration scan fits, mirroring the
-    * reference's scan_passes=2 vs final passes=10 split).
+    * reference's scan_passes=2 vs final passes=10 split). Ranked by the
+    * reference's ACTUAL selection measure — c_v, via the [[cvPhi]]
+    * machinery that lda_em_cv/lda_em_scan prove against the oracle —
+    * rather than the earlier NPMI stand-in. Per-k score = global
+    * SUM(phiq)/COUNT over the k's topics (equal-sized topic word sets,
+    * so this is the mean of unrounded per-topic means).
     */
   private val scanCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[(Int, Double)]]
@@ -315,11 +335,12 @@ object MLOps {
     scanCache.getOrElseUpdate((s, d), {
       import s.implicits._
       val (cv, _) = preparedInput(s, d)
+      val toks = docTokens(s, d).select($"doc_id", $"toks")
       ScanKs.map { k =>
         val m = fittedLda(s, d, k, maxIter = 5)
-        val coh = npmiPairs(s, d, topicWords(s, m, cv.vocabulary.toSeq))
-          .groupBy($"topic").agg(avg($"npmi").as("c"))
-          .agg(avg($"c")).as[Double].collect().head
+        val coh = cvPhi(s, topicWords(s, m, cv.vocabulary.toSeq), toks)
+          .agg((sum($"phiq").cast("double") / count(lit(1)) / 1e6).as("c"))
+          .as[Double].collect().head
         (k, math.round(coh * 1e6) / 1e6)
       }
     })
@@ -790,6 +811,35 @@ object MLOps {
       cvCoherence(s, topics, docTokens(s, d).select($"doc_id", $"toks"))
     }),
 
+    // U6 twin (oracle-checked): the model-selection SCAN itself, fully
+    // differential — the relational EM trainer fit at EVERY candidate k,
+    // each scored by the c_v machinery, one row per k. This is the exact
+    // operation u6_lda_model_scan performs on the MLlib fits (whose
+    // training is non-SQL, so that entry stays rows-only); here the
+    // per-k training loops AND the scorer all replay in one DuckDB
+    // query — the scan's train→score→rank pipeline gets a real oracle.
+    // Per-k score: global SUM(phiq)/COUNT over that k's topics — every
+    // topic contributes exactly TopWords φ rows, so this equals the mean
+    // of UNROUNDED per-topic means, and its single integer division is
+    // the only float step (bit-identical across engines, no
+    // avg-of-rounded-doubles drift).
+    "lda_em_scan" -> ((s, d) => {
+      import s.implicits._
+      val toks = docTokens(s, d).select($"doc_id", $"toks")
+      ScanKs.map { k =>
+        val (phi, _) = ldaEmState(s, d, k)
+        val w = Window.partitionBy($"k").orderBy(desc("p"), asc("word"))
+        val topics = phi.select($"word", posexplode($"ph")).toDF("word", "k", "p")
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= TopWords)
+          .select($"k".cast("string").as("topic"), $"word")
+        cvPhi(s, topics, toks)
+          .agg(round(sum($"phiq").cast("double") / count(lit(1)) / 1e6, 6)
+            .as("cv_coherence"), count(lit(1)).as("n_words"))
+          .select(lit(k).as("k"), $"cv_coherence", $"n_words")
+      }.reduce(_ union _).orderBy("k")
+    }),
+
     // U6 (oracle-checked): mean NPMI coherence per candidate word set.
     "u6_npmi_coherence" -> ((s, d) => {
       import s.implicits._
@@ -801,12 +851,15 @@ object MLOps {
     }),
 
     // U6: model-selection scan — k in {2,4,6}, cheap fits, ranked by mean
-    // NPMI coherence of each model's topics (the reference ranks by c_v —
-    // topic_modeling.py:152-191; NPMI is its oracle-checkable sibling,
-    // computed by the exact machinery u6_npmi_* differentially tests).
+    // c_v coherence of each model's topics — the reference's actual
+    // selection measure (topic_modeling.py:152-191), scored by the
+    // [[cvPhi]] machinery that u6_cv_coherence/lda_em_cv/lda_em_scan
+    // prove against the oracle. The MLlib training itself is non-SQL, so
+    // this entry stays rows-only; lda_em_scan is its fully oracle-checked
+    // twin (relational trainer, same scorer, same per-k statistic).
     "u6_lda_model_scan" -> ((s, d) => {
       import s.implicits._
-      coherenceByK(s, d).toDF("k", "npmi_coherence").orderBy("k")
+      coherenceByK(s, d).toDF("k", "cv_coherence").orderBy("k")
     }),
 
     // §3.1 fan-out (bbc_news_dag.py:157-190): ONE cached prepared input
@@ -929,67 +982,70 @@ object MLOps {
        |  JOIN dfs d1 ON d1.word = p.w1
        |  JOIN dfs d2 ON d2.word = p.w2)""".stripMargin
 
-  /** Shared c_v body (mirrors cvCoherence step for step — see its
-    * Scaladoc for the determinism argument). Expects CTEs
-    * `ft(doc_id, toks)` (ordered filtered tokens) and
-    * `topics(topic, word)` upstream; all internal names are cv-prefixed
-    * to compose with the EM chain without collisions. The final select
-    * lives in [[cvSelectSql]].
+  /** Shared c_v body (mirrors cvPhi/cvCoherence step for step — see
+    * their Scaladoc for the determinism argument). Expects CTEs
+    * `$ft(doc_id, toks)` (ordered filtered tokens) and
+    * `$topics(topic, word)` upstream; every internal name carries `$pfx`
+    * so several instances (the per-k model-selection scan needs three)
+    * compose with the EM chains in one WITH clause without collisions.
+    * The per-topic final select lives in [[cvSelectSql]].
     */
-  private val cvBodySql: String = {
+  private def cvBody(pfx: String, ft: String, topics: String): String = {
     val wm1 = WinCv - 1
-    s"""cvn AS (SELECT doc_id, GREATEST(len(toks) - $wm1, 1) AS n_win FROM ft),
-       |cvu AS (SELECT SUM(n_win) AS n_units FROM cvn),
-       |cvinc AS (
+    s"""${pfx}n AS (SELECT doc_id, GREATEST(len(toks) - $wm1, 1) AS n_win FROM $ft),
+       |${pfx}u AS (SELECT SUM(n_win) AS n_units FROM ${pfx}n),
+       |${pfx}inc AS (
        |  SELECT DISTINCT word, doc_id, w FROM (
        |    SELECT t.word, t.doc_id,
        |      unnest(range(GREATEST(t.p - $wm1, 0),
-       |                   LEAST(t.p, cvn.n_win - 1) + 1)) AS w
+       |                   LEAST(t.p, ${pfx}n.n_win - 1) + 1)) AS w
        |    FROM (SELECT doc_id, unnest(toks) AS word,
-       |            generate_subscripts(toks, 1) - 1 AS p FROM ft) t
-       |    JOIN cvn USING (doc_id)
-       |    WHERE t.word IN (SELECT word FROM topics))),
-       |cvdf AS (SELECT word, COUNT(*) AS df FROM cvinc GROUP BY 1),
-       |cvall AS (
+       |            generate_subscripts(toks, 1) - 1 AS p FROM $ft) t
+       |    JOIN ${pfx}n USING (doc_id)
+       |    WHERE t.word IN (SELECT word FROM $topics))),
+       |${pfx}df AS (SELECT word, COUNT(*) AS df FROM ${pfx}inc GROUP BY 1),
+       |${pfx}all AS (
        |  SELECT a.topic, a.word AS w1, b.word AS w2
-       |  FROM topics a JOIN topics b ON a.topic = b.topic),
-       |cvjtu AS (
+       |  FROM $topics a JOIN $topics b ON a.topic = b.topic),
+       |${pfx}jtu AS (
        |  SELECT p.topic, p.w1, p.w2, COUNT(*) AS joint
-       |  FROM (SELECT * FROM cvall WHERE w1 < w2) p
-       |  JOIN cvinc i1 ON i1.word = p.w1
-       |  JOIN cvinc i2 ON i2.word = p.w2 AND i2.doc_id = i1.doc_id
+       |  FROM (SELECT * FROM ${pfx}all WHERE w1 < w2) p
+       |  JOIN ${pfx}inc i1 ON i1.word = p.w1
+       |  JOIN ${pfx}inc i2 ON i2.word = p.w2 AND i2.doc_id = i1.doc_id
        |    AND i2.w = i1.w
        |  GROUP BY 1, 2, 3),
-       |cvjt AS (SELECT * FROM cvjtu
-       |  UNION ALL SELECT topic, w2, w1, joint FROM cvjtu),
-       |cvq AS (
+       |${pfx}jt AS (SELECT * FROM ${pfx}jtu
+       |  UNION ALL SELECT topic, w2, w1, joint FROM ${pfx}jtu),
+       |${pfx}q AS (
        |  SELECT topic, w1, w2, CAST(ROUND(
        |      ln(pj * n_units * n_units / (df1 * df2)) / -ln(pj)
        |      * 1000000.0) AS BIGINT) AS q
        |  FROM (
        |    SELECT p.topic, p.w1, p.w2, d1.df AS df1, d2.df AS df2,
-       |      (SELECT n_units FROM cvu) AS n_units,
+       |      (SELECT n_units FROM ${pfx}u) AS n_units,
        |      CAST(CASE WHEN p.w1 = p.w2 THEN d1.df
        |           ELSE COALESCE(j.joint, 0) END AS DOUBLE)
-       |        / (SELECT n_units FROM cvu) + 1e-12 AS pj
-       |    FROM cvall p
-       |    LEFT JOIN cvjt j ON p.topic = j.topic AND p.w1 = j.w1
+       |        / (SELECT n_units FROM ${pfx}u) + 1e-12 AS pj
+       |    FROM ${pfx}all p
+       |    LEFT JOIN ${pfx}jt j ON p.topic = j.topic AND p.w1 = j.w1
        |      AND p.w2 = j.w2
-       |    JOIN cvdf d1 ON d1.word = p.w1
-       |    JOIN cvdf d2 ON d2.word = p.w2)),
-       |cvctx AS (SELECT topic, w2, SUM(q) AS sq FROM cvq GROUP BY 1, 2),
-       |cvper AS (
+       |    JOIN ${pfx}df d1 ON d1.word = p.w1
+       |    JOIN ${pfx}df d2 ON d2.word = p.w2)),
+       |${pfx}ctx AS (SELECT topic, w2, SUM(q) AS sq FROM ${pfx}q GROUP BY 1, 2),
+       |${pfx}per AS (
        |  SELECT q.topic, q.w1, SUM(q.q * c.sq) AS dot, SUM(q.q * q.q) AS n1
-       |  FROM cvq q JOIN cvctx c ON q.topic = c.topic AND q.w2 = c.w2
+       |  FROM ${pfx}q q JOIN ${pfx}ctx c ON q.topic = c.topic AND q.w2 = c.w2
        |  GROUP BY 1, 2),
-       |cvnrm AS (SELECT topic, SUM(sq * sq) AS n2 FROM cvctx GROUP BY 1),
-       |cvphi AS (
+       |${pfx}nrm AS (SELECT topic, SUM(sq * sq) AS n2 FROM ${pfx}ctx GROUP BY 1),
+       |${pfx}phi AS (
        |  SELECT p.topic,
        |    CAST(ROUND(CAST(p.dot AS DOUBLE)
        |      / (sqrt(CAST(p.n1 AS DOUBLE)) * sqrt(CAST(n.n2 AS DOUBLE)))
        |      * 1000000.0) AS BIGINT) AS phiq
-       |  FROM cvper p JOIN cvnrm n ON p.topic = n.topic)""".stripMargin
+       |  FROM ${pfx}per p JOIN ${pfx}nrm n ON p.topic = n.topic)""".stripMargin
   }
+
+  private val cvBodySql: String = cvBody("cv", "ft", "topics")
 
   private val cvSelectSql =
     """SELECT topic,
@@ -1303,6 +1359,42 @@ object MLOps {
          |  FROM documents),
          |$cvBodySql
          |$cvSelectSql""".stripMargin,
+    // The full model-selection scan: one EM chain per candidate k
+    // (prefixed s2/s4/s6 so they coexist in one WITH clause, exactly the
+    // fan-out oracle's trick) + one cv body per k (prefixed c2/c4/c6),
+    // sharing a single `ft` token CTE. Per-k score mirrors the Spark
+    // side's global SUM(phiq)/COUNT — a single integer division.
+    "lda_em_scan" -> {
+      val chains = ScanKs.map(k => ldaEmCtes(k, s"s$k")).mkString(",\n")
+      val topicCtes = ScanKs.map { k =>
+        s"""s${k}topics AS (
+           |  SELECT CAST(k AS VARCHAR) AS topic, word FROM (
+           |    SELECT k, word,
+           |      row_number() OVER (PARTITION BY k ORDER BY p DESC, word ASC)
+           |        AS rk
+           |    FROM s${k}ph$EmIters)
+           |  WHERE rk <= $TopWords)""".stripMargin
+      }.mkString(",\n")
+      val bodies = ScanKs.map(k => cvBody(s"c$k", "ft", s"s${k}topics"))
+        .mkString(",\n")
+      val selects = ScanKs.map { k =>
+        s"""SELECT $k AS k,
+           |  ROUND(CAST(SUM(phiq) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+           |    AS cv_coherence,
+           |  COUNT(*) AS n_words
+           |FROM c${k}phi""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $chains,
+         |ft AS (
+         |  SELECT doc_id,
+         |    list_filter($tokensSql,
+         |      t -> len(t) >= 3 AND NOT list_contains(${Lexicons.stopwordsEnSqlList}, t)) AS toks
+         |  FROM documents),
+         |$topicCtes,
+         |$bodies
+         |$selects
+         |ORDER BY k""".stripMargin
+    },
     "u6_npmi_pairs" ->
       s"""WITH $npmiCte
          |SELECT topic, w1, w2, joint, ROUND(npmi, 6) AS npmi

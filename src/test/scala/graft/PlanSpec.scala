@@ -83,6 +83,7 @@ class PlanSpec extends SparkSpec {
     "text_nb_classifier",                            // 5-row class-domain broadcast
     "text_bm25_eval",                                // scalar corpus-stats join
     "u6_cv_coherence", "lda_em_cv",                  // scalar n_units join (cvCoherence)
+    "lda_em_scan",                                   // scalar n_units join (cvPhi), once per k
   )
 
   test("no unintended cartesian or nested-loop joins across the suite") {
