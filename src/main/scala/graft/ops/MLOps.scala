@@ -172,18 +172,33 @@ object MLOps {
   def npmiPairsOver(s: SparkSession, topics: DataFrame, units: DataFrame,
       nUnits: DataFrame): DataFrame = {
     import s.implicits._
-    val words = topics.select($"word").distinct()
+    // Topics are tiny but can carry corpus-scale lineage (source topics
+    // are a corpus groupBy; EM topics a window rank over φ) and are
+    // consumed three times — pin once. Same for the incidence, read by
+    // both the df aggregation and the joint computation.
+    val tp = topics.localCheckpoint()
+    val words = tp.select($"word").distinct()
     val inc = units
       .join(broadcast(words), "word")
       .select($"word", $"unit").distinct()
+      .localCheckpoint()
     val dfs = inc.groupBy($"word").agg(count(lit(1)).as("df"))
-    val pairs = topics.select($"topic", $"word".as("w1"))
-      .join(topics.select($"topic", $"word".as("w2")), "topic")
+    val pairs = tp.select($"topic", $"word".as("w1"))
+      .join(tp.select($"topic", $"word".as("w2")), "topic")
       .filter($"w1" < $"w2")
-    val joint = inc.toDF("w1", "unit")
-      .join(broadcast(pairs), "w1")
-      .join(inc.toDF("w2", "unit"), Seq("w2", "unit"))
-      .groupBy($"topic", $"w1", $"w2").agg(count(lit(1)).as("joint"))
+    // Joint unit counts by per-unit set intersection (one word-set row
+    // per unit, ordered pairs exploded inside the set, global count
+    // partial-aggregated) instead of the incidence × pairs × incidence
+    // join that shuffled the expanded probe frame twice. A pair's joint
+    // count is topic-independent; the broadcast join back to `pairs`
+    // fans one global count out to every topic containing the pair.
+    val pairJoint = inc.groupBy($"unit")
+      .agg(collect_set($"word").as("ws"))
+      .select(explode($"ws").as("w1"), $"ws")
+      .select($"w1", explode(filter($"ws", x => x > $"w1")).as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("joint"))
+    val joint = pairs.join(broadcast(pairJoint), Seq("w1", "w2"))
+      .select($"topic", $"w1", $"w2", $"joint")
     broadcast(pairs)
       .join(joint, Seq("topic", "w1", "w2"), "left").na.fill(0L, Seq("joint"))
       .join(broadcast(dfs.toDF("w1", "df1")), "w1")
