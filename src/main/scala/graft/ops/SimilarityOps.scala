@@ -234,6 +234,108 @@ object SimilarityOps {
       topkWithin(s, pairs)
     }),
 
+    // Filtered vector search (the metadata-predicate ANN every retrieval
+    // stack needs — FAISS IDSelector / vector-DB "pre-filter"): top-k
+    // cosine among only the candidates whose joined document row passes
+    // the predicate (lang = 'en'). PRE-filter strategy: the predicate
+    // applies BEFORE any distance computation, so the scan prunes first
+    // and cost ∝ selectivity × corpus, never corpus + post-hoc discard —
+    // at 100 TB the lang column rides the same scan as the embedding
+    // (or a partition key), and a selective predicate turns into
+    // partition pruning. Post-filtering an unfiltered top-k is the wrong
+    // order: it returns < k rows whenever the predicate is selective.
+    // Query vectors are NOT filtered — the query side is a lookup, not a
+    // candidate.
+    "ann_filtered_topk" -> ((s, d) => {
+      import s.implicits._
+      val v = prepared(s, d)
+      val meta = documents(s, d).select($"doc_id".as("vec_id"), $"lang")
+      val q = v.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"e".as("qe"), $"norm".as("qn"))
+      val cand = v.join(meta, "vec_id").filter($"lang" === "en")
+      val pairs = cand.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .withColumn("cos_exact", dot($"e", $"qe") / ($"norm" * $"qn"))
+      topkWithin(s, pairs)
+    }),
+
+    // Hybrid retrieval: BM25 lexical ranking ⊕ dense cosine ranking,
+    // fused by reciprocal-rank fusion (Cormack et al. 2009:
+    // rrf(d) = Σ_lists 1/(C + rank_d), C = 60) — the standard first-stage
+    // retriever of RAG/training-data curation stacks. Per hash-sampled
+    // query doc (same sampling rule as text_bm25_eval): lexical list =
+    // micro-quantized BM25 over the query's top-3 informative terms,
+    // dense list = brute-force cosine of the query's embedding
+    // (vec_id ≡ doc_id in the fixtures); both truncated to depth 20,
+    // fused over their union (full outer join, absent rank contributes
+    // 0), top-5 by fused score. Determinism: both rank columns are
+    // integers from oracle-stable orderings (BM25 scores are exact
+    // integer micro-sums; cosines match bit-for-bit), and the fused
+    // score is a fixed-order sum of two exactly-computed 1/(60+r)
+    // doubles, so ordering and the rounded score replay in DuckDB.
+    // Scale: lexical side costs one query-term-filtered pass (∝ hits);
+    // dense side is the broadcast brute-force baseline — swap in any
+    // ann_* index for the candidate generation without touching the
+    // fusion, which is rank-arithmetic on k·Q rows.
+    "retrieval_rrf_fusion" -> ((s, d) => {
+      import s.implicits._
+      val RrfC = 60
+      val Depth = 20
+      val t = documents(s, d).select($"doc_id", TextOps.tokens($"text").as("t"))
+      val qdocs = documents(s, d)
+        .filter(pmod(graft.functions.PolyHash.poly_hash(
+          $"doc_id".cast("string")), lit(50L)) === 0)
+        .orderBy($"doc_id").limit(10).select($"doc_id".as("qdoc"))
+      val qtf = t.join(broadcast(qdocs), $"doc_id" === $"qdoc")
+        .select($"qdoc", explode($"t").as("word"))
+        .filter(length($"word") >= 4 &&
+          !array_contains(TextOps.stopwordArray, $"word"))
+        .groupBy($"qdoc", $"word").agg(count(lit(1)).as("qtf"))
+      val wq = Window.partitionBy($"qdoc").orderBy(desc("qtf"), asc("word"))
+      val qterms = qtf.withColumn("rk", row_number().over(wq))
+        .filter($"rk" <= 3).select($"qdoc", $"word")
+      val dl = t.select($"doc_id", size($"t").as("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+      val tf = t.select($"doc_id", explode($"t").as("word"))
+        .join(broadcast(qterms.select($"word").distinct()), "word")
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+      val lexScore = tf.join(broadcast(qterms), "word")
+        .join(broadcast(df_), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .withColumn("dlr", $"dl".cast("double") / $"avgdl")
+        .withColumn("idf",
+          log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)))
+        .withColumn("w",
+          $"idf" * $"tf" * lit(2.2) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dlr")))
+        .withColumn("wm", round($"w" * 1e6, 0).cast("long"))
+        .groupBy($"qdoc", $"doc_id").agg(sum($"wm").as("score"))
+        .filter($"doc_id" =!= $"qdoc")
+      val wl = Window.partitionBy($"qdoc").orderBy(desc("score"), asc("doc_id"))
+      val lex = lexScore.withColumn("lr", row_number().over(wl))
+        .filter($"lr" <= Depth).select($"qdoc", $"doc_id", $"lr")
+      val v = prepared(s, d)
+      val qv = v.join(broadcast(qdocs), $"vec_id" === $"qdoc")
+        .select($"qdoc", $"e".as("qe"), $"norm".as("qn"))
+      val wd = Window.partitionBy($"qdoc").orderBy(desc("cos"), asc("doc_id"))
+      val dense = v.join(broadcast(qv), $"vec_id" =!= $"qdoc")
+        .withColumn("cos", dot($"e", $"qe") / ($"norm" * $"qn"))
+        .select($"qdoc", $"vec_id".as("doc_id"), $"cos")
+        .withColumn("dr", row_number().over(wd))
+        .filter($"dr" <= Depth).select($"qdoc", $"doc_id", $"dr")
+      val fused = lex.join(dense, Seq("qdoc", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(RrfC) + $"lr"), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfC) + $"dr"), lit(0.0)))
+      val wf = Window.partitionBy($"qdoc").orderBy(desc("rrf"), asc("doc_id"))
+      fused.withColumn("rank", row_number().over(wf))
+        .filter($"rank" <= TopK)
+        .select($"qdoc".as("query_doc"), $"rank", $"doc_id",
+          round($"rrf", 6).as("rrf_score"))
+        .orderBy("query_doc", "rank")
+    }),
+
     // LSH-bucketed ANN: same queries, neighbors restricted to the query's
     // 16-bit hyperplane bucket (the approximate scale path).
     "ann_lsh_topk" -> ((s, d) => {
@@ -788,6 +890,84 @@ object SimilarityOps {
         s"""SELECT q.vec_id AS query_id, c.vec_id,
            |  ${dotSql("c.e", "q.e")} / (c.norm * q.norm) AS cos_exact
            |FROM n c JOIN n q ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id""".stripMargin)}""".stripMargin,
+    "ann_filtered_topk" ->
+      s"""WITH $prepSql,
+         |f AS (
+         |  SELECT n.* FROM n JOIN documents d ON n.vec_id = d.doc_id
+         |  WHERE d.lang = 'en')
+         |${topkSql(
+        s"""SELECT q.vec_id AS query_id, c.vec_id,
+           |  ${dotSql("c.e", "q.e")} / (c.norm * q.norm) AS cos_exact
+           |FROM f c JOIN n q ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id""".stripMargin)}""".stripMargin,
+    "retrieval_rrf_fusion" ->
+      s"""WITH sw(word) AS (VALUES ${graft.functions.Lexicons.stopwordsEnSqlValues}),
+         |t AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
+         |qd AS (
+         |  SELECT doc_id AS qdoc FROM documents
+         |  WHERE ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")}
+         |    % 50 = 0
+         |  ORDER BY doc_id LIMIT 10),
+         |qtok AS (
+         |  SELECT qdoc, word FROM (
+         |    SELECT qd.qdoc, unnest(t.toks) AS word
+         |    FROM t JOIN qd ON t.doc_id = qd.qdoc)
+         |  WHERE len(word) >= 4 AND word NOT IN (SELECT word FROM sw)),
+         |qtf AS (SELECT qdoc, word, COUNT(*) AS qtf FROM qtok GROUP BY 1, 2),
+         |qterms AS (
+         |  SELECT qdoc, word FROM (
+         |    SELECT qdoc, word,
+         |      row_number() OVER (PARTITION BY qdoc
+         |        ORDER BY qtf DESC, word ASC) AS rk
+         |    FROM qtf) WHERE rk <= 3),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+         |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, word, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(toks) AS word FROM t)
+         |  WHERE word IN (SELECT word FROM qterms) GROUP BY 1, 2),
+         |dfx AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+         |wtab AS (
+         |  SELECT q.qdoc, tf.doc_id,
+         |    CAST(ROUND((ln((st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+         |      * tf.tf * 2.2 /
+         |      (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl))))
+         |      * 1000000.0) AS BIGINT) AS wm
+         |  FROM tf JOIN qterms q ON tf.word = q.word
+         |  JOIN dfx ON tf.word = dfx.word
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN st),
+         |sc AS (
+         |  SELECT qdoc, doc_id, CAST(SUM(wm) AS BIGINT) AS score
+         |  FROM wtab WHERE doc_id <> qdoc GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT qdoc, doc_id, lr FROM (
+         |    SELECT qdoc, doc_id, row_number() OVER (PARTITION BY qdoc
+         |      ORDER BY score DESC, doc_id ASC) AS lr
+         |    FROM sc) WHERE lr <= 20),
+         |$prepSql,
+         |qv AS (
+         |  SELECT qd.qdoc, n.e AS qe, n.norm AS qn
+         |  FROM n JOIN qd ON n.vec_id = qd.qdoc),
+         |dense AS (
+         |  SELECT qdoc, doc_id, dr FROM (
+         |    SELECT qv.qdoc, n.vec_id AS doc_id,
+         |      row_number() OVER (PARTITION BY qv.qdoc
+         |        ORDER BY ${dotSql("n.e", "qv.qe")} / (n.norm * qv.qn) DESC,
+         |          n.vec_id ASC) AS dr
+         |    FROM n JOIN qv ON n.vec_id <> qv.qdoc) WHERE dr <= 20),
+         |fused AS (
+         |  SELECT COALESCE(l.qdoc, de.qdoc) AS qdoc,
+         |    COALESCE(l.doc_id, de.doc_id) AS doc_id,
+         |    COALESCE(1.0 / (60 + l.lr), 0.0)
+         |      + COALESCE(1.0 / (60 + de.dr), 0.0) AS rrf
+         |  FROM lex l FULL OUTER JOIN dense de
+         |    ON l.qdoc = de.qdoc AND l.doc_id = de.doc_id)
+         |SELECT query_doc, rank, doc_id, ROUND(rrf, 6) AS rrf_score FROM (
+         |  SELECT qdoc AS query_doc, doc_id, rrf,
+         |    row_number() OVER (PARTITION BY qdoc
+         |      ORDER BY rrf DESC, doc_id ASC) AS rank
+         |  FROM fused) WHERE rank <= 5
+         |ORDER BY query_doc, rank""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH $prepSql,
          |b AS (SELECT vec_id, label, e, norm, ${bucketSql("e")} AS bucket FROM n)

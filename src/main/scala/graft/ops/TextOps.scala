@@ -149,7 +149,7 @@ object TextOps {
       "' <b>Bold</b> <i>x</i> 42 1234 a b Z! www'"
 
   /** Tokens of the raw text: lower, split on whitespace, drop empties. */
-  private def tokens(c: Column): Column =
+  private[ops] def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
 
   /** U2 lemmatizer-lite (data_preparation.py:100-119 is WordNet-backed;
@@ -178,7 +178,7 @@ object TextOps {
       |     WHEN t LIKE '%ed' AND len(t) > 4 THEN substr(t, 1, len(t) - 2)
       |     ELSE t END""".stripMargin
 
-  private val tokensSql =
+  private[ops] val tokensSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
   // ---- Unigram-LM (SentencePiece-style) tokenizer trainer ----
@@ -454,7 +454,7 @@ object TextOps {
         round(avg($"logp"), 6).as("avg_logprob"))
   }
 
-  private val stopwordArray: Column =
+  private[ops] val stopwordArray: Column =
     array(Lexicons.stopwordsEn.map(lit): _*)
 
   val queries: Map[String, Q] = Map(

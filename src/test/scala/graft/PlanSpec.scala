@@ -84,6 +84,8 @@ class PlanSpec extends SparkSpec {
     "text_bm25_eval",                                // scalar corpus-stats join
     "u6_cv_coherence", "lda_em_cv",                  // scalar n_units join (cvCoherence)
     "lda_em_scan",                                   // scalar n_units join (cvPhi), once per k
+    "ann_filtered_topk",                             // brute-force baseline (pre-filtered candidates)
+    "retrieval_rrf_fusion",                          // dense side = brute-force baseline + scalar st join
   )
 
   test("no unintended cartesian or nested-loop joins across the suite") {

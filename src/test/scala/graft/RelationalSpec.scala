@@ -96,7 +96,8 @@ class RelationalSpec extends SparkSpec {
       "text_unigram_save_load", "text_nb_classifier",
       "text_bm25_eval", "text_tokenizer_compare",
       "ml_kmeans_silhouette", "u6_cv_coherence",
-      "lda_em_cv", "lda_em_scan").foreach { name =>
+      "lda_em_cv", "lda_em_scan", "ann_filtered_topk",
+      "retrieval_rrf_fusion").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
