@@ -336,6 +336,67 @@ object SimilarityOps {
         .orderBy("query_doc", "rank")
     }),
 
+    // MMR diversification rerank (Carbonell & Goldstein 1998): greedy
+    // re-ordering of a retrieval list that trades query relevance
+    // against redundancy with what's already picked —
+    // argmax_d [λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)], λ = 0.5, K = 5
+    // picks from a depth-20 dense candidate list per hash-sampled query
+    // doc. The greedy loop is sequential by nature, so it UNROLLS: pick 1
+    // is plain argmax relevance; each later round is a max-sim aggregate
+    // of the pairwise-similarity table against the selected set, an
+    // anti-join to drop picks, and one argmax window — every frame after
+    // candidate generation is (k·Q)²-bounded, so the unroll costs k tiny
+    // self-joins, never a corpus pass. Determinism: cosines are
+    // bit-identical doubles in both engines, the score is the same
+    // fixed-order expression (0.5·rel − 0.5·ms), ties break on doc_id.
+    // Scale: candidate generation is the swappable ANN stage; the MMR
+    // stage's cost is independent of corpus size by construction.
+    "retrieval_mmr_rerank" -> ((s, d) => {
+      import s.implicits._
+      val Lambda = 0.5
+      val Depth = 20
+      val Picks = 5
+      val v = prepared(s, d)
+      val qdocs = documents(s, d)
+        .filter(pmod(graft.functions.PolyHash.poly_hash(
+          $"doc_id".cast("string")), lit(50L)) === 0)
+        .orderBy($"doc_id").limit(10).select($"doc_id".as("qdoc"))
+      val qv = v.join(broadcast(qdocs), $"vec_id" === $"qdoc")
+        .select($"qdoc", $"e".as("qe"), $"norm".as("qn"))
+      val wrel = Window.partitionBy($"qdoc").orderBy(desc("rel"), asc("vec_id"))
+      val cand = v.join(broadcast(qv), $"vec_id" =!= $"qdoc")
+        .withColumn("rel", dot($"e", $"qe") / ($"norm" * $"qn"))
+        .withColumn("rn", row_number().over(wrel))
+        .filter($"rn" <= Depth)
+        .select($"qdoc", $"vec_id", $"rel", $"e", $"norm")
+        .localCheckpoint()
+      val ca = cand.select($"qdoc", $"vec_id".as("a"), $"e".as("ea"), $"norm".as("na"))
+      val cb = cand.select($"qdoc", $"vec_id".as("b"), $"e".as("eb"), $"norm".as("nb"))
+      val pairsSim = ca.join(cb, Seq("qdoc")).filter($"a" =!= $"b")
+        .withColumn("sim", dot($"ea", $"eb") / ($"na" * $"nb"))
+        .select($"qdoc", $"a", $"b", $"sim")
+        .localCheckpoint()
+      val w1 = Window.partitionBy($"qdoc").orderBy(desc("rel"), asc("vec_id"))
+      var sel = cand.withColumn("rn", row_number().over(w1)).filter($"rn" === 1)
+        .select($"qdoc", $"vec_id", lit(1).as("pick"))
+      for (r <- 2 to Picks) {
+        val ms = pairsSim
+          .join(sel.select($"qdoc", $"vec_id".as("b")), Seq("qdoc", "b"))
+          .groupBy($"qdoc", $"a").agg(max($"sim").as("ms"))
+        val wr = Window.partitionBy($"qdoc")
+          .orderBy(desc("score"), asc("vec_id"))
+        val next = cand.select($"qdoc", $"vec_id", $"rel")
+          .join(ms.select($"qdoc", $"a".as("vec_id"), $"ms"), Seq("qdoc", "vec_id"))
+          .join(sel.select($"qdoc", $"vec_id"), Seq("qdoc", "vec_id"), "left_anti")
+          .withColumn("score", lit(Lambda) * $"rel" - lit(1 - Lambda) * $"ms")
+          .withColumn("rn", row_number().over(wr)).filter($"rn" === 1)
+          .select($"qdoc", $"vec_id", lit(r).as("pick"))
+        sel = sel.union(next)
+      }
+      sel.select($"qdoc".as("query_doc"), $"pick", $"vec_id".as("doc_id"))
+        .orderBy("query_doc", "pick")
+    }),
+
     // LSH-bucketed ANN: same queries, neighbors restricted to the query's
     // 16-bit hyperplane bucket (the approximate scale path).
     "ann_lsh_topk" -> ((s, d) => {
@@ -968,6 +1029,59 @@ object SimilarityOps {
          |      ORDER BY rrf DESC, doc_id ASC) AS rank
          |  FROM fused) WHERE rank <= 5
          |ORDER BY query_doc, rank""".stripMargin,
+    // Greedy MMR unrolled: m$r = max-sim of every candidate against the
+    // selected set, s$r = the round's argmax pick, selcum$r = running
+    // selection. Mirrors the Spark loop round for round.
+    "retrieval_mmr_rerank" -> {
+      val rounds = (2 to 5).map { r =>
+        s"""m$r AS (
+           |  SELECT p.qdoc, p.a AS vec_id, MAX(p.sim) AS ms
+           |  FROM p JOIN selcum${r - 1} s ON p.qdoc = s.qdoc AND p.b = s.vec_id
+           |  GROUP BY 1, 2),
+           |s$r AS (
+           |  SELECT qdoc, vec_id, $r AS pick FROM (
+           |    SELECT c.qdoc, c.vec_id,
+           |      row_number() OVER (PARTITION BY c.qdoc
+           |        ORDER BY 0.5 * c.rel - 0.5 * m.ms DESC, c.vec_id ASC) AS rn
+           |    FROM cand c JOIN m$r m ON c.qdoc = m.qdoc AND c.vec_id = m.vec_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM selcum${r - 1} x
+           |      WHERE x.qdoc = c.qdoc AND x.vec_id = c.vec_id))
+           |  WHERE rn = 1),
+           |selcum$r AS (SELECT * FROM selcum${r - 1} UNION ALL SELECT * FROM s$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $prepSql,
+         |qd AS (
+         |  SELECT doc_id AS qdoc FROM documents
+         |  WHERE ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")}
+         |    % 50 = 0
+         |  ORDER BY doc_id LIMIT 10),
+         |qv AS (
+         |  SELECT qd.qdoc, n.e AS qe, n.norm AS qn
+         |  FROM n JOIN qd ON n.vec_id = qd.qdoc),
+         |cand0 AS (
+         |  SELECT qv.qdoc, n.vec_id,
+         |    ${dotSql("n.e", "qv.qe")} / (n.norm * qv.qn) AS rel, n.e, n.norm
+         |  FROM n JOIN qv ON n.vec_id <> qv.qdoc),
+         |cand AS (
+         |  SELECT qdoc, vec_id, rel, e, norm FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qdoc
+         |      ORDER BY rel DESC, vec_id ASC) AS rn FROM cand0)
+         |  WHERE rn <= 20),
+         |p AS (
+         |  SELECT a.qdoc, a.vec_id AS a, b.vec_id AS b,
+         |    ${dotSql("a.e", "b.e")} / (a.norm * b.norm) AS sim
+         |  FROM cand a JOIN cand b ON a.qdoc = b.qdoc AND a.vec_id <> b.vec_id),
+         |s1 AS (
+         |  SELECT qdoc, vec_id, 1 AS pick FROM (
+         |    SELECT qdoc, vec_id, row_number() OVER (PARTITION BY qdoc
+         |      ORDER BY rel DESC, vec_id ASC) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |selcum1 AS (SELECT * FROM s1),
+         |$rounds
+         |SELECT qdoc AS query_doc, pick, vec_id AS doc_id
+         |FROM selcum5 ORDER BY query_doc, pick""".stripMargin
+    },
     "ann_lsh_topk" ->
       s"""WITH $prepSql,
          |b AS (SELECT vec_id, label, e, norm, ${bucketSql("e")} AS bucket FROM n)

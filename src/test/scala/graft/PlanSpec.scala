@@ -86,6 +86,7 @@ class PlanSpec extends SparkSpec {
     "lda_em_scan",                                   // scalar n_units join (cvPhi), once per k
     "ann_filtered_topk",                             // brute-force baseline (pre-filtered candidates)
     "retrieval_rrf_fusion",                          // dense side = brute-force baseline + scalar st join
+    "retrieval_mmr_rerank",                          // brute-force candidate gen (broadcast query side)
   )
 
   test("no unintended cartesian or nested-loop joins across the suite") {
