@@ -336,6 +336,32 @@ object SimilarityOps {
         .orderBy("query_doc", "rank")
     }),
 
+    // Cluster-balanced subset selection (the DataComp/SemDeDup curation
+    // pattern): a uniform per-cluster quota over the trained k-means
+    // cells, so the curated sample keeps the corpus's mode diversity
+    // instead of letting dominant clusters flood it. Within-cluster
+    // order is the polynomial hash of vec_id — a deterministic
+    // pseudo-random draw that replays in the oracle (same posture as
+    // every sample_* query). Scale: assignment is map-only against the
+    // broadcast centroid literals; the per-cluster quota is one bounded
+    // window (k·quota output rows) — swap in the bounded-state
+    // TopKAggregator if cluster cardinality ever skews the sort.
+    "sample_cluster_balanced" -> ((s, d) => {
+      import s.implicits._
+      val PerCluster = 10
+      val cents = graft.ops.MLOps.kmeansCentroids(s, d)
+      val w = Window.partitionBy($"cid").orderBy(asc("h"), asc("vec_id"))
+      graft.ops.MLOps.kmeansCorpus(s, d)
+        .withColumn("cid", array_min(graft.ops.MLOps.kmeansDistArr(cents))
+          .getField("k"))
+        .withColumn("h", graft.functions.PolyHash.poly_hash(
+          $"vec_id".cast("string")))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= PerCluster)
+        .select($"cid", $"rk", $"vec_id")
+        .orderBy("cid", "rk")
+    }),
+
     // MMR diversification rerank (Carbonell & Goldstein 1998): greedy
     // re-ordering of a retrieval list that trades query relevance
     // against redundancy with what's already picked —
@@ -1029,6 +1055,15 @@ object SimilarityOps {
          |      ORDER BY rrf DESC, doc_id ASC) AS rank
          |  FROM fused) WHERE rank <= 5
          |ORDER BY query_doc, rank""".stripMargin,
+    "sample_cluster_balanced" ->
+      s"""WITH ${graft.ops.MLOps.kmeansCtesSql}
+         |SELECT cid, rk, vec_id FROM (
+         |  SELECT fin.cid, fin.vec_id,
+         |    row_number() OVER (PARTITION BY fin.cid
+         |      ORDER BY ${graft.ops.DedupOps.polyHashSql("CAST(fin.vec_id AS VARCHAR)")} ASC,
+         |        fin.vec_id ASC) AS rk
+         |  FROM fin)
+         |WHERE rk <= 10 ORDER BY cid, rk""".stripMargin,
     // Greedy MMR unrolled: m$r = max-sim of every candidate against the
     // selected set, s$r = the round's argmax pick, selcum$r = running
     // selection. Mirrors the Spark loop round for round.
