@@ -105,5 +105,9 @@ object SparkEntry {
     "dedup_cluster_reps_star",
     "lda_em_topics",
     "sample_weighted_ares",
+    // round-10 retrieval additions — first anchors recorded this round
+    "ann_filtered_topk",
+    "retrieval_rrf_fusion",
+    "retrieval_mmr_rerank",
   ).filter(queries.contains)
 }
