@@ -97,10 +97,13 @@ object Bench {
     // mins at ms precision, then the headline totals. Neither repeats the
     // "metric" key, so a driver grep for the contract line still uniquely
     // hits the full JSON above.
-    val qs1ms = res1.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+    // Locale-proof rounding (an f"%.3f" interpolator goes through the JVM
+    // default locale and a comma-decimal host would emit invalid JSON);
+    // values are SECONDS at millisecond precision.
+    val qs1s = res1.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1" else (math.rint(v * 1000) / 1000).toString)
     }.mkString("{", ",", "}")
-    println(s"""{"g1_queries_ms":$qs1ms,"g1_failed":$failed}""")
+    println(s"""{"g1_queries_s":$qs1s,"g1_failed":$failed}""")
     println(s"""{"total":$total,"total2":$total2,"failed_count":${failed.count(_ == '"') / 2 + failed2.count(_ == '"') / 2}}""")
     spark.stop()
   }

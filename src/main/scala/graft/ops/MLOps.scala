@@ -176,12 +176,12 @@ object MLOps {
     // are a corpus groupBy; EM topics a window rank over φ) and are
     // consumed three times — pin once. Same for the incidence, read by
     // both the df aggregation and the joint computation.
-    val tp = topics.localCheckpoint()
+    val tp = topics.localCheckpoint(false)
     val words = tp.select($"word").distinct()
     val inc = units
       .join(broadcast(words), "word")
       .select($"word", $"unit").distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val dfs = inc.groupBy($"word").agg(count(lit(1)).as("df"))
     val pairs = tp.select($"topic", $"word".as("w1"))
       .join(tp.select($"topic", $"word".as("w2")), "topic")
@@ -290,16 +290,19 @@ object MLOps {
   def cvPhi(s: SparkSession, topics: DataFrame, toks: DataFrame): DataFrame = {
     import s.implicits._
     val win = WinCv - 1
-    // Materialize the tokenized corpus once: `pos` and `n_units` both
-    // consume it, and without the checkpoint each consumer re-tokenizes
-    // the documents scan from scratch.
-    val tk = toks.localCheckpoint()
+    // Pin the tokenized corpus once: `pos` and `n_units` both consume
+    // it, and without the checkpoint each consumer re-tokenizes the
+    // documents scan from scratch. All pins here are LAZY checkpoints —
+    // they materialize (and are then reused) on the first action, so
+    // merely constructing the DataFrame (PlanSpec's plan sweep,
+    // DumpPlans) stays metadata-only instead of running corpus jobs.
+    val tk = toks.localCheckpoint(false)
     // The topics frame is tiny (K × TopWords rows) but can carry an
     // expensive lineage (a corpus groupBy for source topics; per-k
     // window rankings over the EM φ state for the scan) and is consumed
     // three times below (word filter + both sides of the pair
     // self-join) — pin it so the lineage runs once.
-    val tp = topics.localCheckpoint()
+    val tp = topics.localCheckpoint(false)
     val nWin = greatest(size($"toks") - win, lit(1))
     val pos = tk.select($"doc_id", nWin.as("n_win"),
       posexplode($"toks").as(Seq("p", "word")))
@@ -319,7 +322,7 @@ object MLOps {
         explode(sequence(greatest($"p" - win, lit(0)),
           least($"p", $"n_win" - 1))).as("w"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val dfs = inc.groupBy($"word").agg(count(lit(1)).as("df"))
     val all = tp.select($"topic", $"word".as("w1"))
       .join(tp.select($"topic", $"word".as("w2")), "topic")

@@ -34,6 +34,18 @@ object SimilarityOps {
   val NumLshTables = 4
   val PlanesPerTable = 4
 
+  /** Retrieval-fusion config, shared verbatim by the Spark queries and
+    * their DuckDB oracles (a literal drifting on one side would read as
+    * a cross-engine miss): RRF constant C and source-list depth
+    * (retrieval_rrf_fusion), MMR trade-off λ and pick count
+    * (retrieval_mmr_rerank), per-cell quota (sample_cluster_balanced).
+    */
+  val RrfC = 60
+  val FusionDepth = 20
+  val MmrLambda = 0.5
+  val MmrPicks = 5
+  val ClusterQuota = 10
+
   /** Product-quantization config: M subspaces × SubDim dims, K' codes
     * per subspace, Lloyd rounds (ann_pq_topk + its oracle).
     */
@@ -278,9 +290,13 @@ object SimilarityOps {
     // fusion, which is rank-arithmetic on k·Q rows.
     "retrieval_rrf_fusion" -> ((s, d) => {
       import s.implicits._
-      val RrfC = 60
-      val Depth = 20
+      val Depth = FusionDepth
+      // Pinned: three consumers (query-term extraction, doc lengths, the
+      // term-filtered tf pass) would each re-tokenize the corpus. Lazy —
+      // materializes on the first action, so plan-only construction
+      // (PlanSpec's sweep) stays metadata-only.
       val t = documents(s, d).select($"doc_id", TextOps.tokens($"text").as("t"))
+        .localCheckpoint(false)
       val qdocs = documents(s, d)
         .filter(pmod(graft.functions.PolyHash.poly_hash(
           $"doc_id".cast("string")), lit(50L)) === 0)
@@ -348,7 +364,7 @@ object SimilarityOps {
     // TopKAggregator if cluster cardinality ever skews the sort.
     "sample_cluster_balanced" -> ((s, d) => {
       import s.implicits._
-      val PerCluster = 10
+      val PerCluster = ClusterQuota
       val cents = graft.ops.MLOps.kmeansCentroids(s, d)
       val w = Window.partitionBy($"cid").orderBy(asc("h"), asc("vec_id"))
       graft.ops.MLOps.kmeansCorpus(s, d)
@@ -379,9 +395,9 @@ object SimilarityOps {
     // stage's cost is independent of corpus size by construction.
     "retrieval_mmr_rerank" -> ((s, d) => {
       import s.implicits._
-      val Lambda = 0.5
-      val Depth = 20
-      val Picks = 5
+      val Lambda = MmrLambda
+      val Depth = FusionDepth
+      val Picks = MmrPicks
       val v = prepared(s, d)
       val qdocs = documents(s, d)
         .filter(pmod(graft.functions.PolyHash.poly_hash(
@@ -395,13 +411,13 @@ object SimilarityOps {
         .withColumn("rn", row_number().over(wrel))
         .filter($"rn" <= Depth)
         .select($"qdoc", $"vec_id", $"rel", $"e", $"norm")
-        .localCheckpoint()
+        .localCheckpoint(false)
       val ca = cand.select($"qdoc", $"vec_id".as("a"), $"e".as("ea"), $"norm".as("na"))
       val cb = cand.select($"qdoc", $"vec_id".as("b"), $"e".as("eb"), $"norm".as("nb"))
       val pairsSim = ca.join(cb, Seq("qdoc")).filter($"a" =!= $"b")
         .withColumn("sim", dot($"ea", $"eb") / ($"na" * $"nb"))
         .select($"qdoc", $"a", $"b", $"sim")
-        .localCheckpoint()
+        .localCheckpoint(false)
       val w1 = Window.partitionBy($"qdoc").orderBy(desc("rel"), asc("vec_id"))
       var sel = cand.withColumn("rn", row_number().over(w1)).filter($"rn" === 1)
         .select($"qdoc", $"vec_id", lit(1).as("pick"))
@@ -1030,7 +1046,7 @@ object SimilarityOps {
          |  SELECT qdoc, doc_id, lr FROM (
          |    SELECT qdoc, doc_id, row_number() OVER (PARTITION BY qdoc
          |      ORDER BY score DESC, doc_id ASC) AS lr
-         |    FROM sc) WHERE lr <= 20),
+         |    FROM sc) WHERE lr <= $FusionDepth),
          |$prepSql,
          |qv AS (
          |  SELECT qd.qdoc, n.e AS qe, n.norm AS qn
@@ -1041,19 +1057,19 @@ object SimilarityOps {
          |      row_number() OVER (PARTITION BY qv.qdoc
          |        ORDER BY ${dotSql("n.e", "qv.qe")} / (n.norm * qv.qn) DESC,
          |          n.vec_id ASC) AS dr
-         |    FROM n JOIN qv ON n.vec_id <> qv.qdoc) WHERE dr <= 20),
+         |    FROM n JOIN qv ON n.vec_id <> qv.qdoc) WHERE dr <= $FusionDepth),
          |fused AS (
          |  SELECT COALESCE(l.qdoc, de.qdoc) AS qdoc,
          |    COALESCE(l.doc_id, de.doc_id) AS doc_id,
-         |    COALESCE(1.0 / (60 + l.lr), 0.0)
-         |      + COALESCE(1.0 / (60 + de.dr), 0.0) AS rrf
+         |    COALESCE(1.0 / ($RrfC + l.lr), 0.0)
+         |      + COALESCE(1.0 / ($RrfC + de.dr), 0.0) AS rrf
          |  FROM lex l FULL OUTER JOIN dense de
          |    ON l.qdoc = de.qdoc AND l.doc_id = de.doc_id)
          |SELECT query_doc, rank, doc_id, ROUND(rrf, 6) AS rrf_score FROM (
          |  SELECT qdoc AS query_doc, doc_id, rrf,
          |    row_number() OVER (PARTITION BY qdoc
          |      ORDER BY rrf DESC, doc_id ASC) AS rank
-         |  FROM fused) WHERE rank <= 5
+         |  FROM fused) WHERE rank <= $TopK
          |ORDER BY query_doc, rank""".stripMargin,
     "sample_cluster_balanced" ->
       s"""WITH ${graft.ops.MLOps.kmeansCtesSql}
@@ -1063,12 +1079,12 @@ object SimilarityOps {
          |      ORDER BY ${graft.ops.DedupOps.polyHashSql("CAST(fin.vec_id AS VARCHAR)")} ASC,
          |        fin.vec_id ASC) AS rk
          |  FROM fin)
-         |WHERE rk <= 10 ORDER BY cid, rk""".stripMargin,
+         |WHERE rk <= $ClusterQuota ORDER BY cid, rk""".stripMargin,
     // Greedy MMR unrolled: m$r = max-sim of every candidate against the
     // selected set, s$r = the round's argmax pick, selcum$r = running
     // selection. Mirrors the Spark loop round for round.
     "retrieval_mmr_rerank" -> {
-      val rounds = (2 to 5).map { r =>
+      val rounds = (2 to MmrPicks).map { r =>
         s"""m$r AS (
            |  SELECT p.qdoc, p.a AS vec_id, MAX(p.sim) AS ms
            |  FROM p JOIN selcum${r - 1} s ON p.qdoc = s.qdoc AND p.b = s.vec_id
@@ -1077,7 +1093,8 @@ object SimilarityOps {
            |  SELECT qdoc, vec_id, $r AS pick FROM (
            |    SELECT c.qdoc, c.vec_id,
            |      row_number() OVER (PARTITION BY c.qdoc
-           |        ORDER BY 0.5 * c.rel - 0.5 * m.ms DESC, c.vec_id ASC) AS rn
+           |        ORDER BY $MmrLambda * c.rel - ${1 - MmrLambda} * m.ms DESC,
+           |          c.vec_id ASC) AS rn
            |    FROM cand c JOIN m$r m ON c.qdoc = m.qdoc AND c.vec_id = m.vec_id
            |    WHERE NOT EXISTS (SELECT 1 FROM selcum${r - 1} x
            |      WHERE x.qdoc = c.qdoc AND x.vec_id = c.vec_id))
@@ -1102,7 +1119,7 @@ object SimilarityOps {
          |  SELECT qdoc, vec_id, rel, e, norm FROM (
          |    SELECT *, row_number() OVER (PARTITION BY qdoc
          |      ORDER BY rel DESC, vec_id ASC) AS rn FROM cand0)
-         |  WHERE rn <= 20),
+         |  WHERE rn <= $FusionDepth),
          |p AS (
          |  SELECT a.qdoc, a.vec_id AS a, b.vec_id AS b,
          |    ${dotSql("a.e", "b.e")} / (a.norm * b.norm) AS sim
@@ -1115,7 +1132,7 @@ object SimilarityOps {
          |selcum1 AS (SELECT * FROM s1),
          |$rounds
          |SELECT qdoc AS query_doc, pick, vec_id AS doc_id
-         |FROM selcum5 ORDER BY query_doc, pick""".stripMargin
+         |FROM selcum$MmrPicks ORDER BY query_doc, pick""".stripMargin
     },
     "ann_lsh_topk" ->
       s"""WITH $prepSql,

@@ -90,15 +90,11 @@ class SchemaCanarySpec extends SparkSpec {
 
     val cases = Seq("long_nanos" -> asNanosLong, "ntz" -> asNtz, "micros" -> asMicros)
     for ((label, df) <- cases) {
-      val path = s"$dir/$label"
-      df.write.mode("overwrite").parquet(path)
-      // Tables.events reads "$sfDir/events.parquet"; point it at a dir
-      // laid out the same way.
+      // Tables.events reads "$sfDir/events.parquet"; write each layout
+      // under a root laid out the same way.
       val fake = s"$dir/${label}_root"
       val eventsPath = new File(s"$fake/events.parquet")
       eventsPath.getParentFile.mkdirs()
-      // Re-write under the expected name rather than fs-rename: keeps the
-      // test independent of Hadoop FS semantics.
       df.write.mode("overwrite").parquet(eventsPath.getPath)
       val got = graft.ops.Tables.events(spark, fake)
       assert(got.schema("ts").dataType == TimestampType,
