@@ -19,10 +19,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.filter(_._1.matches(nameFilter)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -41,6 +43,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Trailing one-line summary so a partial outage is visible in a tail
+    // capture (round 9's 51 missing queries only showed as per-query
+    // stderr lines buried mid-log).
+    val total = SparkEntry.queries.count(_._1.matches(nameFilter))
+    println(s"[verify] dumped ${total - failed.size}/$total" +
+      (if (failed.isEmpty) ", 0 failed"
+       else s", ${failed.size} FAILED: ${failed.sorted.mkString(",")}"))
     spark.stop()
   }
 }
