@@ -109,5 +109,6 @@ object SparkEntry {
     "ann_filtered_topk",
     "retrieval_rrf_fusion",
     "retrieval_mmr_rerank",
+    "retrieval_prf_expansion",
   ).filter(queries.contains)
 }

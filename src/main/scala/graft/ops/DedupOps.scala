@@ -994,6 +994,66 @@ object DedupOps {
         .select("v1", "v2", "cosine")
         .orderBy("v1", "v2")
     }),
+
+    // URL canonicalization dedup — step 0 of web-crawl curation (CCNet /
+    // C4 dedup by canonical URL before any text hashing): the same
+    // logical page arrives under scheme / host-case / www / trailing-
+    // slash / tracking-param / fragment variants, and exact string dedup
+    // misses every one of them. Raw URLs are synthesized
+    // deterministically (4 messy variants per logical page, the same
+    // arithmetic-domain device as url_domain_filter) and the operator
+    // under test is the CANONICALIZER: strip the fragment, normalize the
+    // scheme to https, lowercase the host via parse_url, strip a leading
+    // "www.", drop tracking query params (utm_*/fbclid/gclid/ref) while
+    // keeping any others, strip the trailing slash — then one
+    // hash-groupBy on the canonical form (the dedup_exact shuffle
+    // shape). The oracle derives each page's canonical form
+    // ARITHMETICALLY from doc_id, never running the canonicalizer, so
+    // the compare proves it end-to-end: any mishandled variant splits
+    // its group and fails the group-size/hash check. Scale: map-only
+    // column expressions + one shuffle on the canonical key — the same
+    // profile as dedup_exact, and the canonical key is what a 100 TB
+    // crawl partitions its fetch frontier by.
+    "dedup_url_canonical" -> ((s, d) => {
+      import s.implicits._
+      val hosts = Seq("news.example.com", "blog.example.org",
+        "wiki.example.net", "forum.example.io", "docs.example.dev")
+      val raw = documents(s, d)
+        .select($"doc_id", expr("doc_id div 4").as("page"))
+        .withColumn("host",
+          element_at(array(hosts.map(lit): _*), ($"page" % 5 + 1).cast("int")))
+        .withColumn("path", concat(lit("/article/"), $"page".cast("string")))
+        .withColumn("url",
+          when($"doc_id" % 4 === 0,
+            concat(lit("https://"), $"host", $"path"))
+          .when($"doc_id" % 4 === 1,
+            concat(lit("http://WWW."), upper($"host"), $"path", lit("/")))
+          .when($"doc_id" % 4 === 2,
+            concat(lit("https://"), $"host", $"path",
+              lit("?utm_source=feed&utm_campaign=rss")))
+          .otherwise(
+            concat(lit("https://www."), $"host", $"path", lit("#section-2"))))
+      val canon = raw
+        .withColumn("u2", regexp_replace(
+          regexp_replace($"url", "#.*$", ""), "^(?i)http://", "https://"))
+        .withColumn("chost",
+          regexp_replace(lower(parse_url($"u2", lit("HOST"))), "^www\\.", ""))
+        .withColumn("cpath", regexp_replace(
+          coalesce(parse_url($"u2", lit("PATH")), lit("")), "/$", ""))
+        .withColumn("keep",
+          filter(split(coalesce(parse_url($"u2", lit("QUERY")), lit("")), "&"),
+            p => length(p) > 0 &&
+              !p.rlike("^(utm_[a-z]+|fbclid|gclid|ref)=")))
+        .withColumn("canonical_url",
+          concat(lit("https://"), $"chost", $"cpath",
+            when(size($"keep") > 0,
+              concat(lit("?"), array_join($"keep", "&"))).otherwise(lit(""))))
+      canon.groupBy($"canonical_url")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"url").as("n_raw_forms"),
+          min($"doc_id").as("first_doc"))
+        .orderBy("canonical_url")
+    }),
   )
 
   private val jaccardSql =
@@ -1438,5 +1498,24 @@ object DedupOps {
          |  FROM cand JOIN n a ON v1 = a.vec_id JOIN n b ON v2 = b.vec_id)
          |SELECT v1, v2, cosine FROM scored
          |WHERE cosine >= 0.9 ORDER BY v1, v2""".stripMargin,
+    // The oracle never runs the canonicalizer: it derives each page's
+    // canonical URL arithmetically from doc_id, so the engine-side
+    // fragment/scheme/case/www/param/slash normalization is proven by
+    // the group sizes and keys matching.
+    "dedup_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id, doc_id // 4 AS page, doc_id % 4 AS variant
+        |  FROM documents),
+        |g AS (
+        |  SELECT page, COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT variant) AS n_raw_forms,
+        |    MIN(doc_id) AS first_doc
+        |  FROM u GROUP BY page)
+        |SELECT 'https://' ||
+        |  ['news.example.com','blog.example.org','wiki.example.net',
+        |   'forum.example.io','docs.example.dev'][CAST(page % 5 + 1 AS INT)]
+        |  || '/article/' || page AS canonical_url,
+        |  n_docs, n_raw_forms, first_doc
+        |FROM g ORDER BY canonical_url""".stripMargin,
   )
 }

@@ -762,6 +762,90 @@ object TextOps {
         .orderBy("query_doc")
     }),
 
+    // Pseudo-relevance-feedback query expansion (RM3-lite — Lavrenko &
+    // Croft relevance models, the Anserini/Pyserini RM3 default shape):
+    // retrieve with the original query, mine expansion terms from the
+    // top feedback documents, re-retrieve with the expanded query. Same
+    // 10 hash-sampled query docs and top-3 informative query terms as
+    // text_bm25_eval; pass 1 = micro-integer BM25 (self excluded),
+    // feedback set = its top-10 docs; expansion terms = the 2 highest
+    // total-tf informative terms of the feedback set not already in the
+    // query; pass 2 re-scores the union with integer weights
+    // 2·original + 1·expansion — the β=0.5 RM3 interpolation scaled by
+    // 2 so every score stays an exact integer sum. Output: final top-5
+    // per query plus the expansion terms that produced it.
+    // Determinism: both passes are order-free sums of micro-quantized
+    // per-(term,doc) weights; every ranking ties on doc_id/word; the
+    // expansion-term report is sorted before joining. Scale: the corpus
+    // pays ONE tokenize (shared, pinned) and two term-filtered passes —
+    // the tf stream is semi-joined to the ≤30/≤50-term set BEFORE any
+    // aggregation, so both retrieval passes cost ∝ hits; feedback
+    // mining is window-bounded at 10 docs × query count. Nothing
+    // downstream of the term filters is corpus-sized.
+    "retrieval_prf_expansion" -> ((s, d) => {
+      import s.implicits._
+      val t = documents(s, d).select($"doc_id", tokens($"text").as("t"))
+        .localCheckpoint(false)
+      val qdocs = documents(s, d)
+        .filter(pmod(graft.functions.PolyHash.poly_hash(
+          $"doc_id".cast("string")), lit(50L)) === 0)
+        .orderBy($"doc_id").limit(10).select($"doc_id".as("qdoc"))
+      val qtf = t.join(broadcast(qdocs), $"doc_id" === $"qdoc")
+        .select($"qdoc", explode($"t").as("word"))
+        .filter(length($"word") >= 4 && !array_contains(stopwordArray, $"word"))
+        .groupBy($"qdoc", $"word").agg(count(lit(1)).as("qtf"))
+      val wq = Window.partitionBy($"qdoc").orderBy(desc("qtf"), asc("word"))
+      val qterms = qtf.withColumn("rk", row_number().over(wq))
+        .filter($"rk" <= 3).select($"qdoc", $"word")
+      val dl = t.select($"doc_id", size($"t").as("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+      // One weighted-BM25 pass over a (qdoc, word, wt) term table; both
+      // retrieval passes share this shape, differing only in the terms.
+      def pass(terms: DataFrame): DataFrame = {
+        val tf = t.select($"doc_id", explode($"t").as("word"))
+          .join(broadcast(terms.select($"word").distinct()), "word")
+          .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(terms), "word")
+          .join(broadcast(df_), "word")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(st))
+          .withColumn("dlr", $"dl".cast("double") / $"avgdl")
+          .withColumn("idf",
+            log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)))
+          .withColumn("w",
+            $"idf" * $"tf" * lit(2.2) /
+              ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dlr")))
+          .withColumn("wm", round($"w" * 1e6, 0).cast("long") * $"wt")
+          .groupBy($"qdoc", $"doc_id").agg(sum($"wm").as("score"))
+          .filter($"doc_id" =!= $"qdoc")
+      }
+      val s1 = pass(qterms.withColumn("wt", lit(1L)))
+      val w1 = Window.partitionBy($"qdoc").orderBy(desc("score"), asc("doc_id"))
+      val fb = s1.withColumn("rk", row_number().over(w1))
+        .filter($"rk" <= 10).select($"qdoc", $"doc_id")
+      val expTerms = t.join(broadcast(fb), "doc_id")
+        .select($"qdoc", explode($"t").as("word"))
+        .filter(length($"word") >= 4 && !array_contains(stopwordArray, $"word"))
+        .groupBy($"qdoc", $"word").agg(count(lit(1)).as("ftf"))
+        .join(qterms, Seq("qdoc", "word"), "left_anti")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"qdoc").orderBy(desc("ftf"), asc("word"))))
+        .filter($"rk" <= 2).select($"qdoc", $"word")
+      val allTerms = qterms.withColumn("wt", lit(2L))
+        .union(expTerms.withColumn("wt", lit(1L)))
+      val s2 = pass(allTerms)
+      val expStr = expTerms.groupBy($"qdoc")
+        .agg(array_join(array_sort(collect_list($"word")), " ")
+          .as("expansion_terms"))
+      s2.withColumn("rank", row_number().over(w1))
+        .filter($"rank" <= 5)
+        .join(broadcast(expStr), Seq("qdoc"), "left")
+        .select($"qdoc".as("query_doc"), $"rank", $"doc_id", $"score",
+          coalesce($"expansion_terms", lit("")).as("expansion_terms"))
+        .orderBy("query_doc", "rank")
+    }),
+
     // Corpus LM quality score (the CCNet/RedPajama perplexity filter,
     // here with the corpus itself as the LM): per-doc average bigram
     // log-probability ln P(w2|w1) = ln(c(w1 w2) / c(w1)) under corpus
@@ -1839,6 +1923,99 @@ object TextOps {
          |      ORDER BY score DESC, doc_id ASC) AS self_rank
          |  FROM sc)
          |WHERE doc_id = query_doc ORDER BY query_doc""".stripMargin,
+    // Two full weighted-BM25 passes: tf1/df1/w1 score the original
+    // 3-term queries, fb is each query's top-10 feedback set, ec/exq
+    // mine the 2 expansion terms, tf2/df2/w2 re-score the 5-term
+    // expanded query at integer weights 2·orig + 1·exp.
+    "retrieval_prf_expansion" ->
+      s"""WITH sw(word) AS (VALUES ${Lexicons.stopwordsEnSqlValues}),
+         |t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |qd AS (
+         |  SELECT doc_id AS qdoc FROM documents
+         |  WHERE ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")}
+         |    % 50 = 0
+         |  ORDER BY doc_id LIMIT 10),
+         |qtok AS (
+         |  SELECT qdoc, word FROM (
+         |    SELECT qd.qdoc, unnest(t.toks) AS word
+         |    FROM t JOIN qd ON t.doc_id = qd.qdoc)
+         |  WHERE len(word) >= 4 AND word NOT IN (SELECT word FROM sw)),
+         |qtf AS (SELECT qdoc, word, COUNT(*) AS qtf FROM qtok GROUP BY 1, 2),
+         |qterms AS (
+         |  SELECT qdoc, word FROM (
+         |    SELECT qdoc, word,
+         |      row_number() OVER (PARTITION BY qdoc
+         |        ORDER BY qtf DESC, word ASC) AS rk
+         |    FROM qtf) WHERE rk <= 3),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+         |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         |tok AS (SELECT doc_id, unnest(toks) AS word FROM t),
+         |tf1 AS (
+         |  SELECT doc_id, word, COUNT(*) AS tf FROM tok
+         |  WHERE word IN (SELECT word FROM qterms) GROUP BY 1, 2),
+         |df1 AS (SELECT word, COUNT(*) AS df FROM tf1 GROUP BY 1),
+         |w1 AS (
+         |  SELECT q.qdoc, tf1.doc_id,
+         |    CAST(ROUND((ln((st.n_docs - df1.df + 0.5) / (df1.df + 0.5) + 1.0)
+         |      * tf1.tf * 2.2 /
+         |      (tf1.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl))))
+         |      * 1000000.0) AS BIGINT) AS wm
+         |  FROM tf1 JOIN qterms q ON tf1.word = q.word
+         |  JOIN df1 ON tf1.word = df1.word
+         |  JOIN dl ON tf1.doc_id = dl.doc_id
+         |  CROSS JOIN st),
+         |s1 AS (
+         |  SELECT qdoc, doc_id, CAST(SUM(wm) AS BIGINT) AS score
+         |  FROM w1 WHERE doc_id <> qdoc GROUP BY 1, 2),
+         |fb AS (
+         |  SELECT qdoc, doc_id FROM (
+         |    SELECT qdoc, doc_id, row_number() OVER (PARTITION BY qdoc
+         |      ORDER BY score DESC, doc_id ASC) AS rk
+         |    FROM s1) WHERE rk <= 10),
+         |ec AS (
+         |  SELECT fb.qdoc, tok.word, COUNT(*) AS ftf
+         |  FROM tok JOIN fb ON tok.doc_id = fb.doc_id
+         |  WHERE len(tok.word) >= 4 AND tok.word NOT IN (SELECT word FROM sw)
+         |    AND NOT EXISTS (SELECT 1 FROM qterms q
+         |      WHERE q.qdoc = fb.qdoc AND q.word = tok.word)
+         |  GROUP BY 1, 2),
+         |exq AS (
+         |  SELECT qdoc, word FROM (
+         |    SELECT qdoc, word, row_number() OVER (PARTITION BY qdoc
+         |      ORDER BY ftf DESC, word ASC) AS rk
+         |    FROM ec) WHERE rk <= 2),
+         |allt AS (
+         |  SELECT qdoc, word, 2 AS wt FROM qterms
+         |  UNION ALL SELECT qdoc, word, 1 AS wt FROM exq),
+         |tf2 AS (
+         |  SELECT doc_id, word, COUNT(*) AS tf FROM tok
+         |  WHERE word IN (SELECT word FROM allt) GROUP BY 1, 2),
+         |df2 AS (SELECT word, COUNT(*) AS df FROM tf2 GROUP BY 1),
+         |w2 AS (
+         |  SELECT a.qdoc, tf2.doc_id,
+         |    CAST(ROUND((ln((st.n_docs - df2.df + 0.5) / (df2.df + 0.5) + 1.0)
+         |      * tf2.tf * 2.2 /
+         |      (tf2.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl))))
+         |      * 1000000.0) AS BIGINT) * a.wt AS wm
+         |  FROM tf2 JOIN allt a ON tf2.word = a.word
+         |  JOIN df2 ON tf2.word = df2.word
+         |  JOIN dl ON tf2.doc_id = dl.doc_id
+         |  CROSS JOIN st),
+         |s2 AS (
+         |  SELECT qdoc, doc_id, CAST(SUM(wm) AS BIGINT) AS score
+         |  FROM w2 WHERE doc_id <> qdoc GROUP BY 1, 2),
+         |es AS (
+         |  SELECT qdoc, string_agg(word, ' ' ORDER BY word)
+         |    AS expansion_terms
+         |  FROM exq GROUP BY qdoc)
+         |SELECT r.qdoc AS query_doc, r.rank, r.doc_id, r.score,
+         |  COALESCE(es.expansion_terms, '') AS expansion_terms
+         |FROM (
+         |  SELECT qdoc, doc_id, score, row_number() OVER (PARTITION BY qdoc
+         |    ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM s2) r
+         |LEFT JOIN es ON r.qdoc = es.qdoc
+         |WHERE r.rank <= 5 ORDER BY query_doc, rank""".stripMargin,
     "text_nb_classifier" ->
       s"""WITH dz AS (
          |  SELECT doc_id, lang, $tokensSql AS toks,

@@ -315,4 +315,25 @@ class DedupSpec extends SparkSpec {
       assert(recall >= 0.7, s"simhash recall $recall")
     }
   }
+
+  test("URL canonicalizer collapses every synthesized variant cleanly") {
+    val rows = SparkEntry.queries("dedup_url_canonical")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (canon, nDocs, nRaw, firstDoc) =>
+      // every distinct raw form landed in the group (nothing split off),
+      // and the 4 variants of a full page are all string-distinct
+      assert(nDocs == nRaw, s"$canon: $nDocs docs but $nRaw raw forms")
+      assert(nDocs == 4, s"$canon: expected the full 4-variant group")
+      assert(firstDoc % 4 == 0, s"$canon: first_doc $firstDoc not a page head")
+      // no normalization artifact survives in the canonical key
+      assert(canon.startsWith("https://"), s"non-https canonical: $canon")
+      assert(!canon.contains("www.") && !canon.contains("utm_") &&
+        !canon.contains("#") && !canon.endsWith("/"),
+        s"unnormalized canonical: $canon")
+    }
+    // group count == page count (doc count divides evenly in the fixtures)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == (docs / 4).toInt)
+  }
 }

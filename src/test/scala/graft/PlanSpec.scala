@@ -87,6 +87,7 @@ class PlanSpec extends SparkSpec {
     "ann_filtered_topk",                             // brute-force baseline (pre-filtered candidates)
     "retrieval_rrf_fusion",                          // dense side = brute-force baseline + scalar st join
     "retrieval_mmr_rerank",                          // brute-force candidate gen (broadcast query side)
+    "retrieval_prf_expansion",                       // scalar corpus-stats join (both BM25 passes)
   )
 
   test("no unintended cartesian or nested-loop joins across the suite") {

@@ -98,7 +98,8 @@ class RelationalSpec extends SparkSpec {
       "ml_kmeans_silhouette", "u6_cv_coherence",
       "lda_em_cv", "lda_em_scan", "ann_filtered_topk",
       "retrieval_rrf_fusion", "retrieval_mmr_rerank",
-      "sample_cluster_balanced").foreach { name =>
+      "sample_cluster_balanced", "retrieval_prf_expansion",
+      "dedup_url_canonical").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq

@@ -340,4 +340,31 @@ class TextOpsSpec extends SparkSpec {
         math.abs(dup - (1.0 - u.toDouble / n)) < 1e-5
     })
   }
+
+  test("PRF expansion returns dense top-5 lists with genuine new terms") {
+    val rows = SparkEntry.queries("retrieval_prf_expansion")(spark, sf)
+      .as[(Long, Int, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.size == 10, s"expected 10 query docs, got ${byQuery.size}")
+    byQuery.foreach { case (qdoc, qRows) =>
+      val sorted = qRows.sortBy(_._2)
+      // dense 1..5 ranks with non-increasing scores, self excluded
+      assert(sorted.map(_._2).toSeq == (1 to 5),
+        s"qdoc $qdoc ranks ${sorted.map(_._2).mkString(",")}")
+      assert(sorted.sliding(2).forall(p => p(0)._4 >= p(1)._4),
+        s"qdoc $qdoc scores not non-increasing")
+      assert(sorted.forall(_._3 != qdoc), s"qdoc $qdoc retrieved itself")
+      // the expansion really fired: 2 distinct informative terms mined
+      // from the feedback docs, none of them a stopword
+      val terms = sorted.head._5.split(" ").filter(_.nonEmpty)
+      assert(terms.length == 2 && terms.distinct.length == 2,
+        s"qdoc $qdoc expansion terms '${sorted.head._5}'")
+      assert(terms.forall(t => t.length >= 4 &&
+        !graft.functions.Lexicons.stopwordsEn.contains(t)),
+        s"qdoc $qdoc expansion terms '${sorted.head._5}' fail the filter")
+      assert(sorted.forall(_._5 == sorted.head._5),
+        s"qdoc $qdoc expansion terms differ across ranks")
+    }
+  }
 }
