@@ -1144,6 +1144,20 @@ object MLOps {
     * assignments with distances) — shared verbatim by the ml_kmeans
     * oracle and the IVF-index oracle in SimilarityOps.
     */
+  /** Final-centroid CTE name inside kmeansCtesSql (cid, c list) — for
+    * oracles that rank query→centroid distances (the nprobe sweep).
+    */
+  private[ops] def kmeansFinalCentsCte: String = s"c$KmIters"
+
+  /** Squared-L2 between two DuckDB list expressions, same element-order
+    * fold as the trainer's inline form (and as kmeansDistArr's zip_with
+    * + aggregate on the Spark side).
+    */
+  private[ops] def kmeansDistSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(len($a)),
+       |      i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]))),
+       |    (x, y) -> x + y)""".stripMargin
+
   private[ops] val kmeansCtesSql: String = {
     val fold = (a: String, b: String) =>
       s"""list_reduce(list_prepend(0.0, list_transform(range(len($a)),

@@ -267,6 +267,53 @@ object MultimodalOps {
         .withColumn("rms", round($"rms", 6))
         .orderBy("doc_id", "window_idx")
     }),
+
+    // Interleaved multimodal sequence packing (the LLaVA/Flamingo-style
+    // pretraining corpus layout): each doc contributes its text tokens
+    // PLUS the patch/frame-token budget of its media payload — vision
+    // docs (png/jpeg) cost up to 64 patch tokens (1 per 256 payload
+    // bytes, the ViT-patch arithmetic), audio docs up to 32 frame
+    // tokens (1 per 512 bytes), plus one modality-boundary token — and
+    // docs pack greedily into 1024-token training sequences. Packing
+    // reuses pack_sequences' relational device: a deterministic bucket
+    // (doc_id % 8), a running cost sum per bucket, and seq =
+    // (cum − cost) div budget, so the only shuffle is the bucket window
+    // and per-bucket state is one running counter; media tokens cannot
+    // split across sequences because a doc is assigned wholly to the
+    // sequence its first token lands in. All costs are exact integer
+    // arithmetic off the payload metadata (n_bytes under the ASCII
+    // invariant), so the DuckDB oracle replays the packing exactly. At
+    // 100 TB raise the bucket count so each bucket stays executor-sized
+    // — same story as pack_sequences, with the media-token budget
+    // riding the same scan.
+    "mm_interleaved_pack" -> ((s, d) => {
+      import s.implicits._
+      val budget = 1024
+      val nb = 8
+      val t = documents(s, d).select($"doc_id",
+          size(TextOps.tokens($"text")).cast("long").as("text_tok"),
+          element_at(typedLit(Seq("png", "jpeg", "wav")),
+            ($"doc_id" % 3 + 1).cast("int")).as("media_format"),
+          octet_length(encode($"text", "UTF-8")).as("n_bytes"))
+        .withColumn("media_tok",
+          when($"media_format" === "wav",
+            least(lit(32L), expr("(n_bytes + 511) div 512")))
+          .otherwise(least(lit(64L), expr("(n_bytes + 255) div 256"))))
+        .withColumn("cost", $"text_tok" + $"media_tok" + lit(1L))
+        .withColumn("bucket", $"doc_id" % nb)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"bucket").orderBy($"doc_id")
+      t.withColumn("cum", sum($"cost").over(w))
+        .withColumn("seq", expr(s"(cum - cost) div $budget"))
+        .groupBy($"bucket", $"seq")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"text_tok").as("text_tokens"),
+          sum($"media_tok").as("media_tokens"),
+          sum($"cost").as("total_tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy("bucket", "seq")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -356,5 +403,34 @@ object MultimodalOps {
         |        c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, c) -> (acc * 131 + c) % 1000000007) AS frame_hash
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_interleaved_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len(${graft.ops.TextOps.tokensSql}) AS text_tok,
+         |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+         |         ELSE 'wav' END AS media_format,
+         |    strlen(text) AS n_bytes
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, text_tok,
+         |    CASE WHEN media_format = 'wav'
+         |      THEN LEAST(32, (n_bytes + 511) // 512)
+         |      ELSE LEAST(64, (n_bytes + 255) // 256) END AS media_tok,
+         |    doc_id % 8 AS bucket
+         |  FROM t),
+         |x AS (
+         |  SELECT doc_id, text_tok, media_tok, bucket,
+         |    text_tok + media_tok + 1 AS cost
+         |  FROM c),
+         |y AS (
+         |  SELECT *, SUM(cost) OVER (PARTITION BY bucket ORDER BY doc_id)
+         |    AS cum
+         |  FROM x)
+         |SELECT bucket, CAST((cum - cost) // 1024 AS BIGINT) AS seq,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(text_tok) AS BIGINT) AS text_tokens,
+         |  CAST(SUM(media_tok) AS BIGINT) AS media_tokens,
+         |  CAST(SUM(cost) AS BIGINT) AS total_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM y GROUP BY 1, 2 ORDER BY bucket, seq""".stripMargin,
   )
 }

@@ -519,6 +519,59 @@ object SimilarityOps {
       topkWithin(s, pairs)
     }),
 
+    // IVF nprobe sweep — the recall/cost trade-off curve that picks the
+    // serve-time probe count (the matryoshka-sweep posture applied to
+    // the coarse quantizer): for nprobe ∈ {1,2,4,8}, each query probes
+    // its nprobe NEAREST trained cells (distance-ranked, ties on cid —
+    // the FAISS probe order) and recall@5 is measured against the exact
+    // top-5. With K=8 cells, nprobe=8 probes everything, so the curve
+    // provably ends at recall 1.0 — asserted in SimilaritySpec along
+    // with monotonicity. Scale: candidate volume grows linearly in
+    // nprobe (the knob this query exists to price); the probe ranking
+    // is a K-element array sort per query against the broadcast
+    // centroids; the exact baseline is the documented brute-force
+    // verifier. All four settings share one assignment pass (pinned).
+    "ann_ivf_nprobe_sweep" -> ((s, d) => {
+      import s.implicits._
+      val cents = MLOps.kmeansCentroids(s, d)
+      val probes = Seq(1, 2, 4, 8)
+      val assigned = MLOps.kmeansCorpus(s, d)
+        .withColumn("a", array_min(MLOps.kmeansDistArr(cents)))
+        .withColumn("norm", sqrt(graft.functions.VecDot.vec_dot($"e", $"e")))
+        .select($"vec_id", $"a.k".as("cid"), $"e", $"norm")
+        .localCheckpoint(false)
+      val q = assigned.filter($"vec_id" < NumQueries)
+        .withColumn("po", array_sort(MLOps.kmeansDistArr(cents)))
+        .select($"vec_id".as("query_id"), $"e".as("qe"), $"norm".as("qn"),
+          explode(array(probes.map(np => struct(lit(np).as("nprobe"),
+            slice($"po", 1, np).getField("k").as("cells"))): _*)).as("p"))
+        .select($"query_id", $"qe", $"qn", $"p.nprobe".as("nprobe"),
+          explode($"p.cells").as("cid"))
+      val wnp = Window.partitionBy($"nprobe", $"query_id")
+        .orderBy(desc("cos"), asc("vec_id"))
+      val approx = assigned.join(broadcast(q), Seq("cid"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("cos", dot($"e", $"qe") / ($"norm" * $"qn"))
+        .withColumn("rk", row_number().over(wnp))
+        .filter($"rk" <= TopK)
+        .select($"nprobe", $"query_id", $"vec_id".as("neighbor_id"),
+          lit(1L).as("hit"))
+      val qx = assigned.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"e".as("qe"), $"norm".as("qn"))
+      val wx = Window.partitionBy($"query_id").orderBy(desc("cos"), asc("vec_id"))
+      val exact = assigned.join(broadcast(qx), $"vec_id" =!= $"query_id")
+        .withColumn("cos", dot($"e", $"qe") / ($"norm" * $"qn"))
+        .withColumn("rk", row_number().over(wx)).filter($"rk" <= TopK)
+        .select($"query_id", $"vec_id".as("neighbor_id"))
+      exact.crossJoin(broadcast(probes.toDF("nprobe")))
+        .join(approx, Seq("nprobe", "query_id", "neighbor_id"), "left")
+        .groupBy($"nprobe")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce($"hit", lit(0L))).as("n_hit"))
+        .withColumn("recall", round($"n_hit" / $"n_pairs", 6))
+        .orderBy("nprobe")
+    }),
+
     // Per-label embedding centroids (class centroids / IVF cell centers):
     // position-wise mean via posexplode — one shuffle on (label, dim),
     // partial-aggregated; the building block for k-means-style assignment.
@@ -1175,6 +1228,53 @@ object SimilarityOps {
            |  ${dotSql("c.e", "q.e")} / (c.norm * q.norm) AS cos_exact
            |FROM nrm c JOIN nrm q ON q.vec_id < $NumQueries
            |  AND c.cid = q.cid AND c.vec_id <> q.vec_id""".stripMargin)}""".stripMargin,
+    "ann_ivf_nprobe_sweep" ->
+      s"""WITH ${MLOps.kmeansCtesSql},
+         |nrm AS MATERIALIZED (
+         |  SELECT fin.vec_id, fin.cid, v.e,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(v.e, x -> x * x)),
+         |      (a, b) -> a + b)) AS norm
+         |  FROM fin JOIN v ON fin.vec_id = v.vec_id),
+         |qp AS (
+         |  SELECT v.vec_id AS query_id, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${MLOps.kmeansDistSql("v.e", "c.c")} ASC, c.cid ASC)
+         |      AS prn
+         |  FROM v CROSS JOIN ${MLOps.kmeansFinalCentsCte} c
+         |  WHERE v.vec_id < $NumQueries),
+         |np(nprobe) AS (VALUES (1), (2), (4), (8)),
+         |pq AS (SELECT np.nprobe, qp.query_id, qp.cid
+         |       FROM qp JOIN np ON qp.prn <= np.nprobe),
+         |cand AS (
+         |  SELECT p.nprobe, p.query_id, c.vec_id,
+         |    ${dotSql("c.e", "q.e")} / (c.norm * q.norm) AS cos
+         |  FROM pq p
+         |  JOIN nrm c ON c.cid = p.cid
+         |  JOIN nrm q ON q.vec_id = p.query_id
+         |  WHERE c.vec_id <> p.query_id),
+         |appr AS (
+         |  SELECT nprobe, query_id, vec_id FROM (
+         |    SELECT nprobe, query_id, vec_id, row_number() OVER (
+         |      PARTITION BY nprobe, query_id
+         |      ORDER BY cos DESC, vec_id ASC) AS rk
+         |    FROM cand) WHERE rk <= $TopK),
+         |ex AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dotSql("c.e", "q.e")} / (c.norm * q.norm) DESC,
+         |          c.vec_id ASC) AS rk
+         |    FROM nrm c JOIN nrm q ON q.vec_id < $NumQueries
+         |      AND c.vec_id <> q.vec_id) WHERE rk <= $TopK)
+         |SELECT np.nprobe, COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  ROUND(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / COUNT(*), 6) AS recall
+         |FROM ex CROSS JOIN np
+         |LEFT JOIN appr a ON a.nprobe = np.nprobe
+         |  AND a.query_id = ex.query_id AND a.vec_id = ex.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_label_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS pos,
         |  ROUND(AVG(CAST(x AS DOUBLE)), 6) AS mean_val

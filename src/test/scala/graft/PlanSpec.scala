@@ -88,6 +88,7 @@ class PlanSpec extends SparkSpec {
     "retrieval_rrf_fusion",                          // dense side = brute-force baseline + scalar st join
     "retrieval_mmr_rerank",                          // brute-force candidate gen (broadcast query side)
     "retrieval_prf_expansion",                       // scalar corpus-stats join (both BM25 passes)
+    "ann_ivf_nprobe_sweep",                          // embeds the brute-force baseline + 4-row nprobe cross
   )
 
   test("no unintended cartesian or nested-loop joins across the suite") {

@@ -99,11 +99,32 @@ class RelationalSpec extends SparkSpec {
       "lda_em_cv", "lda_em_scan", "ann_filtered_topk",
       "retrieval_rrf_fusion", "retrieval_mmr_rerank",
       "sample_cluster_balanced", "retrieval_prf_expansion",
-      "dedup_url_canonical").foreach { name =>
+      "dedup_url_canonical", "ann_ivf_nprobe_sweep",
+      "mm_interleaved_pack").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
       assert(a == b, s"$name not deterministic")
+    }
+  }
+
+  test("interleaved packing conserves tokens and leaves no empty sequences") {
+    val rows = SparkEntry.queries("mm_interleaved_pack")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // exact accounting: one boundary token per doc, nothing lost
+    rows.foreach { case (b, q, nDocs, txt, media, total, first, last) =>
+      assert(total == txt + media + nDocs,
+        s"bucket $b seq $q: $total != $txt + $media + $nDocs")
+      assert(nDocs > 0 && first <= last)
+      assert(media > 0, s"bucket $b seq $q: no media tokens — fixture broken")
+    }
+    // sequence ids are dense from 0 within each bucket (the running-sum
+    // assignment can skip an id only if a single doc exceeds the budget,
+    // which the fixtures never do)
+    rows.groupBy(_._1).foreach { case (b, rs) =>
+      val seqs = rs.map(_._2).sorted.toSeq
+      assert(seqs == (0L until seqs.length), s"bucket $b seqs $seqs not dense")
     }
   }
 

@@ -167,4 +167,22 @@ class SimilaritySpec extends SparkSpec {
     assert(mmrAvg <= relAvg + 1e-12,
       s"MMR avg pairwise sim $mmrAvg > relevance-only $relAvg")
   }
+
+  test("IVF nprobe sweep: recall is monotone and reaches 1.0 at full probe") {
+    val rows = SparkEntry.queries("ann_ivf_nprobe_sweep")(spark, sf)
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    // every query contributes its exact top-5 to every setting
+    assert(rows.forall(_._2 == rows.head._2))
+    // more cells probed can only add candidates -> recall is monotone
+    rows.sliding(2).foreach { p =>
+      assert(p(0)._4 <= p(1)._4 + 1e-12,
+        s"recall not monotone: nprobe ${p(0)._1}=${p(0)._4} > ${p(1)._1}=${p(1)._4}")
+    }
+    // nprobe = K probes every cell == the brute-force baseline
+    assert(rows.last._4 == 1.0, s"full-probe recall ${rows.last._4} != 1.0")
+    // and the coarse quantizer is doing real work at nprobe=1
+    assert(rows.head._4 > 0.2 && rows.head._4 < 1.0,
+      s"nprobe=1 recall ${rows.head._4} suspicious")
+  }
 }
