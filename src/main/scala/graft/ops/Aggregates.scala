@@ -27,6 +27,13 @@ object Aggregates {
   /** Pinned pivot domain for events.event_type (stable across sf, TESTDATA). */
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Inactivity gap (µs) that closes a session in w_sessionize_gap —
+    * shared with its oracle. 24 h: the synthetic events stream is sparse
+    * per user (~1 event/user/day), so sub-day gaps degenerate to
+    * one-event sessions.
+    */
+  val SessionGapUs: Long = 86400L * 1000000L
+
   /** Exact global (or per-group) rank of `value` with no unpartitioned
     * window over the base table. Strategy: bin rows by floor(value) —
     * bin cardinality is bounded by the VALUE RANGE (~560 bins here), not
@@ -767,6 +774,71 @@ object Aggregates {
         .limit(20)
         .select($"p1", $"p2", $"n_ab", $"support", $"lift")
     }),
+
+    // Incremental materialized-aggregate maintenance — the refresh shape
+    // every 100 TB rollup table needs: the standing per-type aggregate
+    // ("state", here days < max day) is MERGED with a partial aggregate
+    // over only the newly-arrived partition ("delta", the max day) via
+    // the algebraic decomposition count/sum/min/max (avg derives as
+    // sum/count at the end — never averaged averages). In production the
+    // state side is a stored partials table, so a refresh scans ONLY the
+    // new partition: cost ∝ delta, not corpus. Values are micro-integer
+    // quantized before summing, so the state+delta merge is exact integer
+    // arithmetic and provably equals the full recompute the oracle runs.
+    "agg_incremental_merge" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .withColumn("day", to_date($"ts"))
+        .withColumn("vm", round($"value" * 1e6, 0).cast("long"))
+      val mx = ev.agg(max($"day").as("mday"))
+      val tagged = ev.crossJoin(broadcast(mx))
+      def partial(df: DataFrame): DataFrame = df.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"vm").as("sv"),
+          min($"vm").as("mn"), max($"vm").as("mxv"))
+      val state = partial(tagged.filter($"day" < $"mday"))
+        .withColumn("is_new", lit(0L))
+      val delta = partial(tagged.filter($"day" === $"mday"))
+        .withColumn("is_new", lit(1L))
+      state.unionByName(delta)
+        .groupBy($"event_type")
+        .agg(sum($"n").as("n_total"),
+          sum(when($"is_new" === 1, $"n").otherwise(0L)).as("n_new"),
+          sum($"sv").as("sv"), min($"mn").as("mn"), max($"mxv").as("mxv"))
+        .select($"event_type", $"n_total", $"n_new",
+          round($"sv" / 1e6, 6).as("sum_value"),
+          round($"mn" / 1e6, 6).as("min_value"),
+          round($"mxv" / 1e6, 6).as("max_value"),
+          round($"sv" / 1e6 / $"n_total", 6).as("avg_value"))
+        .orderBy("event_type")
+    }),
+
+    // Batch gap-sessionization (islands): a new session starts after
+    // >24 h of per-user inactivity. lag + a running flag-sum assign
+    // session ids inside ONE (user) shuffle; the per-session rollup
+    // reuses the same partitioning. At 100 TB the user key is the only
+    // shuffle dimension and sessions never cross partitions — the
+    // pattern AQE splits cleanly on skewed users. Timestamp math is
+    // exact integer microseconds on both engines.
+    "w_sessionize_gap" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select($"user_id", $"ts", $"event_type", $"event_id")
+        .withColumn("us", unix_micros($"ts"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val flagged = ev
+        .withColumn("prev_us", lag($"us", 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_us".isNull || $"us" - $"prev_us" > SessionGapUs, 1L)
+            .otherwise(0L))
+      flagged.withColumn("session_id", sum($"new_sess").over(w))
+        .groupBy($"user_id", $"session_id")
+        .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"),
+          (max($"us") - min($"us")).as("duration_us"))
+        .orderBy("user_id", "session_id")
+    }),
   )
 
   private val pivotCols =
@@ -1157,5 +1229,54 @@ object Aggregates {
         |JOIN pf f2 ON p2 = f2.l_partkey
         |CROSS JOIN nb
         |ORDER BY lift DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin,
+    "agg_incremental_merge" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vm
+        |  FROM events),
+        |mx AS (SELECT MAX(day) AS mday FROM ev),
+        |state AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(vm) AS BIGINT) AS sv, MIN(vm) AS mn, MAX(vm) AS mxv,
+        |    0 AS is_new
+        |  FROM ev, mx WHERE day < mday GROUP BY 1),
+        |delta AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(vm) AS BIGINT) AS sv, MIN(vm) AS mn, MAX(vm) AS mxv,
+        |    1 AS is_new
+        |  FROM ev, mx WHERE day = mday GROUP BY 1),
+        |u AS (SELECT * FROM state UNION ALL SELECT * FROM delta)
+        |SELECT event_type,
+        |  CAST(SUM(n) AS BIGINT) AS n_total,
+        |  CAST(SUM(CASE WHEN is_new = 1 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  ROUND(CAST(SUM(sv) AS BIGINT) / 1e6, 6) AS sum_value,
+        |  ROUND(MIN(mn) / 1e6, 6) AS min_value,
+        |  ROUND(MAX(mxv) / 1e6, 6) AS max_value,
+        |  ROUND(CAST(SUM(sv) AS BIGINT) / 1e6 / SUM(n), 6) AS avg_value
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w_sessionize_gap" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_type, event_id, epoch_us(ts) AS us
+         |  FROM events),
+         |f AS (
+         |  SELECT *,
+         |    CASE WHEN lag(us) OVER w IS NULL
+         |      OR us - lag(us) OVER w > ${SessionGapUs} THEN 1 ELSE 0 END
+         |      AS new_sess
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT *,
+         |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS BIGINT) AS session_id
+         |  FROM f)
+         |SELECT user_id, session_id,
+         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+         |  COUNT(*) AS n_events,
+         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_purchases,
+         |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

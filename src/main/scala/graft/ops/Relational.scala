@@ -698,6 +698,40 @@ object Relational {
         .groupBy($"status").agg(count(lit(1)).as("n_docs"))
         .orderBy("status")
     }),
+
+    // SCD type-2 history build (Kimball): collapse each customer's
+    // order-status sequence into versioned validity ranges — the islands
+    // pattern (rn_all − rn_per_status marks each consecutive same-status
+    // run) plus lead() for the closing edge; the open row carries the
+    // 9999-12-31 sentinel and is_current=1. Everything runs inside ONE
+    // customer-keyed shuffle: both row_numbers, the run rollup, and the
+    // version/lead window share the partitioning, so at 100 TB the
+    // history build is a single exchange regardless of history depth.
+    "scd2_status_history" -> ((s, d) => {
+      import s.implicits._
+      val o = orders(s, d)
+        .select($"o_custkey", $"o_orderstatus", $"o_orderdate", $"o_orderkey")
+      val wAll = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      val wSt = Window.partitionBy($"o_custkey", $"o_orderstatus")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      val runs = o
+        .withColumn("rn", row_number().over(wAll))
+        .withColumn("grp", row_number().over(wAll) - row_number().over(wSt))
+      val hist = runs.groupBy($"o_custkey", $"o_orderstatus", $"grp")
+        .agg(min($"o_orderdate").as("valid_from"),
+          min($"rn").as("first_rn"), count(lit(1)).as("n_orders"))
+      val wVer = Window.partitionBy($"o_custkey").orderBy($"first_rn")
+      hist
+        .withColumn("version", row_number().over(wVer))
+        .withColumn("valid_to",
+          coalesce(lead($"valid_from", 1).over(wVer), lit("9999-12-31").cast("date")))
+        .withColumn("is_current",
+          when(lead($"valid_from", 1).over(wVer).isNull, 1L).otherwise(0L))
+        .select($"o_custkey", $"o_orderstatus".as("status"), $"version",
+          $"valid_from", $"valid_to", $"n_orders", $"is_current")
+        .orderBy("o_custkey", "version")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -982,5 +1016,30 @@ object Relational {
         |  COUNT(*) AS n_docs
         |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "scd2_status_history" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey)
+        |      - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+        |          ORDER BY o_orderdate, o_orderkey) AS grp
+        |  FROM orders),
+        |hist AS (
+        |  SELECT o_custkey, o_orderstatus, grp,
+        |    MIN(o_orderdate) AS valid_from, MIN(rn) AS first_rn,
+        |    COUNT(*) AS n_orders
+        |  FROM o GROUP BY 1, 2, 3)
+        |SELECT o_custkey, o_orderstatus AS status,
+        |  row_number() OVER w AS version,
+        |  valid_from,
+        |  COALESCE(lead(valid_from) OVER w, DATE '9999-12-31') AS valid_to,
+        |  n_orders,
+        |  CAST(CASE WHEN lead(valid_from) OVER w IS NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_current
+        |FROM hist
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY first_rn)
+        |ORDER BY o_custkey, version""".stripMargin,
   )
 }

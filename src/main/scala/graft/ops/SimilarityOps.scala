@@ -34,6 +34,9 @@ object SimilarityOps {
   val NumLshTables = 4
   val PlanesPerTable = 4
 
+  /** Retrieval depth graded by the nDCG eval (retrieval_ndcg_eval). */
+  val NdcgK = 10
+
   /** Retrieval-fusion config, shared verbatim by the Spark queries and
     * their DuckDB oracles (a literal drifting on one side would read as
     * a cross-engine miss): RRF constant C and source-list depth
@@ -819,6 +822,53 @@ object SimilarityOps {
         .orderBy("query_id")
     }),
 
+    // Graded retrieval-quality eval — nDCG@10 of the exact dense
+    // retriever with the embedding LABEL as binary relevance (the
+    // standard ranking metric recall@k can't give you: it credits
+    // PUTTING the relevant items early, not just finding them). Per
+    // query: DCG = Σ rel_i / log2(i+1) over the top-10, IDCG = the same
+    // sum with all min(k, |same-label|) relevant items packed at the
+    // top, nDCG = DCG/IDCG. Per-rank gains are micro-integer quantized
+    // before summing so both engines add exact integers in any order.
+    // Scale shape: the query side broadcasts (sampled query set), the
+    // corpus streams once for the top-k and once (aggregated) for the
+    // per-label relevant counts — two map-side passes, no corpus² term;
+    // the eval rides whatever retriever produced the ranked list.
+    "retrieval_ndcg_eval" -> ((s, d) => {
+      import s.implicits._
+      val v = prepared(s, d)
+      val q = v.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+          $"e".as("qe"), $"norm".as("qn"))
+      val pairs = v.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .withColumn("cos_exact", dot($"e", $"qe") / ($"norm" * $"qn"))
+      val w = Window.partitionBy($"query_id")
+        .orderBy(desc("cos_exact"), asc("vec_id"))
+      val hits = pairs.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= NdcgK)
+        .withColumn("gain_e6",
+          when($"label" === $"qlabel",
+            round(lit(1e6) / log2($"rank" + 1), 0).cast("long"))
+            .otherwise(0L))
+      val dcg = hits.groupBy($"query_id")
+        .agg(sum($"gain_e6").as("dcg_e6"),
+          sum(when($"label" === $"qlabel", 1L).otherwise(0L)).as("n_rel_at_k"))
+      val rel = v.join(broadcast(q.select($"query_id", $"qlabel")),
+          $"vec_id" =!= $"query_id" && $"label" === $"qlabel")
+        .groupBy($"query_id").agg(count(lit(1)).as("n_rel"))
+      val ideal = rel
+        .withColumn("i",
+          explode(sequence(lit(1L), least($"n_rel", lit(NdcgK.toLong)))))
+        .withColumn("g_e6", round(lit(1e6) / log2($"i" + 1), 0).cast("long"))
+        .groupBy($"query_id")
+        .agg(max($"n_rel").as("n_rel"), sum($"g_e6").as("idcg_e6"))
+      dcg.join(ideal, Seq("query_id"))
+        .withColumn("ndcg", round($"dcg_e6" / $"idcg_e6", 6))
+        .select($"query_id", $"n_rel", $"n_rel_at_k", $"dcg_e6",
+          $"idcg_e6", $"ndcg")
+        .orderBy("query_id")
+    }),
+
     // LSH bucket histogram — the skew diagnostic for the ANN path.
     "ann_lsh_bucket_stats" -> ((s, d) => {
       import s.implicits._
@@ -1415,5 +1465,46 @@ object SimilarityOps {
          |FROM ex LEFT JOIN ap
          |  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "retrieval_ndcg_eval" ->
+      s"""WITH $prepSql,
+         |q AS (
+         |  SELECT vec_id AS query_id, label AS qlabel, e AS qe, norm AS qn
+         |  FROM n WHERE vec_id < $NumQueries),
+         |ranked AS (
+         |  SELECT query_id, qlabel, vec_id, label,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_exact DESC, vec_id ASC) AS rank
+         |  FROM (
+         |    SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+         |      ${dotSql("c.e", "q.qe")} / (c.norm * q.qn) AS cos_exact
+         |    FROM n c JOIN q ON c.vec_id <> q.query_id)),
+         |hits AS (
+         |  SELECT query_id,
+         |    CASE WHEN label = qlabel
+         |      THEN CAST(ROUND(1e6 / log2(rank + 1), 0) AS BIGINT)
+         |      ELSE 0 END AS gain_e6,
+         |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS r
+         |  FROM ranked WHERE rank <= $NdcgK),
+         |dcg AS (
+         |  SELECT query_id, CAST(SUM(gain_e6) AS BIGINT) AS dcg_e6,
+         |    CAST(SUM(r) AS BIGINT) AS n_rel_at_k
+         |  FROM hits GROUP BY 1),
+         |rel AS (
+         |  SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+         |  FROM n c JOIN q ON c.vec_id <> q.query_id AND c.label = q.qlabel
+         |  GROUP BY 1),
+         |ideal AS (
+         |  SELECT query_id, MAX(n_rel) AS n_rel,
+         |    CAST(SUM(CAST(ROUND(1e6 / log2(i + 1), 0) AS BIGINT)) AS BIGINT)
+         |      AS idcg_e6
+         |  FROM (
+         |    SELECT query_id, n_rel,
+         |      unnest(range(1, CAST(LEAST(n_rel, $NdcgK) AS BIGINT) + 1)) AS i
+         |    FROM rel)
+         |  GROUP BY 1)
+         |SELECT d.query_id, i.n_rel, d.n_rel_at_k, d.dcg_e6, i.idcg_e6,
+         |  ROUND(d.dcg_e6 / i.idcg_e6, 6) AS ndcg
+         |FROM dcg d JOIN ideal i ON d.query_id = i.query_id
+         |ORDER BY d.query_id""".stripMargin,
   )
 }

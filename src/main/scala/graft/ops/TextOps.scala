@@ -1705,6 +1705,36 @@ object TextOps {
           round(lit(1.0) - $"n_unique".cast("double") / $"n_docs", 6))
         .orderBy("source", "lang")
     }),
+
+    // Token-distribution drift monitor — KL(source ‖ corpus) per source,
+    // the data-quality alarm a continuously-ingesting pipeline needs (a
+    // source whose unigram distribution drifts from the corpus signals
+    // scraper breakage, spam floods, or domain shift; cf. CCNet's
+    // per-shard LM perplexity monitoring). One token explode → one
+    // (source, word) partial-aggregated shuffle; the vocab-sized word
+    // marginal broadcasts back (vocab ≪ corpus at any scale) and the
+    // per-term KL contributions are micro-integer quantized so the
+    // per-source sum is exact in any partition order.
+    "text_drift_kl" -> ((s, d) => {
+      import s.implicits._
+      val sw = documents(s, d)
+        .select($"source", explode(tokens($"text")).as("word"))
+        .groupBy($"source", $"word").agg(count(lit(1)).as("c_sw"))
+      val srcTot = sw.groupBy($"source").agg(sum($"c_sw").as("n_s"))
+      val wTot = sw.groupBy($"word").agg(sum($"c_sw").as("c_w"))
+      val tot = wTot.agg(sum($"c_w").as("n_all"))
+      sw.join(broadcast(srcTot), "source")
+        .join(broadcast(wTot), "word")
+        .crossJoin(broadcast(tot))
+        .withColumn("term",
+          ($"c_sw" / $"n_s") * log(($"c_sw" / $"n_s") / ($"c_w" / $"n_all")))
+        .withColumn("term_e9", round($"term" * 1e9, 0).cast("long"))
+        .groupBy($"source")
+        .agg(max($"n_s").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum($"term_e9").as("kl_e9"))
+        .withColumn("kl", round($"kl_e9" / 1e9, 6))
+        .orderBy("source")
+    }),
   )
 
   private val swVals = Lexicons.stopwordsEnSqlValues
@@ -2508,5 +2538,28 @@ object TextOps {
          |  ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
          |    AS dup_ratio
          |FROM t GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
+    "text_drift_kl" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest($tokensSql) AS word FROM documents),
+         |sw AS (SELECT source, word, COUNT(*) AS c_sw FROM tok GROUP BY 1, 2),
+         |st AS (
+         |  SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s
+         |  FROM sw GROUP BY 1),
+         |wt AS (
+         |  SELECT word, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_all FROM wt),
+         |terms AS (
+         |  SELECT sw.source, st.n_s,
+         |    CAST(ROUND(((c_sw / n_s) * ln((c_sw / n_s) / (c_w / n_all)))
+         |      * 1e9, 0) AS BIGINT) AS term_e9
+         |  FROM sw
+         |  JOIN st ON sw.source = st.source
+         |  JOIN wt ON sw.word = wt.word
+         |  CROSS JOIN tt)
+         |SELECT source, MAX(n_s) AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_types,
+         |  CAST(SUM(term_e9) AS BIGINT) AS kl_e9,
+         |  ROUND(CAST(SUM(term_e9) AS BIGINT) / 1e9, 6) AS kl
+         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -89,6 +89,9 @@ class PlanSpec extends SparkSpec {
     "retrieval_mmr_rerank",                          // brute-force candidate gen (broadcast query side)
     "retrieval_prf_expansion",                       // scalar corpus-stats join (both BM25 passes)
     "ann_ivf_nprobe_sweep",                          // embeds the brute-force baseline + 4-row nprobe cross
+    "retrieval_ndcg_eval",                           // brute-force baseline + label-match broadcast
+    "agg_incremental_merge",                         // 1-row max-day broadcast
+    "text_drift_kl",                                 // 1-row corpus-total broadcast
   )
 
   test("no unintended cartesian or nested-loop joins across the suite") {

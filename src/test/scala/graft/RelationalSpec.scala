@@ -100,7 +100,9 @@ class RelationalSpec extends SparkSpec {
       "retrieval_rrf_fusion", "retrieval_mmr_rerank",
       "sample_cluster_balanced", "retrieval_prf_expansion",
       "dedup_url_canonical", "ann_ivf_nprobe_sweep",
-      "mm_interleaved_pack").foreach { name =>
+      "mm_interleaved_pack", "retrieval_ndcg_eval",
+      "agg_incremental_merge", "w_sessionize_gap",
+      "scd2_status_history", "text_drift_kl").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -166,5 +168,78 @@ class RelationalSpec extends SparkSpec {
 
   test("bench queries are all declared") {
     assert(SparkEntry.benchQueries.forall(SparkEntry.queries.contains))
+  }
+
+  test("incremental aggregate merge equals the direct one-pass aggregate") {
+    val merged = SparkEntry.queries("agg_incremental_merge")(spark, sf)
+      .select($"event_type", $"n_total", $"sum_value", $"min_value",
+        $"max_value", $"avg_value")
+      .collect().map(_.toSeq).toSeq
+    val direct = graft.ops.Tables.events(spark, sf)
+      .withColumn("vm", round($"value" * 1e6, 0).cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_total"), sum($"vm").as("sv"),
+        min($"vm").as("mn"), max($"vm").as("mxv"))
+      .select($"event_type", $"n_total",
+        round($"sv" / 1e6, 6).as("sum_value"),
+        round($"mn" / 1e6, 6).as("min_value"),
+        round($"mxv" / 1e6, 6).as("max_value"),
+        round($"sv" / 1e6 / $"n_total", 6).as("avg_value"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(merged == direct)
+    // and the delta side is genuinely non-empty (the max day has events)
+    val nNew = SparkEntry.queries("agg_incremental_merge")(spark, sf)
+      .agg(sum($"n_new")).as[Long].collect().head
+    assert(nNew > 0)
+  }
+
+  test("SCD2 versions tile each customer's history with one open row") {
+    val rows = SparkEntry.queries("scd2_status_history")(spark, sf)
+      .select($"o_custkey", $"version", $"valid_from", $"valid_to",
+        $"n_orders", $"is_current")
+      .as[(Long, Int, java.time.LocalDateTime, java.time.LocalDateTime,
+        Long, Long)]
+      .collect()
+    assert(rows.nonEmpty)
+    val totalOrders = graft.ops.Tables.orders(spark, sf).count()
+    assert(rows.map(_._5).sum == totalOrders)
+    rows.groupBy(_._1).foreach { case (ck, h) =>
+      val sorted = h.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to h.length), s"cust $ck versions")
+      // ranges tile: each closed row's valid_to is the next valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"cust $ck v${a._2}: gap ${a._4} -> ${b._3}")
+          assert(a._6 == 0L)
+        case _ =>
+      }
+      val last = sorted.last
+      assert(last._6 == 1L && last._4.toLocalDate.toString == "9999-12-31")
+      assert(sorted.count(_._6 == 1L) == 1)
+    }
+  }
+
+  test("gap sessions partition the stream and are separated by > the gap") {
+    val sess = SparkEntry.queries("w_sessionize_gap")(spark, sf)
+      .select($"user_id", $"session_id", $"session_start", $"session_end",
+        $"n_events", $"duration_us")
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long, Long)]
+      .collect()
+    assert(sess.map(_._5).sum == graft.ops.Tables.events(spark, sf).count())
+    sess.groupBy(_._1).foreach { case (u, ss) =>
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to ss.length), s"user $u ids")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val gapUs = (b._3.getTime - a._4.getTime) * 1000L
+          assert(gapUs > graft.ops.Aggregates.SessionGapUs,
+            s"user $u: sessions ${a._2}/${b._2} separated by only $gapUs us")
+        case _ =>
+      }
+    }
+    // durations are consistent with the window edges
+    sess.foreach { case (_, _, st, en, _, dUs) =>
+      assert(dUs >= 0 && math.abs((en.getTime - st.getTime) * 1000L - dUs) < 1000)
+    }
   }
 }

@@ -185,4 +185,19 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.head._4 > 0.2 && rows.head._4 < 1.0,
       s"nprobe=1 recall ${rows.head._4} suspicious")
   }
+
+  test("nDCG eval: per-query nDCG in [0,1], DCG bounded by IDCG") {
+    val rows = SparkEntry.queries("retrieval_ndcg_eval")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == graft.ops.SimilarityOps.NumQueries)
+    rows.foreach { case (q, nRel, nRelAtK, dcg, idcg, ndcg) =>
+      assert(nRelAtK >= 0 && nRelAtK <= graft.ops.SimilarityOps.NdcgK)
+      assert(nRelAtK <= nRel, s"query $q: $nRelAtK relevant at k > $nRel total")
+      assert(dcg >= 0 && dcg <= idcg, s"query $q: dcg $dcg vs idcg $idcg")
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+      assert(math.abs(ndcg - dcg.toDouble / idcg) < 1e-5)
+      // labels are ~uniform over 10 classes, so ideal pools always fill k
+      assert(idcg == rows.head._5, "IDCG should be the full-k constant here")
+    }
+  }
 }

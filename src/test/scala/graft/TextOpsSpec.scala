@@ -367,4 +367,37 @@ class TextOpsSpec extends SparkSpec {
         s"qdoc $qdoc expansion terms differ across ranks")
     }
   }
+
+  test("per-source KL drift matches a local recompute and is nonnegative") {
+    val rows = SparkEntry.queries("text_drift_kl")(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nTok, nTypes, klE9, kl) =>
+      assert(nTok > 0 && nTypes > 0)
+      // KL >= 0 in exact math; quantization error is < nTypes/2 nanounits
+      assert(klE9 > -nTypes, s"$src: kl_e9 $klE9")
+      assert(math.abs(kl - klE9 / 1e9) < 1e-5)
+    }
+    // exact integer recompute for one source, same quantization
+    val docs = graft.ops.Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+    val toks = docs.flatMap { case (s, t) =>
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).map(s -> _)
+    }
+    val corpus = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nAll = toks.length.toLong
+    val src0 = rows.map(_._1).min
+    val mine = toks.filter(_._1 == src0).map(_._2)
+    val nS = mine.length.toLong
+    val klLocal = mine.groupBy(identity).map { case (w, ws) =>
+      val c = ws.length.toLong
+      val term = (c.toDouble / nS) *
+        math.log((c.toDouble / nS) / (corpus(w).toDouble / nAll))
+      BigDecimal(term * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    }.sum
+    val row0 = rows.find(_._1 == src0).get
+    assert(row0._2 == nS && row0._4 == klLocal,
+      s"$src0: engine (${row0._2}, ${row0._4}) vs local ($nS, $klLocal)")
+  }
 }
