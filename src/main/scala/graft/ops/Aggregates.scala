@@ -812,6 +812,56 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // CUBE grouping sets — all four (day × type) marginal combinations in
+    // ONE pass (the rollup query covers only the prefix hierarchy).
+    // Spark's Expand emits the 4 grouping-set replicas map-side, so the
+    // shuffle carries partial aggregates per (set, key) — cost is 4
+    // partial-agg rows per input row region, never 4 corpus scans.
+    // grouping_id() disambiguates the null-key totals from genuine nulls.
+    "a_cube_type_day" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .withColumn("day", to_date($"ts"))
+        .withColumn("vm", round($"value" * 1e6, 0).cast("long"))
+        .cube($"day", $"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"vm") / 1e6, 6).as("sum_value"),
+          grouping_id().as("gid"))
+        .orderBy($"gid", $"day".asc_nulls_first, $"event_type".asc_nulls_first)
+    }),
+
+    // Long-form melt of the daily pivot (the inverse reshape): unpivot is
+    // a map-side Expand — no shuffle beyond the pivot's own aggregate —
+    // so wide->long reshapes are free at any scale. Zero cells survive
+    // the round trip (pivot emits count 0, not null), which the oracle's
+    // day × type grid re-derives.
+    "a6b_unpivot_long" -> ((s, d) => {
+      import s.implicits._
+      queries("a6_daily_pivot")(s, d)
+        .unpivot(Array($"day"), EventTypes.map(col).toArray, "event_type", "n")
+        .orderBy("day", "event_type")
+    }),
+
+    // Partition-skew diagnostic — the report that decides salting/AQE
+    // settings before a big shuffle: per-key row counts for the 10
+    // heaviest keys with their share of the table and their multiple of
+    // the mean key load. One partial-aggregated groupBy + a 1-row stats
+    // broadcast; the top-10 is a TakeOrdered, so the diagnostic costs
+    // one shuffle regardless of key cardinality.
+    "profile_key_skew" -> ((s, d) => {
+      import s.implicits._
+      val counts = events(s, d).groupBy($"user_id").agg(count(lit(1)).as("n"))
+      val stats = counts.agg(count(lit(1)).as("n_keys"), sum($"n").as("n_rows"))
+      counts.orderBy(desc("n"), asc("user_id")).limit(10)
+        .crossJoin(broadcast(stats))
+        .withColumn("share_pct", round($"n" * 100.0 / $"n_rows", 6))
+        .withColumn("x_avg",
+          round($"n" * $"n_keys" / $"n_rows".cast("double"), 6))
+        .withColumn("avg_rows", round($"n_rows" / $"n_keys", 6))
+        .select($"user_id", $"n", $"share_pct", $"x_avg", $"n_keys", $"avg_rows")
+        .orderBy(desc("n"), asc("user_id"))
+    }),
+
     // Batch gap-sessionization (islands): a new session starts after
     // >24 h of per-user inactivity. lag + a running flag-sum assign
     // session ids inside ONE (user) shuffle; the per-session rollup
@@ -1255,6 +1305,47 @@ object Aggregates {
         |  ROUND(MAX(mxv) / 1e6, 6) AS max_value,
         |  ROUND(CAST(SUM(sv) AS BIGINT) / 1e6 / SUM(n), 6) AS avg_value
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_cube_type_day" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vm
+        |  FROM events)
+        |SELECT day, event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(vm) AS BIGINT) / 1e6, 6) AS sum_value,
+        |  CAST(GROUPING(day, event_type) AS BIGINT) AS gid
+        |FROM ev GROUP BY CUBE(day, event_type)
+        |ORDER BY gid, day ASC NULLS FIRST, event_type ASC NULLS FIRST"""
+        .stripMargin,
+    "a6b_unpivot_long" -> {
+      val typeRows = EventTypes.map(t => s"('$t')").mkString(", ")
+      s"""WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+         |c AS (
+         |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |types(event_type) AS (VALUES $typeRows)
+         |SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+         |FROM days d
+         |CROSS JOIN types t
+         |LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+         |ORDER BY 1, 2""".stripMargin
+    },
+    "profile_key_skew" ->
+      """WITH counts AS (
+        |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows
+        |  FROM counts),
+        |top AS (
+        |  SELECT user_id, n FROM counts
+        |  ORDER BY n DESC, user_id ASC LIMIT 10)
+        |SELECT user_id, n,
+        |  ROUND(n * 100.0 / n_rows, 6) AS share_pct,
+        |  ROUND(n * n_keys / CAST(n_rows AS DOUBLE), 6) AS x_avg,
+        |  n_keys,
+        |  ROUND(n_rows / n_keys, 6) AS avg_rows
+        |FROM top CROSS JOIN stats
+        |ORDER BY n DESC, user_id ASC""".stripMargin,
     "w_sessionize_gap" ->
       s"""WITH ev AS (
          |  SELECT user_id, ts, event_type, event_id, epoch_us(ts) AS us

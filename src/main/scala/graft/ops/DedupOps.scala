@@ -1054,6 +1054,32 @@ object DedupOps {
           min($"doc_id").as("first_doc"))
         .orderBy("canonical_url")
     }),
+
+    // Cross-source contamination matrix — which sources copy from which:
+    // pairwise 3-gram-shingle overlap + Jaccard between every source
+    // pair, over per-source DISTINCT shingle sets. The self-join key is
+    // the shingle hash, so fan-out per shingle is bounded by the SOURCE
+    // CATALOG size (≤ #sources² pairs per shingle), never corpus² — the
+    // same reason the doc-level LSH band join scales. Feeds the "which
+    // feeds overlap with our eval set / each other" audit every corpus
+    // assembly needs.
+    "dedup_source_overlap" -> ((s, d) => {
+      import s.implicits._
+      val src = documents(s, d).select($"doc_id", $"source")
+      val e = shingleFrame(s, d).join(src, "doc_id")
+        .select($"source", explode($"xs").as("sh"))
+        .distinct()
+      val sizes = e.groupBy($"source").agg(count(lit(1)).as("sz"))
+      e.toDF("src_a", "sh").join(e.toDF("src_b", "sh"), "sh")
+        .filter($"src_a" < $"src_b")
+        .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.toDF("src_a", "s1")), "src_a")
+        .join(broadcast(sizes.toDF("src_b", "s2")), "src_b")
+        .withColumn("jaccard",
+          round($"n_shared" / ($"s1" + $"s2" - $"n_shared"), 6))
+        .select($"src_a", $"src_b", $"n_shared", $"jaccard")
+        .orderBy("src_a", "src_b")
+    }),
   )
 
   private val jaccardSql =
@@ -1517,5 +1543,20 @@ object DedupOps {
         |  || '/article/' || page AS canonical_url,
         |  n_docs, n_raw_forms, first_doc
         |FROM g ORDER BY canonical_url""".stripMargin,
+    "dedup_source_overlap" ->
+      s"""WITH $shingleCte,
+         |es AS (
+         |  SELECT DISTINCT d.source, e.sh
+         |  FROM e JOIN documents d USING (doc_id)),
+         |szs AS (SELECT source, COUNT(*) AS sz FROM es GROUP BY 1)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  COUNT(*) AS n_shared,
+         |  ROUND(COUNT(*) / (s1.sz + s2.sz - COUNT(*)), 6) AS jaccard
+         |FROM es a
+         |JOIN es b ON a.sh = b.sh AND a.source < b.source
+         |JOIN szs s1 ON s1.source = a.source
+         |JOIN szs s2 ON s2.source = b.source
+         |GROUP BY a.source, b.source, s1.sz, s2.sz
+         |ORDER BY src_a, src_b""".stripMargin,
   )
 }

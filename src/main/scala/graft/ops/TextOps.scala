@@ -1706,6 +1706,32 @@ object TextOps {
         .orderBy("source", "lang")
     }),
 
+    // Out-of-vocabulary rate per source under the min-DF vocabulary —
+    // the tokenizer-coverage eval run before committing a vocab: a
+    // source with high OOV is either noise or a domain the vocab
+    // underserves. Coverage uses only the min-DF floor (A11's no_above
+    // cap exists to drop stopword-ish terms from TOPIC models; for
+    // coverage those are exactly the terms that must stay in-vocab).
+    // The vocab is bounded (≤ 50k terms) so it broadcasts at any corpus
+    // scale; the token stream is scanned once with a map-side probe.
+    "text_oov_rate" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val vocab = docs
+        .select($"doc_id", explode(array_distinct(tokens($"text"))).as("word"))
+        .groupBy($"word").agg(count("*").as("df"))
+        .filter($"df" >= 5)
+        .orderBy(desc("df"), asc("word")).limit(50000)
+        .select($"word", lit(1L).as("in_v"))
+      docs.select($"source", explode(tokens($"text")).as("word"))
+        .join(broadcast(vocab), Seq("word"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"in_v".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate", round($"n_oov" / $"n_tokens", 6))
+        .orderBy("source")
+    }),
+
     // Token-distribution drift monitor — KL(source ‖ corpus) per source,
     // the data-quality alarm a continuously-ingesting pipeline needs (a
     // source whose unigram distribution drifts from the corpus signals
@@ -2538,6 +2564,25 @@ object TextOps {
          |  ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
          |    AS dup_ratio
          |FROM t GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
+    "text_oov_rate" ->
+      s"""WITH v AS (
+         |  SELECT word FROM (
+         |    SELECT word, COUNT(*) AS df FROM (
+         |      SELECT DISTINCT doc_id, unnest($tokensSql) AS word
+         |      FROM documents)
+         |    GROUP BY word
+         |    HAVING COUNT(*) >= 5
+         |    ORDER BY df DESC, word ASC LIMIT 50000)),
+         |tok AS (SELECT source, unnest($tokensSql) AS word FROM documents)
+         |SELECT source, n_tokens, n_oov,
+         |  ROUND(n_oov / n_tokens, 6) AS oov_rate
+         |FROM (
+         |  SELECT tok.source, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_oov
+         |  FROM tok LEFT JOIN v ON tok.word = v.word
+         |  GROUP BY 1)
+         |ORDER BY source""".stripMargin,
     "text_drift_kl" ->
       s"""WITH tok AS (
          |  SELECT source, unnest($tokensSql) AS word FROM documents),

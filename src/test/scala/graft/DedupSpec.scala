@@ -336,4 +336,30 @@ class DedupSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(rows.length == (docs / 4).toInt)
   }
+
+  test("source-overlap matrix is a valid Jaccard over unordered pairs") {
+    val rows = SparkEntry.queries("dedup_source_overlap")(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, nShared, j) =>
+      assert(a < b, s"pair ($a,$b) not canonically ordered")
+      assert(nShared > 0)
+      assert(j > 0.0 && j <= 1.0, s"($a,$b) jaccard $j")
+    }
+    // no pair appears twice in either orientation
+    val keys = rows.map(r => (r._1, r._2))
+    assert(keys.distinct.length == keys.length)
+    // recompute one pair exactly from the per-source shingle sets
+    val (a0, b0, n0, _) = rows.head
+    val bySrc = graft.ops.Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues { ds =>
+        ds.flatMap { case (_, t) =>
+          val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          toks.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+        }.toSet
+      }.toMap
+    assert((bySrc(a0) & bySrc(b0)).size == n0,
+      s"($a0,$b0): local ${(bySrc(a0) & bySrc(b0)).size} vs engine $n0")
+  }
 }

@@ -92,6 +92,7 @@ class PlanSpec extends SparkSpec {
     "retrieval_ndcg_eval",                           // brute-force baseline + label-match broadcast
     "agg_incremental_merge",                         // 1-row max-day broadcast
     "text_drift_kl",                                 // 1-row corpus-total broadcast
+    "profile_key_skew",                              // 1-row stats broadcast
   )
 
   test("no unintended cartesian or nested-loop joins across the suite") {

@@ -102,7 +102,9 @@ class RelationalSpec extends SparkSpec {
       "dedup_url_canonical", "ann_ivf_nprobe_sweep",
       "mm_interleaved_pack", "retrieval_ndcg_eval",
       "agg_incremental_merge", "w_sessionize_gap",
-      "scd2_status_history", "text_drift_kl").foreach { name =>
+      "scd2_status_history", "text_drift_kl",
+      "a_cube_type_day", "a6b_unpivot_long", "profile_key_skew",
+      "text_oov_rate", "dedup_source_overlap").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -241,5 +243,35 @@ class RelationalSpec extends SparkSpec {
     sess.foreach { case (_, _, st, en, _, dUs) =>
       assert(dUs >= 0 && math.abs((en.getTime - st.getTime) * 1000L - dUs) < 1000)
     }
+  }
+
+  test("cube emits all four grouping sets and they each sum to the total") {
+    val rows = SparkEntry.queries("a_cube_type_day")(spark, sf)
+      .select($"gid", $"n").as[(Long, Long)].collect()
+    val total = graft.ops.Tables.events(spark, sf).count()
+    val byGid = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    byGid.values.foreach(sum => assert(sum == total))
+    assert(rows.count(_._1 == 3L) == 1) // single grand-total row
+  }
+
+  test("unpivot inverts the daily pivot without losing a count") {
+    val long = SparkEntry.queries("a6b_unpivot_long")(spark, sf)
+      .select($"n").as[Long].collect()
+    val total = graft.ops.Tables.events(spark, sf).count()
+    assert(long.sum == total)
+    val nDays = graft.ops.Tables.events(spark, sf)
+      .select(to_date($"ts")).distinct().count()
+    assert(long.length == nDays * graft.ops.Aggregates.EventTypes.length)
+  }
+
+  test("key-skew profile: shares within 100%, heaviest key above the mean") {
+    val rows = SparkEntry.queries("profile_key_skew")(spark, sf)
+      .select($"n", $"share_pct", $"x_avg").as[(Long, Double, Double)]
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_._2).sum <= 100.0 + 1e-6)
+    assert(rows.head._3 >= 1.0) // top key is at least the mean key load
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sortBy(-_).toSeq)
   }
 }

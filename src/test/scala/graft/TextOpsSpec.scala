@@ -400,4 +400,19 @@ class TextOpsSpec extends SparkSpec {
     assert(row0._2 == nS && row0._4 == klLocal,
       s"$src0: engine (${row0._2}, ${row0._4}) vs local ($nS, $klLocal)")
   }
+
+  test("OOV rate is a genuine rate and the vocab covers most tokens") {
+    val rows = SparkEntry.queries("text_oov_rate")(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nTok, nOov, rate) =>
+      assert(nOov >= 0 && nOov <= nTok, src)
+      assert(math.abs(rate - nOov.toDouble / nTok) < 1e-5)
+    }
+    // the DF>=5 vocab covers the shared synthetic vocabulary: the
+    // corpus-wide OOV mass stays a small minority of all tokens
+    val totTok = rows.map(_._2).sum
+    val totOov = rows.map(_._3).sum
+    assert(totOov < totTok / 2, s"OOV mass $totOov of $totTok")
+  }
 }
