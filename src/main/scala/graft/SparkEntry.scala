@@ -110,5 +110,11 @@ object SparkEntry {
     "retrieval_rrf_fusion",
     "retrieval_mmr_rerank",
     "retrieval_prf_expansion",
+    // round-10 relational/pipeline additions — first anchors this round
+    "a_cube_type_day",
+    "w_sessionize_gap",
+    "scd2_status_history",
+    "dedup_source_overlap",
+    "text_oov_rate",
   ).filter(queries.contains)
 }

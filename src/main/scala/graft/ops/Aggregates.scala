@@ -862,6 +862,35 @@ object Aggregates {
         .orderBy(desc("n"), asc("user_id"))
     }),
 
+    // Categorical-drift monitor — per-day χ² of the event-type mix
+    // against the corpus-wide mix (the companion to text_drift_kl's
+    // continuous-text drift): a day whose traffic composition diverges
+    // flags instrumentation breakage or bot floods. Expected counts are
+    // the independence model day_total × type_share; per-cell χ² terms
+    // micro-quantize before the per-day integer sum. Cells with zero
+    // observed count are absent on BOTH engines (a documented
+    // undercount; at 5 pinned types × real traffic they never vanish).
+    // Two partial-aggregated shuffles + two broadcast marginals.
+    "a_chi2_daily_mix" -> ((s, d) => {
+      import s.implicits._
+      val dt = events(s, d).withColumn("day", to_date($"ts"))
+        .groupBy($"day", $"event_type").agg(count(lit(1)).as("o"))
+      val dayTot = dt.groupBy($"day").agg(sum($"o").as("nd"))
+      val typTot = dt.groupBy($"event_type").agg(sum($"o").as("nt"))
+      val tot = typTot.agg(sum($"nt").as("n"))
+      dt.join(dayTot, "day")
+        .join(broadcast(typTot), "event_type")
+        .crossJoin(broadcast(tot))
+        .withColumn("e", $"nd".cast("double") * $"nt" / $"n")
+        .withColumn("chi_e6",
+          round(($"o" - $"e") * ($"o" - $"e") / $"e" * 1e6, 0).cast("long"))
+        .groupBy($"day")
+        .agg(max($"nd").as("n_events"), count(lit(1)).as("n_cells"),
+          sum($"chi_e6").as("chi2_e6"))
+        .withColumn("chi2", round($"chi2_e6" / 1e6, 6))
+        .orderBy("day")
+    }),
+
     // Batch gap-sessionization (islands): a new session starts after
     // >24 h of per-user inactivity. lag + a running flag-sum assign
     // session ids inside ONE (user) shuffle; the per-session rollup
@@ -1346,6 +1375,28 @@ object Aggregates {
         |  ROUND(n_rows / n_keys, 6) AS avg_rows
         |FROM top CROSS JOIN stats
         |ORDER BY n DESC, user_id ASC""".stripMargin,
+    "a_chi2_daily_mix" ->
+      """WITH dt AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (SELECT day, CAST(SUM(o) AS BIGINT) AS nd FROM dt GROUP BY 1),
+        |tt AS (
+        |  SELECT event_type, CAST(SUM(o) AS BIGINT) AS nt
+        |  FROM dt GROUP BY 1),
+        |n AS (SELECT CAST(SUM(nt) AS BIGINT) AS n FROM tt),
+        |cells AS (
+        |  SELECT dt.day, dt.o, dd.nd,
+        |    CAST(nd AS DOUBLE) * nt / n.n AS e
+        |  FROM dt JOIN dd USING (day) JOIN tt USING (event_type)
+        |  CROSS JOIN n),
+        |terms AS (
+        |  SELECT day, nd,
+        |    CAST(ROUND((o - e) * (o - e) / e * 1e6, 0) AS BIGINT) AS chi_e6
+        |  FROM cells)
+        |SELECT day, MAX(nd) AS n_events, COUNT(*) AS n_cells,
+        |  CAST(SUM(chi_e6) AS BIGINT) AS chi2_e6,
+        |  ROUND(CAST(SUM(chi_e6) AS BIGINT) / 1e6, 6) AS chi2
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
     "w_sessionize_gap" ->
       s"""WITH ev AS (
          |  SELECT user_id, ts, event_type, event_id, epoch_us(ts) AS us

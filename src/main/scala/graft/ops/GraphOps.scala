@@ -118,6 +118,34 @@ object GraphOps {
         .orderBy(desc("pagerank"), asc("n_name"))
     }),
 
+    // Synchronous label-propagation communities (Raghavan et al. 2007)
+    // over the undirected core — the cheap community detector used for
+    // site/host clustering in corpus curation. Each of the 4 unrolled
+    // rounds is one adjacency⋈labels equi-join + a (node, label) count +
+    // an argmax window: the Pregel-as-relational-algebra form again, so
+    // label state is |V| rows and iterations co-partition on the node
+    // key at scale. Fully deterministic: argmax ties break on the
+    // smallest label (sync LPA's usual random tie-break is replaced by
+    // a total order), isolated nodes keep their own label.
+    "graph_lpa_communities" -> ((s, d) => {
+      import s.implicits._
+      val und = undCore(s, d)
+      val nodes = nation(s, d).select($"n_nationkey".as("node"), $"n_name")
+      var lab = nodes.select($"node", $"node".as("label"))
+      for (_ <- 1 to Iterations) {
+        val neigh = und.join(lab, $"b" === $"node")
+          .groupBy($"a", $"label").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy($"a").orderBy(desc("c"), asc("label"))
+        val newLab = neigh.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1).select($"a".as("node2"), $"label".as("newl"))
+        lab = lab.join(newLab, $"node" === $"node2", "left")
+          .select($"node", coalesce($"newl", $"label").as("label"))
+      }
+      nodes.join(lab, "node")
+        .select($"n_name", $"label".as("community"))
+        .orderBy($"community", $"n_name")
+    }),
+
     // Degree/strength profile per nation: in/out degree and exact decimal
     // in/out strength over the trade graph — the graph-shape datasheet
     // (degree skew is what decides salting/orientation strategy at scale).
@@ -284,6 +312,25 @@ object GraphOps {
       |  JOIN supplier ON s_suppkey = l_suppkey
       |  GROUP BY 1, 2""".stripMargin
 
+  /** Shared oracle prefix: trade edges → above-average undirected core →
+    * symmetrized adjacency `und(a, b)` (the Spark `undCore` twin), used
+    * by the harmonic / hyperball / LPA oracles.
+    */
+  private val undCoreCteSql =
+    s"""e AS (
+       |  $edgesSql),
+       |u0 AS MATERIALIZED (
+       |  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+       |    CAST(SUM(w) AS DOUBLE) AS uw
+       |  FROM e WHERE src <> dst GROUP BY 1, 2),
+       |core AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT a, b, uw, AVG(uw) OVER () AS mw FROM u0)
+       |  WHERE ROUND(uw, 6) > ROUND(mw, 6)),
+       |und AS MATERIALIZED (
+       |  SELECT a, b FROM core UNION ALL SELECT b AS a, a AS b FROM core)"""
+      .stripMargin
+
   private val pagerankSql: String = {
     val iters = (1 to Iterations).map { i =>
       s"""pr$i AS (
@@ -324,18 +371,7 @@ object GraphOps {
            |    UNION ALL SELECT s, v, dd FROM d${r - 1})
            |  GROUP BY 1, 2)""".stripMargin
       }.mkString(",\n")
-      s"""WITH e AS (
-         |  $edgesSql),
-         |u0 AS MATERIALIZED (
-         |  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
-         |    CAST(SUM(w) AS DOUBLE) AS uw
-         |  FROM e WHERE src <> dst GROUP BY 1, 2),
-         |core AS MATERIALIZED (
-         |  SELECT a, b FROM (
-         |    SELECT a, b, uw, AVG(uw) OVER () AS mw FROM u0)
-         |  WHERE ROUND(uw, 6) > ROUND(mw, 6)),
-         |und AS MATERIALIZED (
-         |  SELECT a, b FROM core UNION ALL SELECT b AS a, a AS b FROM core),
+      s"""WITH $undCoreCteSql,
          |d0 AS MATERIALIZED (
          |  SELECT n_nationkey AS s, n_nationkey AS v, 0 AS dd FROM nation),
          |$rounds,
@@ -368,18 +404,7 @@ object GraphOps {
            |      SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
            |    FROM r$t GROUP BY v))""".stripMargin
       }.mkString(",\n")
-      s"""WITH e AS (
-         |  $edgesSql),
-         |u0 AS MATERIALIZED (
-         |  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
-         |    CAST(SUM(w) AS DOUBLE) AS uw
-         |  FROM e WHERE src <> dst GROUP BY 1, 2),
-         |core AS MATERIALIZED (
-         |  SELECT a, b FROM (
-         |    SELECT a, b, uw, AVG(uw) OVER () AS mw FROM u0)
-         |  WHERE ROUND(uw, 6) > ROUND(mw, 6)),
-         |und AS MATERIALIZED (
-         |  SELECT a, b FROM core UNION ALL SELECT b AS a, a AS b FROM core),
+      s"""WITH $undCoreCteSql,
          |sd AS (
          |  SELECT n_nationkey AS v,
          |    ${graft.ops.DedupOps.polyHashSql("CAST(n_nationkey AS VARCHAR)")}
@@ -406,6 +431,28 @@ object GraphOps {
          |JOIN e2 ON n_nationkey = e2.v JOIN e3 ON n_nationkey = e3.v
          |JOIN e4 ON n_nationkey = e4.v
          |ORDER BY hb_harmonic DESC, n_name ASC""".stripMargin
+    },
+    "graph_lpa_communities" -> {
+      val rounds = (1 to Iterations).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT l.node, COALESCE(nl.newl, l.label) AS label
+           |  FROM l${i - 1} l LEFT JOIN (
+           |    SELECT a AS node, label AS newl FROM (
+           |      SELECT a, label,
+           |        row_number() OVER (PARTITION BY a
+           |          ORDER BY c DESC, label ASC) AS rn
+           |      FROM (
+           |        SELECT und.a, prev.label, COUNT(*) AS c
+           |        FROM und JOIN l${i - 1} prev ON und.b = prev.node
+           |        GROUP BY 1, 2))
+           |    WHERE rn = 1) nl ON l.node = nl.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $undCoreCteSql,
+         |l0 AS (SELECT n_nationkey AS node, n_nationkey AS label FROM nation),
+         |$rounds
+         |SELECT n_name, l$Iterations.label AS community
+         |FROM nation JOIN l$Iterations ON n_nationkey = l$Iterations.node
+         |ORDER BY community, n_name""".stripMargin
     },
     "graph_degree_stats" ->
       s"""WITH e AS (

@@ -603,6 +603,11 @@ object MLOps {
     cents
   }
 
+  /** Ridge regularizer for ml_ridge_probe, in micro-quantized-feature²
+    * units (shared with the oracle).
+    */
+  val RidgeLambda: Long = 1000000L
+
   val queries: Map[String, Q] = Map(
     // Distributed k-means, 3 Lloyd iterations over the embeddings table —
     // the coarse-quantizer trainer the ANN/SemDeDup ops reference (their
@@ -949,6 +954,69 @@ object MLOps {
         (name, k, assigned.getLong(0), assigned.getLong(1))
       }.toDF("config", "k", "n_topics_used", "n_docs")
         .orderBy("config")
+    }),
+
+    // Closed-form ridge regression (normal equations) — the distributed
+    // linear-probe trainer: ONE corpus pass accumulates the d²-sized Gram
+    // matrix and moment vector map-side (here d=2 features + intercept
+    // over micro-quantized embedding dims, target = label), then the
+    // 3×3 system solves in closed form via Cramer's rule — model-scale
+    // driver math, like the k-means/PQ codebooks. Gram entries are exact
+    // integer sums (≤ 2^53, so their double images are exact and every
+    // downstream determinant is the same IEEE expression on both
+    // engines); the training-MSE pass re-broadcasts the solved weights.
+    // This is THE scale shape for linear models: the shuffle carries 9
+    // numbers regardless of corpus size.
+    "ml_ridge_probe" -> ((s, d) => {
+      import s.implicits._
+      def det3(a11: Column, a12: Column, a13: Column,
+               a21: Column, a22: Column, a23: Column,
+               a31: Column, a32: Column, a33: Column): Column =
+        a11 * (a22 * a33 - a23 * a32) - a12 * (a21 * a33 - a23 * a31) +
+          a13 * (a21 * a32 - a22 * a31)
+      val z = embeddings(s, d).select(
+        round(element_at($"embedding", 1).cast("double") * 1e6, 0)
+          .cast("long").as("z1"),
+        round(element_at($"embedding", 2).cast("double") * 1e6, 0)
+          .cast("long").as("z2"),
+        $"label".cast("long").as("y"))
+      val g = z.agg(
+        count(lit(1)).as("n"), sum($"z1").as("s1"), sum($"z2").as("s2"),
+        sum($"z1" * $"z1").as("s11"), sum($"z1" * $"z2").as("s12"),
+        sum($"z2" * $"z2").as("s22"), sum($"y").as("sy"),
+        sum($"z1" * $"y").as("sy1"), sum($"z2" * $"y").as("sy2"))
+      val a = g.select($"n",
+        ($"s11" + lit(RidgeLambda)).cast("double").as("a11"),
+        $"s12".cast("double").as("a12"), $"s1".cast("double").as("a13"),
+        $"s12".cast("double").as("a21"),
+        ($"s22" + lit(RidgeLambda)).cast("double").as("a22"),
+        $"s2".cast("double").as("a23"),
+        $"s1".cast("double").as("a31"), $"s2".cast("double").as("a32"),
+        $"n".cast("double").as("a33"),
+        $"sy1".cast("double").as("b1"), $"sy2".cast("double").as("b2"),
+        $"sy".cast("double").as("b3"))
+      val sol = a
+        .withColumn("det", det3($"a11", $"a12", $"a13",
+          $"a21", $"a22", $"a23", $"a31", $"a32", $"a33"))
+        .withColumn("w1", det3($"b1", $"a12", $"a13",
+          $"b2", $"a22", $"a23", $"b3", $"a32", $"a33") / $"det")
+        .withColumn("w2", det3($"a11", $"b1", $"a13",
+          $"a21", $"b2", $"a23", $"a31", $"b3", $"a33") / $"det")
+        .withColumn("w0", det3($"a11", $"a12", $"b1",
+          $"a21", $"a22", $"b2", $"a31", $"a32", $"b3") / $"det")
+        .select($"n", $"w1", $"w2", $"w0")
+      z.crossJoin(broadcast(sol))
+        .withColumn("yhat",
+          $"w1" * $"z1".cast("double") + $"w2" * $"z2".cast("double") + $"w0")
+        .withColumn("se_e6",
+          round(($"y" - $"yhat") * ($"y" - $"yhat") * 1e6, 0).cast("long"))
+        .groupBy($"n", $"w1", $"w2", $"w0")
+        .agg(sum($"se_e6").as("sse_e6"))
+        .select($"n",
+          round($"w1" * 1e6, 6).as("w1_x"),
+          round($"w2" * 1e6, 6).as("w2_x"),
+          round($"w0", 6).as("intercept"),
+          round($"sse_e6" / 1e6 / $"n", 6).as("mse"))
     }),
   )
 
@@ -1484,5 +1552,63 @@ object MLOps {
          |SELECT topic, ROUND(AVG(npmi), 6) AS npmi_coherence,
          |  COUNT(*) AS n_pairs
          |FROM v GROUP BY topic ORDER BY topic""".stripMargin,
+    "ml_ridge_probe" -> {
+      def det(a11: String, a12: String, a13: String,
+              a21: String, a22: String, a23: String,
+              a31: String, a32: String, a33: String): String =
+        s"$a11 * ($a22 * $a33 - $a23 * $a32) - " +
+          s"$a12 * ($a21 * $a33 - $a23 * $a31) + " +
+          s"$a13 * ($a21 * $a32 - $a22 * $a31)"
+      s"""WITH z AS (
+         |  SELECT
+         |    CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1e6, 0) AS BIGINT)
+         |      AS z1,
+         |    CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1e6, 0) AS BIGINT)
+         |      AS z2,
+         |    CAST(label AS BIGINT) AS y
+         |  FROM embeddings),
+         |g AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(z1) AS BIGINT) AS s1, CAST(SUM(z2) AS BIGINT) AS s2,
+         |    CAST(SUM(z1 * z1) AS BIGINT) AS s11,
+         |    CAST(SUM(z1 * z2) AS BIGINT) AS s12,
+         |    CAST(SUM(z2 * z2) AS BIGINT) AS s22,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(z1 * y) AS BIGINT) AS sy1,
+         |    CAST(SUM(z2 * y) AS BIGINT) AS sy2
+         |  FROM z),
+         |a AS (
+         |  SELECT n,
+         |    CAST(s11 + $RidgeLambda AS DOUBLE) AS a11,
+         |    CAST(s12 AS DOUBLE) AS a12, CAST(s1 AS DOUBLE) AS a13,
+         |    CAST(s12 AS DOUBLE) AS a21,
+         |    CAST(s22 + $RidgeLambda AS DOUBLE) AS a22,
+         |    CAST(s2 AS DOUBLE) AS a23,
+         |    CAST(s1 AS DOUBLE) AS a31, CAST(s2 AS DOUBLE) AS a32,
+         |    CAST(n AS DOUBLE) AS a33,
+         |    CAST(sy1 AS DOUBLE) AS b1, CAST(sy2 AS DOUBLE) AS b2,
+         |    CAST(sy AS DOUBLE) AS b3
+         |  FROM g),
+         |sol AS (
+         |  SELECT n,
+         |    (${det("b1", "a12", "a13", "b2", "a22", "a23", "b3", "a32", "a33")})
+         |      / (${det("a11", "a12", "a13", "a21", "a22", "a23", "a31", "a32", "a33")}) AS w1,
+         |    (${det("a11", "b1", "a13", "a21", "b2", "a23", "a31", "b3", "a33")})
+         |      / (${det("a11", "a12", "a13", "a21", "a22", "a23", "a31", "a32", "a33")}) AS w2,
+         |    (${det("a11", "a12", "b1", "a21", "a22", "b2", "a31", "a32", "b3")})
+         |      / (${det("a11", "a12", "a13", "a21", "a22", "a23", "a31", "a32", "a33")}) AS w0
+         |  FROM a),
+         |f AS (
+         |  SELECT sol.n, sol.w1, sol.w2, sol.w0,
+         |    CAST(ROUND((y - (w1 * CAST(z1 AS DOUBLE) + w2 * CAST(z2 AS DOUBLE)
+         |        + w0))
+         |      * (y - (w1 * CAST(z1 AS DOUBLE) + w2 * CAST(z2 AS DOUBLE) + w0))
+         |      * 1e6, 0) AS BIGINT) AS se_e6
+         |  FROM z CROSS JOIN sol)
+         |SELECT n, ROUND(w1 * 1e6, 6) AS w1_x, ROUND(w2 * 1e6, 6) AS w2_x,
+         |  ROUND(w0, 6) AS intercept,
+         |  ROUND(CAST(SUM(se_e6) AS BIGINT) / 1e6 / n, 6) AS mse
+         |FROM f GROUP BY n, w1, w2, w0""".stripMargin
+    },
   )
 }

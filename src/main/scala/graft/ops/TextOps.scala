@@ -1732,6 +1732,59 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // Curriculum phases (curriculum learning for LLM pretraining): order
+    // the corpus by the quality score and cut it into 4 equal-depth
+    // phases (lowest-quality first — the "easy-to-hard" schedule is a
+    // config choice; the MACHINERY is the exact global quantile). The
+    // global rank uses the bounded-bin device (quality quantizes into
+    // ≤ 101 centi-bins, so the only unpartitioned window runs over the
+    // ≤ 101-row bin table; ranks within a bin tie-break on doc_id) — no
+    // corpus-sized single-partition sort at any scale.
+    "corpus_curriculum_phases" -> ((s, d) => {
+      import s.implicits._
+      val q = queries("text_quality")(s, d).select($"doc_id", $"n_tok", $"quality")
+      val binned = q.withColumn("bin", floor($"quality" * 100).cast("long"))
+      val bc = binned.groupBy($"bin").agg(count(lit(1)).as("c"))
+      val wb = Window.orderBy($"bin").rowsBetween(Window.unboundedPreceding, -1)
+      val off = bc
+        .withColumn("off", coalesce(sum($"c").over(wb), lit(0L)))
+        .crossJoin(broadcast(bc.agg(sum($"c").as("n"))))
+        .select($"bin", $"off", $"n")
+      val wIn = Window.partitionBy($"bin").orderBy($"quality", $"doc_id")
+      val ranked = binned.join(broadcast(off), "bin")
+        .withColumn("rn", $"off" + row_number().over(wIn))
+      val sz = floor($"n" / 4)
+      val r = $"n" % 4
+      val phase = when($"rn" <= r * (sz + 1),
+          floor(($"rn" - 1) / (sz + 1)) + 1)
+        .otherwise(r + floor(($"rn" - r * (sz + 1) - 1) /
+          greatest(sz, lit(1L))) + 1)
+      ranked.withColumn("phase", phase.cast("int"))
+        .groupBy($"phase")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("tokens"),
+          round(min($"quality"), 6).as("q_lo"),
+          round(max($"quality"), 6).as("q_hi"))
+        .orderBy("phase")
+    }),
+
+    // Broadcast multi-keyword tagging (the FlashText/Aho-Corasick shape
+    // at catalog scale): a pinned taxonomy broadcasts to every executor;
+    // each doc reports which taxonomy terms it contains and how often —
+    // map-only, no shuffle until the per-tag rollup. The report is the
+    // per-tag document reach + hit volume a labeling pass emits.
+    "text_keyword_tag" -> ((s, d) => {
+      import s.implicits._
+      val taxCol = array(KeywordTaxonomy.map(lit): _*)
+      documents(s, d)
+        .withColumn("toks", tokens($"text"))
+        .select($"doc_id", explode(array_intersect($"toks", taxCol)).as("tag"),
+          $"toks")
+        .withColumn("hits", size(filter($"toks", t => t === $"tag")))
+        .groupBy($"tag")
+        .agg(count(lit(1)).as("n_docs"), sum($"hits").as("n_hits"))
+        .orderBy("tag")
+    }),
+
     // Token-distribution drift monitor — KL(source ‖ corpus) per source,
     // the data-quality alarm a continuously-ingesting pipeline needs (a
     // source whose unigram distribution drifts from the corpus signals
@@ -1767,6 +1820,31 @@ object TextOps {
   private val swList = Lexicons.stopwordsEnSqlList
   private val lexVals = Lexicons.vaderSqlValues
   private val langVals = Lexicons.langSqlValues
+
+  /** Pinned tag taxonomy for text_keyword_tag — shared with its oracle. */
+  val KeywordTaxonomy: Seq[String] =
+    Seq("data", "filter", "join", "query", "sort", "spark", "stream", "window")
+
+  /** Per-doc quality-score CTE chain (text_quality's exact arithmetic),
+    * shared by the text_quality oracle and every oracle that consumes the
+    * score downstream (curriculum phases) — one definition, zero drift.
+    * Exposes `qq(doc_id, n_tok, avg_len, stop_ratio, ttr, quality)`.
+    */
+  private lazy val qualityCteSql =
+    s"""t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |q AS (
+       |  SELECT doc_id, len(toks) AS n_tok,
+       |    CAST(list_reduce(list_prepend(0, list_transform(toks, x -> len(x))),
+       |      (a, b) -> a + b) AS DOUBLE) / len(toks) AS avg_len,
+       |    CAST(len(list_filter(toks, x -> list_contains($swList, x))) AS DOUBLE)
+       |      / len(toks) AS stop_ratio,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+       |  FROM t),
+       |qq AS (
+       |  SELECT doc_id, n_tok, avg_len, stop_ratio, ttr,
+       |    ROUND(0.4 * LEAST(n_tok / 100.0, 1.0) + 0.3 * (1.0 - stop_ratio)
+       |      + 0.3 * ttr, 6) AS quality
+       |  FROM q)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "f_text_clean" ->
@@ -1859,20 +1937,10 @@ object TextOps {
          |LEFT JOIN ntok n ON d.doc_id = n.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "text_quality" ->
-      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
-         |q AS (
-         |  SELECT doc_id, len(toks) AS n_tok,
-         |    CAST(list_reduce(list_prepend(0, list_transform(toks, x -> len(x))),
-         |      (a, b) -> a + b) AS DOUBLE) / len(toks) AS avg_len,
-         |    CAST(len(list_filter(toks, x -> list_contains($swList, x))) AS DOUBLE)
-         |      / len(toks) AS stop_ratio,
-         |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
-         |  FROM t)
+      s"""WITH $qualityCteSql
          |SELECT doc_id, n_tok, ROUND(avg_len, 6) AS avg_len,
-         |  ROUND(stop_ratio, 6) AS stop_ratio, ROUND(ttr, 6) AS ttr,
-         |  ROUND(0.4 * LEAST(n_tok / 100.0, 1.0) + 0.3 * (1.0 - stop_ratio)
-         |    + 0.3 * ttr, 6) AS quality
-         |FROM q ORDER BY doc_id""".stripMargin,
+         |  ROUND(stop_ratio, 6) AS stop_ratio, ROUND(ttr, 6) AS ttr, quality
+         |FROM qq ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       s"""SELECT doc_id, len($tokensSql) AS ws_tokens,
          |  len(regexp_extract_all(text, '[a-zA-Z]+|\\d|[^\\sa-zA-Z\\d]')) AS bpe_tokens
@@ -2583,6 +2651,35 @@ object TextOps {
          |  FROM tok LEFT JOIN v ON tok.word = v.word
          |  GROUP BY 1)
          |ORDER BY source""".stripMargin,
+    "corpus_curriculum_phases" ->
+      s"""WITH $qualityCteSql,
+         |r AS (
+         |  SELECT doc_id, n_tok, quality,
+         |    row_number() OVER (ORDER BY quality, doc_id) AS rn,
+         |    COUNT(*) OVER () AS n
+         |  FROM qq),
+         |p AS (
+         |  SELECT *, CAST(CASE WHEN rn <= (n % 4) * (n // 4 + 1)
+         |    THEN (rn - 1) // (n // 4 + 1) + 1
+         |    ELSE (n % 4) + (rn - (n % 4) * (n // 4 + 1) - 1)
+         |         // GREATEST(n // 4, 1) + 1 END AS INT) AS phase
+         |  FROM r)
+         |SELECT phase, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens,
+         |  ROUND(MIN(quality), 6) AS q_lo, ROUND(MAX(quality), 6) AS q_hi
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_keyword_tag" -> {
+      val taxList = KeywordTaxonomy.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |e AS (
+         |  SELECT doc_id, tag,
+         |    len(list_filter(toks, x -> x = tag)) AS hits
+         |  FROM (
+         |    SELECT doc_id, toks,
+         |      unnest(list_distinct(list_intersect(toks, $taxList))) AS tag
+         |    FROM t))
+         |SELECT tag, COUNT(*) AS n_docs, CAST(SUM(hits) AS BIGINT) AS n_hits
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "text_drift_kl" ->
       s"""WITH tok AS (
          |  SELECT source, unnest($tokensSql) AS word FROM documents),

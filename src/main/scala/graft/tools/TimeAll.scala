@@ -5,11 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Dev diagnostic: time EVERY SparkEntry query once (cold, cleared state)
   * at the given sfDir and print a sorted table — finds scale-killers
   * hiding outside the stable bench set.
-  * Usage: runMain graft.tools.TimeAll [sfDir]
+  * Usage: runMain graft.tools.TimeAll [sfDir] [nameRegex]
   */
 object TimeAll {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val nameFilter = if (args.length > 1) args(1) else ".*"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,7 +19,8 @@ object TimeAll {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val times = graft.SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val times = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter(_.matches(nameFilter)).map { name =>
       graft.ops.DedupOps.clear()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

@@ -137,4 +137,17 @@ class GraphSpec extends SparkSpec {
     val hbTop3 = hb.sortBy(-_._2).take(3).map(_._1).toSet
     assert(hbTop3.contains(exTop), s"$exTop not in HyperBall top-3 $hbTop3")
   }
+
+  test("LPA labels every nation and communities coarsen the id partition") {
+    val rows = SparkEntry.queries("graph_lpa_communities")(spark, sf)
+      .as[(String, Long)].collect()
+    assert(rows.length == 25)
+    assert(rows.map(_._1).distinct.length == 25)
+    val communities = rows.map(_._2).distinct
+    // labels are node ids, and propagation must have merged SOME nodes
+    // (the trade core is densely connected)
+    assert(communities.forall(c => c >= 0 && c <= 24))
+    assert(communities.length < 25, "no label propagated at all")
+    assert(communities.nonEmpty)
+  }
 }

@@ -165,4 +165,40 @@ class MLSpec extends SparkSpec {
     assert(emRows.length == graft.ops.MLOps.EmK
       && emRows.forall(_.getLong(2) == 10))
   }
+
+  test("ridge probe solves the same normal equations as a local replay") {
+    val row = SparkEntry.queries("ml_ridge_probe")(spark, sf).collect().head
+    val (n, w1x, w2x, w0, mse) = (row.getLong(0), row.getDouble(1),
+      row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(mse >= 0.0)
+    // local replay: same micro-quantized features, same Cramer solve
+    val zs = graft.ops.Tables.embeddings(spark, sf)
+      .select($"embedding", $"label").collect().map { r =>
+        val e = r.getSeq[Float](0)
+        def q(x: Double): Long =
+          BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+            .toLongExact
+        (q(e(0).toDouble), q(e(1).toDouble), r.getInt(1).toLong)
+      }
+    assert(zs.length.toLong == n)
+    val lam = graft.ops.MLOps.RidgeLambda
+    val (s1, s2) = (zs.map(_._1).sum, zs.map(_._2).sum)
+    val (s11, s12, s22) = (zs.map(z => z._1 * z._1).sum,
+      zs.map(z => z._1 * z._2).sum, zs.map(z => z._2 * z._2).sum)
+    val (sy, sy1, sy2) = (zs.map(_._3).sum,
+      zs.map(z => z._1 * z._3).sum, zs.map(z => z._2 * z._3).sum)
+    def det(a: Array[Double]): Double =
+      a(0) * (a(4) * a(8) - a(5) * a(7)) -
+        a(1) * (a(3) * a(8) - a(5) * a(6)) +
+        a(2) * (a(3) * a(7) - a(4) * a(6))
+    val A = Array[Double](s11 + lam, s12, s1, s12, s22 + lam, s2, s1, s2, n)
+    val b = Array[Double](sy1, sy2, sy)
+    val d0 = det(A)
+    val lw1 = det(Array(b(0), A(1), A(2), b(1), A(4), A(5), b(2), A(7), A(8))) / d0
+    val lw2 = det(Array(A(0), b(0), A(2), A(3), b(1), A(5), A(6), b(2), A(8))) / d0
+    val lw0 = det(Array(A(0), A(1), b(0), A(3), A(4), b(1), A(6), A(7), b(2))) / d0
+    assert(math.abs(w1x - lw1 * 1e6) < 1e-5, s"w1 $w1x vs ${lw1 * 1e6}")
+    assert(math.abs(w2x - lw2 * 1e6) < 1e-5, s"w2 $w2x vs ${lw2 * 1e6}")
+    assert(math.abs(w0 - lw0) < 1e-5, s"w0 $w0 vs $lw0")
+  }
 }

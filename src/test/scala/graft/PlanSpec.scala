@@ -93,6 +93,9 @@ class PlanSpec extends SparkSpec {
     "agg_incremental_merge",                         // 1-row max-day broadcast
     "text_drift_kl",                                 // 1-row corpus-total broadcast
     "profile_key_skew",                              // 1-row stats broadcast
+    "corpus_curriculum_phases",                      // 1-row corpus-count broadcast
+    "a_chi2_daily_mix",                              // 1-row total broadcast
+    "ml_ridge_probe",                                // 1-row solved-weights broadcast
   )
 
   test("no unintended cartesian or nested-loop joins across the suite") {

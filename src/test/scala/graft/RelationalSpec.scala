@@ -104,7 +104,10 @@ class RelationalSpec extends SparkSpec {
       "agg_incremental_merge", "w_sessionize_gap",
       "scd2_status_history", "text_drift_kl",
       "a_cube_type_day", "a6b_unpivot_long", "profile_key_skew",
-      "text_oov_rate", "dedup_source_overlap").foreach { name =>
+      "text_oov_rate", "dedup_source_overlap",
+      "corpus_curriculum_phases", "text_keyword_tag",
+      "a_chi2_daily_mix", "graph_lpa_communities",
+      "ml_ridge_probe").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -263,6 +266,18 @@ class RelationalSpec extends SparkSpec {
     val nDays = graft.ops.Tables.events(spark, sf)
       .select(to_date($"ts")).distinct().count()
     assert(long.length == nDays * graft.ops.Aggregates.EventTypes.length)
+  }
+
+  test("daily chi2 mix is nonnegative and accounts for every event") {
+    val rows = SparkEntry.queries("a_chi2_daily_mix")(spark, sf)
+      .select($"n_events", $"n_cells", $"chi2").as[(Long, Long, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).sum == graft.ops.Tables.events(spark, sf).count())
+    rows.foreach { case (_, nCells, chi2) =>
+      assert(nCells >= 1 && nCells <= 5)
+      assert(chi2 >= 0.0)
+    }
   }
 
   test("key-skew profile: shares within 100%, heaviest key above the mean") {

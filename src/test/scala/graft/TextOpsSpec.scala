@@ -415,4 +415,38 @@ class TextOpsSpec extends SparkSpec {
     val totOov = rows.map(_._3).sum
     assert(totOov < totTok / 2, s"OOV mass $totOov of $totTok")
   }
+
+  test("curriculum phases are equal-depth, exhaustive, and quality-ordered") {
+    val rows = SparkEntry.queries("corpus_curriculum_phases")(spark, sf)
+      .as[(Int, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    val nDocs = graft.ops.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == nDocs)
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1, "not equal depth")
+    // phases ascend in quality; boundaries may share one tied score
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 <= b._4 + 1e-9,
+        s"phase ${a._1} hi ${a._5} > phase ${b._1} lo ${b._4}")
+      case _ =>
+    }
+  }
+
+  test("keyword tags cover only taxonomy terms with hits >= doc reach") {
+    val rows = SparkEntry.queries("text_keyword_tag")(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val tax = graft.ops.TextOps.KeywordTaxonomy.toSet
+    rows.foreach { case (tag, nDocs, nHits) =>
+      assert(tax.contains(tag), s"tag $tag not in taxonomy")
+      assert(nHits >= nDocs && nDocs > 0)
+    }
+    // exact recompute for one tag
+    val tag0 = rows.head._1
+    val docs = graft.ops.Tables.documents(spark, sf)
+      .select($"text").as[String].collect()
+      .map(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val withTag = docs.filter(_.contains(tag0))
+    assert(withTag.length.toLong == rows.head._2)
+    assert(withTag.map(_.count(_ == tag0).toLong).sum == rows.head._3)
+  }
 }
