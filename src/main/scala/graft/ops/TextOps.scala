@@ -1732,6 +1732,32 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // Per-doc character entropy (the Shannon-entropy quality heuristic
+    // CCNet/Gopher-style filters use to catch mojibake, binary spill,
+    // and repeated-character spam). Computed ENTIRELY map-side as a HOF
+    // fold over the bounded per-doc alphabet — O(|alphabet|·len) per doc
+    // with NO explode shuffle (a char-level explode would be a
+    // len(text)× row blowup at 100 TB; the fold keeps the char
+    // histogram inside the row). Per-char terms micro-quantize so the
+    // per-doc sum is engine-exact.
+    "text_char_entropy" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .withColumn("chars",
+          filter(split(lower($"text"), ""), c => c =!= ""))
+        .withColumn("n", size($"chars"))
+        .withColumn("ent_e9",
+          aggregate(array_distinct($"chars"), lit(0L), (acc, c) => {
+            val cnt = size(filter($"chars", x => x === c))
+            val p = cnt / $"n"
+            acc + round(-p * log(p) * lit(1e9), 0).cast("long")
+          }))
+        .select($"doc_id", $"n".cast("long").as("n_chars"),
+          size(array_distinct($"chars")).cast("long").as("n_alphabet"),
+          $"ent_e9", round($"ent_e9" / 1e9, 6).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // Curriculum phases (curriculum learning for LLM pretraining): order
     // the corpus by the quality score and cut it into 4 equal-depth
     // phases (lowest-quality first — the "easy-to-hard" schedule is a
@@ -2651,6 +2677,25 @@ object TextOps {
          |  FROM tok LEFT JOIN v ON tok.word = v.word
          |  GROUP BY 1)
          |ORDER BY source""".stripMargin,
+    "text_char_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ''), c -> c <> '') AS chars
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, len(chars) AS n,
+        |    len(list_distinct(chars)) AS n_alphabet,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_distinct(chars), c ->
+        |        CAST(ROUND(-(len(list_filter(chars, x -> x = c)) / len(chars))
+        |          * ln(len(list_filter(chars, x -> x = c)) / len(chars))
+        |          * 1e9, 0) AS BIGINT))),
+        |      (a, b) -> a + b) AS BIGINT) AS ent_e9
+        |  FROM t)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |  CAST(n_alphabet AS BIGINT) AS n_alphabet, ent_e9,
+        |  ROUND(ent_e9 / 1e9, 6) AS entropy
+        |FROM e ORDER BY doc_id""".stripMargin,
     "corpus_curriculum_phases" ->
       s"""WITH $qualityCteSql,
          |r AS (

@@ -107,7 +107,7 @@ class RelationalSpec extends SparkSpec {
       "text_oov_rate", "dedup_source_overlap",
       "corpus_curriculum_phases", "text_keyword_tag",
       "a_chi2_daily_mix", "graph_lpa_communities",
-      "ml_ridge_probe").foreach { name =>
+      "ml_ridge_probe", "text_char_entropy").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq

@@ -416,6 +416,30 @@ class TextOpsSpec extends SparkSpec {
     assert(totOov < totTok / 2, s"OOV mass $totOov of $totTok")
   }
 
+  test("char entropy matches a local recompute and sits in [0, log2|A|]") {
+    val rows = SparkEntry.queries("text_char_entropy")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, alpha, _, ent) =>
+      assert(n > 0 && alpha > 0, s"doc $id")
+      // ln-based entropy is bounded by ln of the alphabet size
+      assert(ent >= 0.0 && ent <= math.log(alpha.toDouble) + 1e-6,
+        s"doc $id: entropy $ent vs ln($alpha)")
+    }
+    // exact integer recompute for the first doc, same quantization
+    val (id0, _, _, ent0, _) = rows.minBy(_._1)
+    val text = graft.ops.Tables.documents(spark, sf)
+      .filter($"doc_id" === id0).select($"text").as[String].collect().head
+    val chars = text.toLowerCase.split("").filter(_.nonEmpty)
+    val n = chars.length.toDouble
+    val local = chars.distinct.map { c =>
+      val p = chars.count(_ == c) / n
+      BigDecimal(-p * math.log(p) * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    }.sum
+    assert(ent0 == local, s"doc $id0: engine $ent0 vs local $local")
+  }
+
   test("curriculum phases are equal-depth, exhaustive, and quality-ordered") {
     val rows = SparkEntry.queries("corpus_curriculum_phases")(spark, sf)
       .as[(Int, Long, Long, Double, Double)].collect().sortBy(_._1)
