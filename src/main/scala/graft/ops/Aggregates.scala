@@ -391,6 +391,34 @@ object Aggregates {
         .orderBy("event_id")
     }),
 
+    // Forward as-of join — for each purchase, the EARLIEST view at or
+    // after it (time-to-next-engagement; the mirror of the backward
+    // as-of above). Same composed-builtins device run in reverse: union
+    // the streams, one (user) shuffle, last non-null view ts over the
+    // DESCENDING-time frame that excludes the current row's own side —
+    // never a range-condition nested loop. Oracle = DuckDB's native
+    // forward ASOF (p.ts <= v.ts), so both directions of the operator
+    // are differentially pinned against an independent implementation.
+    "asof_join_next_view" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val tagged = ev
+        .filter($"event_type".isin("purchase", "view"))
+        .select($"event_id", $"user_id", $"ts", $"event_type",
+          when($"event_type" === "view", $"ts").as("vts"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"event_type".desc, $"event_id".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("next_view_ts", last($"vts", ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts",
+          $"next_view_ts".as("view_ts"),
+          (unix_timestamp($"next_view_ts") - unix_timestamp($"ts"))
+            .as("secs_to_view"))
+        .orderBy("event_id")
+    }),
+
     // Exact interpolated percentiles WITHOUT per-group value buffering.
     // Spark's `percentile` aggregate holds every value of a group in one
     // reducer buffer — with 5 event types that is 5 tasks each buffering
@@ -1248,6 +1276,17 @@ object Aggregates {
         |    - CAST(floor(epoch(c.click_ts)) AS BIGINT) AS secs_since_click
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY event_id""".stripMargin,
+    "asof_join_next_view" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts, v.view_ts,
+        |  CAST(floor(epoch(v.view_ts)) AS BIGINT)
+        |    - CAST(floor(epoch(p.ts)) AS BIGINT) AS secs_to_view
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts <= v.view_ts
         |ORDER BY event_id""".stripMargin,
     "a_percentiles" ->
       """SELECT event_type,

@@ -325,6 +325,32 @@ object DedupOps {
       jaccardPairs(s, e, sizes, 0.8)
     }),
 
+    // DIRECTIONAL containment (Broder's containment coefficient
+    // |A∩B|/|A|): catches quote-expansion / syndication near-dups where
+    // a short doc is swallowed by a longer one — pairs symmetric Jaccard
+    // structurally misses (|A∩B|/|A∪B| shrinks as B grows; |A∩B|/|A|
+    // does not). Shares the exact-verifier posture of ngram_jaccard:
+    // candidates come from shared shingles, so it's the recall oracle
+    // for the LSH paths, not a corpus-wide pass. Both directions of an
+    // asymmetric pair emit independently; jaccard rides along to show
+    // the gap.
+    "dedup_containment" -> ((s, d) => {
+      import s.implicits._
+      val (e, sizes) = explodedShingles(s, d)
+      e.toDF("d1", "sh").join(e.toDF("d2", "sh"), "sh")
+        .filter($"d1" =!= $"d2")
+        .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
+        .join(sizes.toDF("d1", "s1"), "d1")
+        .join(sizes.toDF("d2", "s2"), "d2")
+        .withColumn("containment", round($"inter" / $"s1", 6))
+        .withColumn("jaccard",
+          round($"inter" / ($"s1" + $"s2" - $"inter"), 6))
+        .filter($"containment" >= 0.9)
+        .select($"d1", $"d2", $"inter", $"s1", $"s2",
+          $"containment", $"jaccard")
+        .orderBy("d1", "d2")
+    }),
+
     // PPJoin-family prefix-filtered EXACT similarity join (Chaudhuri et
     // al. SSJoin / Bayardo et al. All-Pairs / Xiao et al. PPJoin): same
     // result as dedup_ngram_jaccard — it shares that oracle — but the
@@ -1129,6 +1155,21 @@ object DedupOps {
         |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"WITH $shingleCte,\n$jaccardSql",
+    "dedup_containment" ->
+      s"""WITH $shingleCte,
+         |pr AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |jc AS (
+         |  SELECT d1, d2, inter, z1.sz AS s1, z2.sz AS s2,
+         |    ROUND(inter / z1.sz, 6) AS containment,
+         |    ROUND(inter / (z1.sz + z2.sz - inter), 6) AS jaccard
+         |  FROM pr
+         |  JOIN sz z1 ON d1 = z1.doc_id
+         |  JOIN sz z2 ON d2 = z2.doc_id)
+         |SELECT d1, d2, inter, s1, s2, containment, jaccard
+         |FROM jc WHERE containment >= 0.9 ORDER BY d1, d2""".stripMargin,
     // prefix filtering is lossless at the declared threshold, so the
     // full-index twin is the oracle for the PPJoin-style path too
     "dedup_prefix_filter" ->

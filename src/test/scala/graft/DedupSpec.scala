@@ -337,6 +337,24 @@ class DedupSpec extends SparkSpec {
     assert(rows.length == (docs / 4).toInt)
   }
 
+  test("containment dominates Jaccard and flags the asymmetric near-dups") {
+    val rows = SparkEntry.queries("dedup_containment")(spark, sf)
+      .as[(Long, Long, Long, Int, Int, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (d1, d2, inter, s1, s2, cont, jac) =>
+      assert(d1 != d2)
+      assert(inter <= math.min(s1, s2), s"($d1,$d2)")
+      assert(cont >= 0.9 && cont <= 1.0 + 1e-9)
+      assert(jac <= cont + 1e-9, s"($d1,$d2): jaccard $jac > containment $cont")
+    }
+    // the coefficient is genuinely directional on this corpus: some pair
+    // strictly beats its jaccard (s1 < s2 somewhere), and at least one
+    // flagged direction has an unflagged reverse (containment(B→A) < 0.9)
+    assert(rows.exists(r => r._6 > r._7 + 1e-9), "containment == jaccard everywhere")
+    val mutual = rows.count(r => rows.exists(o => o._1 == r._2 && o._2 == r._1))
+    assert(mutual < rows.length, "no one-directional containment pair found")
+  }
+
   test("source-overlap matrix is a valid Jaccard over unordered pairs") {
     val rows = SparkEntry.queries("dedup_source_overlap")(spark, sf)
       .as[(String, String, Long, Double)].collect()

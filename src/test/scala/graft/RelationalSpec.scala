@@ -107,7 +107,8 @@ class RelationalSpec extends SparkSpec {
       "text_oov_rate", "dedup_source_overlap",
       "corpus_curriculum_phases", "text_keyword_tag",
       "a_chi2_daily_mix", "graph_lpa_communities",
-      "ml_ridge_probe", "text_char_entropy").foreach { name =>
+      "ml_ridge_probe", "text_char_entropy",
+      "asof_join_next_view", "dedup_containment").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -266,6 +267,30 @@ class RelationalSpec extends SparkSpec {
     val nDays = graft.ops.Tables.events(spark, sf)
       .select(to_date($"ts")).distinct().count()
     assert(long.length == nDays * graft.ops.Aggregates.EventTypes.length)
+  }
+
+  test("forward as-of join finds the true earliest later view per purchase") {
+    val rows = SparkEntry.queries("asof_join_next_view")(spark, sf)
+      .select($"event_id", $"user_id", $"ts", $"view_ts")
+      .as[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect()
+    val nPurch = graft.ops.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase").count()
+    assert(rows.length.toLong == nPurch)
+    val views = graft.ops.Tables.events(spark, sf)
+      .filter($"event_type" === "view")
+      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2.getTime).sorted).toMap
+    rows.foreach { case (id, u, ts, vo) =>
+      val later = views.getOrElse(u, Array.empty[Long]).filter(_ >= ts.getTime)
+      vo match {
+        case Some(v) =>
+          assert(later.nonEmpty && v.getTime == later.head,
+            s"purchase $id: got ${vo.map(_.getTime)}, want ${later.headOption}")
+        case None =>
+          assert(later.isEmpty, s"purchase $id: missed view ${later.headOption}")
+      }
+    }
   }
 
   test("daily chi2 mix is nonnegative and accounts for every event") {
