@@ -436,7 +436,13 @@ object SimilarityOps {
           .withColumn("score", lit(Lambda) * $"rel" - lit(1 - Lambda) * $"ms")
           .withColumn("rn", row_number().over(wr)).filter($"rn" === 1)
           .select($"qdoc", $"vec_id", lit(r).as("pick"))
-        sel = sel.union(next)
+        // truncate lineage each round: sel feeds two joins in round r+1
+        // AND is embedded in round r+1's `next`, so an un-checkpointed
+        // union chain re-executes every earlier round's window/joins
+        // multiple times per later round (and re-optimizes the deep plan
+        // on the driver). The checkpointed frame is picks-scale (≤ r·Q
+        // rows) — negligible storage, linear total work.
+        sel = sel.union(next).localCheckpoint(false)
       }
       sel.select($"qdoc".as("query_doc"), $"pick", $"vec_id".as("doc_id"))
         .orderBy("query_doc", "pick")
