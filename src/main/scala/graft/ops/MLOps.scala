@@ -608,6 +608,12 @@ object MLOps {
     */
   val RidgeLambda: Long = 1000000L
 
+  /** PCA power-iteration config (emb_pca_power + oracle): leading
+    * PcaDim dims of the embedding, PcaIters matrix-vector rounds.
+    */
+  val PcaDim = 8
+  val PcaIters = 3
+
   val queries: Map[String, Q] = Map(
     // Distributed k-means, 3 Lloyd iterations over the embeddings table —
     // the coarse-quantizer trainer the ANN/SemDeDup ops reference (their
@@ -954,6 +960,54 @@ object MLOps {
         (name, k, assigned.getLong(0), assigned.getLong(1))
       }.toDF("config", "k", "n_topics_used", "n_docs")
         .orderBy("config")
+    }),
+
+    // Distributed PCA by power iteration — the spectral sibling of the
+    // ridge probe: ONE data pass per moment (mean, then the d² centered
+    // covariance sums — model-scale state, like the Gram matrix), then
+    // PcaIters relational matrix-vector rounds over the d²-row C table
+    // (join on j + partial-aggregated groupBy(i) — each round's shuffle
+    // carries d rows). Normalization is by the max-|component| (valid
+    // for power iteration, and an exact long/long→double ratio — no
+    // order-sensitive L2 sum); per-term products micro-quantize before
+    // every sum, so the whole trajectory — covariance, iterates,
+    // Rayleigh-style eigenvalue — replays exactly in DuckDB. v₀ = 1⃗
+    // fixes the eigenvector sign. At 100 TB: the two data passes
+    // dominate and are map-side; iterations cost nothing.
+    "emb_pca_power" -> ((s, d) => {
+      import s.implicits._
+      val ex = embeddings(s, d)
+        .select($"vec_id",
+          slice(transform($"embedding", x => x.cast("double")), 1, PcaDim)
+            .as("x"))
+        .select($"vec_id", posexplode($"x"))
+        .toDF("vec_id", "i", "xi")
+      val mu = ex.groupBy($"i")
+        .agg(sum(round($"xi" * 1e6, 0).cast("long")).as("zs"),
+          count(lit(1)).as("cnt"))
+        .select($"i", ($"zs" / 1e6 / $"cnt").as("mu"))
+      val cij = ex.join(broadcast(mu), "i")
+        .join(ex.toDF("vec_id", "j", "xj")
+          .join(broadcast(mu.toDF("j", "muj")), "j"), "vec_id")
+        .withColumn("t_e12",
+          round(($"xi" - $"mu") * ($"xj" - $"muj") * 1e12, 0).cast("long"))
+        .groupBy($"i", $"j").agg(sum($"t_e12").as("c"))
+        .localCheckpoint(false)
+      var v = mu.select($"i".as("j"), lit(1.0).as("vj"))
+      var mx: DataFrame = null
+      for (_ <- 1 to PcaIters) {
+        val sdf = cij.join(broadcast(v), "j")
+          .withColumn("t", round($"c" * $"vj" / 1e3, 0).cast("long"))
+          .groupBy($"i").agg(sum($"t").as("s"))
+        mx = sdf.agg(max(abs($"s")).as("m"))
+        v = sdf.crossJoin(broadcast(mx))
+          .select($"i".as("j"), ($"s" / $"m").as("vj"))
+          .localCheckpoint(false)
+      }
+      v.crossJoin(broadcast(mx))
+        .select($"j".as("dim"), round($"vj", 6).as("loading"),
+          round($"m" / 1e9, 6).as("eigenvalue"))
+        .orderBy("dim")
     }),
 
     // Closed-form ridge regression (normal equations) — the distributed
@@ -1552,6 +1606,43 @@ object MLOps {
          |SELECT topic, ROUND(AVG(npmi), 6) AS npmi_coherence,
          |  COUNT(*) AS n_pairs
          |FROM v GROUP BY topic ORDER BY topic""".stripMargin,
+    "emb_pca_power" -> {
+      val rounds = (1 to PcaIters).map { r =>
+        s"""s$r AS (
+           |  SELECT c.i,
+           |    CAST(SUM(CAST(ROUND(c.c * v${r - 1}.vj / 1e3, 0) AS BIGINT))
+           |      AS BIGINT) AS s
+           |  FROM c JOIN v${r - 1} ON c.j = v${r - 1}.j GROUP BY 1),
+           |m$r AS (SELECT MAX(ABS(s)) AS m FROM s$r),
+           |v$r AS (SELECT i AS j, s / m AS vj FROM s$r, m$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH x AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding[1:$PcaDim], e -> CAST(e AS DOUBLE)) AS x
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT vec_id, i, x[i + 1] AS xi
+         |  FROM x, (SELECT unnest(range($PcaDim)) AS i) g),
+         |mu AS (
+         |  SELECT i,
+         |    CAST(SUM(CAST(ROUND(xi * 1e6, 0) AS BIGINT)) AS BIGINT)
+         |      / 1e6 / COUNT(*) AS mu
+         |  FROM ex GROUP BY 1),
+         |c AS (
+         |  SELECT a.i, b.i AS j,
+         |    CAST(SUM(CAST(ROUND((a.xi - m1.mu) * (b.xi - m2.mu) * 1e12, 0)
+         |      AS BIGINT)) AS BIGINT) AS c
+         |  FROM ex a
+         |  JOIN ex b ON a.vec_id = b.vec_id
+         |  JOIN mu m1 ON a.i = m1.i
+         |  JOIN mu m2 ON b.i = m2.i
+         |  GROUP BY 1, 2),
+         |v0 AS (SELECT i AS j, 1.0 AS vj FROM mu),
+         |$rounds
+         |SELECT v$PcaIters.j AS dim, ROUND(v$PcaIters.vj, 6) AS loading,
+         |  ROUND(m$PcaIters.m / 1e9, 6) AS eigenvalue
+         |FROM v$PcaIters, m$PcaIters ORDER BY dim""".stripMargin
+    },
     "ml_ridge_probe" -> {
       def det(a11: String, a12: String, a13: String,
               a21: String, a22: String, a23: String,

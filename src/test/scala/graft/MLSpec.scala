@@ -166,6 +166,39 @@ class MLSpec extends SparkSpec {
       && emRows.forall(_.getLong(2) == 10))
   }
 
+  test("PCA power iteration matches a local quantized replay") {
+    val rows = SparkEntry.queries("emb_pca_power")(spark, sf)
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0 until graft.ops.MLOps.PcaDim))
+    val lam = rows.head._3
+    assert(lam > 0 && rows.forall(_._3 == lam))
+    assert(math.abs(rows.map(r => math.abs(r._2)).max - 1.0) < 1e-9)
+    // local replay with the same per-term quantization
+    def q(x: Double, s: Double): Long =
+      BigDecimal(x * s).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    val xs = graft.ops.Tables.embeddings(spark, sf).select($"embedding")
+      .collect().map(_.getSeq[Float](0).take(graft.ops.MLOps.PcaDim)
+        .map(_.toDouble).toArray)
+    val dDim = graft.ops.MLOps.PcaDim
+    val n = xs.length
+    val mu = (0 until dDim).map(i =>
+      xs.map(x => q(x(i), 1e6)).sum / 1e6 / n).toArray
+    val c = Array.tabulate(dDim, dDim)((i, j) =>
+      xs.map(x => q((x(i) - mu(i)) * (x(j) - mu(j)), 1e12)).sum)
+    var v = Array.fill(dDim)(1.0)
+    var m = 0L
+    for (_ <- 1 to graft.ops.MLOps.PcaIters) {
+      val sArr = (0 until dDim).map(i =>
+        (0 until dDim).map(j => q(c(i)(j) * v(j) / 1e3, 1.0)).sum).toArray
+      m = sArr.map(math.abs).max
+      v = sArr.map(_.toDouble / m)
+    }
+    rows.foreach { case (i, loading, _) =>
+      assert(math.abs(loading - v(i)) < 1e-5, s"dim $i: $loading vs ${v(i)}")
+    }
+    assert(math.abs(lam - m / 1e9) < 1e-5)
+  }
+
   test("ridge probe solves the same normal equations as a local replay") {
     val row = SparkEntry.queries("ml_ridge_probe")(spark, sf).collect().head
     val (n, w1x, w2x, w0, mse) = (row.getLong(0), row.getDouble(1),

@@ -96,6 +96,7 @@ class PlanSpec extends SparkSpec {
     "corpus_curriculum_phases",                      // 1-row corpus-count broadcast
     "a_chi2_daily_mix",                              // 1-row total broadcast
     "ml_ridge_probe",                                // 1-row solved-weights broadcast
+    "emb_pca_power",                                 // 1-row max-|s| broadcast per round
   )
 
   test("no unintended cartesian or nested-loop joins across the suite") {

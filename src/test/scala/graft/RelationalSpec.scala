@@ -108,7 +108,8 @@ class RelationalSpec extends SparkSpec {
       "corpus_curriculum_phases", "text_keyword_tag",
       "a_chi2_daily_mix", "graph_lpa_communities",
       "ml_ridge_probe", "text_char_entropy",
-      "asof_join_next_view", "dedup_containment").foreach { name =>
+      "asof_join_next_view", "dedup_containment",
+      "emb_pca_power").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
