@@ -391,6 +391,55 @@ object Aggregates {
         .orderBy("event_id")
     }),
 
+    // Ranking-family completeness: rank / dense_rank / percent_rank /
+    // cume_dist / nth_value in one per-nation window over order totals
+    // (ties broken by orderkey so every engine agrees row-for-row). One
+    // customer→nation broadcast + one nation-partitioned window — the
+    // window family shares a single shuffle.
+    "w_rank_family" -> ((s, d) => {
+      import s.implicits._
+      val o = orders(s, d)
+        .join(broadcast(customer(s, d)
+          .select($"c_custkey", $"c_nationkey".as("nation"))),
+          $"o_custkey" === $"c_custkey")
+        .select($"nation", $"o_orderkey", $"o_totalprice")
+      val w = Window.partitionBy($"nation")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      o.withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("prank", round(percent_rank().over(w), 6))
+        .withColumn("cdist", round(cume_dist().over(w), 6))
+        .withColumn("third_price",
+          nth_value($"o_totalprice", 3).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter($"rnk" <= 5)
+        .select($"nation", $"rnk", $"drnk", $"prank", $"cdist",
+          $"o_orderkey", $"o_totalprice", $"third_price")
+        .orderBy("nation", "rnk", "o_orderkey")
+    }),
+
+    // RANGE-frame moving window — the 3-day moving average per type
+    // computed with a RANGE (value-based) frame over the day number, so
+    // CALENDAR gaps shrink the window instead of silently pulling in
+    // older rows the way a ROWS frame would. Exact: the frame sums
+    // integer counts; the average divides two exact values.
+    "w_moving_range_3d" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d)
+        .withColumn("day", to_date($"ts"))
+        .groupBy($"day", $"event_type").agg(count(lit(1)).as("n"))
+        .withColumn("dnum", datediff($"day", lit("1970-01-01").cast("date")))
+      val w = Window.partitionBy($"event_type").orderBy($"dnum")
+        .rangeBetween(-2, Window.currentRow)
+      daily
+        .withColumn("n_3d", sum($"n").over(w))
+        .withColumn("days_in_frame", count(lit(1)).over(w))
+        .withColumn("avg_3d", round($"n_3d" / $"days_in_frame", 6))
+        .select($"day", $"event_type", $"n", $"n_3d", $"days_in_frame",
+          $"avg_3d")
+        .orderBy("day", "event_type")
+    }),
+
     // Forward as-of join — for each purchase, the EARLIEST view at or
     // after it (time-to-next-engagement; the mirror of the backward
     // as-of above). Same composed-builtins device run in reverse: union
@@ -1277,6 +1326,45 @@ object Aggregates {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
         |ORDER BY event_id""".stripMargin,
+    "w_rank_family" ->
+      """WITH o AS (
+        |  SELECT c_nationkey AS nation, o_orderkey, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT nation,
+        |    rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk,
+        |    ROUND(percent_rank() OVER w, 6) AS prank,
+        |    ROUND(cume_dist() OVER w, 6) AS cdist,
+        |    o_orderkey, o_totalprice,
+        |    nth_value(o_totalprice, 3) OVER (
+        |      PARTITION BY nation
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS third_price
+        |  FROM o
+        |  WINDOW w AS (PARTITION BY nation
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |SELECT nation, rnk, drnk, prank, cdist, o_orderkey, o_totalprice,
+        |  third_price
+        |FROM r WHERE rnk <= 5
+        |ORDER BY nation, rnk, o_orderkey""".stripMargin,
+    "w_moving_range_3d" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT *, date_diff('day', DATE '1970-01-01', day) AS dnum
+        |  FROM daily)
+        |SELECT day, event_type, n,
+        |  CAST(SUM(n) OVER w AS BIGINT) AS n_3d,
+        |  COUNT(*) OVER w AS days_in_frame,
+        |  ROUND(CAST(SUM(n) OVER w AS BIGINT) * 1.0
+        |    / COUNT(*) OVER w, 6) AS avg_3d
+        |FROM d2
+        |WINDOW w AS (PARTITION BY event_type ORDER BY dnum
+        |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY day, event_type""".stripMargin,
     "asof_join_next_view" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -109,7 +109,8 @@ class RelationalSpec extends SparkSpec {
       "a_chi2_daily_mix", "graph_lpa_communities",
       "ml_ridge_probe", "text_char_entropy",
       "asof_join_next_view", "dedup_containment",
-      "emb_pca_power").foreach { name =>
+      "emb_pca_power", "w_rank_family",
+      "w_moving_range_3d").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
