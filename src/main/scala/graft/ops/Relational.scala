@@ -414,6 +414,40 @@ object Relational {
         .orderBy("day", "event_type")
     }),
 
+    // Small-file compaction (the OPTIMIZE / rewriteDataFiles maintenance
+    // pass every partitioned lake table needs): stage 1 deliberately
+    // fragments the table (round-robin tasks each write into every day
+    // directory — the streaming-ingest fragmentation pattern); stage 2
+    // re-clusters by the partition column so each day lands in exactly
+    // ONE file. The report joins the re-read row counts with a
+    // filesystem listing of the compacted layout (driver-side metadata,
+    // S12 family — at 100 TB this is the table-format manifest, not an
+    // fs walk). n_files is provably 1 per day by the s9b clustering
+    // rule; the before>after fragmentation drop is asserted in the spec.
+    "sink_compaction" -> ((s, d) => {
+      import s.implicits._
+      val smallDir = artifactDir("compact_small", d)
+      val bigDir = artifactDir("compact_big", d)
+      val ev = events(s, d).withColumn("day", to_date($"ts"))
+      ev.repartition(8)
+        .write.mode("overwrite").partitionBy("day").parquet(smallDir)
+      s.read.parquet(smallDir).repartition($"day")
+        .write.mode("overwrite").partitionBy("day").parquet(bigDir)
+      val counts = s.read.parquet(bigDir)
+        .groupBy($"day").agg(count(lit(1)).as("n_rows"))
+      val fileCounts = new java.io.File(bigDir).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("day="))
+        .map { dir =>
+          (dir.getName.stripPrefix("day="),
+            dir.listFiles().count(_.getName.endsWith(".parquet")).toLong)
+        }
+      counts.join(
+          fileCounts.toDF("day_str", "n_files")
+            .select(to_date($"day_str").as("day"), $"n_files"),
+          "day")
+        .orderBy("day")
+    }),
+
     // Z-order clustered layout (the multi-dimensional locality sink —
     // Delta OPTIMIZE ZORDER / Iceberg sort-order territory): interleave
     // the bits of two fixed-domain dims (l_quantity 1..50 → 6 bits,
@@ -883,6 +917,10 @@ object Relational {
         |FROM t ORDER BY doc_id""".stripMargin,
     // (the filter goes through a subselect: DuckDB 1.0 returns 0 rows for
     // CAST(ts_ns AS DATE) IN (...) applied directly in WHERE)
+    "sink_compaction" ->
+      """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_rows,
+        |  CAST(1 AS BIGINT) AS n_files
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "s9b_partitioned_pruning" ->
       """SELECT day, event_type, COUNT(*) AS n
         |FROM (SELECT CAST(ts AS DATE) AS day, event_type FROM events)

@@ -110,7 +110,7 @@ class RelationalSpec extends SparkSpec {
       "ml_ridge_probe", "text_char_entropy",
       "asof_join_next_view", "dedup_containment",
       "emb_pca_power", "w_rank_family",
-      "w_moving_range_3d").foreach { name =>
+      "w_moving_range_3d", "sink_compaction").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -249,6 +249,20 @@ class RelationalSpec extends SparkSpec {
     sess.foreach { case (_, _, st, en, _, dUs) =>
       assert(dUs >= 0 && math.abs((en.getTime - st.getTime) * 1000L - dUs) < 1000)
     }
+  }
+
+  test("compaction collapses the fragmented layout to one file per day") {
+    val rows = SparkEntry.queries("sink_compaction")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(2) == 1L))
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.ops.Tables.events(spark, sf).count())
+    val small = new java.io.File(
+      graft.ops.Tables.artifactDir("compact_small", sf))
+    val smallFiles = small.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(smallFiles > rows.length,
+      s"fragmented layout has only $smallFiles files for ${rows.length} days")
   }
 
   test("cube emits all four grouping sets and they each sum to the total") {
