@@ -445,4 +445,43 @@ class StreamingSpec extends SparkSpec {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("agg state survives a checkpointed restart (exactly-once recovery)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    // (batchId, event_type, running n) rows appended by foreachBatch —
+    // runs on the driver, so a plain buffer is safe
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    def startQuery() = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        df.collect().foreach { r =>
+          buf += ((bid, r.getString(0), r.getLong(1)))
+        }
+        ()
+      }.start()
+    val (b1, b2) = batchEvents.splitAt(batchEvents.length / 2)
+    val q1 = startQuery()
+    try { stream.addData(b1.toSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val committed = buf.map(_._1).toSet
+    assert(committed.nonEmpty)
+    stream.addData(b2.toSeq) // arrives while no query is running
+    val q2 = startQuery()
+    try { q2.processAllAvailable() } finally q2.stop()
+    // recovery, not replay: post-restart batch ids strictly extend the
+    // committed ones (b1 is never reprocessed)
+    val fresh = buf.map(_._1).toSet -- committed
+    assert(fresh.nonEmpty && committed.forall(c => fresh.forall(c < _)))
+    // recovered state + b2 lands on the full-corpus aggregation: the
+    // latest update per type equals the batch groupBy
+    val got = buf.groupBy(_._2).map { case (t, rs) => t -> rs.maxBy(_._1)._3 }
+    val want = batchEvents.groupBy(_._4)
+      .map { case (t, rs) => t -> rs.length.toLong }
+    assert(got == want, s"recovered $got vs batch $want")
+  }
 }
