@@ -86,6 +86,22 @@ object DumpPlans {
         "DoReMi weights: doc-scale score join, one source-level aggregate, integer-quantized tilt + normalization",
       "stream_lsh_incremental" ->
         "Streaming LSH probe (batch twin): per-side band keys, new x old candidate equi-join only — no verify stage, no corpus self-join",
+      "scd2_status_history" ->
+        "SCD2 history: both row_numbers, the run rollup and the version/lead window inside ONE customer-keyed exchange",
+      "agg_incremental_merge" ->
+        "Incremental rollup refresh: state + max-day-delta partials merged by an algebraic groupBy — refresh cost ∝ delta",
+      "w_sessionize_gap" ->
+        "Gap sessionization: lag + running flag-sum islands and the session rollup share a single user-keyed shuffle",
+      "emb_pca_power" ->
+        "Distributed PCA: one-pass d² covariance sums (checkpointed), then per-round d²-row join + partial agg; 1-row max broadcast per round",
+      "corpus_curriculum_phases" ->
+        "Curriculum quartiles: bounded-bin exact rank — the only unpartitioned window runs over the ≤101-row bin table, never the corpus",
+      "dedup_source_overlap" ->
+        "Source-overlap matrix: shingle-keyed self-join with catalog-bounded fan-out, broadcast size marginals",
+      "retrieval_ndcg_eval" ->
+        "nDCG eval: broadcast query side, one corpus top-k pass + one aggregated relevant-pool pass, sequence-exploded ideal gains",
+      "retrieval_mmr_rerank" ->
+        "MMR rerank: checkpointed candidate/pair frames; each greedy round joins only picks-scale state (post round-10 lineage fix)",
     )
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (`explain(\"formatted\")`)\n\n")
