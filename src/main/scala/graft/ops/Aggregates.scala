@@ -391,6 +391,80 @@ object Aggregates {
         .orderBy("event_id")
     }),
 
+    // Welch's t-test between every event-type pair (the A/B-experiment
+    // readout; completes the inference trio with a_bootstrap_ci and
+    // a_chi2_daily_mix). ONE corpus pass accumulates exact integer
+    // (n, Σv, Σv²) per group — micro-quantized, so the 5-row stats
+    // table is bit-identical on any partitioning — then the t statistic
+    // and Welch–Satterthwaite df are fixed-order double expressions
+    // over those integers, evaluated on the tiny pair self-join.
+    "a_ttest_welch" -> ((s, d) => {
+      import s.implicits._
+      // milli (not micro) quantization: the Σv² accumulator must stay in
+      // BIGINT range — vm² ≤ ~3e11 keeps the sum exact far beyond this
+      // corpus (at true 100 TB row counts the accumulator goes DECIMAL)
+      val g = events(s, d)
+        .withColumn("vm", round($"value" * 1e3, 0).cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"vm").as("sv"),
+          sum($"vm" * $"vm").as("ssv"))
+        .withColumn("m", $"sv" / 1e3 / $"n")
+        .withColumn("v",
+          ($"ssv" / 1e6 - ($"sv" / 1e3) * ($"sv" / 1e3) / $"n") / ($"n" - 1))
+      val a = g.select($"event_type".as("type_a"), $"n".as("na"),
+        $"m".as("ma"), $"v".as("va"))
+      val b = g.select($"event_type".as("type_b"), $"n".as("nb"),
+        $"m".as("mb"), $"v".as("vb"))
+      a.join(b, $"type_a" < $"type_b")
+        .withColumn("se2", $"va" / $"na" + $"vb" / $"nb")
+        .withColumn("t", round(($"ma" - $"mb") / sqrt($"se2"), 6))
+        .withColumn("df", round(
+          $"se2" * $"se2" /
+            (($"va" / $"na") * ($"va" / $"na") / ($"na" - 1) +
+              ($"vb" / $"nb") * ($"vb" / $"nb") / ($"nb" - 1)), 6))
+        .select($"type_a", $"type_b", $"na", $"nb",
+          round($"ma", 6).as("mean_a"), round($"mb", 6).as("mean_b"),
+          $"t", $"df")
+        .orderBy("type_a", "type_b")
+    }),
+
+    // Per-group OLS trend line — slope/intercept/r² of the daily event
+    // count against the day number, per type (the "is this metric
+    // drifting" readout). All five moment sums (k, Σx, Σy, Σxy, Σx²,
+    // Σy²) are exact integers from one partial-aggregated pass, so the
+    // closed-form coefficients are fixed double expressions over exact
+    // inputs — a grouped sibling of ml_ridge_probe's normal equations.
+    "w_trend_slope" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d)
+        .withColumn("day", to_date($"ts"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
+        .withColumn("x", datediff($"day", lit("1970-01-01").cast("date"))
+          .cast("long"))
+      daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("k"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+          sum($"y" * $"y").as("syy"))
+        // exact integer sums (< 2^53, so their double images are exact);
+        // all downstream algebra in double — products of the sums would
+        // overflow BIGINT
+        .select($"event_type", $"k",
+          $"k".cast("double").as("kd"), $"sx".cast("double").as("sxd"),
+          $"sy".cast("double").as("syd"), $"sxy".cast("double").as("sxyd"),
+          $"sxx".cast("double").as("sxxd"), $"syy".cast("double").as("syyd"))
+        .withColumn("den", $"kd" * $"sxxd" - $"sxd" * $"sxd")
+        .withColumn("num", $"kd" * $"sxyd" - $"sxd" * $"syd")
+        .withColumn("slope", $"num" / $"den")
+        .withColumn("intercept", ($"syd" - $"slope" * $"sxd") / $"kd")
+        .withColumn("r2",
+          ($"num" * $"num") / ($"den" * ($"kd" * $"syyd" - $"syd" * $"syd")))
+        .select($"event_type", $"k",
+          round($"slope", 6).as("slope"),
+          round($"intercept", 6).as("intercept"),
+          round($"r2", 6).as("r2"))
+        .orderBy("event_type")
+    }),
+
     // Ranking-family completeness: rank / dense_rank / percent_rank /
     // cume_dist / nth_value in one per-nation window over order totals
     // (ties broken by orderkey so every engine agrees row-for-row). One
@@ -1326,6 +1400,62 @@ object Aggregates {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
         |ORDER BY event_id""".stripMargin,
+    "a_ttest_welch" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(vm) AS BIGINT) AS sv,
+        |    CAST(SUM(vm * vm) AS BIGINT) AS ssv
+        |  FROM (SELECT event_type,
+        |          CAST(ROUND(value * 1e3, 0) AS BIGINT) AS vm
+        |        FROM events)
+        |  GROUP BY 1),
+        |st AS (
+        |  SELECT event_type, n, sv / 1e3 / n AS m,
+        |    (ssv / 1e6 - (sv / 1e3) * (sv / 1e3) / n) / (n - 1) AS v
+        |  FROM g),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.n AS na, b.n AS nb, a.m AS ma, b.m AS mb,
+        |    a.v / a.n + b.v / b.n AS se2,
+        |    a.v AS va, b.v AS vb
+        |  FROM st a JOIN st b ON a.event_type < b.event_type)
+        |SELECT type_a, type_b, na, nb,
+        |  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+        |  ROUND((ma - mb) / sqrt(se2), 6) AS t,
+        |  ROUND(se2 * se2 /
+        |    ((va / na) * (va / na) / (na - 1)
+        |      + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS df
+        |FROM p ORDER BY type_a, type_b""".stripMargin,
+    "w_trend_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS x,
+        |    CAST(y AS BIGINT) AS y
+        |  FROM daily),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS kd,
+        |    CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sxd,
+        |    CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS syd,
+        |    CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxyd,
+        |    CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxxd,
+        |    CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syyd
+        |  FROM d2 GROUP BY 1),
+        |c AS (
+        |  SELECT event_type, k,
+        |    kd * sxxd - sxd * sxd AS den,
+        |    kd * sxyd - sxd * syd AS num,
+        |    kd, sxd, syd, syyd
+        |  FROM g)
+        |SELECT event_type, k,
+        |  ROUND(num / den, 6) AS slope,
+        |  ROUND((syd - (num / den) * sxd) / kd, 6) AS intercept,
+        |  ROUND((num * num) / (den * (kd * syyd - syd * syd)), 6) AS r2
+        |FROM c ORDER BY event_type""".stripMargin,
     "w_rank_family" ->
       """WITH o AS (
         |  SELECT c_nationkey AS nation, o_orderkey, o_totalprice

@@ -110,7 +110,8 @@ class RelationalSpec extends SparkSpec {
       "ml_ridge_probe", "text_char_entropy",
       "asof_join_next_view", "dedup_containment",
       "emb_pca_power", "w_rank_family",
-      "w_moving_range_3d", "sink_compaction").foreach { name =>
+      "w_moving_range_3d", "sink_compaction",
+      "a_ttest_welch", "w_trend_slope").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -283,6 +284,42 @@ class RelationalSpec extends SparkSpec {
     val nDays = graft.ops.Tables.events(spark, sf)
       .select(to_date($"ts")).distinct().count()
     assert(long.length == nDays * graft.ops.Aggregates.EventTypes.length)
+  }
+
+  test("Welch t-test: df within the classical bounds, all pairs present") {
+    val rows = SparkEntry.queries("a_ttest_welch")(spark, sf)
+      .select($"na", $"nb", $"t", $"df")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.length == 10) // C(5,2) event-type pairs
+    rows.foreach { case (na, nb, t, df) =>
+      assert(!t.isNaN && !df.isNaN)
+      // Welch–Satterthwaite df is bracketed by min(n)-1 and na+nb-2
+      assert(df >= math.min(na, nb) - 1 - 1e-6 && df <= na + nb - 2 + 1e-6,
+        s"df $df outside [${math.min(na, nb) - 1}, ${na + nb - 2}]")
+    }
+  }
+
+  test("OLS trend matches a local least-squares fit per event type") {
+    val rows = SparkEntry.queries("w_trend_slope")(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.length == 5)
+    val daily = graft.ops.Tables.events(spark, sf)
+      .withColumn("day", to_date($"ts"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
+      .select($"event_type",
+        datediff($"day", lit("1970-01-01").cast("date")).cast("long"), $"y")
+      .as[(String, Long, Long)].collect()
+    rows.foreach { case (t, k, slope, intercept, r2) =>
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"$t r2 $r2")
+      val pts = daily.filter(_._1 == t).map(p => (p._2.toDouble, p._3.toDouble))
+      assert(pts.length.toLong == k)
+      val (n, sx, sy) = (pts.length, pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val ls = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(slope - ls) < 1e-4, s"$t: slope $slope vs $ls")
+      assert(math.abs(intercept - (sy - ls * sx) / n) < 1e-2, s"$t intercept")
+    }
   }
 
   test("forward as-of join finds the true earliest later view per purchase") {
