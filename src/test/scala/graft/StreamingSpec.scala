@@ -446,6 +446,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late data in append mode, keeps in-horizon rows") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(day: Int, hour: Int = 0): Timestamp =
+      Timestamp.valueOf(f"2024-02-$day%02d $hour%02d:00:00")
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val agg = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "1 day")
+      .groupBy(window($"ts", "1 day").as("w"))
+      .agg(count("*").as("n"))
+      .select($"w.start".cast("date").as("day"), $"n")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("t_late").start()
+    try {
+      // batch 1: day 1 + day 3 — watermark advances to day-3 minus 1 day
+      stream.addData(Seq(
+        (1L, ts(1), 1L, "view", 1.0), (2L, ts(1, 6), 1L, "view", 1.0),
+        (3L, ts(3, 12), 1L, "view", 1.0)))
+      q.processAllAvailable()
+      // batch 2: one IN-HORIZON late row (day 2 ≥ watermark day 2 12:00?
+      // no — day 2 18:00 ≥ 2024-02-02 12:00 watermark → kept) and one
+      // HOPELESSLY late row (day 1 again → silently dropped), plus day 5
+      // to push the watermark past days 2-3 and close their windows
+      stream.addData(Seq(
+        (4L, ts(2, 18), 1L, "view", 1.0), // late but within the horizon
+        (5L, ts(1, 1), 1L, "view", 1.0),  // beyond the horizon: dropped
+        (6L, ts(5), 1L, "view", 1.0)))
+      q.processAllAvailable()
+      // batch 3: advance far enough to emit every closed window
+      stream.addData(Seq((7L, ts(9), 1L, "view", 1.0)))
+      q.processAllAvailable()
+      val got = spark.table("t_late")
+        .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+      // day 1 counts ONLY the two on-time rows (the horizon-late third
+      // never lands); day 2's in-horizon late row forms its own window
+      assert(got("2024-02-01") == 2L, s"day1: $got")
+      assert(got("2024-02-02") == 1L, s"day2: $got")
+      assert(got("2024-02-03") == 1L, s"day3: $got")
+    } finally q.stop()
+  }
+
   test("agg state survives a checkpointed restart (exactly-once recovery)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
