@@ -97,6 +97,7 @@ class PlanSpec extends SparkSpec {
     "a_chi2_daily_mix",                              // 1-row total broadcast
     "ml_ridge_probe",                                // 1-row solved-weights broadcast
     "emb_pca_power",                                 // 1-row max-|s| broadcast per round
+    "a_ttest_welch",                                 // 5-row stats-table pair self-join
   )
 
   test("no unintended cartesian or nested-loop joins across the suite") {
