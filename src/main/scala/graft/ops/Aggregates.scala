@@ -391,6 +391,60 @@ object Aggregates {
         .orderBy("event_id")
     }),
 
+    // Mann–Whitney U (click vs purchase values) — the NONPARAMETRIC
+    // member of the inference family (t-test assumes normality; U only
+    // needs ranks). Ranks come from the bounded-bin exact-rank device
+    // (binRanked — no global sort), then collapse to per-distinct-value
+    // midranks: min-rank + count per quantized value are INVARIANT to
+    // how ties were broken, so the rank-sum is deterministic on any
+    // partitioning and replays exactly in DuckDB (which may break ties
+    // differently). z uses the large-sample normal approximation
+    // without the tie-variance correction (documented; ties are sparse
+    // on this value distribution).
+    "a_mann_whitney" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_type", $"value")
+      val ranked = binRanked(s, ev, Seq.empty)
+        .withColumn("vm", round($"value" * 1e3, 0).cast("long"))
+      val g = ranked.groupBy($"vm")
+        .agg(min($"rn").as("mn"), count(lit(1)).as("c"),
+          sum(when($"event_type" === "click", 1L).otherwise(0L)).as("ca"))
+      g.agg(
+          sum($"ca" * (lit(2L) * $"mn" + $"c" - 1L)).as("r1_2"),
+          sum($"ca").as("n1"), sum($"c" - $"ca").as("n2"))
+        .withColumn("u", ($"r1_2" - $"n1" * ($"n1" + 1L)) / 2.0)
+        .withColumn("z", round(
+          ($"u" - $"n1" * $"n2" / 2.0) /
+            sqrt($"n1" * $"n2" * ($"n1" + $"n2" + 1L) / 12.0), 6))
+        .select($"n1", $"n2", round($"u", 6).as("u"), $"z")
+    }),
+
+    // Day-of-week seasonality profile — per-dow mean daily volume and
+    // its ratio to the overall mean (the classic seasonality index).
+    // The weekday comes from PORTABLE integer arithmetic on the day
+    // number ((dnum + 4) mod 7, 0 = Sunday) instead of either engine's
+    // locale-dependent dayofweek(); all ratios divide exact integers.
+    "a_seasonality_dow" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d)
+        .withColumn("day", to_date($"ts"))
+        .groupBy($"day").agg(count(lit(1)).as("n"))
+        .withColumn("dow",
+          (datediff($"day", lit("1970-01-01").cast("date")) + 4) % 7)
+      val tot = daily.agg(sum($"n").as("tn"), count(lit(1)).as("td"))
+      daily.groupBy($"dow")
+        .agg(count(lit(1)).as("n_days"), sum($"n").as("n_events"))
+        .crossJoin(broadcast(tot))
+        .withColumn("avg_events", round($"n_events" / $"n_days", 6))
+        .withColumn("seasonality_idx", round(
+          ($"n_events" / $"n_days") / ($"tn" / $"td"), 6))
+        .select($"dow", $"n_days", $"n_events", $"avg_events",
+          $"seasonality_idx")
+        .orderBy("dow")
+    }),
+
     // Welch's t-test between every event-type pair (the A/B-experiment
     // readout; completes the inference trio with a_bootstrap_ci and
     // a_chi2_daily_mix). ONE corpus pass accumulates exact integer
@@ -1400,6 +1454,49 @@ object Aggregates {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
         |ORDER BY event_id""".stripMargin,
+    "a_mann_whitney" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    CAST(ROUND(value * 1e3, 0) AS BIGINT) AS vm
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY value) AS rn FROM ev),
+        |g AS (
+        |  SELECT vm, CAST(MIN(rn) AS BIGINT) AS mn,
+        |    CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca
+        |  FROM r GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(SUM(ca * (2 * mn + c - 1)) AS BIGINT) AS r1_2,
+        |    CAST(SUM(ca) AS BIGINT) AS n1,
+        |    CAST(SUM(c - ca) AS BIGINT) AS n2
+        |  FROM g),
+        |u AS (SELECT n1, n2, (r1_2 - n1 * (n1 + 1)) / 2.0 AS u FROM s)
+        |SELECT n1, n2, ROUND(u, 6) AS u,
+        |  ROUND((u - n1 * n2 / 2.0)
+        |    / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 6) AS z
+        |FROM u""".stripMargin,
+    "a_seasonality_dow" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |d2 AS (
+        |  SELECT day, CAST(n AS BIGINT) AS n,
+        |    (date_diff('day', DATE '1970-01-01', day) + 4) % 7 AS dow
+        |  FROM daily),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |    CAST(COUNT(*) AS BIGINT) AS td
+        |  FROM d2)
+        |SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  ROUND(CAST(SUM(n) AS BIGINT) / CAST(COUNT(*) AS BIGINT), 6)
+        |    AS avg_events,
+        |  ROUND((CAST(SUM(n) AS BIGINT) / CAST(COUNT(*) AS BIGINT))
+        |    / (tn / td), 6) AS seasonality_idx
+        |FROM d2 CROSS JOIN tot
+        |GROUP BY dow, tn, td ORDER BY dow""".stripMargin,
     "a_ttest_welch" ->
       """WITH g AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -98,6 +98,7 @@ class PlanSpec extends SparkSpec {
     "ml_ridge_probe",                                // 1-row solved-weights broadcast
     "emb_pca_power",                                 // 1-row max-|s| broadcast per round
     "a_ttest_welch",                                 // 5-row stats-table pair self-join
+    "a_seasonality_dow",                             // 1-row totals broadcast
   )
 
   test("no unintended cartesian or nested-loop joins across the suite") {

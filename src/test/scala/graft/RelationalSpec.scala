@@ -111,7 +111,8 @@ class RelationalSpec extends SparkSpec {
       "asof_join_next_view", "dedup_containment",
       "emb_pca_power", "w_rank_family",
       "w_moving_range_3d", "sink_compaction",
-      "a_ttest_welch", "w_trend_slope").foreach { name =>
+      "a_ttest_welch", "w_trend_slope",
+      "a_mann_whitney", "a_seasonality_dow").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -284,6 +285,49 @@ class RelationalSpec extends SparkSpec {
     val nDays = graft.ops.Tables.events(spark, sf)
       .select(to_date($"ts")).distinct().count()
     assert(long.length == nDays * graft.ops.Aggregates.EventTypes.length)
+  }
+
+  test("Mann-Whitney U matches an exact midrank recompute") {
+    val row = SparkEntry.queries("a_mann_whitney")(spark, sf).collect().head
+    val (n1, n2, u) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    assert(u >= 0 && u <= n1.toDouble * n2)
+    val vals = graft.ops.Tables.events(spark, sf)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    assert(n1 == vals.count(_._1 == "click"))
+    assert(n2 == vals.count(_._1 == "purchase"))
+    // exact midrank rank-sum over the quantized values
+    def q(x: Double): Long =
+      BigDecimal(x * 1e3).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLongExact
+    val sorted = vals.map { case (t, v) => (q(v), t) }.sortBy(_._1)
+    val byVm = sorted.zipWithIndex.groupBy(_._1._1)
+    val r1x2 = byVm.values.map { g =>
+      val mn = g.map(_._2).min + 1L
+      val c = g.length.toLong
+      val ca = g.count(_._1._2 == "click").toLong
+      ca * (2 * mn + c - 1)
+    }.sum
+    val uLocal = (r1x2 - n1 * (n1 + 1)) / 2.0
+    assert(math.abs(u - uLocal) < 1e-6, s"U $u vs local $uLocal")
+  }
+
+  test("seasonality profile partitions the days and averages to index 1") {
+    val rows = SparkEntry.queries("a_seasonality_dow")(spark, sf)
+      .select($"dow", $"n_days", $"n_events", $"seasonality_idx")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.length == 7 && rows.map(_._1).sorted.toSeq == (0 to 6))
+    assert(rows.map(_._3).sum == graft.ops.Tables.events(spark, sf).count())
+    rows.foreach { case (_, nd, _, idx) => assert(nd > 0 && idx > 0) }
+    // dows partition the calendar, and the event-weighted index mean is 1
+    val nDays = graft.ops.Tables.events(spark, sf)
+      .select(to_date($"ts")).distinct().count()
+    assert(rows.map(_._2).sum == nDays)
+    val tn = rows.map(_._3).sum.toDouble
+    val td = rows.map(_._2).sum.toDouble
+    val wmean = rows.map(r => (r._3 / r._2.toDouble) * r._2).sum / td /
+      (tn / td)
+    assert(math.abs(wmean - 1.0) < 1e-9, s"weighted index mean $wmean")
   }
 
   test("Welch t-test: df within the classical bounds, all pairs present") {
