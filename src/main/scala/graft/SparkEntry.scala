@@ -116,5 +116,9 @@ object SparkEntry {
     "scd2_status_history",
     "dedup_source_overlap",
     "text_oov_rate",
+    // round-10 closed-form trainer/inference additions
+    "emb_pca_power",
+    "ml_ridge_probe",
+    "a_ttest_welch",
   ).filter(queries.contains)
 }
