@@ -120,5 +120,9 @@ object SparkEntry {
     "emb_pca_power",
     "ml_ridge_probe",
     "a_ttest_welch",
+    // round-10 late additions — first anchors this round
+    "a_robust_stats",
+    "w_trend_theilsen",
+    "join_incremental_merge",
   ).filter(queries.contains)
 }

@@ -445,6 +445,214 @@ object Aggregates {
         .orderBy("dow")
     }),
 
+    // First-order Markov transition matrix over per-user event sequences
+    // — the behavioral-model readout (what follows a signup?). One
+    // user-keyed window (lead over the unique (ts, event_id) order, so
+    // every engine sees the same successor) emits the transition stream;
+    // counts partial-aggregate to at most |types|² rows, and the row
+    // normalization windows over THAT tiny table. At 100 TB the only
+    // data-scale shuffle is the user-keyed one; the matrix itself is
+    // O(types²) regardless of corpus size.
+    "a_markov_transitions" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      events(s, d)
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .select($"event_type".as("from_type"), $"to_type")
+        .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
+        .withColumn("p", round(
+          $"n" / sum($"n").over(Window.partitionBy($"from_type")), 6))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Time-weighted average value per day (the TWAP of finance / the
+    // duration-weighted gauge of monitoring): each reading holds until
+    // the next one, so its weight is the µs gap to the day's next event.
+    // Exact algebra end to end — micro-second gaps and milli-quantized
+    // values are integers, Σ(vm·wus) stays under 2^56 at this value
+    // range, and the final division is one fixed double expression.
+    // The last reading of each day has no successor and drops out
+    // (weight 0), matching the oracle's NULL-lead filter. One day-keyed
+    // window + one day-keyed aggregate — a single shuffle at any scale.
+    "a_twap_daily" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select(to_date($"ts").as("day"),
+          round($"value" * 1e3, 0).cast("long").as("vm"),
+          unix_micros($"ts").as("tus"), $"event_id")
+      val w = Window.partitionBy($"day").orderBy($"tus".asc, $"event_id".asc)
+      ev.withColumn("wus", lead($"tus", 1).over(w) - $"tus")
+        .filter($"wus".isNotNull)
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_spans"),
+          sum($"vm" * $"wus").as("num"), sum($"wus").as("den"))
+        .select($"day", $"n_spans",
+          round($"num" / 1e3 / $"den", 6).as("twap"))
+        .orderBy("day")
+    }),
+
+    // Theil–Sen robust trend per event type — the median of all pairwise
+    // slopes of the daily count series (one outlier day barely moves it,
+    // unlike w_trend_slope's OLS). The pair join is over the DAILY
+    // aggregate, so its size is bounded by days²·types — calendar-bounded,
+    // corpus-size-independent — and each per-type median windows over
+    // that bounded pair table. Slopes divide exact-integer doubles, so
+    // both engines compute bit-identical IEEE values and the rank-k order
+    // statistic (lower median, rank (n+1)/2) is engine-portable without
+    // quantization. Intercept uses Conover's med(y) − slope·med(x) form
+    // over the same exact order-statistic device.
+    "w_trend_theilsen" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d)
+        .withColumn("day", to_date($"ts"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
+        .select($"event_type",
+          datediff($"day", lit("1970-01-01").cast("date"))
+            .cast("long").as("x"), $"y")
+      val a = daily.select($"event_type", $"x".as("xa"), $"y".as("ya"))
+      val b = daily.select($"event_type".as("tb"), $"x".as("xb"), $"y".as("yb"))
+      val wS = Window.partitionBy($"event_type").orderBy($"slope")
+      val wT = Window.partitionBy($"event_type")
+      val med = a.join(b, $"event_type" === $"tb" && $"xa" < $"xb")
+        .withColumn("slope",
+          ($"yb" - $"ya").cast("double") / ($"xb" - $"xa").cast("double"))
+        .withColumn("rn", row_number().over(wS))
+        .withColumn("np", count(lit(1)).over(wT))
+        // div, not / — Spark's / on longs is double division, which
+        // turns odd (np+1) into x.5 and the rank filter into ∅
+        .filter($"rn" === expr("(np + 1) div 2"))
+        .select($"event_type", $"np".as("n_pairs"), $"slope")
+      def medianOf(c: String, out: String): DataFrame = {
+        val wV = Window.partitionBy($"event_type").orderBy(col(c))
+        daily.withColumn("rn", row_number().over(wV))
+          .withColumn("k", count(lit(1)).over(wT))
+          .filter($"rn" === expr("(k + 1) div 2"))
+          .select($"event_type".as(s"t_$out"), col(c).cast("double").as(out))
+      }
+      med
+        .join(medianOf("x", "mx"), $"event_type" === $"t_mx")
+        .join(medianOf("y", "my"), $"event_type" === $"t_my")
+        .select($"event_type", $"n_pairs",
+          round($"slope", 6).as("ts_slope"),
+          round($"my" - $"slope" * $"mx", 6).as("ts_intercept"))
+        .orderBy("event_type")
+    }),
+
+    // Autocorrelation function (lags 1–7) of the daily count series per
+    // type — the correlogram that tells you whether yesterday predicts
+    // today (and exposes the weekly cycle a_seasonality_dow models). Per
+    // lag k the matched pairs come from an equi-join of the daily table
+    // on dnum = dnum + k (calendar gaps simply drop pairs — documented),
+    // and the classic estimator r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)²
+    // expands to exact-integer pair sums plus the global (sy, syy, n)
+    // moments, so the doubles are fixed expressions over exact inputs.
+    // Everything after the first daily aggregate is calendar-bounded.
+    "a_acf_daily" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d)
+        .withColumn("day", to_date($"ts"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
+        .select($"event_type",
+          datediff($"day", lit("1970-01-01").cast("date"))
+            .cast("long").as("x"), $"y")
+      val g = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+          sum($"y" * $"y").as("syy"))
+      // lag_k, not "lag" — LAG is reserved on the oracle side
+      val left = daily.select($"event_type", $"x", $"y".as("y1"),
+        explode(typedLit((1 to 7).map(_.toLong))).as("lag_k"))
+      val right = daily.toDF("et2", "x2", "y2")
+      val lagged = left.join(right,
+        $"event_type" === $"et2" && $"x2" === $"x" + $"lag_k")
+      lagged.groupBy($"event_type", $"lag_k")
+        .agg(count(lit(1)).as("m"), sum($"y1" * $"y2").as("s12"),
+          sum($"y1").as("s1"), sum($"y2").as("s2"))
+        .join(broadcast(g), "event_type")
+        .withColumn("ybar", $"sy" / $"n".cast("double"))
+        .withColumn("acf", round(
+          ($"s12" - $"ybar" * ($"s1" + $"s2") + $"m" * $"ybar" * $"ybar") /
+            ($"syy" - $"sy" * $"ybar"), 6))
+        .select($"event_type", $"lag_k", $"m", $"acf")
+        .orderBy("event_type", "lag_k")
+    }),
+
+    // CUSUM change-point detection over the daily count series — the
+    // classic "did the level shift, and when" monitor (Page 1954 shape,
+    // offline form). The cumulative deviation Σ(y_i − ȳ) is kept
+    // FRACTION-FREE as S_t = n·cumsum(y) − t·Σy (exact integers), so the
+    // argmax |S_t| day is engine-portable with an earliest-day tie-break;
+    // the reported peak rescales by 1/n at the end. The cumulative window
+    // runs over the tiny daily aggregate — never the corpus.
+    "a_cusum_changepoint" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d)
+        .withColumn("day", to_date($"ts"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val cum = daily
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("cy", sum($"y").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val g = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+      val scored = cum.join(broadcast(g), "event_type")
+        .withColumn("snum", $"n" * $"cy" - $"t" * $"sy") // n·S_t, exact
+      val wPick = Window.partitionBy($"event_type")
+        .orderBy(abs($"snum").desc, $"day".asc)
+      scored.withColumn("rk", row_number().over(wPick))
+        .filter($"rk" === 1)
+        .select($"event_type", $"day".as("cp_day"), $"n".as("n_days"),
+          round(abs($"snum") / $"n".cast("double"), 6).as("cusum_peak"))
+        .orderBy("event_type")
+    }),
+
+    // Robust per-type distribution profile — exact lower-quartile /
+    // median / upper-quartile, IQR, MAD, and the Tukey-fence outlier
+    // count (the robust siblings of a_stats_summary's moment stats; one
+    // wild value moves none of these). Every order statistic comes from
+    // the bounded-bin exact-rank device — two binRanked passes (values,
+    // then |v − median| deviations), never an unpartitioned sort — and
+    // all selected values are milli-quantized integers, so medians, MAD
+    // and the fence comparisons are exact and engine-portable. Rank
+    // convention: lower statistic at rank (n+1) div k, shared with the
+    // oracle. At 100 TB each pass shuffles on (type, bin); the fence
+    // count is a map-side probe against the broadcast 5-row thresholds.
+    "a_robust_stats" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select($"event_type", $"value")
+      val r1 = binRanked(s, ev, Seq("event_type"))
+        .withColumn("vm", round($"value" * 1e3, 0).cast("long"))
+      val qs = r1.groupBy($"event_type").agg(
+        max($"n").as("n"),
+        max(when($"rn" === expr("greatest((n + 1) div 4, 1)"), $"vm")).as("q1m"),
+        max(when($"rn" === expr("(n + 1) div 2"), $"vm")).as("medm"),
+        max(when($"rn" === expr("(3 * (n + 1)) div 4"), $"vm")).as("q3m"))
+      val dev = r1.select($"event_type", $"vm")
+        .join(broadcast(qs.select($"event_type", $"medm")), "event_type")
+        .withColumn("dm", abs($"vm" - $"medm"))
+        .withColumn("value", $"dm" / 1e3)
+      val mad = binRanked(s, dev, Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(max(when($"rn" === expr("(n + 1) div 2"), $"dm")).as("madm"))
+      val outl = r1.select($"event_type", $"vm")
+        .join(broadcast(qs.select($"event_type", $"q1m", $"q3m")), "event_type")
+        .groupBy($"event_type")
+        .agg(sum(when(
+          $"vm" < $"q1m" - lit(1.5) * ($"q3m" - $"q1m") ||
+            $"vm" > $"q3m" + lit(1.5) * ($"q3m" - $"q1m"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      qs.join(mad, "event_type").join(outl, "event_type")
+        .select($"event_type", $"n",
+          round($"medm" / 1e3, 6).as("median"),
+          round($"q1m" / 1e3, 6).as("q1"),
+          round($"q3m" / 1e3, 6).as("q3"),
+          round(($"q3m" - $"q1m") / 1e3, 6).as("iqr"),
+          round($"madm" / 1e3, 6).as("mad"),
+          $"n_outliers")
+        .orderBy("event_type")
+    }),
+
     // Welch's t-test between every event-type pair (the A/B-experiment
     // readout; completes the inference trio with a_bootstrap_ci and
     // a_chi2_daily_mix). ONE corpus pass accumulates exact integer
@@ -1497,6 +1705,111 @@ object Aggregates {
         |    / (tn / td), 6) AS seasonality_idx
         |FROM d2 CROSS JOIN tot
         |GROUP BY dow, tn, td ORDER BY dow""".stripMargin,
+    "a_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |t AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  ROUND(CAST(n AS DOUBLE)
+        |    / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
+    "a_twap_daily" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(ROUND(value * 1e3, 0) AS BIGINT) AS vm,
+        |    epoch_us(ts) AS tus, event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT day, vm,
+        |    lead(tus) OVER (PARTITION BY day ORDER BY tus, event_id) - tus
+        |      AS wus
+        |  FROM ev)
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  ROUND(CAST(SUM(vm * wus) AS BIGINT) / 1e3
+        |    / CAST(SUM(wus) AS BIGINT), 6) AS twap
+        |FROM g WHERE wus IS NOT NULL
+        |GROUP BY day ORDER BY day""".stripMargin,
+    "w_trend_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.x < b.x),
+        |med AS (
+        |  SELECT event_type, np AS n_pairs, slope FROM (
+        |    SELECT event_type, slope,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS np
+        |    FROM pairs) WHERE rn = (np + 1) // 2),
+        |mx AS (
+        |  SELECT event_type, CAST(x AS DOUBLE) AS mx FROM (
+        |    SELECT event_type, x,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS k
+        |    FROM daily) WHERE rn = (k + 1) // 2),
+        |my AS (
+        |  SELECT event_type, CAST(y AS DOUBLE) AS my FROM (
+        |    SELECT event_type, y,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY y) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS k
+        |    FROM daily) WHERE rn = (k + 1) // 2)
+        |SELECT med.event_type, n_pairs, ROUND(slope, 6) AS ts_slope,
+        |  ROUND(my - slope * mx, 6) AS ts_intercept
+        |FROM med
+        |JOIN mx ON med.event_type = mx.event_type
+        |JOIN my ON med.event_type = my.event_type
+        |ORDER BY med.event_type""".stripMargin,
+    "a_robust_stats" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    CAST(ROUND(value * 1e3, 0) AS BIGINT) AS vm
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, vm,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |q AS (
+        |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |    MAX(CASE WHEN rn = GREATEST((n + 1) // 4, 1) THEN vm END) AS q1m,
+        |    MAX(CASE WHEN rn = (n + 1) // 2 THEN vm END) AS medm,
+        |    MAX(CASE WHEN rn = (3 * (n + 1)) // 4 THEN vm END) AS q3m
+        |  FROM r GROUP BY 1),
+        |dr AS (
+        |  SELECT d.event_type, d.dm,
+        |    row_number() OVER (PARTITION BY d.event_type ORDER BY d.dm) AS rn,
+        |    COUNT(*) OVER (PARTITION BY d.event_type) AS k
+        |  FROM (SELECT r.event_type, ABS(vm - medm) AS dm
+        |        FROM r JOIN q ON r.event_type = q.event_type) d),
+        |mad AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn = (k + 1) // 2 THEN dm END) AS madm
+        |  FROM dr GROUP BY 1),
+        |outl AS (
+        |  SELECT r.event_type,
+        |    CAST(SUM(CASE WHEN vm < q1m - 1.5 * (q3m - q1m)
+        |      OR vm > q3m + 1.5 * (q3m - q1m) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_outliers
+        |  FROM r JOIN q ON r.event_type = q.event_type GROUP BY 1)
+        |SELECT q.event_type, n,
+        |  ROUND(medm / 1e3, 6) AS median, ROUND(q1m / 1e3, 6) AS q1,
+        |  ROUND(q3m / 1e3, 6) AS q3, ROUND((q3m - q1m) / 1e3, 6) AS iqr,
+        |  ROUND(madm / 1e3, 6) AS mad, n_outliers
+        |FROM q
+        |JOIN mad ON q.event_type = mad.event_type
+        |JOIN outl ON q.event_type = outl.event_type
+        |ORDER BY q.event_type""".stripMargin,
     "a_ttest_welch" ->
       """WITH g AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

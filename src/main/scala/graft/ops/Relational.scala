@@ -530,6 +530,45 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // Incremental JOIN-view maintenance — the delta-join identity behind
+    // every materialized join at 100 TB: for V = O ⋈ L, the refresh is
+    // ΔV = ΔO⋈L_old ∪ O_old⋈ΔL ∪ ΔO⋈ΔL, so a batch refresh joins each
+    // delta against the OTHER side's standing state and the deltas
+    // against each other — never re-joining old×old (that's the stored
+    // view). The batch here is realistic and makes all three legs fire:
+    // new orders arrive (o_orderkey % 10 = 7) AND late lineitems arrive
+    // for existing orders (l_linenumber ≥ 5). Per-leg revenue partials
+    // are exact DECIMAL sums merged per priority, provably equal to the
+    // full-recompute oracle (the spec also asserts it against the direct
+    // join). At scale each delta leg is a broadcast (delta is small) or
+    // shuffle bounded by |Δ|, so refresh cost ∝ batch size, not corpus.
+    "join_incremental_merge" -> ((s, d) => {
+      import s.implicits._
+      val o = orders(s, d).select($"o_orderkey", $"o_orderpriority",
+        ($"o_orderkey" % 10 === 7).as("o_new"))
+      val l = lineitem(s, d).select($"l_orderkey",
+        ($"l_extendedprice".cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") - $"l_discount".cast("decimal(4,2)")))
+          .as("rev"),
+        ($"l_linenumber" >= 5).as("l_new"))
+      def leg(of: org.apache.spark.sql.Column, lf: org.apache.spark.sql.Column,
+          name: String): DataFrame =
+        o.filter(of).join(l.filter(lf), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum($"rev").as("rev"))
+          .withColumn("leg", lit(name))
+      val state    = leg(!$"o_new", !$"l_new", "state")
+      val dOxOldL  = leg($"o_new", !$"l_new", "new_orders")
+      val oldOxDL  = leg(!$"o_new", $"l_new", "late_lines")
+      val dOxDL    = leg($"o_new", $"l_new", "new_both")
+      state.unionByName(dOxOldL).unionByName(oldOxDL).unionByName(dOxDL)
+        .groupBy($"o_orderpriority")
+        .agg(sum($"n").as("n_lines"),
+          sum(when($"leg" =!= "state", $"n").otherwise(0L)).as("n_delta"),
+          round(sum($"rev").cast("double"), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Cross join (tiny×tiny only — completes the join-type surface).
     "x_cross_join_regions" -> ((s, d) => {
       import s.implicits._
@@ -892,6 +931,17 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    // full recompute — the invariant the delta-merge must land on
+    "join_incremental_merge" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN o_orderkey % 10 = 7 OR l_linenumber >= 5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE), 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s5_xml_source" ->
       """WITH x AS (
         |  SELECT '<url><loc>https://ex.com/a/' || event_id || '</loc><lastmod>'

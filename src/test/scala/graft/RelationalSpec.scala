@@ -112,7 +112,10 @@ class RelationalSpec extends SparkSpec {
       "emb_pca_power", "w_rank_family",
       "w_moving_range_3d", "sink_compaction",
       "a_ttest_welch", "w_trend_slope",
-      "a_mann_whitney", "a_seasonality_dow").foreach { name =>
+      "a_mann_whitney", "a_seasonality_dow",
+      "a_markov_transitions", "a_twap_daily",
+      "w_trend_theilsen", "a_robust_stats",
+      "join_incremental_merge").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -363,6 +366,112 @@ class RelationalSpec extends SparkSpec {
       val ls = (n * sxy - sx * sy) / (n * sxx - sx * sx)
       assert(math.abs(slope - ls) < 1e-4, s"$t: slope $slope vs $ls")
       assert(math.abs(intercept - (sy - ls * sx) / n) < 1e-2, s"$t intercept")
+    }
+  }
+
+  test("Markov transitions: rows normalize to 1 and count every successor") {
+    val rows = SparkEntry.queries("a_markov_transitions")(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // each from-row is a probability distribution
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-4, s"$t rows sum != 1")
+    }
+    // every event except each user's last contributes exactly one transition
+    val ev = graft.ops.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select($"user_id").distinct().count()
+    assert(rows.map(_._3).sum == expected)
+  }
+
+  test("TWAP stays inside the day's value envelope") {
+    val twap = SparkEntry.queries("a_twap_daily")(spark, sf)
+      .as[(java.sql.Date, Long, Double)].collect()
+    assert(twap.nonEmpty)
+    val envelope = graft.ops.Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(min($"value").as("lo"), max($"value").as("hi"), count(lit(1)).as("n"))
+      .as[(java.sql.Date, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    twap.foreach { case (day, nSpans, v) =>
+      val (_, lo, hi, n) = envelope(day)
+      // a convex combination of the day's readings can't escape [lo, hi]
+      assert(v >= lo - 1e-3 && v <= hi + 1e-3, s"$day twap $v outside [$lo,$hi]")
+      assert(nSpans == n - 1, s"$day spans $nSpans != ${n - 1}")
+    }
+  }
+
+  test("Theil-Sen matches a local pairwise-median recompute") {
+    val rows = SparkEntry.queries("w_trend_theilsen")(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.length == 5)
+    val daily = graft.ops.Tables.events(spark, sf)
+      .withColumn("day", to_date($"ts"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
+      .select($"event_type",
+        datediff($"day", lit("1970-01-01").cast("date")).cast("long"), $"y")
+      .as[(String, Long, Long)].collect()
+    def lowerMedian(xs: Seq[Double]): Double =
+      xs.sorted.apply(((xs.length + 1) / 2) - 1)
+    rows.foreach { case (t, nPairs, slope, intercept) =>
+      val pts = daily.filter(_._1 == t).sortBy(_._2)
+      val slopes = for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield (pts(j)._3 - pts(i)._3).toDouble / (pts(j)._2 - pts(i)._2)
+      assert(nPairs == slopes.length.toLong, s"$t pair count")
+      val ls = lowerMedian(slopes)
+      assert(math.abs(slope - ls) < 1e-6, s"$t: slope $slope vs local $ls")
+      val li = lowerMedian(pts.map(_._3.toDouble)) -
+        ls * lowerMedian(pts.map(_._2.toDouble))
+      assert(math.abs(intercept - li) < 1e-6, s"$t: intercept $intercept vs $li")
+    }
+  }
+
+  test("delta-join merge equals the direct full join and every leg fires") {
+    val merged = SparkEntry.queries("join_incremental_merge")(spark, sf)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    val o = graft.ops.Tables.orders(spark, sf)
+    val l = graft.ops.Tables.lineitem(spark, sf)
+    val full = o.join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"o_orderkey" % 10 === 7 || $"l_linenumber" >= 5, 1L)
+          .otherwise(0L)).as("nd"),
+        round(sum($"l_extendedprice".cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") - $"l_discount".cast("decimal(4,2)")))
+          .cast("double"), 2).as("rev"))
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(merged.toSeq == full.toSeq)
+    // the batch is non-vacuous: deltas exist, and so does standing state
+    merged.foreach { case (p, n, nd, _) =>
+      assert(nd > 0 && nd < n, s"$p: delta $nd of $n — a leg is vacuous")
+    }
+  }
+
+  test("robust stats match an exact local order-statistic recompute") {
+    val rows = SparkEntry.queries("a_robust_stats")(spark, sf)
+      .as[(String, Long, Double, Double, Double, Double, Double, Long)]
+      .collect()
+    assert(rows.length == 5)
+    val vals = graft.ops.Tables.events(spark, sf)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    def q(x: Double): Long =
+      BigDecimal(x * 1e3).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLongExact
+    rows.foreach { case (t, n, med, q1, q3, iqr, mad, nOut) =>
+      val vm = vals.filter(_._1 == t).map(v => q(v._2)).sorted
+      assert(n == vm.length.toLong)
+      def at(rank: Long): Double = vm((rank - 1).toInt) / 1e3
+      assert(med == at((n + 1) / 2), s"$t median")
+      assert(q1 == at(math.max((n + 1) / 4, 1)), s"$t q1")
+      assert(q3 == at(3 * (n + 1) / 4), s"$t q3")
+      assert(math.abs(iqr - (q3 - q1)) < 1e-9, s"$t iqr")
+      val medMilli = q(med) // med is exact milli, so this just rescales
+      val dms = vm.map(v => math.abs(v - medMilli)).sorted
+      assert(mad == dms(((n + 1) / 2 - 1).toInt) / 1e3, s"$t mad")
+      val (q1m, q3m) = (q(q1), q(q3))
+      val loF = q1m - 1.5 * (q3m - q1m)
+      val hiF = q3m + 1.5 * (q3m - q1m)
+      assert(nOut == vm.count(v => v < loF || v > hiF).toLong, s"$t outliers")
     }
   }
 
