@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** One pass of the fixed calibration probe: a CPU-bound range sum with
+    * no IO, no shuffle and a deterministic plan, so its wall time depends
+    * only on how much CPU the host is actually giving this JVM. Round-11
+    * addition after BENCH_r10's group-2 numbers were inflated ~40%
+    * wholesale by neighbor load and a clean engine looked regressed: the
+    * probe's ratio against a recorded quiet-host anchor machine-flags a
+    * contaminated run instead of leaving it to judge adjudication.
+    */
+  def calibOnce(spark: SparkSession): Unit = {
+    // murmur3 per row then a widened sum — ANSI-safe (4e8 · |int32|max
+    // < Long.MaxValue) and enough CPU per row to be a real load probe.
+    spark.range(400000000L)
+      .selectExpr("sum(cast(hash(id) as bigint)) as s").collect()
+  }
+
+  /** Quiet-host anchors for calibOnce (seconds), measured via
+    * graft.tools.CalibProbe on the build host (min of 6 warm runs:
+    * 0.227 s at local[32], 0.548 s at local[4] — NOT core-linear; the
+    * probe saturates memory bandwidth before 32 threads). Unknown cpu
+    * counts snap to the nearest measured anchor, which keeps the ratio
+    * meaningful for the two configs actually used (driver=32, dev=4).
+    */
+  def calibAnchor(cpus: Int): Double =
+    if (cpus >= 16) CALIB_ANCHOR_32 else CALIB_ANCHOR_4
+  private val CALIB_ANCHOR_32 = 0.227
+  private val CALIB_ANCHOR_4 = 0.548
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -73,6 +100,20 @@ object Bench {
       val total = results.map(_._2).filter(_ >= 0).sum
       (total, qs, ps, failed, results)
     }
+    // Host-noise calibration (round 11): min of 3 probe passes right
+    // before each group's timed passes (one untimed pass first — the
+    // probe has its own codegen to JIT). calibN / anchor ≈ 1.0 on a
+    // quiet host; BENCH_r10's contention mode would have shown ~1.4.
+    // BASELINE.md documents the judging rule keyed off `noise_factor`.
+    val anchor = calibAnchor(cpus.toInt)
+    def calibrate(): Double = {
+      calibOnce(spark)
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        calibOnce(spark)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
     // Group 1 is the frozen round-1 headline set — `value`/`queries` keep
     // their meaning across all rounds. Group 2 (round-7 addition) covers
     // the newer families (graph, PQ/IVF ANN, trainers, sketches) under
@@ -80,14 +121,18 @@ object Bench {
     // the group-1 trendline. Group 2 has its own warm-up pass: these
     // queries were never touched by the group-1 warm-up, and an unwarmed
     // first family would bill one-time JIT/classload to its first query.
+    val calib1 = calibrate()
     val (total, qs, ps, failed, res1) = timeGroup(names)
     val names2 = SparkEntry.benchQueries2
     names2.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    val calib2 = calibrate()
     val (total2, qs2, ps2, failed2, _) = timeGroup(names2)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_warm","queries":$qs,"passes":$ps,"failed":$failed,"total2":$total2,"queries2":$qs2,"passes2":$ps2,"failed2":$failed2,"sf":"$sfDir"}""")
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val noise = r3(math.max(calib1, calib2) / anchor)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_warm","queries":$qs,"passes":$ps,"failed":$failed,"total2":$total2,"queries2":$qs2,"passes2":$ps2,"failed2":$failed2,"calib1":${r3(calib1)},"calib2":${r3(calib2)},"calib_anchor":$anchor,"noise_factor":$noise,"sf":"$sfDir"}""")
     // Truncation-proof tail: the driver captures only the LAST 2000 chars
     // of output, and the full line above is well past that — in round 9
     // the group-1 per-query numbers fell off the front and per-query
@@ -104,7 +149,7 @@ object Bench {
       "\"" + k + "\":" + (if (v < 0) "-1" else (math.rint(v * 1000) / 1000).toString)
     }.mkString("{", ",", "}")
     println(s"""{"g1_queries_s":$qs1s,"g1_failed":$failed}""")
-    println(s"""{"total":$total,"total2":$total2,"failed_count":${failed.count(_ == '"') / 2 + failed2.count(_ == '"') / 2}}""")
+    println(s"""{"total":$total,"total2":$total2,"failed_count":${failed.count(_ == '"') / 2 + failed2.count(_ == '"') / 2},"noise_factor":$noise}""")
     spark.stop()
   }
 }

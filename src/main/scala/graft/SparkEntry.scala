@@ -124,5 +124,8 @@ object SparkEntry {
     "a_robust_stats",
     "w_trend_theilsen",
     "join_incremental_merge",
+    // round-11 streaming batch twins — first anchors this round
+    "stream_dedup_within_watermark",
+    "stream_session_bounds",
   ).filter(queries.contains)
 }

@@ -893,28 +893,37 @@ object Aggregates {
         .orderBy("decile")
     }),
 
-    // Sketch-based approximations — the 100 TB path for distinct counts
-    // and quantiles (no oracle: sketch implementations differ across
-    // engines; AggregatesSpec bounds them against the exact values).
     // Mergeable-sketch two-level aggregation — the 100 TB pattern behind
     // incremental distinct counts: build an HLL sketch per (event_type,
     // day) "shard" (in production these persist as binary columns next to
     // each partition), then MERGE the shard sketches per event_type
     // instead of re-scanning raw data. HLL registers are max-merged, so
-    // the union is order-independent and deterministic; AggSpec bounds
-    // the estimate against the exact distinct count. No DuckDB oracle
-    // (different sketch implementation) — rows-only by design.
+    // the union is order-independent and deterministic. Oracled as a
+    // PROPERTY CONTRACT (round 11): the datasketches estimate itself has
+    // no SQL twin (DuckDB's HLL hashes differently), so the output
+    // carries the exactly-replayable shard bookkeeping (n_shards, n_rows,
+    // exact_users) plus `est_ok` = |est − exact| ≤ 5%·exact; the oracle
+    // asserts TRUE, so an estimate drifting out of bounds (or a broken
+    // merge) hash-mismatches instead of passing silently. The relational
+    // twin `a_hll_shard_merge` oracles the register-merge math itself
+    // bit-for-bit.
     "a_sketch_merge" -> ((s, d) => {
       import s.implicits._
       val shardSketches = events(s, d)
         .groupBy($"event_type", to_date($"ts").as("day"))
         .agg(hll_sketch_agg($"user_id").as("sk"),
           count(lit(1)).as("n_rows"))
-      shardSketches
+      val merged = shardSketches
         .groupBy($"event_type")
         .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_users"),
           count(lit(1)).as("n_shards"),
           sum($"n_rows").as("n_rows"))
+      events(s, d).groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+        .join(merged, "event_type")
+        .select($"event_type", $"n_shards", $"n_rows", $"exact_users",
+          (abs($"est_users" - $"exact_users") <=
+            lit(0.05) * $"exact_users").as("est_ok"))
         .orderBy("event_type")
     }),
 
@@ -1397,6 +1406,79 @@ object Aggregates {
          |  ANY_VALUE(ci_lo) AS ci_lo, ANY_VALUE(ci_hi) AS ci_hi
          |FROM events JOIN ci ON events.event_type = ci.event_type
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Exact-integer replay of the ACF estimator: pair sums (m, s12, s1,
+    // s2) and global moments (n, sy, syy) are BIGINTs in both engines;
+    // ybar = sy / CAST(n AS DOUBLE) and the left-associated double
+    // expression mirror the Spark column algebra term for term, so the
+    // 6dp-rounded acf matches bit-for-bit. lag_k (not "lag": LAG is a
+    // reserved word here).
+    "a_acf_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', day) AS x, y
+        |  FROM daily),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(y) AS sy,
+        |    SUM(y * y) AS syy
+        |  FROM d2 GROUP BY 1),
+        |lags AS (SELECT unnest(range(1, 8)) AS lag_k),
+        |pairs AS (
+        |  SELECT a.event_type, lags.lag_k, a.y AS y1, b.y AS y2
+        |  FROM d2 a CROSS JOIN lags
+        |  JOIN d2 b ON b.event_type = a.event_type
+        |    AND b.x = a.x + lags.lag_k),
+        |agg AS (
+        |  SELECT event_type, lag_k, COUNT(*) AS m, SUM(y1 * y2) AS s12,
+        |    SUM(y1) AS s1, SUM(y2) AS s2
+        |  FROM pairs GROUP BY 1, 2),
+        |yb AS (SELECT event_type AS et, n, sy, syy,
+        |  sy / CAST(n AS DOUBLE) AS ybar FROM g)
+        |SELECT agg.event_type, lag_k, m,
+        |  ROUND((s12 - ybar * (s1 + s2) + m * ybar * ybar)
+        |        / (syy - sy * ybar), 6) AS acf
+        |FROM agg JOIN yb ON agg.event_type = yb.et
+        |ORDER BY event_type, lag_k""".stripMargin,
+    // Fraction-free CUSUM replay: snum = n·cumsum(y) − t·Σy is exact
+    // BIGINT algebra, the argmax is an integer comparison with the same
+    // earliest-day tie-break, and only the final peak rescale touches
+    // doubles — identical rounding on both sides.
+    "a_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, day, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    SUM(y) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cy
+        |  FROM daily),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(y) AS sy
+        |  FROM daily GROUP BY 1),
+        |s AS (
+        |  SELECT c.event_type, day, n, n * cy - t * sy AS snum
+        |  FROM c JOIN g ON c.event_type = g.event_type),
+        |p AS (
+        |  SELECT event_type, day, n, snum,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ABS(snum) DESC, day ASC) AS rk
+        |  FROM s)
+        |SELECT event_type, day AS cp_day, n AS n_days,
+        |  ROUND(ABS(snum) / CAST(n AS DOUBLE), 6) AS cusum_peak
+        |FROM p WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // Property oracle for the datasketches merge (see the query scaladoc):
+    // shard bookkeeping and exact distinct replay exactly; `TRUE AS
+    // est_ok` asserts the merged estimate stays within the 5% bound.
+    "a_sketch_merge" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_shards,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS est_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "a_quantile_sketch" -> {
       val rounds = (1 to 12).map { j =>
         val p = graft.ops.DedupOps.polyHashSql(s"event_type || '#' || '$j'") + " % 2"

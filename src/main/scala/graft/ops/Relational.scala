@@ -534,14 +534,17 @@ object Relational {
     // every materialized join at 100 TB: for V = O ⋈ L, the refresh is
     // ΔV = ΔO⋈L_old ∪ O_old⋈ΔL ∪ ΔO⋈ΔL, so a batch refresh joins each
     // delta against the OTHER side's standing state and the deltas
-    // against each other — never re-joining old×old (that's the stored
-    // view). The batch here is realistic and makes all three legs fire:
+    // against each other. The `state` leg below RECOMPUTES old×old so the
+    // self-contained query can be oracle-checked against the full join —
+    // in a real incremental system that leg is the STORED view's
+    // partials, read not recomputed, and only the three delta legs run
+    // (each broadcast or shuffle bounded by |Δ| ⇒ refresh cost ∝ batch).
+    // The batch here is realistic and makes all three delta legs fire:
     // new orders arrive (o_orderkey % 10 = 7) AND late lineitems arrive
     // for existing orders (l_linenumber ≥ 5). Per-leg revenue partials
     // are exact DECIMAL sums merged per priority, provably equal to the
     // full-recompute oracle (the spec also asserts it against the direct
-    // join). At scale each delta leg is a broadcast (delta is small) or
-    // shuffle bounded by |Δ|, so refresh cost ∝ batch size, not corpus.
+    // join).
     "join_incremental_merge" -> ((s, d) => {
       import s.implicits._
       val o = orders(s, d).select($"o_orderkey", $"o_orderpriority",

@@ -124,6 +124,73 @@ object StreamingOps {
         .orderBy("user_id")
     }),
 
+    // Batch twin of `dropDuplicatesWithinWatermark` — the BOUNDED-STATE
+    // streaming dedup, and the documented divergence boundary from the
+    // reference's unbounded insert-time index (SURVEY §2.9): state for a
+    // key holds the SURVIVOR's event time and expires `horizon` after it
+    // (duplicates do NOT extend expiry — Spark's
+    // DropDuplicatesWithinWatermarkExec contract), so a duplicate
+    // arriving ≤ horizon after the last survivor is dropped and one
+    // arriving later is re-emitted as a fresh survivor. Batch form: per
+    // (user_id, event_type) ordered by (ts, event_id), greedy chain —
+    // keep iff ts > prev_survivor_ts + 6h. That chain is inherently
+    // sequential per key, so it runs as the literal per-key state machine
+    // the streaming operator implements: one shuffle on the dedup key,
+    // a sorted linear scan per group, state = one timestamp. The DuckDB
+    // oracle replays the chain with a recursive CTE. `stream_dedup_keys`
+    // (keep-first-forever) is the unbounded reference semantics; the
+    // spec proves the two part ways exactly past the horizon.
+    "stream_dedup_within_watermark" -> ((s, d) => {
+      import s.implicits._
+      val horizonUs = 6L * 3600 * 1000000L
+      def micros(t: java.sql.Timestamp): Long =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      events(s, d)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .as[(Long, String, java.sql.Timestamp, Long)]
+        .groupByKey(r => (r._1, r._2))
+        .flatMapGroups { (key: (Long, String), it) =>
+          val (u, et) = key
+          val rows = it.toArray.sortBy(r => (micros(r._3), r._4))
+          var anchor = Long.MinValue
+          var nKept = 0L
+          var firstK: java.sql.Timestamp = null
+          var lastK: java.sql.Timestamp = null
+          rows.foreach { r =>
+            val m = micros(r._3)
+            if (anchor == Long.MinValue || m > anchor + horizonUs) {
+              anchor = m; nKept += 1
+              if (firstK == null) firstK = r._3
+              lastK = r._3
+            }
+          }
+          Iterator((u, et, rows.length.toLong, nKept, firstK, lastK))
+        }
+        .toDF("user_id", "event_type", "n_events", "n_survivors",
+          "first_survivor_ts", "last_survivor_ts")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // Per-user session BOUNDARIES via session_window (the round-11 depth
+    // on stream_session_windows, which only counts sessions): start =
+    // first event, end = last event + gap (Spark's half-open contract —
+    // an event at exactly prev_ts + gap starts a NEW session). In
+    // streaming this is the out-of-order merge operator: sessions grow
+    // and MERGE as late in-watermark events bridge gaps; StreamingSpec
+    // feeds shuffled micro-batches and asserts the finalized sessions
+    // land on this batch result. One shuffle on user_id; state per
+    // in-flight session is (start, end, n) — watermark-bounded. Oracle:
+    // classic gaps-and-islands with the same >= boundary.
+    "stream_session_bounds" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"sw.start".as("session_start"),
+          $"sw.end".as("session_end"), $"n_events")
+        .orderBy("user_id", "session_start")
+    }),
+
     // Streaming approximate distinct — the sketch×streaming integration:
     // per (1-day tumbling window, event_type), HLL registers (the same
     // relational trailing-zero construction a_hll_probe oracle-checks)
@@ -218,6 +285,59 @@ object StreamingOps {
          |FROM b JOIN e2 ON b.win_start = e2.win_start
          |  AND b.event_type = e2.event_type
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Recursive-CTE replay of the greedy survivor chain: the walk steps
+    // one rn at a time per key (all keys advance in parallel per
+    // iteration), carrying the anchor = last survivor's ts; kept iff
+    // strictly past anchor + horizon, matching the streaming state
+    // machine's non-extending expiry.
+    "stream_dedup_within_watermark" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |walk AS (
+        |  SELECT user_id, event_type, ts, rn, ts AS anchor, TRUE AS kept
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_type, e.ts, e.rn,
+        |    CASE WHEN e.ts > w.anchor + INTERVAL 6 HOUR
+        |         THEN e.ts ELSE w.anchor END,
+        |    e.ts > w.anchor + INTERVAL 6 HOUR
+        |  FROM walk w JOIN ev e
+        |    ON e.user_id = w.user_id AND e.event_type = w.event_type
+        |    AND e.rn = w.rn + 1)
+        |SELECT user_id, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+        |  MIN(CASE WHEN kept THEN ts END) AS first_survivor_ts,
+        |  MAX(CASE WHEN kept THEN ts END) AS last_survivor_ts
+        |FROM walk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Gaps-and-islands with the half-open boundary (>= gap starts a new
+    // session) and end = last event + gap, Spark's session_window
+    // contract.
+    "stream_session_bounds" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |                  ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR ts >= prev_ts + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess, event_id
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "stream_dedup_keys" ->
       """SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
         |FROM events

@@ -59,6 +59,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("retrieval term filters broadcast; the exploded corpus never shuffles on word") {
+    // The 100 TB property of every BM25-family pass: the corpus-sized
+    // exploded (doc_id, word) frame must meet the tiny query-term set as
+    // a BROADCAST hash join (a semi-filter before any aggregation) — if
+    // a future edit drops the broadcast() hint, the planner can shuffle
+    // the whole exploded corpus on `word`, which is the exact skew
+    // disaster a dominant near-dup source triggers (one hot term =
+    // one straggler partition carrying most of the corpus).
+    Seq("retrieval_rrf_fusion", "retrieval_prf_expansion", "text_bm25_topk")
+      .foreach { n =>
+        val p = plan(n)
+        assert("""BroadcastHashJoin \[word#\d+""".r.findFirstIn(p).isDefined,
+          s"$n: term filter is not a broadcast join\n$p")
+        assert("""(SortMergeJoin|ShuffledHashJoin) \[word#\d+""".r
+          .findFirstIn(p).isEmpty,
+          s"$n: an exploded corpus frame shuffles on word\n$p")
+      }
+  }
+
+  test("MMR greedy unroll is checkpoint-bounded (round-10 lineage fix pinned)") {
+    // retrieval_mmr_rerank's greedy rounds each localCheckpoint their
+    // picks; the final plan must read ONLY checkpointed RDDs — a parquet
+    // scan here means the candidate-generation subtree is re-executing
+    // inside the unroll (the 5.8 s → 2.8 s round-10 regression shape).
+    val p = plan("retrieval_mmr_rerank")
+    assert(p.contains("Scan ExistingRDD"),
+      s"per-round localCheckpoint is gone\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"candidate generation re-executes inside the greedy unroll\n$p")
+  }
+
   /** Queries where a nested-loop/cartesian shape is the INTENDED
     * semantics (pairwise verifiers at tiny N, scalar-aggregate
     * broadcasts, deliberate cross join) — everything else must plan as

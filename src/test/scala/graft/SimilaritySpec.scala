@@ -116,6 +116,55 @@ class SimilaritySpec extends SparkSpec {
       if (n != unf(q)) assert(langOf(unf(q)) != "en", s"query $q") }
   }
 
+  test("retrieval ops stay k-bounded and deterministic on a skewed near-dup fixture") {
+    // Adversarial shape (round-11 advice): 90% of the corpus is ONE
+    // dominant source of near-duplicate texts sharing the same hot
+    // terms, with tight near-identical embeddings. The hot terms make
+    // the term-filtered tf frame as large as the corpus for those terms
+    // (the skew case the broadcast-term plan must absorb), and the
+    // near-dup embeddings stress MMR's redundancy penalty. The ops must
+    // return the same k-bounded, fully-ranked, repeatable output.
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew_fx").toString
+    val fill = Array("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val docs = (0L until 600L).map { id =>
+      val (src, text) =
+        if (id < 540) ("dominant",
+          s"breaking market update economy shares ${fill((id % 12).toInt)} " +
+            s"report segment${id % 7} item$id")
+        else (s"minor${id % 4}",
+          s"${fill((id % 12).toInt)} ${fill(((id * 5 + 3) % 12).toInt)} " +
+            s"science culture weather article token$id unique${id * 7}")
+      (id, text, "en", src, text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val embs = (0L until 600L).map { id =>
+      val base =
+        if (id < 540) Array.fill(8)(0.9)
+        else Array.tabulate(8)(j => ((id + j) % 5).toDouble / 5.0)
+      val e = base.zipWithIndex.map { case (v, j) =>
+        (v + ((id * 31 + j * 7) % 13).toDouble / 1000.0).toFloat }
+      (id, e.toSeq, (id % 3).toInt)
+    }
+    embs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq("retrieval_rrf_fusion", "retrieval_prf_expansion",
+      "retrieval_mmr_rerank").foreach { n =>
+      val q = SparkEntry.queries(n)
+      val a = q(spark, dir).collect().map(_.toSeq).toSeq
+      val b = q(spark, dir).collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty, s"$n returned nothing on the skewed fixture")
+      assert(a == b, s"$n nondeterministic on the skewed fixture")
+      // k-bounded per query (never corpus-scale), ranks dense from 1
+      a.groupBy(_.head).foreach { case (qd, rs) =>
+        assert(rs.length <= 10, s"$n query $qd: ${rs.length} rows")
+        val ranks = rs.map(_(1).asInstanceOf[Int]).sorted
+        assert(ranks == (1 to rs.length), s"$n query $qd ranks $ranks")
+      }
+    }
+  }
+
   test("RRF fusion only surfaces docs from the two source lists, scores sane") {
     val rows = SparkEntry.queries("retrieval_rrf_fusion")(spark, sf)
       .as[(Long, Int, Long, Double)].collect()

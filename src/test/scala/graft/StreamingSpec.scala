@@ -487,6 +487,108 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("out-of-order micro-batches session-merge onto the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    // Sessions must GROW AND MERGE as late in-watermark events bridge
+    // gaps: feed a user subset in hash-shuffled (non-chronological) order
+    // across three micro-batches and assert the finalized sessions land
+    // exactly on the batch session_window result for the same rows.
+    val subset = batchEvents.filter(_._3 % 50 == 0)
+    assert(subset.nonEmpty)
+    val shuffled = subset.sortBy(r => (r._1 * 1103515245L + 12345L) & 0x7fffffffL)
+    // by construction the feed is out of order: some batch-2 row precedes
+    // some batch-1 row in event time
+    val thirds = shuffled.grouped((shuffled.length + 2) / 3).toSeq
+    assert(thirds(1).map(_._2.getTime).min < thirds(0).map(_._2.getTime).max,
+      "feed accidentally chronological — shuffle is broken")
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val agg = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "40 days")
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"sw.start".as("session_start"),
+        $"sw.end".as("session_end"), $"n_events")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("t_sess_merge").start()
+    try {
+      thirds.foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
+      // far-future sentinel closes every real session past the 40-day
+      // watermark; its own session never finalizes and user -1 is dropped
+      val closeTs = new Timestamp(
+        subset.map(_._2.getTime).max + 86400000L * 45)
+      stream.addData(Seq((-1L, closeTs, -1L, "view", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("t_sess_merge").filter($"user_id" >= 0)
+        .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+      val want = subset.toSeq
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"sw.start".as("session_start"),
+          $"sw.end".as("session_end"), $"n_events")
+        .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+      assert(got == want)
+      // non-vacuous: at least one session merged more than one event
+      assert(want.exists(_.last.asInstanceOf[Long] > 1L))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark re-emits past the horizon (divergence boundary)") {
+    implicit val sqlCtx = spark.sqlContext
+    // The reference dedups against an UNBOUNDED insert-time index (SURVEY
+    // §2.9's documented divergence); the engine's streaming answer bounds
+    // state by the watermark. This pins the boundary: a duplicate within
+    // the horizon is dropped, the SAME key re-arriving after its state
+    // expired is re-emitted — matching the stream_dedup_within_watermark
+    // chain twin and diverging from keep-first-forever.
+    def t(h: Int, m: Int = 0): Timestamp =
+      Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val dedup = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("t_wm_dedup_boundary").start()
+    try {
+      // A1 survives; A2 is a within-horizon duplicate (state expires at
+      // 13:00 = A1.ts + 1h)
+      stream.addData(Seq(
+        (1L, t(12), 1L, "view", 1.0), (2L, t(12, 10), 1L, "view", 1.0)))
+      q.processAllAvailable()
+      // another key advances the watermark to 15:00 > 13:00 → A's state
+      // is evicted
+      stream.addData(Seq((3L, t(16), 99L, "click", 1.0)))
+      q.processAllAvailable()
+      // A3: same key, 4h after A1 — beyond the horizon, re-emitted
+      stream.addData(Seq((4L, t(16), 1L, "view", 1.0)))
+      q.processAllAvailable()
+      val gotA = spark.table("t_wm_dedup_boundary").filter($"user_id" === 1)
+        .select($"event_id").as[Long].collect().toSet
+      assert(gotA == Set(1L, 4L), s"got $gotA")
+      // the greedy chain twin predicts exactly these survivors (1h
+      // horizon): keep iff ts > prev_survivor + 1h
+      val rows = Seq((1L, t(12)), (2L, t(12, 10)), (4L, t(16)))
+      var anchor = Long.MinValue
+      val chain = rows.filter { case (_, ts) =>
+        val keep = anchor == Long.MinValue || ts.getTime > anchor + 3600000L
+        if (keep) anchor = ts.getTime
+        keep
+      }.map(_._1).toSet
+      assert(chain == gotA)
+      // reference-unbounded semantics keeps only the first — divergence
+      val unbounded = rows.map(_._1).take(1).toSet
+      assert(unbounded != gotA)
+      // and the boundary fires on the real corpus too: the 6h chain twin
+      // keeps strictly more rows than keep-first-forever
+      val twin = SparkEntry.queries("stream_dedup_within_watermark")(spark, sf)
+      val nSurv = twin.agg(sum($"n_survivors")).as[Long].head()
+      val nKeys = twin.count()
+      assert(nSurv > nKeys, s"chain $nSurv vs keys $nKeys — horizon never fired")
+    } finally q.stop()
+  }
+
   test("agg state survives a checkpointed restart (exactly-once recovery)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
