@@ -127,5 +127,9 @@ object SparkEntry {
     // round-11 streaming batch twins — first anchors this round
     "stream_dedup_within_watermark",
     "stream_session_bounds",
+    // round-11 new operators — first anchors this round
+    "a_ks_test",
+    "retrieval_maxscore_topk",
+    "text_heaps_law",
   ).filter(queries.contains)
 }

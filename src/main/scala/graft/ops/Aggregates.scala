@@ -421,6 +421,53 @@ object Aggregates {
         .select($"n1", $"n2", round($"u", 6).as("u"), $"z")
     }),
 
+    // Two-sample Kolmogorov-Smirnov test over every event-type pair —
+    // the distribution-shift detector that completes the inference trio
+    // (Welch = means, Mann-Whitney = stochastic order, KS = whole-CDF).
+    // Exact and tie-safe by construction: values milli-quantize to
+    // integers, the ECDF gap is kept FRACTION-FREE as |cum1·n2 − cum2·n1|
+    // (max over DISTINCT values, so ties contribute once, after the full
+    // tie group — the correct KS convention), and only the final D and
+    // the α=0.05 critical comparison touch doubles, as identical
+    // expressions in both engines. Scale: events shuffle once on
+    // (pair, vm); each event lands in ≤ |types|−1 pairs, the cumulative
+    // window runs over the per-(pair, vm) AGGREGATE (distinct values,
+    // not rows), and the pair table is |types|² broadcast.
+    "a_ks_test" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select($"event_type", round($"value" * 1e3, 0).cast("long").as("vm"))
+      val types = ev.select($"event_type").distinct()
+      val pairs = types.toDF("t1").crossJoin(types.toDF("t2"))
+        .filter($"t1" < $"t2")
+      val side1 = ev.join(broadcast(pairs), $"event_type" === $"t1")
+        .select($"t1", $"t2", $"vm", lit(1L).as("c1"), lit(0L).as("c2"))
+      val side2 = ev.join(broadcast(pairs), $"event_type" === $"t2")
+        .select($"t1", $"t2", $"vm", lit(0L).as("c1"), lit(1L).as("c2"))
+      val per = side1.union(side2)
+        .groupBy($"t1", $"t2", $"vm")
+        .agg(sum($"c1").as("a"), sum($"c2").as("b"))
+      val w = Window.partitionBy($"t1", $"t2").orderBy($"vm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = per
+        .withColumn("ca", sum($"a").over(w))
+        .withColumn("cb", sum($"b").over(w))
+      val g = per.groupBy($"t1", $"t2")
+        .agg(sum($"a").as("n1"), sum($"b").as("n2"))
+      cum.join(broadcast(g), Seq("t1", "t2"))
+        .withColumn("dn", abs($"ca" * $"n2" - $"cb" * $"n1"))
+        .groupBy($"t1", $"t2").agg(
+          max($"n1").as("n1"), max($"n2").as("n2"), max($"dn").as("d_num"))
+        .withColumn("ks_d",
+          round($"d_num" / ($"n1" * $"n2").cast("double"), 6))
+        .withColumn("reject_05",
+          $"d_num" / ($"n1" * $"n2").cast("double") >
+            lit(1.358) * sqrt(($"n1" + $"n2").cast("double") /
+              ($"n1" * $"n2").cast("double")))
+        .select($"t1", $"t2", $"n1", $"n2", $"d_num", $"ks_d", $"reject_05")
+        .orderBy("t1", "t2")
+    }),
+
     // Day-of-week seasonality profile — per-dow mean daily volume and
     // its ratio to the overall mean (the classic seasonality index).
     // The weekday comes from PORTABLE integer arithmetic on the day
@@ -1767,6 +1814,44 @@ object Aggregates {
         |  ROUND((u - n1 * n2 / 2.0)
         |    / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 6) AS z
         |FROM u""".stripMargin,
+    "a_ks_test" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ROUND(value * 1e3, 0) AS BIGINT) AS vm
+        |  FROM events),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |pairs AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2
+        |  FROM ty a CROSS JOIN ty b WHERE a.event_type < b.event_type),
+        |per AS (
+        |  SELECT p.t1, p.t2, e.vm,
+        |    CAST(SUM(CASE WHEN e.event_type = p.t1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN e.event_type = p.t2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b
+        |  FROM pairs p JOIN ev e ON e.event_type IN (p.t1, p.t2)
+        |  GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT t1, t2, vm, a, b,
+        |    SUM(a) OVER (PARTITION BY t1, t2 ORDER BY vm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    SUM(b) OVER (PARTITION BY t1, t2 ORDER BY vm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        |  FROM per),
+        |g AS (
+        |  SELECT t1, t2, CAST(SUM(a) AS BIGINT) AS n1,
+        |    CAST(SUM(b) AS BIGINT) AS n2
+        |  FROM per GROUP BY 1, 2),
+        |m AS (
+        |  SELECT cum.t1, cum.t2, MAX(n1) AS n1, MAX(n2) AS n2,
+        |    CAST(MAX(ABS(ca * n2 - cb * n1)) AS BIGINT) AS d_num
+        |  FROM cum JOIN g ON cum.t1 = g.t1 AND cum.t2 = g.t2
+        |  GROUP BY 1, 2)
+        |SELECT t1, t2, n1, n2, d_num,
+        |  ROUND(d_num / CAST(n1 * n2 AS DOUBLE), 6) AS ks_d,
+        |  d_num / CAST(n1 * n2 AS DOUBLE) >
+        |    1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+        |      / CAST(n1 * n2 AS DOUBLE)) AS reject_05
+        |FROM m ORDER BY t1, t2""".stripMargin,
     "a_seasonality_dow" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n

@@ -149,7 +149,7 @@ object TextOps {
       "' <b>Bold</b> <i>x</i> 42 1234 a b Z! www'"
 
   /** Tokens of the raw text: lower, split on whitespace, drop empties. */
-  private[ops] def tokens(c: Column): Column =
+  private[graft] def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
 
   /** U2 lemmatizer-lite (data_preparation.py:100-119 is WordNet-backed;
@@ -706,6 +706,81 @@ object TextOps {
         .groupBy($"doc_id").agg(round(sum($"w"), 6).as("bm25"))
         .orderBy(desc("bm25"), asc("doc_id"))
         .limit(15)
+    }),
+
+    // MaxScore-pruned BM25 top-k (Turtle & Flood 1995; the
+    // upper-bound-pruning family behind every production inverted
+    // index: MaxScore / WAND / block-max). EXACT top-k — provably equal
+    // to the exhaustive scorer, which is precisely what the oracle
+    // checks (the oracle replays the UNPRUNED computation, so the hash
+    // compare certifies the pruning lossless). Shape:
+    //   1. per-(doc, term) micro-integer BM25 weights (term-filtered
+    //      posting table, as everywhere in the BM25 family);
+    //   2. per-term upper bound UB(t) = max posting weight (|terms|
+    //      rows);
+    //   3. champion pass: full scores of docs containing the single
+    //      top-UB term; θ = their k-th best score (a LOWER bound on the
+    //      true k-th score, since champions ⊆ corpus) — or 0 with
+    //      fewer than k champions, which disables pruning but never
+    //      breaks exactness;
+    //   4. a term is NON-ESSENTIAL if the cumulative UB of it and all
+    //      weaker terms is < θ (strict, so pruned docs score strictly
+    //      below the final k-th score and cannot displace a tie);
+    //      docs touching no essential term are skipped, the rest score
+    //      fully.
+    // Scale: the pruning decisions run on |terms|-row aggregates; the
+    // candidate set is the union of the ESSENTIAL terms' postings — the
+    // classic MaxScore skip of the long low-impact tails. Spec asserts
+    // both equality with the exhaustive scorer and that pruning
+    // actually fires on the corpus.
+    "retrieval_maxscore_topk" -> ((s, d) => {
+      import s.implicits._
+      val qTerms = Seq("spark", "table", "merge", "model", "stream")
+      val K = 15
+      val t = documents(s, d).select($"doc_id", tokens($"text").as("t"))
+      val dl = t.select($"doc_id", size($"t").as("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+      val tf = t.select($"doc_id", explode($"t").as("word"))
+        .filter($"word".isin(qTerms: _*))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+      val wtab = tf.join(broadcast(df_), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .withColumn("dlr", $"dl".cast("double") / $"avgdl")
+        .withColumn("idf",
+          log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)))
+        .withColumn("w",
+          $"idf" * $"tf" * lit(2.2) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dlr")))
+        .withColumn("wm", round($"w" * 1e6, 0).cast("long"))
+        .select($"doc_id", $"word", $"wm")
+        .localCheckpoint(false) // three consumers below share one build
+      val ub = wtab.groupBy($"word").agg(max($"wm").as("ub"))
+      val champTerm = ub.orderBy(desc("ub"), asc("word")).limit(1)
+        .select($"word".as("cw"))
+      val champDocs = wtab.join(broadcast(champTerm), $"word" === $"cw")
+        .select($"doc_id").distinct()
+      val theta = wtab.join(broadcast(champDocs), "doc_id")
+        .groupBy($"doc_id").agg(sum($"wm").as("sc"))
+        .orderBy(desc("sc")).limit(K)
+        .agg(min($"sc").as("kth"), count(lit(1)).as("nch"))
+        .select(when($"nch" >= K, $"kth").otherwise(lit(0L)).as("theta"))
+      val wub = Window.orderBy(asc("ub"), asc("word"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val essential = ub.withColumn("cum", sum($"ub").over(wub))
+        .crossJoin(broadcast(theta))
+        .filter($"cum" >= $"theta")
+        .select($"word")
+      val cand = wtab.join(broadcast(essential), "word")
+        .select($"doc_id").distinct()
+      wtab.join(cand, Seq("doc_id"), "left_semi")
+        .groupBy($"doc_id").agg(sum($"wm").as("score"))
+        .orderBy(desc("score"), asc("doc_id")).limit(K)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score"), asc("doc_id"))))
+        .select($"rank", $"doc_id", $"score")
+        .orderBy("rank")
     }),
 
     // Retrieval-quality harness (the eval loop a RAG corpus needs):
@@ -1691,6 +1766,67 @@ object TextOps {
     // char volume, exact-dup ratio. One partial-aggregated groupBy on a
     // low-cardinality key; countDistinct(md5) is the only expansion and
     // rides the same shuffle. Scale-safe at any corpus size.
+    // Heaps'-law vocabulary growth V(N) ≈ K·N^β — the corpus-card
+    // diagnostic that says how fast the vocabulary (and so tokenizer
+    // coverage, embedding-table pressure, dedup shingle cardinality)
+    // grows with corpus size; β drifting from ~0.5 flags a corpus
+    // turning boilerplate-heavy (low β) or noise-heavy (high β).
+    // Construction is one token pass: each word reduces to its FIRST
+    // doc (min doc_id), each doc to its token count; both bucket into
+    // 10 corpus-prefix deciles by exact ceil-division on doc_id, so the
+    // growth curve is 10 cumulative (tokens, vocab) checkpoints from a
+    // 10-row frame. The log-log OLS fit quantizes ln values to
+    // micro-integers first, making the 10-point regression sums exact
+    // integer algebra — β and K replay bit-for-bit. Scale: the shuffles
+    // are groupBy(word) and a 10-row aggregate; nothing windows over
+    // corpus-sized frames. On the synthetic testdata the diagnostic
+    // correctly fires its boilerplate verdict: the generator draws from
+    // a ~31-word bank, so the vocabulary saturates in decile 1 and
+    // β = 0 — exactly what this op should report for a template corpus.
+    "text_heaps_law" -> ((s, d) => {
+      import s.implicits._
+      val t = documents(s, d).select($"doc_id", tokens($"text").as("t"))
+      val mx = t.agg(max($"doc_id").as("mx"))
+      val vNew = t.select($"doc_id", explode($"t").as("word"))
+        .groupBy($"word").agg(min($"doc_id").as("first_doc"))
+        .crossJoin(broadcast(mx))
+        .withColumn("b", least(greatest(
+          expr("(first_doc * 10 + mx - 1) div mx"), lit(1L)), lit(10L)))
+        .groupBy($"b").agg(count(lit(1)).as("v_new"))
+      val nTok = t.select($"doc_id", size($"t").cast("long").as("ntok"))
+        .crossJoin(broadcast(mx))
+        .withColumn("b", least(greatest(
+          expr("(doc_id * 10 + mx - 1) div mx"), lit(1L)), lit(10L)))
+        .groupBy($"b").agg(sum($"ntok").as("n_tok"))
+      val dom = documents(s, d).limit(1)
+        .select(explode(sequence(lit(1L), lit(10L))).as("b"))
+      val w = Window.orderBy($"b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val curve = dom
+        .join(vNew, Seq("b"), "left").na.fill(0, Seq("v_new"))
+        .join(nTok, Seq("b"), "left").na.fill(0, Seq("n_tok"))
+        .withColumn("cum_vocab", sum($"v_new").over(w))
+        .withColumn("cum_tokens", sum($"n_tok").over(w))
+        .select($"b".as("decile"), $"cum_tokens", $"cum_vocab")
+        .withColumn("xq", round(log($"cum_tokens") * 1e6, 0).cast("long"))
+        .withColumn("yq", round(log($"cum_vocab") * 1e6, 0).cast("long"))
+      val fit = curve.agg(
+          count(lit(1)).as("n"), sum($"xq").as("sx"), sum($"yq").as("sy"),
+          sum($"xq" * $"yq").as("sxy"), sum($"xq" * $"xq").as("sxx"))
+        .withColumn("beta", round(
+          ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx").cast("double"), 6))
+        .withColumn("heaps_k", round(exp(
+          ($"sy".cast("double") / $"n" -
+            (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              ($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+              ($"sx".cast("double") / $"n")) / 1e6), 6))
+        .select($"beta", $"heaps_k")
+      curve.select($"decile", $"cum_tokens", $"cum_vocab")
+        .crossJoin(broadcast(fit))
+        .orderBy("decile")
+    }),
+
     "corpus_stats_card" -> ((s, d) => {
       import s.implicits._
       documents(s, d)
@@ -2010,6 +2146,33 @@ object TextOps {
          |  FROM tf JOIN df USING (word) JOIN dl ON tf.doc_id = dl.doc_id)
          |SELECT doc_id, ROUND(SUM(w), 6) AS bm25 FROM w
          |GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 15""".stripMargin,
+    // Deliberately UNPRUNED: scoring every matching doc exhaustively is
+    // the ground truth that certifies the engine's MaxScore pruning
+    // lossless (micro-integer weights make the equality exact).
+    "retrieval_maxscore_topk" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+         |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, word, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(toks) AS word FROM t)
+         |  WHERE word IN ('spark', 'table', 'merge', 'model', 'stream')
+         |  GROUP BY doc_id, word),
+         |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+         |w AS (
+         |  SELECT tf.doc_id,
+         |    CAST(ROUND(
+         |      ln(((SELECT n_docs FROM st) - df + 0.5) / (df + 0.5) + 1.0)
+         |      * tf * 2.2
+         |      / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+         |          / (SELECT avgdl FROM st)))) * 1e6, 0) AS BIGINT) AS wm
+         |  FROM tf JOIN df USING (word) JOIN dl ON tf.doc_id = dl.doc_id),
+         |s AS (
+         |  SELECT doc_id, CAST(SUM(wm) AS BIGINT) AS score FROM w
+         |  GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 15)
+         |SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         |  doc_id, score
+         |FROM s ORDER BY rank""".stripMargin,
     "text_lm_score" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |db AS (
@@ -2646,6 +2809,56 @@ object TextOps {
          |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM sampled GROUP BY 1 ORDER BY shard""".stripMargin,
+    "text_heaps_law" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |mx AS (SELECT MAX(doc_id) AS mx FROM t),
+         |fw AS (
+         |  SELECT word, MIN(doc_id) AS first_doc FROM (
+         |    SELECT doc_id, unnest(toks) AS word FROM t)
+         |  GROUP BY word),
+         |vn AS (
+         |  SELECT LEAST(GREATEST((first_doc * 10 + mx - 1) // mx, 1), 10)
+         |      AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS v_new
+         |  FROM fw CROSS JOIN mx GROUP BY 1),
+         |nt AS (
+         |  SELECT LEAST(GREATEST((doc_id * 10 + mx - 1) // mx, 1), 10) AS b,
+         |    CAST(SUM(len(toks)) AS BIGINT) AS n_tok
+         |  FROM t CROSS JOIN mx GROUP BY 1),
+         |dom AS (SELECT unnest(range(1, 11)) AS b),
+         |curve AS (
+         |  SELECT dom.b AS decile,
+         |    SUM(COALESCE(nt.n_tok, 0)) OVER (ORDER BY dom.b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_tokens,
+         |    SUM(COALESCE(vn.v_new, 0)) OVER (ORDER BY dom.b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_vocab
+         |  FROM dom LEFT JOIN vn ON dom.b = vn.b
+         |  LEFT JOIN nt ON dom.b = nt.b),
+         |q AS (
+         |  SELECT decile, cum_tokens, cum_vocab,
+         |    CAST(ROUND(ln(cum_tokens) * 1e6, 0) AS BIGINT) AS xq,
+         |    CAST(ROUND(ln(cum_vocab) * 1e6, 0) AS BIGINT) AS yq
+         |  FROM curve),
+         |fit AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+         |    CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+         |    CAST(SUM(xq * xq) AS BIGINT) AS sxx
+         |  FROM q),
+         |f2 AS (
+         |  SELECT
+         |    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta,
+         |    ROUND(exp((CAST(sy AS DOUBLE) / n
+         |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+         |         / CAST(n * sxx - sx * sx AS DOUBLE))
+         |        * (CAST(sx AS DOUBLE) / n)) / 1e6), 6) AS heaps_k
+         |  FROM fit)
+         |SELECT decile, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         |  CAST(cum_vocab AS BIGINT) AS cum_vocab, beta, heaps_k
+         |FROM q CROSS JOIN f2 ORDER BY decile""".stripMargin,
     "corpus_stats_card" ->
       s"""WITH t AS (
          |  SELECT source, lang, text, len($tokensSql) AS tok FROM documents)

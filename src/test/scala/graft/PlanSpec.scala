@@ -126,6 +126,9 @@ class PlanSpec extends SparkSpec {
     "profile_key_skew",                              // 1-row stats broadcast
     "corpus_curriculum_phases",                      // 1-row corpus-count broadcast
     "a_chi2_daily_mix",                              // 1-row total broadcast
+    "a_ks_test",                                     // |types|² pair cross + per-pair totals broadcast
+    "retrieval_maxscore_topk",                       // scalar st/θ broadcasts (pruning thresholds)
+    "text_heaps_law",                                // 1-row max-doc-id + fit broadcasts
     "ml_ridge_probe",                                // 1-row solved-weights broadcast
     "emb_pca_power",                                 // 1-row max-|s| broadcast per round
     "a_ttest_welch",                                 // 5-row stats-table pair self-join

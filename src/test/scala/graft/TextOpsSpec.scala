@@ -65,6 +65,71 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq)
   }
 
+  test("MaxScore pruning is lossless and actually prunes") {
+    val qTerms = Seq("spark", "table", "merge", "model", "stream")
+    val K = 15
+    // rebuild the posting weight table exactly as the query does
+    val t = graft.ops.Tables.documents(spark, sf)
+      .select($"doc_id", graft.ops.TextOps.tokens($"text").as("t"))
+    val dl = t.select($"doc_id", size($"t").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+    val tf = t.select($"doc_id", explode($"t").as("word"))
+      .filter($"word".isin(qTerms: _*))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val wtab = tf.join(broadcast(df_), "word").join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("w",
+        log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)) *
+          $"tf" * lit(2.2) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) *
+            ($"dl".cast("double") / $"avgdl"))))
+      .select($"doc_id", $"word",
+        round($"w" * 1e6, 0).cast("long").as("wm"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exhaustive local ground truth
+    val full = wtab.groupBy(_._1).view.mapValues(_.map(_._3).sum).toSeq
+      .sortBy { case (id, sc) => (-sc, id) }
+    val want = full.take(K).zipWithIndex
+      .map { case ((id, sc), i) => (i + 1, id, sc) }
+    val got = SparkEntry.queries("retrieval_maxscore_topk")(spark, sf)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got == want, "pruned top-k diverged from the exhaustive scorer")
+    // pruning FIRES: replay the threshold logic locally and check the
+    // essential-candidate set is strictly smaller than all matching docs
+    val ub = wtab.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val champ = ub.toSeq.sortBy { case (w, u) => (-u, w) }.head._1
+    val champDocs = wtab.filter(_._2 == champ).map(_._1).toSet
+    val champScores = full.filter(f => champDocs(f._1)).map(_._2)
+      .sorted.reverse
+    val theta = if (champScores.length >= K) champScores(K - 1) else 0L
+    val byUbAsc = ub.toSeq.sortBy { case (w, u) => (u, w) }
+    val cums = byUbAsc.scanLeft(0L)(_ + _._2).drop(1)
+    val essential = byUbAsc.zip(cums).filter(_._2 >= theta).map(_._1._1).toSet
+    val candDocs = wtab.filter(r => essential(r._2)).map(_._1).toSet
+    val allDocs = wtab.map(_._1).toSet
+    assert(essential.size < ub.size,
+      s"no term pruned (theta=$theta, ubs=$ub)")
+    assert(candDocs.size < allDocs.size,
+      s"pruning never skipped a doc (${candDocs.size} of ${allDocs.size})")
+  }
+
+  test("Heaps curve checkpoints match exact local totals") {
+    val rows = SparkEntry.queries("text_heaps_law")(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    // cumulative and final totals agree with a direct local recompute
+    val toks = graft.ops.Tables.documents(spark, sf)
+      .select(graft.ops.TextOps.tokens($"text").as("t"))
+      .as[Seq[String]].collect()
+    assert(rows.last._2 == toks.map(_.length.toLong).sum, "total tokens")
+    assert(rows.last._3 == toks.flatten.distinct.length.toLong, "vocab size")
+    // monotone growth curve; one shared (beta, K) fit on every row
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 > a._2 && b._3 >= a._3, s"curve not monotone at ${b._1}") }
+    assert(rows.map(r => (r._4, r._5)).distinct.length == 1)
+  }
+
   test("LM scores are log-probabilities (<= 0) over every multi-token doc") {
     val rows = SparkEntry.queries("text_lm_score")(spark, sf)
       .as[(Long, Long, Double)].collect()
