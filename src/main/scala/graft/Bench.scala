@@ -16,17 +16,18 @@ object Bench {
       .selectExpr("sum(cast(hash(id) as bigint)) as s").collect()
   }
 
-  /** Quiet-host anchors for calibOnce (seconds), measured via
-    * graft.tools.CalibProbe on the build host (min of 6 warm runs:
-    * 0.227 s at local[32], 0.548 s at local[4] — NOT core-linear; the
-    * probe saturates memory bandwidth before 32 threads). Unknown cpu
-    * counts snap to the nearest measured anchor, which keeps the ratio
-    * meaningful for the two configs actually used (driver=32, dev=4).
+  /** Quiet-host anchors for calibOnce (seconds) in BENCH context — i.e.
+    * inside a deeply-warmed JVM after the query warm-up passes, which is
+    * where the probe actually runs (a fresh JVM reads ~0.23/0.47 via
+    * graft.tools.CalibProbe; the fully-JIT'd Bench JVM reads ~0.13/0.44
+    * — anchors use the latter so quiet runs land near 1.0). NOT
+    * core-linear (memory-bandwidth-bound before 32 threads); unknown cpu
+    * counts snap to the nearest measured config (driver=32, dev=4).
     */
   def calibAnchor(cpus: Int): Double =
     if (cpus >= 16) CALIB_ANCHOR_32 else CALIB_ANCHOR_4
-  private val CALIB_ANCHOR_32 = 0.227
-  private val CALIB_ANCHOR_4 = 0.548
+  private val CALIB_ANCHOR_32 = 0.13
+  private val CALIB_ANCHOR_4 = 0.44
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -131,5 +131,6 @@ object SparkEntry {
     "a_ks_test",
     "retrieval_maxscore_topk",
     "text_heaps_law",
+    "ml_calibration_bins",
   ).filter(queries.contains)
 }

@@ -149,6 +149,98 @@ object TextOps {
       "' <b>Bold</b> <i>x</i> 42 1234 a b Z! www'"
 
   /** Tokens of the raw text: lower, split on whitespace, drop empties. */
+  /** Per-(test doc, candidate class) multinomial-NB log scores — the
+    * shared core of text_nb_classifier (argmax → confusion matrix) and
+    * ml_calibration_bins (softmax → reliability bins). Laplace-smoothed
+    * word log-likelihoods and priors quantize to micro-integers, so each
+    * (doc, class) score is an exact, order-free integer sum identical in
+    * the DuckDB replay. Columns: doc_id, true_lang, pred_cand, score.
+    * 80/20 hash split; the train-vocab size is a model-scale driver
+    * scalar (S12 family).
+    */
+  /** Oracle-side twin of nbScored: the shared WITH-clause body ending in
+    * `sc(doc_id, true_lang, pred_cand, score)`.
+    */
+  private lazy val nbScoredCtes: String =
+    s"""dz AS (
+       |  SELECT doc_id, lang, $tokensSql AS toks,
+       |    ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")}
+       |      % 10 AS bucket
+       |  FROM documents),
+       |tr AS (SELECT doc_id, lang, toks FROM dz WHERE bucket < 8),
+       |te AS (SELECT doc_id, lang, toks FROM dz WHERE bucket >= 8),
+       |tw AS (SELECT lang, unnest(toks) AS word FROM tr),
+       |cc AS (SELECT lang, word, COUNT(*) AS cwc FROM tw GROUP BY 1, 2),
+       |ct AS (SELECT lang, COUNT(*) AS nc FROM tw GROUP BY 1),
+       |vz AS (SELECT COUNT(DISTINCT word) AS v FROM tw),
+       |pri AS (
+       |  SELECT lang, CAST(ROUND(ln(CAST(ndc AS DOUBLE) / nd) * 1000000.0)
+       |    AS BIGINT) AS prior_micro
+       |  FROM (SELECT lang, COUNT(*) AS ndc FROM tr GROUP BY 1)
+       |  CROSS JOIN (SELECT COUNT(*) AS nd FROM tr)),
+       |vocab AS (SELECT DISTINCT word FROM tw),
+       |wl AS (
+       |  SELECT vocab.word, ct.lang,
+       |    CAST(ROUND(ln(CAST(COALESCE(cc.cwc, 0) + 1 AS DOUBLE)
+       |      / (ct.nc + (SELECT v FROM vz))) * 1000000.0) AS BIGINT)
+       |      AS lp_micro
+       |  FROM vocab CROSS JOIN ct
+       |  LEFT JOIN cc ON cc.word = vocab.word AND cc.lang = ct.lang),
+       |dc AS (
+       |  SELECT tt.doc_id, wl.lang AS pred_cand,
+       |    CAST(SUM(wl.lp_micro) AS BIGINT) AS ssum
+       |  FROM (SELECT doc_id, unnest(toks) AS word FROM te) tt
+       |  JOIN wl ON tt.word = wl.word
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT dom.doc_id, dom.true_lang, dom.pred_cand,
+       |    COALESCE(dc.ssum, 0) + dom.prior_micro AS score
+       |  FROM (
+       |    SELECT te.doc_id, te.lang AS true_lang,
+       |      pri.lang AS pred_cand, pri.prior_micro
+       |    FROM te CROSS JOIN pri) dom
+       |  LEFT JOIN dc ON dom.doc_id = dc.doc_id
+       |    AND dom.pred_cand = dc.pred_cand)""".stripMargin
+
+  private def nbScored(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket = pmod(graft.functions.PolyHash.poly_hash(
+      $"doc_id".cast("string")), lit(10L))
+    val docs = documents(s, d)
+      .select($"doc_id", $"lang", tokens($"text").as("t"),
+        bucket.as("bucket"))
+    val train = docs.filter($"bucket" < 8)
+    val test = docs.filter($"bucket" >= 8)
+    val tw = train.select($"lang", explode($"t").as("word"))
+    val classCounts = tw.groupBy($"lang", $"word").agg(count(lit(1)).as("cwc"))
+    val classTotals = tw.groupBy($"lang").agg(count(lit(1)).as("nc"))
+    val vocabSize = tw.select($"word").distinct().count()
+    val priors = train.groupBy($"lang").agg(count(lit(1)).as("ndc"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("nd"))))
+      .select($"lang",
+        round(log($"ndc".cast("double") / $"nd") * 1e6, 0)
+          .cast("long").as("prior_micro"))
+    val wl = tw.select($"word").distinct()
+      .crossJoin(broadcast(classTotals))
+      .join(classCounts, Seq("lang", "word"), "left")
+      .na.fill(0L, Seq("cwc"))
+      .select($"word", $"lang",
+        round(log(($"cwc" + 1).cast("double") / ($"nc" + vocabSize)) * 1e6, 0)
+          .cast("long").as("lp_micro"))
+    val docClass = test
+      .select($"doc_id", explode($"t").as("word"))
+      .join(wl, "word")
+      .groupBy($"doc_id", $"lang").agg(sum($"lp_micro").as("ssum"))
+      .withColumnRenamed("lang", "pred_cand")
+    val dom = test.select($"doc_id", $"lang".as("true_lang"))
+      .crossJoin(broadcast(priors
+        .select($"lang".as("pred_cand"), $"prior_micro")))
+    dom.join(docClass, Seq("doc_id", "pred_cand"), "left")
+      .na.fill(0L, Seq("ssum"))
+      .withColumn("score", $"ssum" + $"prior_micro")
+      .select($"doc_id", $"true_lang", $"pred_cand", $"score")
+  }
+
   private[graft] def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
 
@@ -1575,49 +1667,66 @@ object TextOps {
     // per-doc integer aggregate — no corpus-sized broadcast.
     "text_nb_classifier" -> ((s, d) => {
       import s.implicits._
-      val bucket = pmod(graft.functions.PolyHash.poly_hash(
-        $"doc_id".cast("string")), lit(10L))
-      val docs = documents(s, d)
-        .select($"doc_id", $"lang", tokens($"text").as("t"),
-          bucket.as("bucket"))
-      val train = docs.filter($"bucket" < 8)
-      val test = docs.filter($"bucket" >= 8)
-      val tw = train.select($"lang", explode($"t").as("word"))
-      val classCounts = tw.groupBy($"lang", $"word").agg(count(lit(1)).as("cwc"))
-      val classTotals = tw.groupBy($"lang").agg(count(lit(1)).as("nc"))
-      // train-vocab size: a model-scale driver scalar (S12 family)
-      val vocabSize = tw.select($"word").distinct().count()
-      val priors = train.groupBy($"lang").agg(count(lit(1)).as("ndc"))
-        .crossJoin(broadcast(train.agg(count(lit(1)).as("nd"))))
-        .select($"lang",
-          round(log($"ndc".cast("double") / $"nd") * 1e6, 0)
-            .cast("long").as("prior_micro"))
-      val wl = tw.select($"word").distinct()
-        .crossJoin(broadcast(classTotals))
-        .join(classCounts, Seq("lang", "word"), "left")
-        .na.fill(0L, Seq("cwc"))
-        .select($"word", $"lang",
-          round(log(($"cwc" + 1).cast("double") / ($"nc" + vocabSize)) * 1e6, 0)
-            .cast("long").as("lp_micro"))
-      val docClass = test
-        .select($"doc_id", explode($"t").as("word"))
-        .join(wl, "word")
-        .groupBy($"doc_id", $"lang").agg(sum($"lp_micro").as("ssum"))
-        .withColumnRenamed("lang", "pred_cand")
-      val dom = test.select($"doc_id", $"lang".as("true_lang"))
-        .crossJoin(broadcast(priors
-          .select($"lang".as("pred_cand"), $"prior_micro")))
       val w = Window.partitionBy($"doc_id")
         .orderBy(desc("score"), asc("pred_cand"))
-      dom.join(docClass, Seq("doc_id", "pred_cand"), "left")
-        .na.fill(0L, Seq("ssum"))
-        .withColumn("score", $"ssum" + $"prior_micro")
+      nbScored(s, d)
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .groupBy($"true_lang", $"pred_cand")
         .agg(count(lit(1)).as("n_docs"))
         .select($"true_lang", $"pred_cand".as("pred_lang"), $"n_docs")
         .orderBy("true_lang", "pred_lang")
+    }),
+
+    // Confidence calibration of the NB classifier (reliability bins +
+    // ECE, Guo et al. 2017's recipe) — the eval a quality-classifier
+    // pipeline runs before trusting thresholded scores at 100 TB: a
+    // model can be accurate yet mis-calibrated, and a filtering cutoff
+    // on mis-calibrated confidence silently shifts the kept-data mix.
+    // Confidence = softmax over the per-class log scores, made exact by
+    // the max-shift trick: each class term exp((s_c − s_max)/1e6)
+    // quantizes to nano-integers (the predicted class is exactly 1e9),
+    // so the denominator is an exact integer sum and p = 1e9/denominator
+    // is the same double in both engines. Bin b = ⌊10p⌋+1 capped at 10;
+    // per-bin confidence re-quantizes to micro before summing, so
+    // avg_conf, accuracy, and ECE = Σ|1e6·correct_b − Σconf_b|/(1e6·N)
+    // are ratios of exact integers. Scale: everything after nbScored's
+    // test-doc scoring is |bins|-row arithmetic.
+    "ml_calibration_bins" -> ((s, d) => {
+      import s.implicits._
+      val sc = nbScored(s, d)
+      val mx = sc.groupBy($"doc_id").agg(max($"score").as("smax"))
+      val soft = sc.join(mx, "doc_id")
+        .withColumn("nano",
+          round(exp(($"score" - $"smax").cast("double") / 1e6) * 1e9, 0)
+            .cast("long"))
+      val den = soft.groupBy($"doc_id").agg(sum($"nano").as("dn"))
+      val wp = Window.partitionBy($"doc_id")
+        .orderBy(desc("score"), asc("pred_cand"))
+      val pred = soft.withColumn("rn", row_number().over(wp))
+        .filter($"rn" === 1)
+        .join(den, "doc_id")
+        .withColumn("conf", lit(1e9) / $"dn")
+        .select(
+          when($"true_lang" === $"pred_cand", 1L).otherwise(0L).as("ok"),
+          least(floor($"conf" * 10).cast("long") + 1L, lit(10L)).as("bin"),
+          round($"conf" * 1e6, 0).cast("long").as("confm"))
+      val bins = pred.groupBy($"bin").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"confm").as("sconf"),
+        sum($"ok").as("n_correct"))
+      val ece = bins.agg(
+          (sum(abs($"n_correct" * lit(1000000L) - $"sconf")) /
+            (lit(1e6) * sum($"n_docs"))).as("e"))
+        .select(round($"e", 6).as("ece"))
+      bins
+        .withColumn("avg_conf",
+          round($"sconf".cast("double") / ($"n_docs" * lit(1000000L)), 6))
+        .withColumn("accuracy",
+          round($"n_correct".cast("double") / $"n_docs", 6))
+        .select($"bin", $"n_docs", $"avg_conf", $"accuracy", $"n_correct")
+        .crossJoin(broadcast(ece))
+        .orderBy("bin")
     }),
 
     // DoReMi-lite domain reweighting (Xie et al. 2023 "DoReMi", the
@@ -2330,51 +2439,52 @@ object TextOps {
          |LEFT JOIN es ON r.qdoc = es.qdoc
          |WHERE r.rank <= 5 ORDER BY query_doc, rank""".stripMargin,
     "text_nb_classifier" ->
-      s"""WITH dz AS (
-         |  SELECT doc_id, lang, $tokensSql AS toks,
-         |    ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")}
-         |      % 10 AS bucket
-         |  FROM documents),
-         |tr AS (SELECT doc_id, lang, toks FROM dz WHERE bucket < 8),
-         |te AS (SELECT doc_id, lang, toks FROM dz WHERE bucket >= 8),
-         |tw AS (SELECT lang, unnest(toks) AS word FROM tr),
-         |cc AS (SELECT lang, word, COUNT(*) AS cwc FROM tw GROUP BY 1, 2),
-         |ct AS (SELECT lang, COUNT(*) AS nc FROM tw GROUP BY 1),
-         |vz AS (SELECT COUNT(DISTINCT word) AS v FROM tw),
-         |pri AS (
-         |  SELECT lang, CAST(ROUND(ln(CAST(ndc AS DOUBLE) / nd) * 1000000.0)
-         |    AS BIGINT) AS prior_micro
-         |  FROM (SELECT lang, COUNT(*) AS ndc FROM tr GROUP BY 1)
-         |  CROSS JOIN (SELECT COUNT(*) AS nd FROM tr)),
-         |vocab AS (SELECT DISTINCT word FROM tw),
-         |wl AS (
-         |  SELECT vocab.word, ct.lang,
-         |    CAST(ROUND(ln(CAST(COALESCE(cc.cwc, 0) + 1 AS DOUBLE)
-         |      / (ct.nc + (SELECT v FROM vz))) * 1000000.0) AS BIGINT)
-         |      AS lp_micro
-         |  FROM vocab CROSS JOIN ct
-         |  LEFT JOIN cc ON cc.word = vocab.word AND cc.lang = ct.lang),
-         |dc AS (
-         |  SELECT tt.doc_id, wl.lang AS pred_cand,
-         |    CAST(SUM(wl.lp_micro) AS BIGINT) AS ssum
-         |  FROM (SELECT doc_id, unnest(toks) AS word FROM te) tt
-         |  JOIN wl ON tt.word = wl.word
-         |  GROUP BY 1, 2),
-         |sc AS (
-         |  SELECT dom.doc_id, dom.true_lang, dom.pred_cand,
-         |    COALESCE(dc.ssum, 0) + dom.prior_micro AS score
-         |  FROM (
-         |    SELECT te.doc_id, te.lang AS true_lang,
-         |      pri.lang AS pred_cand, pri.prior_micro
-         |    FROM te CROSS JOIN pri) dom
-         |  LEFT JOIN dc ON dom.doc_id = dc.doc_id
-         |    AND dom.pred_cand = dc.pred_cand)
+      s"""WITH $nbScoredCtes
          |SELECT true_lang, pred_cand AS pred_lang, COUNT(*) AS n_docs FROM (
          |  SELECT doc_id, true_lang, pred_cand,
          |    row_number() OVER (PARTITION BY doc_id
          |      ORDER BY score DESC, pred_cand ASC) AS rn
          |  FROM sc) WHERE rn = 1
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Shares the nb-score CTEs; the softmax replay mirrors the engine's
+    // max-shift nano-integer quantization exactly.
+    "ml_calibration_bins" ->
+      s"""WITH $nbScoredCtes,
+         |mx AS (SELECT doc_id, MAX(score) AS smax FROM sc GROUP BY 1),
+         |soft AS (
+         |  SELECT sc.doc_id, sc.true_lang, sc.pred_cand, sc.score,
+         |    CAST(ROUND(exp(CAST(sc.score - mx.smax AS DOUBLE) / 1e6)
+         |      * 1e9, 0) AS BIGINT) AS nano
+         |  FROM sc JOIN mx ON sc.doc_id = mx.doc_id),
+         |den AS (
+         |  SELECT doc_id, CAST(SUM(nano) AS BIGINT) AS dn
+         |  FROM soft GROUP BY 1),
+         |pr AS (
+         |  SELECT doc_id, true_lang, pred_cand,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, pred_cand ASC) AS rn
+         |  FROM soft),
+         |pz AS (
+         |  SELECT CASE WHEN pr.true_lang = pr.pred_cand THEN 1 ELSE 0 END
+         |      AS ok,
+         |    LEAST(CAST(FLOOR((1e9 / dn) * 10) AS BIGINT) + 1, 10) AS bin,
+         |    CAST(ROUND((1e9 / dn) * 1e6, 0) AS BIGINT) AS confm
+         |  FROM pr JOIN den ON pr.doc_id = den.doc_id
+         |  WHERE pr.rn = 1),
+         |bins AS (
+         |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(confm) AS BIGINT) AS sconf,
+         |    CAST(SUM(ok) AS BIGINT) AS n_correct
+         |  FROM pz GROUP BY 1),
+         |ec AS (
+         |  SELECT ROUND(SUM(ABS(n_correct * 1000000 - sconf))
+         |    / (1e6 * SUM(n_docs)), 6) AS ece
+         |  FROM bins)
+         |SELECT bin, n_docs,
+         |  ROUND(CAST(sconf AS DOUBLE) / (n_docs * 1000000), 6) AS avg_conf,
+         |  ROUND(CAST(n_correct AS DOUBLE) / n_docs, 6) AS accuracy,
+         |  n_correct, ece
+         |FROM bins CROSS JOIN ec ORDER BY bin""".stripMargin,
     "corpus_doremi_weights" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |db AS (

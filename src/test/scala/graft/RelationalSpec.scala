@@ -118,7 +118,8 @@ class RelationalSpec extends SparkSpec {
       "join_incremental_merge", "a_acf_daily",
       "a_cusum_changepoint", "stream_dedup_within_watermark",
       "stream_session_bounds", "a_ks_test",
-      "retrieval_maxscore_topk", "text_heaps_law").foreach { name =>
+      "retrieval_maxscore_topk", "text_heaps_law",
+      "ml_calibration_bins").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq

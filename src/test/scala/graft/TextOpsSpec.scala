@@ -114,6 +114,29 @@ class TextOpsSpec extends SparkSpec {
       s"pruning never skipped a doc (${candDocs.size} of ${allDocs.size})")
   }
 
+  test("calibration bins partition the NB test split; ECE consistent") {
+    val rows = SparkEntry.queries("ml_calibration_bins")(spark, sf)
+      .as[(Long, Long, Double, Double, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // bins cover exactly the classifier's test split
+    val nTest = SparkEntry.queries("text_nb_classifier")(spark, sf)
+      .agg(sum($"n_docs")).as[Long].head()
+    assert(rows.map(_._2).sum == nTest)
+    rows.foreach { case (b, n, conf, acc, nc, _) =>
+      assert(b >= 1 && b <= 10)
+      // bin means live inside their bin interval (bin 10 includes 1.0)
+      assert(conf >= (b - 1) / 10.0 - 1e-6 &&
+        (conf < b / 10.0 + 1e-6 || b == 10L), s"bin $b conf $conf")
+      assert(acc >= 0.0 && acc <= 1.0 && nc <= n)
+    }
+    // the reported ECE matches a recompute from the bin rows
+    val n = rows.map(_._2).sum.toDouble
+    val eceLocal = rows.map { case (_, nb, conf, acc, _, _) =>
+      math.abs(acc - conf) * nb }.sum / n
+    assert(math.abs(rows.head._6 - eceLocal) < 1e-4,
+      s"ece ${rows.head._6} vs $eceLocal")
+  }
+
   test("Heaps curve checkpoints match exact local totals") {
     val rows = SparkEntry.queries("text_heaps_law")(spark, sf)
       .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
