@@ -132,5 +132,7 @@ object SparkEntry {
     "retrieval_maxscore_topk",
     "text_heaps_law",
     "ml_calibration_bins",
+    "graph_kcore",
+    "dedup_lsh_pr_eval",
   ).filter(queries.contains)
 }

@@ -438,6 +438,57 @@ object DedupOps {
         .orderBy("d1", "d2")
     }),
 
+    // LSH tuning eval — the empirical S-curve check run before trusting
+    // a (bands, rows) configuration at 100 TB: per exact-Jaccard bucket
+    // (0.5 up, below and above the 0.8 dedup gate), what fraction of
+    // TRUE near-dup pairs does the band-collision candidate set catch
+    // (recall), and what fraction of candidates verify at the gate
+    // (precision)? With 8 bands × 4 rows the theoretical catch rate is
+    // 1−(1−j⁴)⁸ ≈ 0.40 at j=0.5 and ≈ 0.9999 at j=0.9 — DedupSpec
+    // rebuilds the eval on a planted partial-overlap fixture (the
+    // testdata corpus only plants EXACT dups, so its own curve is the
+    // single top bucket) and asserts the measured recall tracks that
+    // theory per bucket with both tails pinned. Ground truth
+    // is the shared shingle-join exact verifier at the LOWERED 0.5
+    // threshold (so the eval sees both sides of the S-curve) — at
+    // 100 TB this eval runs on a sampled stratum, same posture as every
+    // recall oracle here; the production path stays banded.
+    "dedup_lsh_pr_eval" -> ((s, d) => {
+      import s.implicits._
+      val (e, sizes) = explodedShingles(s, d)
+      val truth = jaccardPairs(s, e, sizes, 0.5)
+      val bandKeys = (0 until NumBands).map { b =>
+        concat_ws("_", (0 until RowsPerBand).map(r =>
+          element_at($"mh", b * RowsPerBand + r + 1).cast("string")): _*)
+      }
+      val sig = shingleFrame(s, d)
+        .select($"doc_id",
+          graft.functions.MinHashSig.min_hash_sig($"xs").as("mh"))
+        .select($"doc_id", posexplode(array(bandKeys: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      val cands = sig.toDF("d1", "band", "key")
+        .join(sig.toDF("d2", "band", "key"), Seq("band", "key"))
+        .filter($"d1" < $"d2")
+        .select("d1", "d2").distinct()
+      val marked = truth
+        .join(cands.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
+        .na.fill(0L, Seq("hit"))
+        .withColumn("bucket", least(floor($"jaccard" * 10), lit(9L)))
+      val buckets = marked.groupBy($"bucket").agg(
+          count(lit(1)).as("n_true"), sum($"hit").as("n_caught"))
+        .withColumn("recall",
+          round($"n_caught" / $"n_true".cast("double"), 6))
+      val overall = cands.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(marked.filter($"jaccard" >= 0.8)
+          .agg(sum($"hit").as("n_gate_hits")))
+        .withColumn("precision_at_gate",
+          round($"n_gate_hits" / $"n_cand".cast("double"), 6))
+      buckets.crossJoin(broadcast(overall))
+        .select($"bucket", $"n_true", $"n_caught", $"recall",
+          $"n_cand", $"precision_at_gate")
+        .orderBy("bucket")
+    }),
+
     // INCREMENTAL dedup — the production shape: an incoming batch is
     // checked against the EXISTING corpus index, never against itself
     // corpus-wide. Band keys are computed per side and only new×old
@@ -1217,6 +1268,55 @@ object DedupOps {
          |JOIN sz sb ON d2 = sb.doc_id
          |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
          |ORDER BY d1, d2""".stripMargin,
+    // Same signature/band CTEs as the minhash oracle; truth at the
+    // lowered 0.5 threshold, filtered on the ROUNDED jaccard to match
+    // the engine exactly.
+    "dedup_lsh_pr_eval" ->
+      s"""WITH $shingleCte,
+         |truth0 AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT d1, d2,
+         |    ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+         |  FROM truth0
+         |  JOIN sz sa ON d1 = sa.doc_id
+         |  JOIN sz sb ON d2 = sb.doc_id
+         |  WHERE ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.5),
+         |xs AS (SELECT doc_id, sh AS x FROM e),
+         |seeds(i, a, b) AS (VALUES ${permSeeds.zipWithIndex
+        .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")}),
+         |sig AS (
+         |  SELECT doc_id, i, MIN((a * x + b) % $P_PERM) AS h
+         |  FROM xs CROSS JOIN seeds
+         |  GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // $RowsPerBand AS band,
+         |    string_agg(CAST(h AS VARCHAR), '_' ORDER BY i) AS key
+         |  FROM sig GROUP BY doc_id, i // $RowsPerBand),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |mk AS (
+         |  SELECT truth.d1, truth.d2, truth.jaccard,
+         |    CASE WHEN cands.d1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM truth LEFT JOIN cands
+         |    ON truth.d1 = cands.d1 AND truth.d2 = cands.d2),
+         |bu AS (
+         |  SELECT LEAST(CAST(FLOOR(jaccard * 10) AS BIGINT), 9) AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS n_true,
+         |    CAST(SUM(hit) AS BIGINT) AS n_caught
+         |  FROM mk GROUP BY 1),
+         |ov AS (
+         |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_cand,
+         |    (SELECT CAST(SUM(hit) AS BIGINT) FROM mk WHERE jaccard >= 0.8)
+         |      AS n_gate_hits)
+         |SELECT bucket, n_true, n_caught,
+         |  ROUND(n_caught * 1.0 / n_true, 6) AS recall, n_cand,
+         |  ROUND(n_gate_hits * 1.0 / n_cand, 6) AS precision_at_gate
+         |FROM bu CROSS JOIN ov ORDER BY bucket""".stripMargin,
     "dedup_winnow_pairs" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (

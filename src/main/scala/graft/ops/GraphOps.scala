@@ -300,7 +300,62 @@ object GraphOps {
         .select($"n_name", coalesce($"n_triangles", lit(0L)).as("n_triangles"))
         .orderBy(desc("n_triangles"), asc("n_name"))
     }),
+
+    // k-core decomposition by iterative peeling (Seidman 1983) — the
+    // graph-curation filter that separates densely-linked hubs from
+    // peripheral tendrils (web-graph pipelines drop low-core hosts as
+    // spam/link-farm periphery). Each peel round recomputes degrees on
+    // the SURVIVING subgraph and drops nodes with deg < k; membership
+    // after PeelRounds rounds is the k-core (fixpoint well before that
+    // on this graph — GraphSpec replays the peeling to convergence
+    // locally and asserts both membership AND that the round budget
+    // suffices). Scale: every round is two node-list semi-joins + one
+    // partial-aggregated degree count on the |V|²-bounded edge
+    // aggregate; node state is |V| rows. The round budget is the only
+    // driver-side loop — same posture as the PageRank unroll.
+    "graph_kcore" -> ((s, d) => {
+      import s.implicits._
+      // Pin the |V|²-bounded edge aggregate: 12 peel rounds reference it
+      // twice each, and an un-checkpointed lineage would re-embed the
+      // full lineitem-join subtree ~25× in one plan tree (minutes of
+      // driver-side optimization before a single task runs — the same
+      // failure mode retrieval_mmr_rerank hit in round 10). Lazy, so
+      // plan-only construction stays metadata-only.
+      val und = undCore(s, d).localCheckpoint(false)
+      def peel(k: Int): DataFrame = {
+        var nodes = und.select($"a".as("node")).distinct()
+        for (_ <- 1 to PeelRounds) {
+          // each round reads the previous node list TWICE — checkpoint
+          // the |V|-row state so lineage stays linear, not 2^rounds
+          nodes = und
+            .join(nodes.select($"node".as("a")), Seq("a"), "left_semi")
+            .join(nodes.select($"node".as("b")), Seq("b"), "left_semi")
+            .groupBy($"a").agg(count(lit(1)).as("deg"))
+            .filter($"deg" >= k)
+            .select($"a".as("node"))
+            .localCheckpoint(false)
+        }
+        nodes
+      }
+      val deg = und.groupBy($"a").agg(count(lit(1)).as("deg"))
+        .select($"a".as("node"), $"deg")
+      val c2 = peel(2).withColumn("in2", lit(true))
+      val c3 = peel(3).withColumn("in3", lit(true))
+      nation(s, d).select($"n_nationkey".as("node"), $"n_name")
+        .join(deg, Seq("node"), "left")
+        .join(c2, Seq("node"), "left")
+        .join(c3, Seq("node"), "left")
+        .select($"n_name", coalesce($"deg", lit(0L)).as("deg"),
+          coalesce($"in2", lit(false)).as("in_2core"),
+          coalesce($"in3", lit(false)).as("in_3core"))
+        .orderBy("n_name")
+    }),
   )
+
+  /** Peel-round budget for graph_kcore — comfortably past the fixpoint
+    * on the nation graph (GraphSpec asserts convergence within it).
+    */
+  val PeelRounds = 6
 
   private val edgesSql =
     """SELECT c_nationkey AS src, s_nationkey AS dst,
@@ -360,7 +415,35 @@ object GraphOps {
        |ORDER BY pagerank DESC, n_name ASC""".stripMargin
   }
 
+  /** Unrolled peeling replay: p{k}_{r} = nodes surviving round r of the
+    * k-peel (degree within the surviving subgraph ≥ k).
+    */
+  private def kcoreSql: String = {
+    def rounds(k: Int): String = (1 to PeelRounds).map { r =>
+      val prev = if (r == 1) "n0" else s"p${k}_${r - 1}"
+      s"""p${k}_$r AS MATERIALIZED (
+         |  SELECT und.a AS node FROM und
+         |  JOIN $prev x ON und.a = x.node
+         |  JOIN $prev y ON und.b = y.node
+         |  GROUP BY und.a HAVING COUNT(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $undCoreCteSql,
+       |n0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM und),
+       |${rounds(2)},
+       |${rounds(3)},
+       |deg AS (SELECT a AS node, COUNT(*) AS deg FROM und GROUP BY 1)
+       |SELECT n_name, COALESCE(deg.deg, 0) AS deg,
+       |  c2.node IS NOT NULL AS in_2core,
+       |  c3.node IS NOT NULL AS in_3core
+       |FROM nation
+       |LEFT JOIN deg ON n_nationkey = deg.node
+       |LEFT JOIN p2_$PeelRounds c2 ON n_nationkey = c2.node
+       |LEFT JOIN p3_$PeelRounds c3 ON n_nationkey = c3.node
+       |ORDER BY n_name""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_kcore" -> kcoreSql,
     "graph_pagerank" -> pagerankSql,
     "graph_harmonic" -> {
       val rounds = (1 to 4).map { r =>

@@ -97,6 +97,50 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)        // at s>=0.8 with 8x4 bands, recall is ~1 here
   }
 
+  test("LSH PR eval reproduces the banding S-curve on planted partial overlaps") {
+    // The testdata corpus only plants EXACT duplicates (one jaccard
+    // bucket), so the S-curve is exercised on a constructed fixture:
+    // 30 doc pairs per target jaccard j ∈ {0.5, 0.6, 0.69, 0.82, 0.9},
+    // built from a shared token prefix (c+u-token docs share exactly
+    // c−2 of their c+u−2 shingles → j = (c−2)/(c−2+2u), exact by
+    // construction with per-pair vocabularies). Measured per-bucket
+    // recall must track the 8-band × 4-row theory p(j) = 1−(1−j⁴)⁸
+    // within sampling noise, and the two tails must pin: high-j pairs
+    // nearly always caught, j=0.5 pairs missed often.
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_pr").toString
+    val us = Seq(18, 12, 8, 4, 2) // u → j = 36/(36+2u)
+    val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    for ((u, bi) <- us.zipWithIndex; p <- 0 until 30) {
+      val tag = s"b${bi}p$p"
+      val common = (0 until 38).map(k => s"c${tag}x$k")
+      val u1 = (0 until u).map(k => s"l${tag}x$k")
+      val u2 = (0 until u).map(k => s"r${tag}x$k")
+      docs += ((id, (common ++ u1).mkString(" "))); id += 1
+      docs += ((id, (common ++ u2).mkString(" "))); id += 1
+    }
+    docs.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fx"))
+      .withColumn("n_chars", length($"text"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val rows = SparkEntry.queries("dedup_lsh_pr_eval")(spark, dir)
+        .as[(Long, Long, Long, Double, Long, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      def theory(j: Double): Double = 1.0 - math.pow(1.0 - math.pow(j, 4), 8)
+      us.foreach { u =>
+        val j = 36.0 / (36 + 2 * u)
+        val bucket = math.min((j * 10).floor.toLong, 9L)
+        val r = rows(bucket)
+        assert(r._2 >= 30, s"bucket $bucket lost true pairs: ${r._2}")
+        assert(math.abs(r._4 - theory(j)) <= 0.35,
+          s"bucket $bucket recall ${r._4} vs theory ${theory(j)} (j=$j)")
+      }
+      assert(rows(9)._4 >= 0.9, s"high-j tail: ${rows(9)._4}")
+      assert(rows(5)._4 <= 0.85, s"low-j tail: ${rows(5)._4}")
+    } finally graft.ops.DedupOps.clear()
+  }
+
   test("embedding LSH is non-vacuous and recalls the brute-force >=0.9 pairs") {
     val corpus = DedupOps.plantedEmbeddingCorpus(spark, sf)
       .select($"vec_id", $"e", $"norm")

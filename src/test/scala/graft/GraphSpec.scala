@@ -138,6 +138,41 @@ class GraphSpec extends SparkSpec {
     assert(hbTop3.contains(exTop), s"$exTop not in HyperBall top-3 $hbTop3")
   }
 
+  test("k-core membership matches local peeling run to fixpoint") {
+    val rows = graft.ops.GraphOps.queries("graph_kcore")(spark, sf)
+      .as[(String, Long, Boolean, Boolean)].collect()
+    assert(rows.length == 25)
+    // local peeling to convergence over the same symmetrized core
+    val adj0 = (coreEdges.toSeq ++ coreEdges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def peelFix(k: Int): (Set[Long], Int) = {
+      var alive = adj0.keySet
+      var r = 0
+      var changed = true
+      while (changed) {
+        val next = alive.filter(v => adj0(v).count(alive) >= k)
+        changed = next != alive
+        alive = next
+        r += 1
+      }
+      (alive, r)
+    }
+    val names = graft.ops.Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_name").as[(Long, String)].collect()
+      .map(_.swap).toMap
+    val (c2, r2) = peelFix(2)
+    val (c3, r3) = peelFix(3)
+    // the unrolled round budget covers the true fixpoint
+    assert(r2 <= graft.ops.GraphOps.PeelRounds &&
+      r3 <= graft.ops.GraphOps.PeelRounds, s"fixpoint at $r2/$r3 rounds")
+    rows.foreach { case (name, deg, in2, in3) =>
+      val node = names(name)
+      assert(deg == adj0.getOrElse(node, Set.empty).size.toLong, s"$name deg")
+      assert(in2 == c2(node), s"$name 2-core")
+      assert(in3 == c3(node), s"$name 3-core")
+    }
+  }
+
   test("LPA labels every nation and communities coarsen the id partition") {
     val rows = SparkEntry.queries("graph_lpa_communities")(spark, sf)
       .as[(String, Long)].collect()

@@ -119,7 +119,8 @@ class RelationalSpec extends SparkSpec {
       "a_cusum_changepoint", "stream_dedup_within_watermark",
       "stream_session_bounds", "a_ks_test",
       "retrieval_maxscore_topk", "text_heaps_law",
-      "ml_calibration_bins").foreach { name =>
+      "ml_calibration_bins", "graph_kcore",
+      "dedup_lsh_pr_eval").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
