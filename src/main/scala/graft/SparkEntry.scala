@@ -134,5 +134,6 @@ object SparkEntry {
     "ml_calibration_bins",
     "graph_kcore",
     "dedup_lsh_pr_eval",
+    "ml_logreg_gd",
   ).filter(queries.contains)
 }

@@ -1072,7 +1072,67 @@ object MLOps {
           round($"w0", 6).as("intercept"),
           round($"sse_e6" / 1e6 / $"n", 6).as("mse"))
     }),
+
+    // Full-batch gradient-descent logistic regression, 5 steps unrolled
+    // — the ITERATIVE distributed trainer (ridge is the closed-form
+    // one): each step is one corpus pass accumulating the 3-component
+    // gradient map-side (the shuffle carries 3 numbers + the loss sum),
+    // then a driver-scale weight update broadcast back. The whole
+    // TRAJECTORY is oracle-checked: per-row gradient components and
+    // log-loss terms quantize to nano/micro integers before summation,
+    // so every weight is a fixed double expression over exact integer
+    // sums and the 5-step path replays bit-for-bit in DuckDB (the
+    // lda_em/kmeans posture, extended to a gradient loop). Reported
+    // loss at step k is measured at the PRE-update weights — the value
+    // the step's gradient saw. Per-step localCheckpoint keeps the plan
+    // linear in steps. At 100 TB: steps × one-pass each; the weight
+    // state is O(dims) — mini-batching changes the pass, not the shape.
+    "ml_logreg_gd" -> ((s, d) => {
+      import s.implicits._
+      val z = embeddings(s, d).select(
+          (round(element_at($"embedding", 1).cast("double") * 1e6, 0) / 1e6)
+            .as("x1"),
+          (round(element_at($"embedding", 2).cast("double") * 1e6, 0) / 1e6)
+            .as("x2"),
+          when($"label" === 1, 1.0).otherwise(0.0).as("y"))
+        .localCheckpoint(false) // one build, GdSteps passes
+      var w = z.agg(count(lit(1)).as("n"))
+        .select($"n", lit(0.0).as("w0"), lit(0.0).as("w1"),
+          lit(0.0).as("w2"))
+      val steps = (1 to GdSteps).map { k =>
+        val joined = z.crossJoin(broadcast(w))
+          .withColumn("p", lit(1.0) /
+            (lit(1.0) + exp(-($"w0" + $"w1" * $"x1" + $"w2" * $"x2"))))
+          .withColumn("pc",
+            greatest(least($"p", lit(1.0) - lit(1e-12)), lit(1e-12)))
+          .withColumn("r", $"p" - $"y")
+        val g = joined.agg(
+          max($"n").as("n"), max($"w0").as("pw0"),
+          max($"w1").as("pw1"), max($"w2").as("pw2"),
+          sum(round($"r" * 1e9, 0).cast("long")).as("g0"),
+          sum(round($"r" * $"x1" * 1e9, 0).cast("long")).as("g1"),
+          sum(round($"r" * $"x2" * 1e9, 0).cast("long")).as("g2"),
+          sum(round(-($"y" * log($"pc") +
+            (lit(1.0) - $"y") * log(lit(1.0) - $"pc")) * 1e6, 0)
+            .cast("long")).as("le6"))
+        w = g.select($"n",
+            ($"pw0" - lit(GdEta) * ($"g0" / 1e9) / $"n").as("w0"),
+            ($"pw1" - lit(GdEta) * ($"g1" / 1e9) / $"n").as("w1"),
+            ($"pw2" - lit(GdEta) * ($"g2" / 1e9) / $"n").as("w2"))
+          .localCheckpoint(false)
+        g.select(lit(k).as("step"), $"n",
+          round(($"pw0" - lit(GdEta) * ($"g0" / 1e9) / $"n"), 6).as("w0"),
+          round(($"pw1" - lit(GdEta) * ($"g1" / 1e9) / $"n"), 6).as("w1"),
+          round(($"pw2" - lit(GdEta) * ($"g2" / 1e9) / $"n"), 6).as("w2"),
+          round($"le6" / 1e6 / $"n", 6).as("pre_step_logloss"))
+      }
+      steps.reduce(_.unionByName(_)).orderBy("step")
+    }),
   )
+
+  /** Gradient-descent step budget / learning rate for ml_logreg_gd. */
+  val GdSteps = 5
+  val GdEta = 1.0
 
   // ---- oracle SQL (NPMI queries only — the LDA fits are rows-only) ----
 
@@ -1642,6 +1702,54 @@ object MLOps {
          |SELECT v$PcaIters.j AS dim, ROUND(v$PcaIters.vj, 6) AS loading,
          |  ROUND(m$PcaIters.m / 1e9, 6) AS eigenvalue
          |FROM v$PcaIters, m$PcaIters ORDER BY dim""".stripMargin
+    },
+    // Unrolled 5-step GD replay: each step's gradient CTE mirrors the
+    // engine's nano/micro quantization term for term, so the weight
+    // trajectory is exact.
+    "ml_logreg_gd" -> {
+      val steps = (1 to GdSteps).map { k =>
+        val pw = if (k == 1) "wz" else s"w${k - 1}"
+        s"""g$k AS MATERIALIZED (
+           |  SELECT
+           |    SUM(CAST(ROUND(r * 1000000000.0, 0) AS BIGINT)) AS g0,
+           |    SUM(CAST(ROUND(r * x1 * 1000000000.0, 0) AS BIGINT)) AS g1,
+           |    SUM(CAST(ROUND(r * x2 * 1000000000.0, 0) AS BIGINT)) AS g2,
+           |    SUM(CAST(ROUND(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc))
+           |      * 1000000.0, 0) AS BIGINT)) AS le6
+           |  FROM (
+           |    SELECT y, x1, x2,
+           |      GREATEST(LEAST(p, 1.0 - 1e-12), 1e-12) AS pc, p - y AS r
+           |    FROM (
+           |      SELECT z.y, z.x1, z.x2,
+           |        1.0 / (1.0 + exp(-($pw.w0 + $pw.w1 * z.x1
+           |          + $pw.w2 * z.x2))) AS p
+           |      FROM z CROSS JOIN $pw))),
+           |w$k AS (
+           |  SELECT $pw.w0 - 1.0 * (g$k.g0 / 1000000000.0) / nn.n AS w0,
+           |         $pw.w1 - 1.0 * (g$k.g1 / 1000000000.0) / nn.n AS w1,
+           |         $pw.w2 - 1.0 * (g$k.g2 / 1000000000.0) / nn.n AS w2
+           |  FROM $pw CROSS JOIN g$k CROSS JOIN nn)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to GdSteps).map { k =>
+        s"""SELECT $k AS step, nn.n AS n,
+           |  ROUND(w$k.w0, 6) AS w0, ROUND(w$k.w1, 6) AS w1,
+           |  ROUND(w$k.w2, 6) AS w2,
+           |  ROUND((g$k.le6 / 1000000.0) / nn.n, 6) AS pre_step_logloss
+           |FROM w$k CROSS JOIN g$k CROSS JOIN nn""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH z AS MATERIALIZED (
+         |  SELECT
+         |    ROUND(CAST(embedding[1] AS DOUBLE) * 1000000.0, 0)
+         |      / 1000000.0 AS x1,
+         |    ROUND(CAST(embedding[2] AS DOUBLE) * 1000000.0, 0)
+         |      / 1000000.0 AS x2,
+         |    CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END AS y
+         |  FROM embeddings),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM z),
+         |wz AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+         |$steps
+         |$rows
+         |ORDER BY step""".stripMargin
     },
     "ml_ridge_probe" -> {
       def det(a11: String, a12: String, a13: String,

@@ -102,6 +102,12 @@ object DumpPlans {
         "nDCG eval: broadcast query side, one corpus top-k pass + one aggregated relevant-pool pass, sequence-exploded ideal gains",
       "retrieval_mmr_rerank" ->
         "MMR rerank: checkpointed candidate/pair frames; each greedy round joins only picks-scale state (post round-10 lineage fix)",
+      "retrieval_maxscore_topk" ->
+        "MaxScore-pruned BM25: |terms|-row UB/θ decisions, essential-postings semi-join bounds the scored set; exact vs the unpruned oracle",
+      "graph_kcore" ->
+        "k-core peeling: checkpointed edge aggregate + per-round |V|-row node state; two semi-joins + one degree count per round",
+      "ml_logreg_gd" ->
+        "GD logistic trainer: per-step corpus pass with 1-row weight broadcast; gradient shuffle carries 4 numbers; checkpointed weight state",
     )
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (`explain(\"formatted\")`)\n\n")

@@ -117,6 +117,44 @@ class TrainersSpec extends SparkSpec {
     }
   }
 
+  test("ml_logreg_gd: loss strictly decreases and trajectory replays locally") {
+    val rows = SparkEntry.queries("ml_logreg_gd")(spark, sf)
+      .as[(Int, Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to graft.ops.MLOps.GdSteps))
+    // GD on a convex loss with a sane step size descends every step
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._6 < a._6, s"loss rose at step ${b._1}: ${a._6} -> ${b._6}") }
+    assert(math.abs(rows.head._6 - math.log(2.0)) < 1e-5, "step-1 loss != ln 2")
+    // exact local replay of the quantized trajectory
+    val z = graft.ops.Tables.embeddings(spark, sf)
+      .select($"embedding", $"label").as[(Seq[Float], Int)].collect()
+      .map { case (e, l) =>
+        (math.rint(e(0).toDouble * 1e6) / 1e6,
+          math.rint(e(1).toDouble * 1e6) / 1e6, if (l == 1) 1.0 else 0.0) }
+    val n = z.length.toDouble
+    var (w0, w1, w2) = (0.0, 0.0, 0.0)
+    rows.foreach { case (k, nq, qw0, qw1, qw2, loss) =>
+      assert(nq == z.length.toLong)
+      var (g0, g1, g2, le6) = (0L, 0L, 0L, 0L)
+      z.foreach { case (x1, x2, y) =>
+        val p = 1.0 / (1.0 + math.exp(-(w0 + w1 * x1 + w2 * x2)))
+        val pc = math.max(math.min(p, 1.0 - 1e-12), 1e-12)
+        val r = p - y
+        def q(v: Double, s: Double): Long =
+          BigDecimal(v * s).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+            .toLongExact
+        g0 += q(r, 1e9); g1 += q(r * x1, 1e9); g2 += q(r * x2, 1e9)
+        le6 += q(-(y * math.log(pc) + (1.0 - y) * math.log(1.0 - pc)), 1e6)
+      }
+      w0 = w0 - 1.0 * (g0 / 1e9) / n
+      w1 = w1 - 1.0 * (g1 / 1e9) / n
+      w2 = w2 - 1.0 * (g2 / 1e9) / n
+      assert(math.abs(qw0 - w0) < 1e-6 && math.abs(qw1 - w1) < 1e-6 &&
+        math.abs(qw2 - w2) < 1e-6, s"step $k weights diverged")
+      assert(math.abs(loss - le6 / 1e6 / n) < 1e-6, s"step $k loss")
+    }
+  }
+
   test("ml_kmeans_silhouette: full coverage, scores in [0, 1]") {
     val rows = SparkEntry.queries("ml_kmeans_silhouette")(spark, sf).collect()
     val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
