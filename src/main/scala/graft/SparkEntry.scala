@@ -135,5 +135,7 @@ object SparkEntry {
     "graph_kcore",
     "dedup_lsh_pr_eval",
     "ml_logreg_gd",
+    "a_benford_digits",
+    "graph_assortativity",
   ).filter(queries.contains)
 }

@@ -468,6 +468,41 @@ object Aggregates {
         .orderBy("t1", "t2")
     }),
 
+    // Benford's-law first-digit audit over order totals — the classic
+    // fabricated-data / pipeline-corruption tripwire (organically-grown
+    // monetary values follow P(d) = log10(1 + 1/d); synthetic uniform
+    // generators do not, and this query correctly flags the TPC-H-ish
+    // generator with a huge chi²). The first significant digit comes
+    // from STRING arithmetic on the exact integer part (no float log10,
+    // whose ulp at a power of ten could flip a digit cross-engine);
+    // observed shares and the chi² statistic are fixed double
+    // expressions over exact counts. Scale: one map-side digit extract,
+    // a 9-row aggregate, and 9-row arithmetic after it.
+    "a_benford_digits" -> ((s, d) => {
+      import s.implicits._
+      val digits = orders(s, d)
+        .select(substring($"o_totalprice".cast("decimal(12,2)")
+          .cast("bigint").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum($"n").as("nt"))
+      val scored = digits.crossJoin(broadcast(tot))
+        .withColumn("benford_share",
+          log(10.0, lit(1.0) + lit(1.0) / $"digit"))
+        .withColumn("obs_share", $"n".cast("double") / $"nt")
+        .withColumn("chi_term",
+          ($"n" - $"nt" * $"benford_share") *
+            ($"n" - $"nt" * $"benford_share") / ($"nt" * $"benford_share"))
+      // micro-quantize each of the 9 chi² terms before summing so the
+      // reduction is order-free exact integer addition
+      val chi2 = scored.agg(round(
+        sum(round($"chi_term" * 1e6, 0).cast("long")) / 1e6, 4).as("chi2"))
+      scored.select($"digit", $"n",
+          round($"obs_share", 6).as("obs_share"),
+          round($"benford_share", 6).as("benford_share"))
+        .crossJoin(broadcast(chi2))
+        .orderBy("digit")
+    }),
+
     // Day-of-week seasonality profile — per-dow mean daily volume and
     // its ratio to the overall mean (the classic seasonality index).
     // The weekday comes from PORTABLE integer arithmetic on the day
@@ -1852,6 +1887,30 @@ object Aggregates {
         |    1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
         |      / CAST(n1 * n2 AS DOUBLE)) AS reject_05
         |FROM m ORDER BY t1, t2""".stripMargin,
+    // FLOOR before the BIGINT cast: DuckDB rounds decimal→int casts
+    // where Spark truncates; ln(x)/ln(10) mirrors Spark's two-arg log.
+    "a_benford_digits" ->
+      """WITH dg AS (
+        |  SELECT CAST(substr(CAST(CAST(FLOOR(
+        |    CAST(o_totalprice AS DECIMAL(12,2))) AS BIGINT) AS VARCHAR),
+        |    1, 1) AS INTEGER) AS digit
+        |  FROM orders),
+        |dc AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM dg GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM dc),
+        |sc AS (
+        |  SELECT digit, n, nt,
+        |    ln(1.0 + 1.0 / digit) / ln(10.0) AS bs,
+        |    CAST(n AS DOUBLE) / nt AS obs
+        |  FROM dc CROSS JOIN tot),
+        |chi AS (
+        |  SELECT ROUND(SUM(CAST(ROUND(
+        |      (n - nt * bs) * (n - nt * bs) / (nt * bs) * 1e6, 0)
+        |    AS BIGINT)) / 1e6, 4) AS chi2
+        |  FROM sc)
+        |SELECT digit, n, ROUND(obs, 6) AS obs_share,
+        |  ROUND(bs, 6) AS benford_share, chi2
+        |FROM sc CROSS JOIN chi ORDER BY digit""".stripMargin,
     "a_seasonality_dow" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n

@@ -301,6 +301,34 @@ object GraphOps {
         .orderBy(desc("n_triangles"), asc("n_name"))
     }),
 
+    // Degree assortativity (Newman 2002): the Pearson correlation of
+    // endpoint degrees over the directed symmetrized edge list — the
+    // one-number structural summary that separates hub-to-hub link
+    // farms (r > 0) from hub-and-spoke organic webs (r < 0), a standard
+    // web-graph curation signal next to PageRank/k-core. Every sum is
+    // exact integer algebra over the |V|²-bounded edge aggregate; only
+    // the final correlation is a fixed double expression. Scale: one
+    // degree aggregate + two broadcast-scale joins back onto the edge
+    // table — no iteration, no corpus pass.
+    "graph_assortativity" -> ((s, d) => {
+      import s.implicits._
+      val und = undCore(s, d)
+      val deg = und.groupBy($"a").agg(count(lit(1)).as("deg"))
+      val pairs = und
+        .join(deg.toDF("a", "dx"), "a")
+        .join(deg.toDF("b", "dy"), "b")
+      pairs.agg(
+          count(lit(1)).as("m"),
+          sum($"dx").as("sx"), sum($"dy").as("sy"),
+          sum($"dx" * $"dy").as("sxy"),
+          sum($"dx" * $"dx").as("sxx"), sum($"dy" * $"dy").as("syy"))
+        .withColumn("r", round(
+          ($"m" * $"sxy" - $"sx" * $"sy").cast("double") /
+            sqrt(($"m" * $"sxx" - $"sx" * $"sx").cast("double") *
+              ($"m" * $"syy" - $"sy" * $"sy").cast("double")), 6))
+        .select($"m".as("m_directed_edges"), $"r".as("assortativity"))
+    }),
+
     // k-core decomposition by iterative peeling (Seidman 1983) — the
     // graph-curation filter that separates densely-linked hubs from
     // peripheral tendrils (web-graph pipelines drop low-core hosts as
@@ -443,6 +471,25 @@ object GraphOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "graph_assortativity" ->
+      s"""WITH $undCoreCteSql,
+         |dz AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg
+         |       FROM und GROUP BY 1),
+         |p AS (
+         |  SELECT x.deg AS dx, y.deg AS dy
+         |  FROM und JOIN dz x ON und.a = x.a JOIN dz y ON und.b = y.a),
+         |g AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         |    CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         |    CAST(SUM(dy * dy) AS BIGINT) AS syy
+         |  FROM p)
+         |SELECT m AS m_directed_edges,
+         |  ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+         |    / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+         |         * CAST(m * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+         |FROM g""".stripMargin,
     "graph_kcore" -> kcoreSql,
     "graph_pagerank" -> pagerankSql,
     "graph_harmonic" -> {

@@ -173,6 +173,23 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("assortativity matches a local Pearson over the same core") {
+    val row = graft.ops.GraphOps.queries("graph_assortativity")(spark, sf)
+      .as[(Long, Double)].head()
+    val sym = coreEdges.toSeq ++ coreEdges.toSeq.map(e => (e._2, e._1))
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val (m, pairs) = (sym.length.toLong, sym.map { case (a, b) => (deg(a), deg(b)) })
+    assert(row._1 == m)
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val r = (m * sxy - sx * sy).toDouble /
+      math.sqrt((m * sxx - sx * sx).toDouble * (m * syy - sy * sy).toDouble)
+    assert(math.abs(row._2 - r) < 1e-6, s"${row._2} vs $r")
+    assert(row._2 >= -1.0 - 1e-9 && row._2 <= 1.0 + 1e-9)
+  }
+
   test("LPA labels every nation and communities coarsen the id partition") {
     val rows = SparkEntry.queries("graph_lpa_communities")(spark, sf)
       .as[(String, Long)].collect()

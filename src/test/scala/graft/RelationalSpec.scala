@@ -120,7 +120,8 @@ class RelationalSpec extends SparkSpec {
       "stream_session_bounds", "a_ks_test",
       "retrieval_maxscore_topk", "text_heaps_law",
       "ml_calibration_bins", "graph_kcore",
-      "dedup_lsh_pr_eval", "ml_logreg_gd").foreach { name =>
+      "dedup_lsh_pr_eval", "ml_logreg_gd", "a_benford_digits",
+      "graph_assortativity").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
