@@ -137,5 +137,6 @@ object SparkEntry {
     "ml_logreg_gd",
     "a_benford_digits",
     "graph_assortativity",
+    "text_boilerplate_strip",
   ).filter(queries.contains)
 }

@@ -1875,6 +1875,55 @@ object TextOps {
     // char volume, exact-dup ratio. One partial-aggregated groupBy on a
     // low-cardinality key; countDistinct(md5) is the only expansion and
     // rides the same shuffle. Scale-safe at any corpus size.
+    // Cross-doc boilerplate stripping (the CLEANING-transform half of
+    // Lee et al.'s duplicated-substring removal — dedup_substring_spans
+    // is the detector, this is the strip readout a pretrain pipeline
+    // applies): any 8-token window appearing in ≥ 2 distinct docs is
+    // boilerplate; a doc's stripped region is the INTERVAL UNION of its
+    // flagged windows, computed exactly with gaps-and-islands over
+    // window start positions (new island when p − prev_p > W; island
+    // coverage = max(p) − min(p) + W — all integer algebra). Reports
+    // per doc: token count, boilerplate-covered tokens, kept tokens,
+    // ratio. Scale: ONE rolling-hash window explode (the spans
+    // pattern), an h-partitioned shared-flag window whose partitions
+    // are dup-multiplicity-sized, and one doc-keyed island window —
+    // never a pair join.
+    "text_boilerplate_strip" -> ((s, d) => {
+      import s.implicits._
+      val W = 8
+      val t = documents(s, d).select($"doc_id", tokens($"text").as("tk"))
+        .withColumn("n", size($"tk").cast("long"))
+      val grams = t.filter($"n" >= W)
+        .select($"doc_id", $"n", posexplode(
+          transform(sequence(lit(0), ($"n" - W).cast("int")),
+            i => graft.functions.PolyHash.poly_hash(
+              concat_ws(" ", slice($"tk", i + 1, lit(W)))))))
+        .toDF("doc_id", "n", "p", "h")
+      val wh = Window.partitionBy($"h")
+      val flagged = grams
+        .withColumn("shared",
+          min($"doc_id").over(wh) =!= max($"doc_id").over(wh))
+        .filter($"shared")
+      val wd = Window.partitionBy($"doc_id").orderBy($"p")
+      val isl = flagged
+        .withColumn("prev", lag($"p", 1).over(wd))
+        .withColumn("brk",
+          when($"prev".isNull || $"p" - $"prev" > W, 1L).otherwise(0L))
+        .withColumn("isl", sum($"brk").over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val cov = isl.groupBy($"doc_id", $"isl")
+        .agg((max($"p") - min($"p") + W).cast("long").as("covered"))
+        .groupBy($"doc_id").agg(sum($"covered").as("boiler_tokens"))
+      t.select($"doc_id", $"n")
+        .join(cov, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("boiler_tokens"))
+        .select($"doc_id", $"n".as("n_tokens"), $"boiler_tokens",
+          ($"n" - $"boiler_tokens").as("kept_tokens"),
+          round($"boiler_tokens" / $"n".cast("double"), 6)
+            .as("boiler_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Heaps'-law vocabulary growth V(N) ≈ K·N^β — the corpus-card
     // diagnostic that says how fast the vocabulary (and so tokenizer
     // coverage, embedding-table pressure, dedup shingle cardinality)
@@ -2919,6 +2968,43 @@ object TextOps {
          |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM sampled GROUP BY 1 ORDER BY shard""".stripMargin,
+    "text_boilerplate_strip" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         |tz AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+         |g AS (
+         |  SELECT doc_id, n, i AS p,
+         |    ${graft.ops.DedupOps.polyHashSql(
+        "array_to_string(tk[(i+1):(i+8)], ' ')")} AS h
+         |  FROM (SELECT doc_id, n, tk, unnest(range(n - 7)) AS i
+         |        FROM tz WHERE n >= 8)),
+         |fl AS (
+         |  SELECT doc_id, n, p FROM (
+         |    SELECT doc_id, n, p,
+         |      MIN(doc_id) OVER (PARTITION BY h) AS mn,
+         |      MAX(doc_id) OVER (PARTITION BY h) AS mx
+         |    FROM g)
+         |  WHERE mn <> mx),
+         |il AS (
+         |  SELECT doc_id, p,
+         |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 8
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM fl WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+         |i2 AS (
+         |  SELECT doc_id, p,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM il),
+         |cov AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS boiler FROM (
+         |    SELECT doc_id, isl, MAX(p) - MIN(p) + 8 AS c
+         |    FROM i2 GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT tz.doc_id AS doc_id, CAST(tz.n AS BIGINT) AS n_tokens,
+         |  COALESCE(cov.boiler, 0) AS boiler_tokens,
+         |  CAST(tz.n AS BIGINT) - COALESCE(cov.boiler, 0) AS kept_tokens,
+         |  ROUND(COALESCE(cov.boiler, 0) * 1.0 / tz.n, 6) AS boiler_ratio
+         |FROM tz LEFT JOIN cov ON tz.doc_id = cov.doc_id
+         |ORDER BY tz.doc_id""".stripMargin,
     "text_heaps_law" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |mx AS (SELECT MAX(doc_id) AS mx FROM t),

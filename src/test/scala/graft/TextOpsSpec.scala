@@ -114,6 +114,46 @@ class TextOpsSpec extends SparkSpec {
       s"pruning never skipped a doc (${candDocs.size} of ${allDocs.size})")
   }
 
+  test("boilerplate strip fully covers exact-duplicate docs, spares unique ones") {
+    val rows = SparkEntry.queries("text_boilerplate_strip")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (id, n, boiler, kept, ratio) =>
+      assert(boiler + kept == n && boiler >= 0 && kept >= 0, s"doc $id")
+      assert(ratio >= 0.0 && ratio <= 1.0, s"doc $id ratio")
+    }
+    // and the strip is selective, not corpus-wide
+    assert(rows.values.count(_._3 == 0L) > rows.size / 2,
+      "boilerplate flagged in most docs — threshold too loose")
+    // planted fixture: an exact-duplicate pair shares EVERY window with
+    // its twin (full coverage); a shared 10-token prefix on otherwise
+    // unique docs strips exactly the prefix intervals; a fully unique
+    // doc is untouched (sf0.001 plants no exact doc dups, so this
+    // property is pinned on a constructed corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    val shared = (0 until 10).map(k => s"hdr$k").mkString(" ")
+    val docs = Seq(
+      (0L, (0 until 20).map(k => s"dupa$k").mkString(" ")),
+      (1L, (0 until 20).map(k => s"dupa$k").mkString(" ")),
+      (2L, shared + " " + (0 until 15).map(k => s"tailb$k").mkString(" ")),
+      (3L, shared + " " + (0 until 15).map(k => s"tailc$k").mkString(" ")),
+      (4L, (0 until 20).map(k => s"uniq$k").mkString(" ")))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fx"))
+      .withColumn("n_chars", length($"text"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fx = SparkEntry.queries("text_boilerplate_strip")(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(fx(0L)._5 == 1.0 && fx(1L)._5 == 1.0, "dup pair not fully covered")
+    // shared 10-token prefix: flagged windows start at p=0..2, union
+    // covers tokens 0..9 (the prefix), nothing of the unique tails
+    assert(fx(2L)._3 == 10L && fx(3L)._3 == 10L,
+      s"prefix strip: ${fx(2L)._3}/${fx(3L)._3}")
+    assert(fx(4L)._3 == 0L, "unique doc stripped")
+  }
+
   test("calibration bins partition the NB test split; ECE consistent") {
     val rows = SparkEntry.queries("ml_calibration_bins")(spark, sf)
       .as[(Long, Long, Double, Double, Long, Double)].collect()
