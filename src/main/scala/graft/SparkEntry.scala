@@ -138,5 +138,6 @@ object SparkEntry {
     "a_benford_digits",
     "graph_assortativity",
     "text_boilerplate_strip",
+    "text_zipf_slope",
   ).filter(queries.contains)
 }

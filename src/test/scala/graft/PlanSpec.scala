@@ -133,6 +133,7 @@ class PlanSpec extends SparkSpec {
     "dedup_lsh_pr_eval",                             // 1-row n_cand/gate-hit broadcasts
     "ml_logreg_gd",                                  // 1-row weight-state broadcast per GD step
     "a_benford_digits",                              // 1-row total + chi2 broadcasts over the 9-digit table
+    "text_zipf_slope",                               // 1-row OLS-fit broadcast onto the top-10 rank table
     "ml_ridge_probe",                                // 1-row solved-weights broadcast
     "emb_pca_power",                                 // 1-row max-|s| broadcast per round
     "a_ttest_welch",                                 // 5-row stats-table pair self-join

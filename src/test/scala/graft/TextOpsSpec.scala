@@ -177,6 +177,32 @@ class TextOpsSpec extends SparkSpec {
       s"ece ${rows.head._6} vs $eceLocal")
   }
 
+  test("Zipf fit matches an exact local OLS over the same rank table") {
+    val rows = SparkEntry.queries("text_zipf_slope")(spark, sf)
+      .as[(Long, String, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to math.min(10, rows.length)))
+    assert(rows.map(r => (r._4, r._5)).distinct.length == 1)
+    // frequencies non-increasing by rank; local micro-int OLS replay
+    rows.sliding(2).foreach { case Array(a, b) => assert(b._3 <= a._3) }
+    val freqs = graft.ops.Tables.documents(spark, sf)
+      .select(explode(graft.ops.TextOps.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)].collect()
+      .sortBy { case (w, f) => (-f, w) }.take(10000).zipWithIndex
+    def q(v: Double): Long =
+      BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLongExact
+    val pts = freqs.map { case ((_, f), i) =>
+      (q(math.log((i + 1).toDouble)), q(math.log(f.toDouble))) }
+    val n = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(math.abs(rows.head._4 - slope) < 1e-6, s"${rows.head._4} vs $slope")
+    assert(rows.head._4 < 0.0, "rank-frequency slope must be negative")
+  }
+
   test("Heaps curve checkpoints match exact local totals") {
     val rows = SparkEntry.queries("text_heaps_law")(spark, sf)
       .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
