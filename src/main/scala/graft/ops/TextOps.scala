@@ -1931,19 +1931,33 @@ object TextOps {
     // machinery as text_heaps_law (quantize each log before summing ⇒
     // exact, order-free); the 10k-rank cap keeps Σxq² under 2^63 at any
     // vocab size AND is the standard fit range (the unreliable
-    // hapax tail is excluded). The rank window runs over the VOCAB
-    // aggregate (bounded, like every tokenizer table here), never the
-    // token stream. Output: top-10 rank table + the shared (slope, C)
-    // fit, C = exp(intercept) = the fitted rank-1 frequency.
+    // hapax tail is excluded). Scale posture: the 10k cap is applied
+    // as orderBy(...).limit(10000) — Spark plans that as
+    // TakeOrderedAndProject (per-partition top-k heaps merged on the
+    // driver, O(10k) state) — BEFORE any window runs, so the
+    // row_number window only ever sees the ≤10k survivors. Ranking
+    // the full vocab through an unpartitioned window first would drag
+    // a hapax-heavy 10⁸-row natural vocabulary onto one partition.
+    // Output: top-10 rank table + the shared (slope, C) fit,
+    // C = exp(intercept) = the fitted rank-1 frequency.
     "text_zipf_slope" -> ((s, d) => {
       import s.implicits._
       val freq = documents(s, d)
         .select(explode(tokens($"text")).as("word"))
         .groupBy($"word").agg(count(lit(1)).as("freq"))
-      val wr = Window.orderBy(desc("freq"), asc("word"))
-      val ranked = freq
+      val top = freq.orderBy(desc("freq"), asc("word")).limit(10000)
+      // Explicit constant partition key: the frame is provably ≤10k
+      // rows (the limit above), so one hash partition is the intended
+      // shape. The key must be column-derived — a bare lit(0) is
+      // constant-folded out of the partition spec, which re-triggers
+      // WindowExec's "no partition defined" warning even though the
+      // frame is bounded. pmod(length(word), 1) is 0 for every row
+      // but survives folding, so the plan records deliberate
+      // single-partition placement rather than an accident.
+      val wr = Window.partitionBy(pmod(length($"word"), lit(1)))
+        .orderBy(desc("freq"), asc("word"))
+      val ranked = top
         .withColumn("rank", row_number().over(wr).cast("long"))
-        .filter($"rank" <= 10000)
         .withColumn("xq",
           round(log($"rank".cast("double")) * 1e6, 0).cast("long"))
         .withColumn("yq",
