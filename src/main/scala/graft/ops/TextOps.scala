@@ -1043,9 +1043,15 @@ object TextOps {
           .otherwise(array().cast("array<string>"))).as("bg"))
         .groupBy($"bg").agg(count(lit(1)).as("cab"))
         .filter($"cab" > MinCount)
-      val uni = t.select(explode($"t").as("w"))
+      // Vocab size joins on as a 1-row aggregate broadcast — attaching
+      // it via count().over(Window.partitionBy()) would drag the whole
+      // unigram vocab (corpus-growing, hapax-heavy at scale) onto one
+      // partition, the exact shape the PlanSpec unpartitioned-window
+      // guard bans.
+      val uniRaw = t.select(explode($"t").as("w"))
         .groupBy($"w").agg(count(lit(1)).as("c"))
-        .withColumn("v", count(lit(1)).over(Window.partitionBy()))
+      val uni = uniRaw
+        .crossJoin(broadcast(uniRaw.agg(count(lit(1)).as("v"))))
       val c1 = uni.select($"w".as("w1"), $"c".as("c1"), $"v")
       val c2 = uni.select($"w".as("w2"), $"c".as("c2"))
       bg.withColumn("w1", substring_index($"bg", " ", 1))

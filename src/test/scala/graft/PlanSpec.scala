@@ -138,7 +138,66 @@ class PlanSpec extends SparkSpec {
     "emb_pca_power",                                 // 1-row max-|s| broadcast per round
     "a_ttest_welch",                                 // 5-row stats-table pair self-join
     "a_seasonality_dow",                             // 1-row totals broadcast
+    "u_phrase_bigrams",                              // 1-row vocab-size broadcast (round-12 window fix)
   )
+
+  /** Queries allowed to run a WindowExec with an EMPTY partition spec.
+    * An unpartitioned window moves its whole input to one partition, so
+    * every entry here must sit on a frame that is provably bounded by
+    * construction (a calendar of days, a capped vocab table, a fixed
+    * bin/decile/priority domain, a top-k survivor set) — NEVER anything
+    * that grows with the corpus. The round-11 zipf miss (full-vocab rank
+    * window, fixed in round 12 by capping with TakeOrderedAndProject
+    * first) is the class this guard exists to catch.
+    */
+  private val unpartitionedWindowBounded: Map[String, String] = Map(
+    "a_mann_whitney" ->
+      "binRanked offset window over the per-integer-bin aggregate (cardinality = value range, not row count)",
+    "f29b_equidepth_deciles" ->
+      "binRanked offset window over the per-integer-bin aggregate",
+    "corpus_curriculum_phases" ->
+      "offset window over the per-quality-bin aggregate (quality in [0,1] x100 => <=101 bins)",
+    "corpus_doremi_weights" ->
+      "sum/max windows over the per-SOURCE aggregate (fixed source domain)",
+    "graph_assortativity" ->
+      "undCore mean-weight threshold window over the |V|^2-bounded nation-level edge aggregate",
+    "graph_lpa_communities" ->
+      "same undCore edge-aggregate window",
+    "graph_triangles" ->
+      "same mean-weight threshold window over the |V|^2-bounded edge aggregate",
+    "retrieval_maxscore_topk" ->
+      "cum-bound window over the <=|query terms| upper-bound table; rank window after .limit(K)",
+    "text_heaps_law" ->
+      "cumulative windows over the 10-row corpus-decile frame",
+    "text_unigram_train" ->
+      "rank window over the vocab-capped driver-side model table (LocalRelation)",
+    "text_unigram_encode" ->
+      "same vocab-capped model table",
+    "text_unigram_save_load" ->
+      "same vocab-capped model table, reloaded",
+    "w_day_over_day_delta" ->
+      "lag over the calendar-bounded daily aggregate",
+    "w_running_daily_purchases" ->
+      "running sum over the calendar-bounded daily aggregate",
+  )
+
+  test("unpartitioned windows only over provably bounded frames") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(unpartitionedWindowBounded.keySet)
+      .filter { name =>
+        // sparkPlan, not executedPlan: AQE wraps the tree in a leaf
+        // AdaptiveSparkPlanExec that TreeNode.collect cannot enter.
+        val p = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+        p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+          .nonEmpty
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec over a non-whitelisted frame: $offenders" +
+        " — cap the frame first (TakeOrderedAndProject / bounded" +
+        " aggregate) or add it to unpartitionedWindowBounded with a" +
+        " boundedness argument")
+  }
 
   test("no unintended cartesian or nested-loop joins across the suite") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
