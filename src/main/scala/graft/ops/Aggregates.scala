@@ -1188,16 +1188,56 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // Built-in-sketch showcase (HLL++ distinct + Greenwald-Khanna
+    // percentiles), oracled as a PROPERTY CONTRACT since round 12 (the
+    // a_sketch_merge pattern): the sketch internals have no SQL twin, so
+    // the output carries the exactly-replayable bookkeeping (n, exact
+    // distinct) plus three booleans the oracle asserts TRUE —
+    // `users_ok` = |approx − exact| ≤ 5%·exact. The sketch is built at
+    // rsd = 0.01, so the 5% contract is ~5σ of the requested precision
+    // — at the default rsd 0.05 the bound is only ~1σ and legitimately
+    // trips at sf0.1 (observed: 1500 exact vs >5% drift). The estimator
+    // is deterministic (fixed hash, no RNG), so a drifting estimate
+    // hash-mismatches instead of passing silently. `p50_ok`/`p95_ok`
+    // = the GK guarantee
+    // itself: the returned value's tie-spanned rank interval
+    // [count(<v)+1, count(≤v)] must intersect the target rank window
+    // ⌈q·n⌉ ± (ε·n + 1) at the requested accuracy ε = 1/10000. The rank
+    // audit is one extra aggregate over a 5-row broadcast join — the
+    // corpus is scanned, never sorted (that is the point of GK at
+    // 100 TB: exact percentile would be a global sort per group).
     "a_approx_stats" -> ((s, d) => {
       import s.implicits._
-      events(s, d)
+      val eps = 1.0 / 10000
+      val approx = events(s, d)
         .groupBy($"event_type")
         .agg(
-          approx_count_distinct($"user_id").as("approx_users"),
-          round(element_at(percentile_approx($"value", typedLit(Seq(0.5, 0.95)),
-            lit(10000)), 1), 6).as("approx_p50"),
-          round(element_at(percentile_approx($"value", typedLit(Seq(0.5, 0.95)),
-            lit(10000)), 2), 6).as("approx_p95"))
+          approx_count_distinct($"user_id", 0.01).as("approx_users"),
+          element_at(percentile_approx($"value", typedLit(Seq(0.5, 0.95)),
+            lit(10000)), 1).as("ap50"),
+          element_at(percentile_approx($"value", typedLit(Seq(0.5, 0.95)),
+            lit(10000)), 2).as("ap95"))
+      val audit = events(s, d)
+        .join(broadcast(approx), "event_type")
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct($"user_id").as("exact_users"),
+          first($"approx_users").as("au"),
+          sum(when($"value" < $"ap50", 1L).otherwise(0L)).as("lt50"),
+          sum(when($"value" <= $"ap50", 1L).otherwise(0L)).as("le50"),
+          sum(when($"value" < $"ap95", 1L).otherwise(0L)).as("lt95"),
+          sum(when($"value" <= $"ap95", 1L).otherwise(0L)).as("le95"))
+      def rankOk(q: Double, lt: Column, le: Column): Column = {
+        val target = ceil(lit(q) * $"n")
+        val slack = lit(eps) * $"n" + lit(1.0)
+        (le >= target - slack) && (lt + lit(1L) <= target + slack)
+      }
+      audit.select($"event_type", $"n", $"exact_users",
+          (abs($"au" - $"exact_users") <=
+            lit(0.05) * $"exact_users").as("users_ok"),
+          rankOk(0.50, $"lt50", $"le50").as("p50_ok"),
+          rankOk(0.95, $"lt95", $"le95").as("p95_ok"))
         .orderBy("event_type")
     }),
 
@@ -1551,6 +1591,14 @@ object Aggregates {
         |SELECT event_type, day AS cp_day, n AS n_days,
         |  ROUND(ABS(snum) / CAST(n AS DOUBLE), 6) AS cusum_peak
         |FROM p WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // Property oracle for the built-in sketches (see the query scaladoc):
+    // n and exact distinct replay exactly; the three TRUEs assert the
+    // HLL++ 5% bound and the GK rank guarantee at ε = 1/10000.
+    "a_approx_stats" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Property oracle for the datasketches merge (see the query scaladoc):
     // shard bookkeeping and exact distinct replay exactly; `TRUE AS
     // est_ok` asserts the merged estimate stays within the 5% bound.
