@@ -75,69 +75,80 @@ object SparkEntry {
     * while regressions in the newer families become visible. Excludes
     * the MLlib LDA family (pipeline_topic_fanout's single-partition fits
     * are a documented ~28 s constant that would drown the signal).
+    * Round 12 moved the entries sitting at the ~0.3 s noise floor to
+    * `benchRetiredNoiseFloor` (correctness-only), keeping group 2 to the
+    * set where a 2x regression is actually measurable; `total2` is
+    * comparable across rounds via the kept core's per-query anchors.
     */
   def benchQueries2: Seq[String] = Seq(
     "graph_pagerank",
     "graph_harmonic",
     "graph_hyperball",
     "graph_triangles",
-    "graph_degree_stats",
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_ivf_kmeans_topk",
     "ann_sq8_topk",
     "ann_lsh_multi_topk",
-    "ml_kmeans",
-    "text_bpe_merges",
     "text_bpe_encode",
     // encode, not train: the trainer caches survive clearState (by
     // design — see Bench), so timing the train query would measure a
     // 300-row rank over the cached model; the encode pass is the real
     // repeated work (a full Viterbi inference pass per timed run)
-    "text_unigram_encode",
     "text_lm_backoff",
-    "a_hll_probe",
     "a_countmin_probe",
     "a_heavy_hitters",
-    "a_sketch_merge",
     "a_quantile_sketch",
     "dedup_substring_exact",
     "dedup_cluster_reps_star",
     "lda_em_topics",
-    "sample_weighted_ares",
-    // round-10 retrieval additions — first anchors recorded this round
-    "ann_filtered_topk",
     "retrieval_rrf_fusion",
     "retrieval_mmr_rerank",
     "retrieval_prf_expansion",
-    // round-10 relational/pipeline additions — first anchors this round
-    "a_cube_type_day",
-    "w_sessionize_gap",
     "scd2_status_history",
     "dedup_source_overlap",
-    "text_oov_rate",
-    // round-10 closed-form trainer/inference additions
     "emb_pca_power",
-    "ml_ridge_probe",
-    "a_ttest_welch",
-    // round-10 late additions — first anchors this round
     "a_robust_stats",
     "w_trend_theilsen",
     "join_incremental_merge",
-    // round-11 streaming batch twins — first anchors this round
-    "stream_dedup_within_watermark",
-    "stream_session_bounds",
-    // round-11 new operators — first anchors this round
     "a_ks_test",
     "retrieval_maxscore_topk",
-    "text_heaps_law",
     "ml_calibration_bins",
     "graph_kcore",
     "dedup_lsh_pr_eval",
     "ml_logreg_gd",
-    "a_benford_digits",
     "graph_assortativity",
-    "text_boilerplate_strip",
-    "text_zipf_slope",
   ).filter(queries.contains)
+
+  /** Retired from group-2 TIMING at round 12 (they remain in `queries`
+    * and the per-round CORRECTNESS gate): each sat at or under the
+    * ~0.3 s quiet-host noise floor, where a min-of-2 measures scheduler
+    * jitter rather than code — a real 2x regression there is invisible
+    * inside normal spread, while 19 such entries cost ~10 s of every
+    * bench run and pad `total2` with pure noise. Quiet-host mins at
+    * retirement (local[32], sf0.1, noise_factor 0.55, 2026-08-14) are
+    * recorded in BASELINE.md; if one of these ops grows real work, move
+    * it back into benchQueries2 and re-anchor it.
+    */
+  def benchRetiredNoiseFloor: Seq[String] = Seq(
+    "graph_degree_stats",            // 0.276 s
+    "ml_kmeans",                     // 0.234 s
+    "text_bpe_merges",               // 0.244 s
+    "text_unigram_encode",           // 0.236 s
+    "a_hll_probe",                   // 0.275 s
+    "a_sketch_merge",                // 0.171 s
+    "sample_weighted_ares",          // 0.242 s
+    "ann_filtered_topk",             // 0.228 s
+    "a_cube_type_day",               // 0.162 s
+    "w_sessionize_gap",              // 0.265 s
+    "text_oov_rate",                 // 0.256 s
+    "ml_ridge_probe",                // 0.207 s
+    "a_ttest_welch",                 // 0.149 s
+    "stream_dedup_within_watermark", // 0.273 s
+    "stream_session_bounds",         // 0.293 s
+    "text_heaps_law",                // 0.200 s
+    "a_benford_digits",              // 0.227 s
+    "text_boilerplate_strip",        // 0.107 s
+    "text_zipf_slope",               // 0.260 s (post-TakeOrdered fix)
+  )
 }
