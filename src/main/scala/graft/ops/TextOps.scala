@@ -1893,7 +1893,16 @@ object TextOps {
     // ratio. Scale: ONE rolling-hash window explode (the spans
     // pattern), an h-partitioned shared-flag window whose partitions
     // are dup-multiplicity-sized, and one doc-keyed island window —
-    // never a pair join.
+    // never a pair join. The window key is a PAIR of independent
+    // polynomial hashes (forward + reversed gram, ~60 bits joint):
+    // this op consumes hash-bucket sharing DIRECTLY (no verifier
+    // follows, unlike the banded dedup ops), and a single mod-1e9+7
+    // hash saturates by birthday at corpus window counts — the
+    // round-12 heavy-tail fixture measured ~180 collisions at just
+    // 600k windows, i.e. false strips of unique text. At p² ≈ 2^60
+    // the expected false-strip fraction stays negligible at any
+    // realistic corpus (1e12 windows → ~4e5 colliding pairs, a 4e-7
+    // fraction, vs certain saturation at 2^30).
     "text_boilerplate_strip" -> ((s, d) => {
       import s.implicits._
       val W = 8
@@ -1902,10 +1911,15 @@ object TextOps {
       val grams = t.filter($"n" >= W)
         .select($"doc_id", $"n", posexplode(
           transform(sequence(lit(0), ($"n" - W).cast("int")),
-            i => graft.functions.PolyHash.poly_hash(
-              concat_ws(" ", slice($"tk", i + 1, lit(W)))))))
-        .toDF("doc_id", "n", "p", "h")
-      val wh = Window.partitionBy($"h")
+            i => {
+              val g = concat_ws(" ", slice($"tk", i + 1, lit(W)))
+              struct(
+                graft.functions.PolyHash.poly_hash(g).as("h"),
+                graft.functions.PolyHash.poly_hash(reverse(g)).as("h2"))
+            })))
+        .toDF("doc_id", "n", "p", "hs")
+        .select($"doc_id", $"n", $"p", $"hs.h".as("h"), $"hs.h2".as("h2"))
+      val wh = Window.partitionBy($"h", $"h2")
       val flagged = grams
         .withColumn("shared",
           min($"doc_id").over(wh) =!= max($"doc_id").over(wh))
@@ -1968,17 +1982,26 @@ object TextOps {
           round(log($"rank".cast("double")) * 1e6, 0).cast("long"))
         .withColumn("yq",
           round(log($"freq".cast("double")) * 1e6, 0).cast("long"))
+      // The five sums are exact integer algebra (safe at ANY corpus:
+      // the 10k rank cap bounds them under 2^63), but the OLS
+      // combination n·sxy − sx·sy can reach ~1e22 at a full 10k-point
+      // fit — compute it in double, with each factor cast FIRST. Both
+      // engines make the identical long→double conversions and IEEE
+      // multiplies, so the fit still replays bit-for-bit pre-rounding
+      // (the round-12 heavy-tail fixture is what surfaced the
+      // overflow: the synthetic 31-word vocab never exercised n>31).
       val fit = ranked.agg(
           count(lit(1)).as("n"), sum($"xq").as("sx"), sum($"yq").as("sy"),
           sum($"xq" * $"yq").as("sxy"), sum($"xq" * $"xq").as("sxx"))
-        .withColumn("zipf_slope", round(
-          ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-            ($"n" * $"sxx" - $"sx" * $"sx").cast("double"), 6))
+        .withColumn("nd", $"n".cast("double"))
+        .withColumn("sxd", $"sx".cast("double"))
+        .withColumn("syd", $"sy".cast("double"))
+        .withColumn("slope_raw",
+          ($"nd" * $"sxy".cast("double") - $"sxd" * $"syd") /
+            ($"nd" * $"sxx".cast("double") - $"sxd" * $"sxd"))
+        .withColumn("zipf_slope", round($"slope_raw", 6))
         .withColumn("zipf_c", round(exp(
-          ($"sy".cast("double") / $"n" -
-            (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-              ($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
-              ($"sx".cast("double") / $"n")) / 1e6), 4))
+          ($"syd" / $"nd" - $"slope_raw" * ($"sxd" / $"nd")) / 1e6), 4))
         .select($"zipf_slope", $"zipf_c")
       ranked.filter($"rank" <= 10).select($"rank", $"word", $"freq")
         .crossJoin(broadcast(fit))
@@ -3050,15 +3073,20 @@ object TextOps {
          |    CAST(SUM(xq * yq) AS BIGINT) AS sxy,
          |    CAST(SUM(xq * xq) AS BIGINT) AS sxx
          |  FROM q),
+         |-- mirror Spark: every factor goes long->double BEFORE the
+         |-- multiply (the BIGINT product overflows at a 10k-point fit)
          |fit AS (
          |  SELECT
-         |    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-         |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
-         |    ROUND(exp((CAST(sy AS DOUBLE) / n
-         |      - (CAST(n * sxy - sx * sy AS DOUBLE)
-         |         / CAST(n * sxx - sx * sx AS DOUBLE))
-         |        * (CAST(sx AS DOUBLE) / n)) / 1e6), 4) AS zipf_c
-         |  FROM g)
+         |    ROUND(slope_raw, 6) AS zipf_slope,
+         |    ROUND(exp((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - slope_raw * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+         |      / 1e6), 4) AS zipf_c
+         |  FROM (SELECT n, sx, sy,
+         |      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_raw
+         |    FROM g))
          |SELECT rank, word, freq, zipf_slope, zipf_c
          |FROM q CROSS JOIN fit WHERE rank <= 10
          |ORDER BY rank""".stripMargin,
@@ -3068,14 +3096,16 @@ object TextOps {
          |g AS (
          |  SELECT doc_id, n, i AS p,
          |    ${graft.ops.DedupOps.polyHashSql(
-        "array_to_string(tk[(i+1):(i+8)], ' ')")} AS h
+        "array_to_string(tk[(i+1):(i+8)], ' ')")} AS h,
+         |    ${graft.ops.DedupOps.polyHashSql(
+        "reverse(array_to_string(tk[(i+1):(i+8)], ' '))")} AS h2
          |  FROM (SELECT doc_id, n, tk, unnest(range(n - 7)) AS i
          |        FROM tz WHERE n >= 8)),
          |fl AS (
          |  SELECT doc_id, n, p FROM (
          |    SELECT doc_id, n, p,
-         |      MIN(doc_id) OVER (PARTITION BY h) AS mn,
-         |      MAX(doc_id) OVER (PARTITION BY h) AS mx
+         |      MIN(doc_id) OVER (PARTITION BY h, h2) AS mn,
+         |      MAX(doc_id) OVER (PARTITION BY h, h2) AS mx
          |    FROM g)
          |  WHERE mn <> mx),
          |il AS (
