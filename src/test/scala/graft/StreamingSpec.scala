@@ -627,4 +627,115 @@ class StreamingSpec extends SparkSpec {
       .map { case (t, rs) => t -> rs.length.toLong }
     assert(got == want, s"recovered $got vs batch $want")
   }
+
+  test("watermark-dedup survivor state survives a checkpointed restart") {
+    // The round-11 divergence-boundary test proves the horizon semantics
+    // in one query lifetime; this proves the SURVIVOR STATE itself is
+    // durable: a within-horizon duplicate that arrives while the query
+    // is DOWN can only be dropped if the restarted query recovered the
+    // survivor's timestamp from the checkpoint — a fresh state store
+    // would wrongly re-emit it.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_wmdd").toString
+    def t(h: Int, m: Int = 0): Timestamp =
+      Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def startQuery() = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        df.select("event_id").collect().foreach(r => buf += ((bid, r.getLong(0))))
+        ()
+      }.start()
+    val q1 = startQuery()
+    try {
+      // A1 survives; A2 is a within-horizon duplicate (expiry 13:00)
+      stream.addData(Seq(
+        (1L, t(12), 1L, "view", 1.0), (2L, t(12, 10), 1L, "view", 1.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val preBids = buf.map(_._1).toSet
+    assert(buf.map(_._2).toSet == Set(1L))
+    // arrives while the query is down — still inside A1's horizon
+    stream.addData(Seq((3L, t(12, 30), 1L, "view", 1.0)))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      // advance the watermark past 13:00 → A's recovered state expires
+      stream.addData(Seq((90L, t(16), 2L, "click", 1.0)))
+      q2.processAllAvailable()
+      // beyond the horizon: re-emitted as a fresh survivor
+      stream.addData(Seq((4L, t(16, 30), 1L, "view", 1.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val keyA = buf.map(_._2).toSet.intersect(Set(1L, 2L, 3L, 4L))
+    assert(keyA == Set(1L, 4L), s"key-A survivors across restart: $keyA")
+    // exactly-once: post-restart batches never re-emit A1 and batch ids
+    // strictly extend the committed prefix
+    val fresh = buf.filterNot(r => preBids.contains(r._1))
+    assert(!fresh.exists(_._2 == 1L), "A1 re-emitted after restart")
+    assert(preBids.forall(c => fresh.forall(c < _._1)))
+    // the batch greedy-chain twin predicts exactly these survivors
+    val rows = Seq((1L, t(12)), (3L, t(12, 30)), (4L, t(16, 30)))
+    var anchor = Long.MinValue
+    val chain = rows.filter { case (_, ts) =>
+      val keep = anchor == Long.MinValue || ts.getTime > anchor + 3600000L
+      if (keep) anchor = ts.getTime
+      keep
+    }.map(_._1).toSet
+    assert(chain == keyA)
+  }
+
+  test("session-window state survives a checkpointed restart (split session merges)") {
+    // Kill-restart sibling for stream_session_bounds: an event landing
+    // inside an open session's gap while the query is down must MERGE
+    // into that session after restart — two sessions (or a lost prefix)
+    // means the session state store did not recover.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_sess").toString
+    def t(h: Int, m: Int = 0): Timestamp =
+      Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Timestamp, Timestamp, Long)]
+    def startQuery() = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"sw.start".as("s"), $"sw.end".as("e"), $"n_events")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach { r =>
+          buf += ((r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+            r.getLong(3)))
+        }
+        ()
+      }.start()
+    val q1 = startQuery()
+    try {
+      stream.addData(Seq(
+        (1L, t(12), 1L, "view", 1.0), (2L, t(12, 10), 1L, "view", 1.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // lands inside the open session's 30-min gap while the query is down
+    stream.addData(Seq((3L, t(12, 20), 1L, "view", 1.0)))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      // close the session: watermark 16:00 − 1h = 15:00 > 12:50
+      stream.addData(Seq((9L, t(16), 2L, "click", 1.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val sessA = buf.filter(_._1 == 1L)
+    assert(sessA.length == 1, s"user-1 sessions after restart: $sessA")
+    val (_, s0, e0, n0) = sessA.head
+    assert(s0 == t(12) && e0 == t(12, 50) && n0 == 3L,
+      s"merged session wrong: start $s0 end $e0 n $n0")
+  }
 }
