@@ -6,13 +6,18 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** MinHash signature of a shingle-hash array: for each of the NumHashes
-  * permutations h_i(x) = (a_i·x + b_i) mod (2^31−1), the minimum over the
-  * array — i.e. the whole 32-long signature in one pass over the
-  * (already materialized) per-document hash set.
+  * permutations h_i(x) = (a_i·(x mod P) + b_i) mod P with P = 2^31−1,
+  * the minimum over the array — i.e. the whole 32-long signature in one
+  * pass over the (already materialized) per-document hash set. The
+  * input reduces mod P FIRST: shingle hashes are 61-bit packed pairs
+  * (round 12, see ShingleHashes), and a_i·x would silently overflow a
+  * long at x ≥ 2^33 — `x mod P` keeps the product under 2^62 and is the
+  * expression DuckDB replays verbatim in BIGINT.
   *
   * Same values as the relational form
-  * `explode(xs) → groupBy(doc_id).agg(min((a_i·x+b_i) % P)…)` and as the
-  * DuckDB oracle's `MIN((a*x+b) % P) … GROUP BY doc_id, i` — but MAP-ONLY:
+  * `explode(xs) → groupBy(doc_id).agg(min((a_i·(x%P)+b_i) % P)…)` and as
+  * the DuckDB oracle's `MIN((a*(x%P)+b) % P) … GROUP BY doc_id, i` — but
+  * MAP-ONLY:
   * the relational form shuffles the full exploded shingle table (the
   * widest frame in the dedup pipeline) on doc_id just to re-group rows
   * that started out grouped. At 100 TB that shuffle is the dominant cost
@@ -70,7 +75,7 @@ object MinHashSig {
     val bs = bArr
     var i = 0
     while (i < n) {
-      val x = arr.getLong(i)
+      val x = arr.getLong(i) % P
       var j = 0
       while (j < NumHashes) {
         val h = (as(j) * x + bs(j)) % P

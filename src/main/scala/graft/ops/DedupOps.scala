@@ -34,6 +34,8 @@ object DedupOps {
   type Q = (SparkSession, String) => DataFrame
 
   private val P_POLY = 1000000007L // polynomial-hash modulus
+  private val P_POLY2 = 1000000009L // second polynomial modulus (base 137)
+  val HashPack = 2147483648L // 2^31 — packs (h1, h2) into one BIGINT
   private val P_PERM = 2147483647L // 2^31-1, permutation-hash modulus
   val NumHashes = 32
   val NumBands = 8
@@ -59,6 +61,29 @@ object DedupOps {
        |  list_prepend(CAST(0 AS BIGINT),
        |    list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
        |  (acc, c) -> (acc * 131 + c) % $P_POLY)""".stripMargin
+
+  /** Second independent polynomial (base 137, mod 1e9+9) — the DuckDB
+    * twin of graft.functions.PolyHash2.
+    */
+  def polyHashSql2(e: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, c) -> (acc * 137 + c) % $P_POLY2)""".stripMargin
+
+  /** Packed ~60-bit hash pair `h1·2^31 + h2` (< 2^61, plain BIGINT) —
+    * the DuckDB twin of the widened ShingleHashes / wideHash column
+    * form. For operators that consume hash equality as string IDENTITY
+    * with no exact verifier downstream; see PolyHash2's scaladoc for
+    * the collision math.
+    */
+  def wideHashSql(e: String): String =
+    s"(${polyHashSql(e)} * $HashPack + ${polyHashSql2(e)})"
+
+  /** Column form of the packed hash pair. */
+  def wideHash(c: Column): Column =
+    graft.functions.PolyHash.poly_hash(c) * lit(HashPack) +
+      graft.functions.PolyHash2.poly_hash2(c)
 
   /** Whitespace tokens (lowered, non-empty). */
   private def toks(c: Column): Column =
@@ -94,13 +119,14 @@ object DedupOps {
        |  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))""".stripMargin
 
   // Common oracle prelude: per-doc distinct shingle HASHES (docs with ≥3
-  // tokens). Both engines operate on the polynomial hash of each shingle
-  // string — identity, set sizes, and any collisions are identical.
+  // tokens). Both engines operate on the PACKED hash pair of each
+  // shingle string (round 12 — see ShingleHashes) — identity, set sizes,
+  // and any residual ~2^-60 collisions are identical.
   private val shingleCte =
     s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sh AS (SELECT doc_id, $shinglesSql AS shs FROM t WHERE len(toks) >= 3),
        |e0 AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
-       |e AS (SELECT DISTINCT doc_id, ${polyHashSql("sh")} AS sh FROM e0),
+       |e AS (SELECT DISTINCT doc_id, ${wideHashSql("sh")} AS sh FROM e0),
        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY doc_id)""".stripMargin
 
   /** Exact Jaccard over candidate pairs given an exploded (doc_id, sh)
@@ -760,7 +786,7 @@ object DedupOps {
     // Makes Language Models Better"): flag 20-token windows that appear
     // in more than one document — the exact-substring signal that
     // MinHash/doc-level Jaccard misses (a unique doc quoting a long span
-    // of another). Rolling PolyHash per window; the window hash table
+    // of another). Rolling packed wide hash per window (round 12 — bucket sharing IS the output here, no verifier follows, so ~30 bits would birthday-saturate; see PolyHash2); the window hash table
     // partial-aggregates, so the shuffle carries (hash, partial-count),
     // token-firehose sized but never pairwise. Planted half-doc copies
     // of every 50th doc make the op provably non-vacuous (their windows
@@ -779,7 +805,7 @@ object DedupOps {
         .filter($"n" >= W)
         .select($"doc_id", explode(
           transform(sequence(lit(0), $"n" - W),
-            i => graft.functions.PolyHash.poly_hash(
+            i => wideHash(
               concat_ws(" ", slice($"tk", i + 1, lit(W)))))).as("h"))
       // "hash appears in >= 2 DISTINCT docs" ⟺ min(doc_id) != max(doc_id)
       // over the hash partition — a window over h instead of a
@@ -813,12 +839,16 @@ object DedupOps {
     // — corpus-wide boilerplate can't go quadratic), runs group on
     // (pair, diagonal) — dup-multiplicity-sized partitions; this is the
     // relational stand-in for distributed suffix-array construction,
-    // with the k-gram index playing the LCP-bucket role. PolyHash
-    // windows, so a "match" is mod-1e9+7 hash equality — a false
-    // single-window match is ~1e-9 and a false EXTENDED run is ~1e-18
-    // per candidate; the verify-exactly pass of the paper is a
-    // per-span substring compare, candidate-bounded, omitted here and
-    // in the oracle alike. Same planted half-doc copies as
+    // with the k-gram index playing the LCP-bucket role. Packed
+    // wide-hash windows (round 12): the df<=10 bound that keeps the
+    // pair join linear is also why a ~30-bit hash is fatal here — at
+    // corpus window counts every bucket absorbs ~N/2^30 random
+    // colliders, pushing TRUE duplicate buckets past the df cap
+    // (silent false negatives). At ~60 bits a false single-window
+    // match is ~1e-18 and a false extended run is negligible; the
+    // verify-exactly pass of the paper is a per-span substring
+    // compare, candidate-bounded, omitted here and in the oracle
+    // alike. Same planted half-doc copies as
     // dedup_substring_spans; spans shorter than 25 tokens are noise-
     // suppressed from the report.
     "dedup_substring_exact" -> ((s, d) => {
@@ -836,7 +866,7 @@ object DedupOps {
         .filter($"n" >= W)
         .select($"doc_id", posexplode(
           transform(sequence(lit(0), $"n" - W),
-            i => polyHash(concat_ws(" ", slice($"tk", i + 1, lit(W)))))))
+            i => wideHash(concat_ws(" ", slice($"tk", i + 1, lit(W)))))))
         .toDF("doc_id", "p", "h")
         .localCheckpoint()
       val bounded = wins.join(
@@ -880,7 +910,7 @@ object DedupOps {
         .filter($"ng" >= 1)
         .select($"doc_id", $"ng", posexplode(
           transform(sequence(lit(0), $"ng" - 1),
-            i => polyHash(concat_ws(" ", slice($"tk", i + 1, lit(5)))))))
+            i => wideHash(concat_ws(" ", slice($"tk", i + 1, lit(5)))))))
         .toDF("doc_id", "ng", "p", "h")
       val win = Window.partitionBy($"doc_id").orderBy($"p").rowsBetween(0, 3)
       val sel = grams
@@ -1016,8 +1046,10 @@ object DedupOps {
       val MBits = 4096L
       val hs = Seq((131L, 17L), (137L, 1009L), (139L, 65537L))
       val (e, sizes) = explodedShingles(s, d)
+      // reduce the 61-bit packed shingle hash mod P first — sh*a would
+      // overflow a long (ANSI throws); both engines reduce identically
       val posArr = array(hs.map { case (a, b) =>
-        ($"sh" * a + b) % P_POLY % MBits
+        (pmod($"sh", lit(P_POLY)) * a + b) % P_POLY % MBits
       }: _*)
       val bench = e.filter($"doc_id" % 97 === 0)
       val bits = bench.select(explode(posArr).as("bit")).distinct()
@@ -1245,7 +1277,7 @@ object DedupOps {
          |seeds(i, a, b) AS (VALUES ${permSeeds.zipWithIndex
         .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")}),
          |sig AS (
-         |  SELECT doc_id, i, MIN((a * x + b) % $P_PERM) AS h
+         |  SELECT doc_id, i, MIN((a * (x % $P_PERM) + b) % $P_PERM) AS h
          |  FROM xs CROSS JOIN seeds
          |  GROUP BY doc_id, i),
          |bands AS (
@@ -1288,7 +1320,7 @@ object DedupOps {
          |seeds(i, a, b) AS (VALUES ${permSeeds.zipWithIndex
         .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")}),
          |sig AS (
-         |  SELECT doc_id, i, MIN((a * x + b) % $P_PERM) AS h
+         |  SELECT doc_id, i, MIN((a * (x % $P_PERM) + b) % $P_PERM) AS h
          |  FROM xs CROSS JOIN seeds
          |  GROUP BY doc_id, i),
          |bands AS (
@@ -1321,7 +1353,7 @@ object DedupOps {
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (
          |  SELECT doc_id, len(toks) - 4 AS ng, i AS p,
-         |    ${polyHashSql("array_to_string(toks[(i+1):(i+5)], ' ')")} AS h
+         |    ${wideHashSql("array_to_string(toks[(i+1):(i+5)], ' ')")} AS h
          |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 4)) AS i
          |        FROM t WHERE len(toks) >= 5)),
          |wm AS (
@@ -1373,7 +1405,7 @@ object DedupOps {
          |seeds(i, a, b) AS (VALUES ${permSeeds.zipWithIndex
         .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")}),
          |sig AS (
-         |  SELECT doc_id, side, i, MIN((a * sh + b) % $P_PERM) AS h
+         |  SELECT doc_id, side, i, MIN((a * (sh % $P_PERM) + b) % $P_PERM) AS h
          |  FROM e CROSS JOIN seeds GROUP BY doc_id, side, i),
          |bands AS (
          |  SELECT doc_id, side, i // $RowsPerBand AS band,
@@ -1420,7 +1452,7 @@ object DedupOps {
          |seeds(i, a, b) AS (VALUES ${permSeeds.zipWithIndex
         .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")}),
          |sig AS (
-         |  SELECT doc_id, side, i, MIN((a * sh + b) % $P_PERM) AS h
+         |  SELECT doc_id, side, i, MIN((a * (sh % $P_PERM) + b) % $P_PERM) AS h
          |  FROM e CROSS JOIN seeds GROUP BY doc_id, side, i),
          |bands AS (
          |  SELECT doc_id, side, i // $RowsPerBand AS band,
@@ -1506,7 +1538,7 @@ object DedupOps {
          |w AS (
          |  SELECT doc_id,
          |    unnest(list_transform(generate_series(1, len(tk) - 19),
-         |      i -> ${polyHashSql("array_to_string(tk[i:i+19], ' ')")})) AS h
+         |      i -> ${wideHashSql("array_to_string(tk[i:i+19], ' ')")})) AS h
          |  FROM a WHERE len(tk) >= 20),
          |c AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
          |pd AS (SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY doc_id),
@@ -1524,7 +1556,7 @@ object DedupOps {
          |a AS (SELECT * FROM t UNION ALL SELECT * FROM h0),
          |w AS MATERIALIZED (
          |  SELECT doc_id, i AS p,
-         |    ${polyHashSql("array_to_string(tk[(i+1):(i+20)], ' ')")} AS h
+         |    ${wideHashSql("array_to_string(tk[(i+1):(i+20)], ' ')")} AS h
          |  FROM (SELECT doc_id, tk, unnest(range(len(tk) - 19)) AS i
          |        FROM a WHERE len(tk) >= 20)),
          |bnd AS (
@@ -1564,9 +1596,9 @@ object DedupOps {
       s"""WITH $shingleCte,
          |hx AS (
          |  SELECT doc_id, sh, unnest([
-         |    (sh * 131 + 17) % $P_POLY % 4096,
-         |    (sh * 137 + 1009) % $P_POLY % 4096,
-         |    (sh * 139 + 65537) % $P_POLY % 4096]) AS bit
+         |    ((sh % $P_POLY) * 131 + 17) % $P_POLY % 4096,
+         |    ((sh % $P_POLY) * 137 + 1009) % $P_POLY % 4096,
+         |    ((sh % $P_POLY) * 139 + 65537) % $P_POLY % 4096]) AS bit
          |  FROM e),
          |bits AS (SELECT DISTINCT bit FROM hx WHERE doc_id % 97 = 0),
          |mb AS (

@@ -1502,13 +1502,17 @@ object TextOps {
     // "beta" both map to 102 — so token identity comes from PolyHash.)
     "text_fingerprint" -> ((s, d) => {
       import s.implicits._
-      val p = 1000000007L
+      val p1 = 1000000007L
+      val p2 = 1000000009L
+      val fp1 = aggregate(
+        transform(tokens($"text"), t => graft.functions.PolyHash.poly_hash(t)),
+        lit(0L), (acc, x) => pmod(acc * 31L + x, lit(p1)))
+      val fp2 = aggregate(
+        transform(tokens($"text"), t => graft.functions.PolyHash2.poly_hash2(t)),
+        lit(0L), (acc, x) => pmod(acc * 37L + x, lit(p2)))
       documents(s, d)
         .withColumn("fp",
-          aggregate(
-            transform(tokens($"text"), t => graft.functions.PolyHash.poly_hash(t)),
-            lit(0L),
-            (acc, x) => pmod(acc * 31L + x, lit(p))))
+          fp1 * lit(graft.ops.DedupOps.HashPack) + fp2)
         .select("doc_id", "fp")
         .orderBy("doc_id")
     }),
@@ -1582,8 +1586,10 @@ object TextOps {
     // doc into 64-token chunks with stride 48 (16-token overlap), the
     // standard retrieval-chunking shape. Pure sequence-explode over the
     // materialized token array — map-only, no shuffle until the output
-    // sort; chunk content is proven by a PolyHash fingerprint so the
-    // oracle checks bytes, not just offsets.
+    // sort; chunk content is proven by a packed wide-hash fingerprint
+    // (a chunk fp is an identity key in a RAG store — 30 bits would
+    // collide at corpus chunk counts) so the oracle checks bytes, not
+    // just offsets.
     "chunk_documents" -> ((s, d) => {
       import s.implicits._
       val W = 64
@@ -1597,7 +1603,7 @@ object TextOps {
         .withColumn("start_tok", $"chunk_id" * S + 1)
         .withColumn("n_tok",
           least(lit(W), $"n" - $"chunk_id" * S).cast("long"))
-        .withColumn("fp", graft.functions.PolyHash.poly_hash(
+        .withColumn("fp", graft.ops.DedupOps.wideHash(
           concat_ws(" ", slice($"tk", $"start_tok".cast("int"), $"n_tok".cast("int")))))
         .select("doc_id", "chunk_id", "start_tok", "n_tok", "fp")
         .orderBy("doc_id", "chunk_id")
@@ -1800,7 +1806,7 @@ object TextOps {
         .filter($"n" >= N)
         .select($"doc_id", explode(
           transform(sequence(lit(0), $"n" - N),
-            i => graft.functions.PolyHash.poly_hash(
+            i => graft.ops.DedupOps.wideHash(
               concat_ws(" ", slice($"tk", i + 1, lit(N)))))).as("g"))
         .withColumn("bucket", pmod(graft.functions.PolyHash.poly_hash(
           $"doc_id".cast("string")), lit(10L)))
@@ -1911,15 +1917,10 @@ object TextOps {
       val grams = t.filter($"n" >= W)
         .select($"doc_id", $"n", posexplode(
           transform(sequence(lit(0), ($"n" - W).cast("int")),
-            i => {
-              val g = concat_ws(" ", slice($"tk", i + 1, lit(W)))
-              struct(
-                graft.functions.PolyHash.poly_hash(g).as("h"),
-                graft.functions.PolyHash.poly_hash(reverse(g)).as("h2"))
-            })))
-        .toDF("doc_id", "n", "p", "hs")
-        .select($"doc_id", $"n", $"p", $"hs.h".as("h"), $"hs.h2".as("h2"))
-      val wh = Window.partitionBy($"h", $"h2")
+            i => graft.ops.DedupOps.wideHash(
+              concat_ws(" ", slice($"tk", i + 1, lit(W)))))))
+        .toDF("doc_id", "n", "p", "h")
+      val wh = Window.partitionBy($"h")
       val flagged = grams
         .withColumn("shared",
           min($"doc_id").over(wh) =!= max($"doc_id").over(wh))
@@ -2919,7 +2920,11 @@ object TextOps {
          |  list_reduce(
          |    list_prepend(CAST(0 AS BIGINT),
          |      list_transform($tokensSql, t -> ${graft.ops.DedupOps.polyHashSql("t")})),
-         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) * 2147483648
+         |  + list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform($tokensSql, t -> ${graft.ops.DedupOps.polyHashSql2("t")})),
+         |    (acc, x) -> (acc * 37 + x) % 1000000009) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
     "chunk_documents" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
@@ -2929,7 +2934,7 @@ object TextOps {
          |  FROM t WHERE len(tk) >= 1)
          |SELECT doc_id, chunk_id, chunk_id * 48 + 1 AS start_tok,
          |  LEAST(64, n - chunk_id * 48) AS n_tok,
-         |  ${graft.ops.DedupOps.polyHashSql(
+         |  ${graft.ops.DedupOps.wideHashSql(
         "array_to_string(tk[(chunk_id*48+1):(chunk_id*48 + LEAST(64, n - chunk_id*48))], ' ')")}
          |    AS fp
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
@@ -2937,7 +2942,7 @@ object TextOps {
       s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
          |g AS (
          |  SELECT doc_id,
-         |    ${graft.ops.DedupOps.polyHashSql(
+         |    ${graft.ops.DedupOps.wideHashSql(
                "array_to_string(tk[(i+1):(i+8)], ' ')")} AS g,
          |    ${graft.ops.DedupOps.polyHashSql(
                "CAST(doc_id AS VARCHAR)")} % 10 AS bucket
@@ -3095,17 +3100,15 @@ object TextOps {
          |tz AS (SELECT doc_id, tk, len(tk) AS n FROM t),
          |g AS (
          |  SELECT doc_id, n, i AS p,
-         |    ${graft.ops.DedupOps.polyHashSql(
-        "array_to_string(tk[(i+1):(i+8)], ' ')")} AS h,
-         |    ${graft.ops.DedupOps.polyHashSql(
-        "reverse(array_to_string(tk[(i+1):(i+8)], ' '))")} AS h2
+         |    ${graft.ops.DedupOps.wideHashSql(
+        "array_to_string(tk[(i+1):(i+8)], ' ')")} AS h
          |  FROM (SELECT doc_id, n, tk, unnest(range(n - 7)) AS i
          |        FROM tz WHERE n >= 8)),
          |fl AS (
          |  SELECT doc_id, n, p FROM (
          |    SELECT doc_id, n, p,
-         |      MIN(doc_id) OVER (PARTITION BY h, h2) AS mn,
-         |      MAX(doc_id) OVER (PARTITION BY h, h2) AS mx
+         |      MIN(doc_id) OVER (PARTITION BY h) AS mn,
+         |      MAX(doc_id) OVER (PARTITION BY h) AS mx
          |    FROM g)
          |  WHERE mn <> mx),
          |il AS (

@@ -16,6 +16,15 @@ class DedupSpec extends SparkSpec {
     acc
   }
 
+  private def refHash2(s: String): Long = {
+    var acc = 0L
+    s.codePoints().toArray.foreach(cp => acc = (acc * 137 + cp) % 1000000009L)
+    acc
+  }
+
+  /** Packed ~60-bit pair — the round-12 wide-hash contract. */
+  private def refWide(s: String): Long = refHash(s) * 2147483648L + refHash2(s)
+
   test("PolyHash matches the reference recurrence and the HOF form") {
     val inputs = Seq("", "a", "spark", "hello world", "ünïcode")
     val got = inputs.toDF("s")
@@ -29,10 +38,10 @@ class DedupSpec extends SparkSpec {
     assert(hof.toSeq == got.toSeq)
   }
 
-  test("ShingleHashes equals hashing the 3-gram shingle strings") {
+  test("ShingleHashes equals packed-pair hashing of the 3-gram shingle strings") {
     val text = "the quick brown fox jumps over the lazy dog"
     val toksArr = text.split(" ").toSeq
-    val expected = toksArr.sliding(3).map(w => refHash(w.mkString(" "))).toSeq.distinct
+    val expected = toksArr.sliding(3).map(w => refWide(w.mkString(" "))).toSeq.distinct
     val got = Seq(toksArr).toDF("t")
       .select(ShingleHashes.poly_shingles($"t").as("xs"))
       .as[Seq[Long]].collect().head
@@ -58,7 +67,7 @@ class DedupSpec extends SparkSpec {
       .as[Seq[Long]].collect().toSeq
     val want = xs.map { set =>
       MinHashSig.seeds.map { case (a, b) =>
-        set.map(x => (a * x + b) % MinHashSig.P).min
+        set.map(x => (a * (x % MinHashSig.P) + b) % MinHashSig.P).min
       }.toSeq
     }
     assert(viaExpr == want)
@@ -67,14 +76,16 @@ class DedupSpec extends SparkSpec {
   test("MinHashSig matches reference arithmetic on random arrays (seeded, 50 samples)") {
     import graft.functions.MinHashSig
     val rnd = new scala.util.Random(7)
+    // domain = the packed 61-bit wide-hash range, so the mod-P input
+    // reduction is actually exercised (not just values already < P)
     val samples = Seq.fill(50)(
-      Seq.fill(rnd.nextInt(40) + 1)(rnd.nextLong().abs % 1000000007L))
+      Seq.fill(rnd.nextInt(40) + 1)(rnd.nextLong().abs % (1L << 61)))
     val got = samples.toDF("xs")
       .select(MinHashSig.min_hash_sig($"xs").as("mh"))
       .as[Seq[Long]].collect().toSeq
     val want = samples.map { set =>
       MinHashSig.seeds.map { case (a, b) =>
-        set.map(x => (a * x + b) % MinHashSig.P).min
+        set.map(x => (a * (x % MinHashSig.P) + b) % MinHashSig.P).min
       }.toSeq
     }
     assert(got == want)
