@@ -706,6 +706,32 @@ class TextOpsSpec extends SparkSpec {
       "50k-domain Zipf draw should surface >10k distinct words")
   }
 
+  test("ngram novelty is exact on the heavy-tail fixture (wide-hash pin)") {
+    // Unique held-out content must read novelty = 1.0 EXACTLY. This
+    // pins the round-12 wide-hash fix: with the old single ~30-bit
+    // gram hash, the ~480k-gram train set gives each held-out gram a
+    // ~5e-4 false "seen" probability — ≈0.5 phantom matches per
+    // 993-gram doc, so a large fraction of clean docs dipped below 1.
+    val rows = SparkEntry.queries("text_ngram_novelty")(spark, heavyTailDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty")))
+    assert(rows.nonEmpty)
+    val (odd, even) = rows.partition(_._1 % 2 == 1)
+    assert(odd.nonEmpty && even.nonEmpty)
+    odd.foreach { case (id, (_, _, nov)) =>
+      assert(nov == 1.0, s"held-out doc $id: unique body scored $nov")
+    }
+    even.foreach { case (id, (ng, nn, _)) =>
+      // 1033 grams; starts 0..32 sit inside the shared boiler band
+      // (always seen), starts 33..39 span into the body and are seen
+      // only when a train doc shares the same leading body tokens
+      assert(ng == 1033L, s"doc $id n_grams $ng")
+      assert(nn >= 993L && nn <= 1000L, s"doc $id n_novel $nn")
+    }
+  }
+
   test("boilerplate strip: exact recall and precision on planted bands") {
     val rows = SparkEntry.queries("text_boilerplate_strip")(spark, heavyTailDir)
       .collect()
