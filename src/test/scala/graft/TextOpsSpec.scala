@@ -732,6 +732,34 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("substring spans flag only genuine shares on the heavy-tail fixture") {
+    // dedup_substring_spans reports per-doc shared 20-token windows —
+    // bucket sharing IS the output, so this is the second wide-hash pin:
+    // pre-fix, ~180 phantom collisions across the fixture's ~600k
+    // windows put clean odd docs into the report. Genuine shares here:
+    // the 40-token boiler band (even docs: window starts 0..20 fully
+    // inside, up to 39 via matching leading body tokens) and the op's
+    // own planted half-doc copies (id % 50 == 0 → +2000000 twins share
+    // every window with their source).
+    val rows = SparkEntry.queries("dedup_substring_spans")(spark, heavyTailDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared"))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, shared) =>
+      val base = if (id >= 2000000) id - 2000000 else id
+      if (base % 50 == 0)
+        assert(shared >= 400L, s"planted half-copy pair $id: $shared")
+      else if (id % 2 == 0)
+        assert(shared >= 21L && shared <= 40L, s"band-only doc $id: $shared")
+      else
+        fail(s"clean odd doc $id reported $shared shared windows")
+    }
+    // non-vacuous on both classes
+    assert(rows.keys.exists(id => id % 50 == 0))
+    assert(rows.keys.exists(id => id % 2 == 0 && id % 50 != 0))
+  }
+
   test("boilerplate strip: exact recall and precision on planted bands") {
     val rows = SparkEntry.queries("text_boilerplate_strip")(spark, heavyTailDir)
       .collect()
