@@ -1400,7 +1400,7 @@ object DedupOps {
          |  FROM all_docs),
          |shg AS (SELECT doc_id, side, $shinglesSql AS shs FROM t WHERE len(toks) >= 3),
          |e0 AS (SELECT doc_id, side, unnest(shs) AS sh FROM shg),
-         |e AS (SELECT DISTINCT doc_id, side, ${polyHashSql("sh")} AS sh FROM e0),
+         |e AS (SELECT DISTINCT doc_id, side, ${wideHashSql("sh")} AS sh FROM e0),
          |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY doc_id),
          |seeds(i, a, b) AS (VALUES ${permSeeds.zipWithIndex
         .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")}),
@@ -1448,7 +1448,7 @@ object DedupOps {
          |  FROM all_docs),
          |shg AS (SELECT doc_id, side, $shinglesSql AS shs FROM t WHERE len(toks) >= 3),
          |e0 AS (SELECT doc_id, side, unnest(shs) AS sh FROM shg),
-         |e AS (SELECT DISTINCT doc_id, side, ${polyHashSql("sh")} AS sh FROM e0),
+         |e AS (SELECT DISTINCT doc_id, side, ${wideHashSql("sh")} AS sh FROM e0),
          |seeds(i, a, b) AS (VALUES ${permSeeds.zipWithIndex
         .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")}),
          |sig AS (
