@@ -435,4 +435,30 @@ class DedupSpec extends SparkSpec {
     assert((bySrc(a0) & bySrc(b0)).size == n0,
       s"($a0,$b0): local ${(bySrc(a0) & bySrc(b0)).size} vs engine $n0")
   }
+
+  test("oracle shingle hashing is uniformly wide (hash-width meta-guard)") {
+    // The round-12 incident this automates: two oracles carried their
+    // own inline copies of the shingle prelude (side-aware old/new
+    // framing) and kept hashing shingle strings with the single narrow
+    // polynomial after the Spark-side shingle machinery moved to the
+    // packed 60-bit pair. Invisible at small SF — identical shingle
+    // sets collide under ANY hash family, so planted dups still match —
+    // it surfaced only as one partial-overlap band coincidence at
+    // sf0.1. Guard: in every oracle, each narrow hash of the shingle
+    // alias must occur only as the h1 component of the packed wide
+    // form (wideHashSql embeds polyHashSql exactly once), never bare.
+    val narrow = DedupOps.polyHashSql("sh")
+    val wide = DedupOps.wideHashSql("sh")
+    assert(wide.sliding(narrow.length).count(_ == narrow) == 1) // premise
+    def occurrences(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+    val withShingles = SparkEntry.oracleSql.filter(_._2.contains(narrow))
+    assert(withShingles.nonEmpty, "shingle-prelude oracles disappeared?")
+    for ((name, sql) <- withShingles) {
+      assert(occurrences(sql, narrow) == occurrences(sql, wide),
+        s"$name hashes shingle strings with the bare narrow polynomial " +
+          "while Spark-side shingles are packed wide pairs — the " +
+          "small-SF-invisible divergence class; use wideHashSql")
+    }
+  }
 }
