@@ -78,6 +78,46 @@ object MultimodalOps {
         .orderBy("media_format")
     }),
 
+    // Raw-file ingest through Spark's binaryFile source — the layout a
+    // real media corpus lands in (one object per item in a store/dir),
+    // vs the parquet-packed BINARY columns every other mm_* op reads.
+    // Phase 1 exports each payload as an individual <doc_id>.bin from
+    // the EXECUTORS (foreachPartition + java.nio — the distributed
+    // media-export shape: each task writes its own partition's items;
+    // no driver collect, no whole-corpus state). Phase 2 reads the
+    // directory back with format("binaryFile") (pathGlobFilter keeps
+    // stray files out of the listing), rebuilds identity from the
+    // `path` file-status column, and proves per-doc byte fidelity:
+    // md5(content) must equal the source text's md5 (ASCII corpus
+    // invariant, see withPayload) and n_bytes comes from the source's
+    // `length` column — the file LISTING, not the bytes. Scale:
+    // binaryFile is one row per file, guarded by
+    // spark.sql.sources.binaryFile.maxLength — right for item-sized
+    // media objects; shard-packed archives (sink_training_shards) are
+    // the complement once items are small enough to pack.
+    "mm_binaryfile_source" -> ((s, d) => {
+      import s.implicits._
+      val out = new java.io.File(
+        Tables.artifactDir("mm_binaryfile_source", d)).getAbsolutePath
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      withPayload(s, d).select($"doc_id", $"payload")
+        .foreachPartition { rows: Iterator[Row] =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, s"${r.getLong(0)}.bin"),
+              r.getAs[Array[Byte]](1))
+          }
+        }
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+        .select(
+          regexp_extract($"path", "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+          $"length".as("n_bytes"),
+          md5($"content").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // Batched "decode"+featurize over mapPartitions: byte histogram into
     // 16 bins (code/16, codes < 256), long-form output.
     "mm_feature_histogram" -> ((s, d) => {
@@ -326,6 +366,10 @@ object MultimodalOps {
         |  MAX(strlen(text)) AS max_bytes,
         |  COUNT(DISTINCT md5(text)) AS n_distinct
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mm_binaryfile_source" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_feature_histogram" ->
       """SELECT doc_id, bin, COUNT(*)::BIGINT AS cnt FROM (
         |  SELECT doc_id, ascii(c) // 16 AS bin

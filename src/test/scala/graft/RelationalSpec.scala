@@ -122,7 +122,8 @@ class RelationalSpec extends SparkSpec {
       "ml_calibration_bins", "graph_kcore",
       "dedup_lsh_pr_eval", "ml_logreg_gd", "a_benford_digits",
       "graph_assortativity", "text_boilerplate_strip",
-      "text_zipf_slope", "a_approx_stats").foreach { name =>
+      "text_zipf_slope", "a_approx_stats",
+      "mm_binaryfile_source").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
