@@ -151,6 +151,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("binaryFile re-ingest is idempotent and glob-filters stray files") {
+    val q = SparkEntry.queries("mm_binaryfile_source")
+    val base = q(spark, sf).collect().map(_.toSeq).toSeq
+    assert(base.nonEmpty)
+    // Plant a stray non-.bin file in the export dir: the source's
+    // pathGlobFilter must keep it out of the listing entirely (the
+    // contract that makes a shared scratch/export dir safe to re-scan).
+    // Re-running also re-exports every payload (write-truncate), so
+    // equality here proves idempotence of the whole export+ingest loop.
+    val out = new java.io.File(
+      graft.ops.Tables.artifactDir("mm_binaryfile_source", sf)).getAbsolutePath
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "stray.tmp"), Array[Byte](1, 2, 3))
+    val again = q(spark, sf).collect().map(_.toSeq).toSeq
+    assert(base == again)
+  }
+
   test("training shards land exactly one file per shard directory") {
     SparkEntry.queries("sink_training_shards")(spark, sf).collect()
     val root = new java.io.File(
