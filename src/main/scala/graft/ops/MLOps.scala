@@ -117,6 +117,42 @@ object MLOps {
         .setFeaturesCol("tf").fit(vec)
     })
 
+  /** Fit the given (k, maxIter) configs CONCURRENTLY — CrossValidator's
+    * parallel-fit pattern (`setParallelism`), hand-rolled: each seeded
+    * EM fit is an independent Spark job sequence reading the one shared
+    * cached single-partition corpus, so the per-fit determinism
+    * contract (the coalesce(1) above preparedInput) is untouched —
+    * sibling jobs only time-share executor threads, they never change a
+    * fit's internal task graph or aggregation order. The input is
+    * warmed AND materialized on the calling thread first (one
+    * vec.count(): otherwise the first concurrent fits race to compute
+    * the same uncached partition — same values either way, just wasted
+    * work), and the caches are TrieMaps, so distinct (k, maxIter) keys
+    * never contend. Wall cost drops from sum(fits) to ~max(fits) —
+    * this is the fix for the documented sequential fan-out fit
+    * constant; the fit-on-sample recipe for genuine 100 TB corpora
+    * (object scaladoc) is unchanged.
+    */
+  private def fitConcurrently(s: SparkSession, d: String,
+      cfgs: Seq[(Int, Int)]): Unit = {
+    val (_, vec) = preparedInput(s, d)
+    val todo = cfgs.distinct
+      .filterNot { case (k, it) => modelCache.contains((s, d, k, it)) }
+    if (todo.size > 1) {
+      vec.count()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = todo.map { case (k, it) =>
+        val t = new Thread(() => {
+          try { fittedLda(s, d, k, it); () }
+          catch { case e: Throwable => errs.add(e) }
+        }, s"lda-fit-k$k-i$it")
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+    }
+  }
+
   /** Drop cached inputs/models and unpersist their storage (mirrors
     * DedupOps.clear — inputs are assumed immutable per session).
     */
@@ -404,6 +440,7 @@ object MLOps {
       import s.implicits._
       val (cv, _) = preparedInput(s, d)
       val toks = docTokens(s, d).select($"doc_id", $"toks")
+      fitConcurrently(s, d, ScanKs.map((_, 5)))
       val tagged = ScanKs.map { k =>
         val m = fittedLda(s, d, k, maxIter = 5)
         topicWords(s, m, cv.vocabulary.toSeq)
@@ -949,6 +986,7 @@ object MLOps {
       val (_, vec) = preparedInput(s, d)
       val autoK = coherenceByK(s, d).maxBy { case (k, c) => (c, -k) }._1
       val configs = Seq(("fixed_small", K), ("fixed_large", 8), ("auto", autoK))
+      fitConcurrently(s, d, configs.map(c => (c._2, 20)))
       val argmaxUdf = udf((v: MLVector) => v.argmax)
       configs.map { case (name, k) =>
         val m = fittedLda(s, d, k)
