@@ -140,17 +140,42 @@ object MLOps {
       .filterNot { case (k, it) => modelCache.contains((s, d, k, it)) }
     if (todo.size > 1) {
       vec.count()
-      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-      val threads = todo.map { case (k, it) =>
-        val t = new Thread(() => {
-          try { fittedLda(s, d, k, it); () }
-          catch { case e: Throwable => errs.add(e) }
-        }, s"lda-fit-k$k-i$it")
-        t.start(); t
-      }
-      threads.foreach(_.join())
-      if (!errs.isEmpty) throw errs.peek()
+      runParallel(todo.map { case (k, it) =>
+        (s"lda-fit-k$k-i$it", () => { fittedLda(s, d, k, it); () })
+      })
     }
+  }
+
+  /** Run independent fit thunks on sibling threads, rethrowing the
+    * first failure on the caller. Spark job submission is thread-safe;
+    * callers guarantee the thunks touch disjoint cache keys.
+    */
+  private def runParallel(tasks: Seq[(String, () => Unit)]): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = tasks.map { case (name, body) =>
+      val t = new Thread(() => {
+        try body()
+        catch { case e: Throwable => errs.add(e) }
+      }, name)
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
+  /** Relational-EM sibling of [[fitConcurrently]]: warm `emCache` for
+    * the given k's on parallel threads. Safe for the same reasons —
+    * and here even multi-partition execution is deterministic, because
+    * every EM sum quantizes per row to exact longs BEFORE aggregation
+    * (order-free by construction; that is the oracle contract), so
+    * sibling chains can't perturb each other's values at all. Each
+    * per-k chain eagerly materializes through its own localCheckpoints;
+    * wall cost of the scan drops from sum(k fits) to ~max(k fit).
+    */
+  private def emFitConcurrently(s: SparkSession, d: String, ks: Seq[Int]): Unit = {
+    val todo = ks.distinct.filterNot(k => emCache.contains((s, d, k)))
+    if (todo.size > 1)
+      runParallel(todo.map(k => (s"em-fit-k$k", () => { ldaEmState(s, d, k); () })))
   }
 
   /** Drop cached inputs/models and unpersist their storage (mirrors
@@ -799,6 +824,7 @@ object MLOps {
     "lda_em_fanout" -> ((s, d) => {
       import s.implicits._
       val configs = Seq(("fixed_large", 6), ("fixed_small", EmK))
+      emFitConcurrently(s, d, configs.map(_._2))
       configs.map { case (name, k) =>
         val (_, theta) = ldaEmState(s, d, k)
         val w = Window.partitionBy($"doc_id").orderBy(desc("p"), asc("k"))
@@ -943,6 +969,7 @@ object MLOps {
     "lda_em_scan" -> ((s, d) => {
       import s.implicits._
       val toks = docTokens(s, d).select($"doc_id", $"toks")
+      emFitConcurrently(s, d, ScanKs)
       val tagged = ScanKs.map { k =>
         val (phi, _) = ldaEmState(s, d, k)
         val w = Window.partitionBy($"k").orderBy(desc("p"), asc("word"))
