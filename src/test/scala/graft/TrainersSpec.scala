@@ -197,4 +197,41 @@ class TrainersSpec extends SparkSpec {
     }, "train output not in (cnt desc, piece asc) order")
   }
 
+  test("concurrent fit warm-up is value-identical to sequential fits") {
+    // The round-12 parallel-fit determinism claim, pinned: lda_em_scan's
+    // warm-up fits ScanKs on sibling threads; re-fitting the same k's
+    // sequentially on this thread must reproduce the scan output
+    // exactly (EM sums quantize per row to exact longs before
+    // aggregation, so execution interleaving can't reach the values).
+    // Likewise for the MLlib side via pipeline_topic_fanout, whose fits
+    // are single-partition seeded jobs.
+    import graft.ops.MLOps
+    MLOps.clear()
+    val scanConc = SparkEntry.queries("lda_em_scan")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    MLOps.clear()
+    MLOps.ScanKs.foreach(k => MLOps.ldaEmState(spark, sf, k))
+    val scanSeq = SparkEntry.queries("lda_em_scan")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(scanConc == scanSeq, "EM scan diverged under concurrent warm-up")
+
+    MLOps.clear()
+    val fanConc = SparkEntry.queries("pipeline_topic_fanout")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    MLOps.clear()
+    // sequential MLlib leg: pre-warm every (k, maxIter) the query needs
+    // on THIS thread — scan fits first (so coherenceByK's concurrent
+    // warm-up finds them cached and no-ops), then the three final
+    // configs (autoK is deterministic, read from the cached scan) — so
+    // every fitConcurrently inside the query sees an empty todo list.
+    MLOps.ScanKs.foreach(k => MLOps.fittedLda(spark, sf, k, maxIter = 5))
+    val autoK = MLOps.coherenceByK(spark, sf)
+      .maxBy { case (k, c) => (c, -k) }._1
+    Seq(MLOps.K, 8, autoK).distinct
+      .foreach(k => MLOps.fittedLda(spark, sf, k, maxIter = 20))
+    val fanSeq = SparkEntry.queries("pipeline_topic_fanout")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(fanConc == fanSeq, "MLlib fan-out diverged under concurrent warm-up")
+  }
+
 }
