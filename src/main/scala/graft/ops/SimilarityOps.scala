@@ -273,6 +273,48 @@ object SimilarityOps {
       topkWithin(s, pairs)
     }),
 
+    // Hard-negative mining for contrastive embedding training (the DPR
+    // recipe, Karpukhin et al. 2020 §3.2: the strongest training signal
+    // is the top-ranked NON-positive; reference anchor: the labeled
+    // embedding corpus its sentiment/topic models consume). Per anchor
+    // (the first NumQueries vectors): hard negatives = top-5 cosine
+    // neighbors whose label differs from the anchor's; margin =
+    // best same-label cosine − negative cosine, so margin ≤ 0 flags the
+    // pairs where a negative outranks every positive — exactly the pairs
+    // a contrastive batch should contain. Determinism: both cosines are
+    // the codegen'd fixed-fold dot (bit-identical to the oracle's
+    // list_reduce), MAX over them is order-insensitive, and the margin
+    // is one exact subtraction of two such doubles before the only
+    // rounding. Scale: two broadcast map-side corpus scans (the scored
+    // frame is consumed by the positive-max and the negative-rank
+    // branches; the max partial-aggregates to Q rows, so re-scanning
+    // beats shuffling the full Q×N pair frame twice) — at 100 TB swap
+    // the brute-force candidate generation for any ann_* index and keep
+    // the label-exclusion + margin logic, which is rank arithmetic on
+    // k·Q rows. Anchors with no same-label peer yield NULL margins
+    // (left join) rather than silently dropping the anchor.
+    "emb_hard_negatives" -> ((s, d) => {
+      import s.implicits._
+      val v = prepared(s, d)
+      val q = v.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+          $"e".as("qe"), $"norm".as("qn"))
+      val scored = v.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .withColumn("cos_exact", dot($"e", $"qe") / ($"norm" * $"qn"))
+      val bestPos = scored.filter($"label" === $"qlabel")
+        .groupBy($"query_id").agg(max($"cos_exact").as("best_pos"))
+      val w = Window.partitionBy($"query_id")
+        .orderBy(desc("cos_exact"), asc("vec_id"))
+      scored.filter($"label" =!= $"qlabel")
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= TopK)
+        .join(broadcast(bestPos), Seq("query_id"), "left")
+        .select($"query_id", $"rank", $"vec_id".as("negative_id"),
+          round($"cos_exact", 6).as("cosine"),
+          round($"best_pos" - $"cos_exact", 6).as("margin"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Hybrid retrieval: BM25 lexical ranking ⊕ dense cosine ranking,
     // fused by reciprocal-rank fusion (Cormack et al. 2009:
     // rrf(d) = Σ_lists 1/(C + rank_d), C = 60) — the standard first-stage
@@ -1102,6 +1144,29 @@ object SimilarityOps {
         s"""SELECT q.vec_id AS query_id, c.vec_id,
            |  ${dotSql("c.e", "q.e")} / (c.norm * q.norm) AS cos_exact
            |FROM n c JOIN n q ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id""".stripMargin)}""".stripMargin,
+    "emb_hard_negatives" ->
+      s"""WITH $prepSql,
+         |q AS (
+         |  SELECT vec_id AS query_id, label AS qlabel, e AS qe, norm AS qn
+         |  FROM n WHERE vec_id < $NumQueries),
+         |sc AS (
+         |  SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+         |    ${dotSql("c.e", "q.qe")} / (c.norm * q.qn) AS cos_exact
+         |  FROM n c JOIN q ON c.vec_id <> q.query_id),
+         |bp AS (
+         |  SELECT query_id, MAX(cos_exact) AS best_pos
+         |  FROM sc WHERE label = qlabel GROUP BY 1),
+         |neg AS (
+         |  SELECT query_id, vec_id, cos_exact,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_exact DESC, vec_id ASC) AS rank
+         |  FROM sc WHERE label <> qlabel)
+         |SELECT neg.query_id, neg.rank, neg.vec_id AS negative_id,
+         |  ROUND(neg.cos_exact, 6) AS cosine,
+         |  ROUND(bp.best_pos - neg.cos_exact, 6) AS margin
+         |FROM neg LEFT JOIN bp ON neg.query_id = bp.query_id
+         |WHERE neg.rank <= $TopK
+         |ORDER BY neg.query_id, neg.rank""".stripMargin,
     "ann_filtered_topk" ->
       s"""WITH $prepSql,
          |f AS (

@@ -139,6 +139,7 @@ class PlanSpec extends SparkSpec {
     "a_ttest_welch",                                 // 5-row stats-table pair self-join
     "a_seasonality_dow",                             // 1-row totals broadcast
     "u_phrase_bigrams",                              // 1-row vocab-size broadcast (round-12 window fix)
+    "emb_hard_negatives",                            // brute-force baseline (label-split branches)
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.

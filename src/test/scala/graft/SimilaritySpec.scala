@@ -235,6 +235,47 @@ class SimilaritySpec extends SparkSpec {
       s"nprobe=1 recall ${rows.head._4} suspicious")
   }
 
+  test("hard negatives: cross-label only, margin consistent with best positive") {
+    val labels = graft.ops.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val rows = SparkEntry.queries("emb_hard_negatives")(spark, sf)
+      .as[(Long, Int, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    // every mined negative really is cross-label, ranks dense 1..5
+    rows.foreach { case (q, _, n, _, _) =>
+      assert(labels(q) != labels(n), s"anchor $q mined same-label $n") }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 5), s"anchor $q ranks") }
+    // margin replays: best same-label cosine (from the exact baseline's
+    // scoring rule, recomputed densely here) minus the negative's cosine
+    val v = graft.ops.Tables.embeddings(spark, sf)
+      .withColumn("e", transform($"embedding", x => x.cast("double")))
+      .select($"vec_id", $"e").as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      // ~uniform labels ⇒ every anchor has same-label peers (a peerless
+      // anchor would have decoded a NULL margin and failed .as above)
+      val best = v.keys.filter(id => id != q && labels(id) == labels(q))
+        .map(id => cos(v(q), v(id))).max
+      rs.foreach { case (_, _, _, c, m) =>
+        assert(math.abs(m - (best - c)) < 1e-4,
+          s"anchor $q margin $m != $best - $c") }
+    }
+    // the mined set is the label-excluded top-5: no unfiltered exact
+    // neighbor with a DIFFERENT label may beat a mined one it displaced
+    val ex1 = exact.filter(_._2 == 1).map(r => r._1 -> (r._3, r._4)).toMap
+    rows.filter(_._2 == 1).foreach { case (q, _, n, c, _) =>
+      val (en, ec) = ex1(q)
+      if (labels(en) != labels(q))
+        assert(n == en && math.abs(c - ec) < 1e-9,
+          s"anchor $q: top negative $n != unfiltered cross-label top-1 $en")
+      else assert(c <= ec + 1e-9)
+    }
+  }
+
   test("nDCG eval: per-query nDCG in [0,1], DCG bounded by IDCG") {
     val rows = SparkEntry.queries("retrieval_ndcg_eval")(spark, sf)
       .as[(Long, Long, Long, Long, Long, Double)].collect()
