@@ -108,6 +108,8 @@ object DumpPlans {
         "k-core peeling: checkpointed edge aggregate + per-round |V|-row node state; two semi-joins + one degree count per round",
       "ml_logreg_gd" ->
         "GD logistic trainer: per-step corpus pass with 1-row weight broadcast; gradient shuffle carries 4 numbers; checkpointed weight state",
+      "emb_hard_negatives" ->
+        "Hard-negative mining: broadcast query side over two map-side corpus scans (positive-max partial-aggregates to Q rows); label-exclusion + margin are rank arithmetic on k·Q rows",
     )
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (`explain(\"formatted\")`)\n\n")
