@@ -276,6 +276,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: a peerless-label anchor gets NULL margins, not dropped") {
+    // The driver testdata's ~uniform labels guarantee every anchor a
+    // same-label positive, so the left-join NULL path never fires there.
+    // Planted fixture: anchor 0 carries a label nobody else has — its 5
+    // hard negatives must still surface, with NULL margins (the honest
+    // answer when no positive exists; an inner join would silently drop
+    // the anchor from the training set).
+    val dir = java.nio.file.Files.createTempDirectory("graft_hn_fx").toString
+    val embs = (0L until 300L).map { id =>
+      val e = Array.tabulate(8)(j =>
+        (((id * 31 + j * 7) % 13).toDouble / 13.0 + 0.1).toFloat)
+      (id, e.toSeq, if (id == 0L) 99 else (id % 3).toInt)
+    }
+    embs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("emb_hard_negatives")(spark, dir).collect()
+    val byAnchor = rows.groupBy(_.getLong(0))
+    assert(byAnchor.keySet == (0L until 20L).toSet, "every anchor answered")
+    byAnchor.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5), s"anchor $q ranks")
+      val nullMargins = rs.count(_.isNullAt(4))
+      if (q == 0L) assert(nullMargins == 5, s"peerless anchor margins: $rs")
+      else assert(nullMargins == 0, s"anchor $q unexpectedly NULL-margined")
+    }
+  }
+
   test("nDCG eval: per-query nDCG in [0,1], DCG bounded by IDCG") {
     val rows = SparkEntry.queries("retrieval_ndcg_eval")(spark, sf)
       .as[(Long, Long, Long, Long, Long, Double)].collect()
