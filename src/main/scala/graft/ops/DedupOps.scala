@@ -33,9 +33,14 @@ object DedupOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val P_POLY = 1000000007L // polynomial-hash modulus
-  private val P_POLY2 = 1000000009L // second polynomial modulus (base 137)
-  val HashPack = 2147483648L // 2^31 — packs (h1, h2) into one BIGINT
+  // Hash constants are ALIASES of the codegen'd expressions' own values —
+  // the SQL-literal side (these, baked into oracle strings) and the
+  // Spark-expression side (PolyHash/PolyHash2/ShingleHashes) must stay
+  // equal for the wide-hash contract DedupSpec's meta-guard protects, so
+  // a future edit to either cannot desynchronize them.
+  private val P_POLY = graft.functions.PolyHash.Mod // polynomial-hash modulus (1e9+7)
+  private val P_POLY2 = graft.functions.PolyHash2.Mod // second modulus (base 137, 1e9+9)
+  val HashPack = graft.functions.ShingleHashes.Pack // 2^31 — packs (h1, h2) into one BIGINT
   private val P_PERM = 2147483647L // 2^31-1, permutation-hash modulus
   val NumHashes = 32
   val NumBands = 8

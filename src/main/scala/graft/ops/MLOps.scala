@@ -146,9 +146,12 @@ object MLOps {
     }
   }
 
-  /** Run independent fit thunks on sibling threads, rethrowing the
-    * first failure on the caller. Spark job submission is thread-safe;
-    * callers guarantee the thunks touch disjoint cache keys.
+  /** Run independent fit thunks on sibling threads. Spark job
+    * submission is thread-safe; callers guarantee the thunks touch
+    * disjoint cache keys. The fan-out is bounded by the caller's config
+    * list (a handful of k's), so plain threads suffice. On failure the
+    * FIRST throwable is rethrown with every sibling failure attached
+    * via addSuppressed — no stack trace is silently dropped.
     */
   private def runParallel(tasks: Seq[(String, () => Unit)]): Unit = {
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -160,7 +163,12 @@ object MLOps {
       t.start(); t
     }
     threads.foreach(_.join())
-    if (!errs.isEmpty) throw errs.peek()
+    if (!errs.isEmpty) {
+      val first = errs.poll()
+      var more = errs.poll()
+      while (more != null) { first.addSuppressed(more); more = errs.poll() }
+      throw first
+    }
   }
 
   /** Relational-EM sibling of [[fitConcurrently]]: warm `emCache` for

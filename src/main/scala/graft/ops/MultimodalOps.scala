@@ -95,11 +95,21 @@ object MultimodalOps {
     // spark.sql.sources.binaryFile.maxLength — right for item-sized
     // media objects; shard-packed archives (sink_training_shards) are
     // the complement once items are small enough to pack.
+    // NOTE the export relies on executors and driver sharing one
+    // filesystem (true in local mode and on any shared store mounted
+    // at the same path); on a real cluster `out` must be a shared
+    // mount or an object-store path. The dir is cleared of *.bin
+    // before each export — per-file overwrite alone would silently
+    // re-ingest orphans left by a prior run over since-removed docs.
     "mm_binaryfile_source" -> ((s, d) => {
       import s.implicits._
       val out = new java.io.File(
         Tables.artifactDir("mm_binaryfile_source", d)).getAbsolutePath
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      val outPath = java.nio.file.Paths.get(out)
+      java.nio.file.Files.createDirectories(outPath)
+      val stale = java.nio.file.Files.newDirectoryStream(outPath, "*.bin")
+      try stale.forEach(p => java.nio.file.Files.delete(p))
+      finally stale.close()
       withPayload(s, d).select($"doc_id", $"payload")
         .foreachPartition { rows: Iterator[Row] =>
           rows.foreach { r =>

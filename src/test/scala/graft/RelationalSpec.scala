@@ -151,21 +151,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
-  test("binaryFile re-ingest is idempotent and glob-filters stray files") {
+  test("binaryFile re-ingest is idempotent, clears orphans, glob-filters strays") {
     val q = SparkEntry.queries("mm_binaryfile_source")
     val base = q(spark, sf).collect().map(_.toSeq).toSeq
     assert(base.nonEmpty)
     // Plant a stray non-.bin file in the export dir: the source's
     // pathGlobFilter must keep it out of the listing entirely (the
     // contract that makes a shared scratch/export dir safe to re-scan).
+    // Also plant an ORPHAN .bin for a doc_id that no longer exists: the
+    // pre-export cleanup must delete it — per-file overwrite alone would
+    // silently re-ingest it as an extra row after a corpus shrinks
+    // (exactly what a testdata regen that renumbers doc_ids does).
     // Re-running also re-exports every payload (write-truncate), so
     // equality here proves idempotence of the whole export+ingest loop.
     val out = new java.io.File(
       graft.ops.Tables.artifactDir("mm_binaryfile_source", sf)).getAbsolutePath
     java.nio.file.Files.write(
       java.nio.file.Paths.get(out, "stray.tmp"), Array[Byte](1, 2, 3))
+    val orphan = java.nio.file.Paths.get(out, "999999999.bin")
+    java.nio.file.Files.write(orphan, Array[Byte](9, 9, 9))
     val again = q(spark, sf).collect().map(_.toSeq).toSeq
     assert(base == again)
+    assert(!java.nio.file.Files.exists(orphan), "orphan .bin not cleaned")
   }
 
   test("training shards land exactly one file per shard directory") {
