@@ -590,8 +590,12 @@ object MLOps {
             posexplode(transform($"rl", x => x / $"den")))
           .toDF("doc_id", "word", "n", "k", "resp")
           // quantize per ROW (see scaladoc): summing exact longs is
-          // order-insensitive, unlike summing doubles then rounding
-          .withColumn("wkm", round($"n" * $"resp" * 1e6, 0).cast("long"))
+          // order-insensitive, unlike summing doubles then rounding.
+          // Only the M-step inputs survive into the checkpoint — n and
+          // the raw responsibility are dead past this point, and the
+          // materialized frame is nnz×K rows, the fit's biggest buffer.
+          .select($"doc_id", $"word", $"k",
+            round($"n" * $"resp" * 1e6, 0).cast("long").as("wkm"))
           .localCheckpoint()
         phi = resp.groupBy($"word", $"k")
           .agg(sum($"wkm").as("s"))
