@@ -118,6 +118,7 @@ object SparkEntry {
     "dedup_lsh_pr_eval",
     "ml_logreg_gd",
     "graph_assortativity",
+    "ml_als_factors", // round 13: full ALS fit per pass (clearState wipes alsCache)
   ).filter(queries.contains)
 
   /** Retired from group-2 TIMING at round 12 (they remain in `queries`

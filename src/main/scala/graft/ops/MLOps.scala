@@ -194,6 +194,7 @@ object MLOps {
     inputCache.clear()
     modelCache.clear()
     emCache.clear()
+    alsCache.clear()
   }
 
   /** (topic: string, word) rows for a fitted model's top-N topic words. */
@@ -1205,7 +1206,161 @@ object MLOps {
       }
       steps.reduce(_.unionByName(_)).orderBy("step")
     }),
+
+    // Rank-2 alternating least squares on implicit purchase counts
+    // r(cust, part) = lineitem rows per (o_custkey, l_partkey) — the
+    // canonical Spark collaborative-filtering workload (Zhou et al. 2008,
+    // "Large-Scale Parallel Collaborative Filtering for the Netflix
+    // Prize"), in the engine's exact-replay posture. Per half-step each
+    // side's normal-equation sums (v1², v1v2, v2², r·v1, r·v2) quantize
+    // per RATING ROW to micro longs before aggregation (order-free by
+    // construction), and the closed-form 2×2 solve is pure +/-/×/÷ over
+    // doubles derived from those exact longs — no libm anywhere, so the
+    // whole trajectory is bit-identical in DuckDB, stronger than the
+    // logreg oracle (which tolerates exp() ulps under 1e-9 quantization).
+    // Output: per-alternation training RMSE + factor-mass trace.
+    // Scale: one shuffle per half-step, keyed by the side being solved —
+    // MLlib ALS's block layout degenerates to exactly this at rank 2.
+    // Factor frames are side-cardinality (users / parts), never corpus;
+    // per-step localCheckpoint truncates the alternation lineage.
+    "ml_als_factors" -> ((s, d) => {
+      import s.implicits._
+      val (r, states) = alsStates(s, d)
+      val steps = states.zipWithIndex.map { case ((u, v), i) =>
+        val pe = r.join(u, "cust").join(v, "part")
+          .select(round((($"r" - ($"u1" * $"v1" + $"u2" * $"v2"))
+              * ($"r" - ($"u1" * $"v1" + $"u2" * $"v2"))) * 1e6, 0)
+            .cast("long").as("se_e6"))
+          .agg(count(lit(1)).as("n_pairs"), sum($"se_e6").as("se"))
+        val un = u.agg(sum(round((abs($"u1") + abs($"u2")) * 1e6, 0)
+          .cast("long")).as("su"))
+        val vn = v.agg(sum(round((abs($"v1") + abs($"v2")) * 1e6, 0)
+          .cast("long")).as("sv"))
+        pe.crossJoin(un).crossJoin(vn).select(
+          lit(i + 1).as("step"), $"n_pairs",
+          round(sqrt(($"se".cast("double") / 1e6) / $"n_pairs".cast("double")),
+            6).as("rmse"),
+          round($"su".cast("double") / 1e6, 6).as("u_abs_sum"),
+          round($"sv".cast("double") / 1e6, 6).as("v_abs_sum"))
+      }
+      steps.reduce(_.unionByName(_)).orderBy("step")
+    }),
+
+    // Recommendation serving over the fitted ALS factors: top-3 unseen
+    // parts for 10 hash-sampled customers. The candidate space is the
+    // 10-user factor broadcast × the item-factor frame (model-scale, not
+    // corpus-scale — the deliberate BroadcastNestedLoopJoin every ANN
+    // brute-force verifier in SimilarityOps also uses), anti-joined
+    // against the training pairs so only genuinely novel items rank.
+    // Predictions quantize to micro longs BEFORE ranking, so the
+    // (pred_e6 DESC, part ASC) order — and therefore the row_number —
+    // is engine-independent.
+    "ml_als_topk" -> ((s, d) => {
+      import s.implicits._
+      val (r, states) = alsStates(s, d)
+      val (users, items) = states.last
+      val qc = users.filter(pmod(graft.functions.PolyHash.poly_hash(
+          $"cust".cast("string")), lit(50L)) === 0)
+        .orderBy($"cust").limit(10)
+      val w = Window.partitionBy($"cust").orderBy(desc("pred_e6"), asc("part"))
+      items.crossJoin(broadcast(qc))
+        .join(r.select($"cust", $"part"), Seq("cust", "part"), "left_anti")
+        .withColumn("pred_e6",
+          round(($"u1" * $"v1" + $"u2" * $"v2") * 1e6, 0).cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"cust", $"rank", $"part", $"pred_e6")
+        .orderBy($"cust", $"rank")
+    }),
   )
+
+  // ---- ALS machinery ----
+
+  /** ALS hyper-params: rank is FIXED at 2 (the 2×2 normal equations
+    * admit a closed-form solve both engines evaluate identically);
+    * λ = 0.1 enters the solve as [[AlsLambdaE6]] micro units added to
+    * the exact-long diagonal sums, so positive-definiteness — and a
+    * nonzero determinant — is guaranteed by construction.
+    */
+  val AlsIters = 2
+  val AlsLambdaE6 = 100000L
+
+  /** (cust, part, r) implicit-feedback counts from orders ⋈ lineitem. */
+  private[ops] def alsRatings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d).select($"l_orderkey", $"l_partkey")
+      .join(orders(s, d).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("cust"), $"l_partkey".as("part"))
+      .groupBy($"cust", $"part").agg(count(lit(1)).as("r"))
+  }
+
+  /** Closed-form ridge-regularized 2×2 solve over exact micro-long
+    * normal-equation sums (a11, a12, a22, b1, b2). All arithmetic past
+    * the long→double casts is fixed-order IEEE +/-/×/÷ — the DuckDB twin
+    * evaluates the same expression tree on the same exact inputs.
+    */
+  private def solve2(agg: DataFrame, key: String,
+      f1: String, f2: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    agg
+      .withColumn("da11", (c("a11") + AlsLambdaE6).cast("double") / 1e6)
+      .withColumn("da12", c("a12").cast("double") / 1e6)
+      .withColumn("da22", (c("a22") + AlsLambdaE6).cast("double") / 1e6)
+      .withColumn("db1", c("b1").cast("double") / 1e6)
+      .withColumn("db2", c("b2").cast("double") / 1e6)
+      .withColumn("det", c("da11") * c("da22") - c("da12") * c("da12"))
+      .select(c(key),
+        ((c("da22") * c("db1") - c("da12") * c("db2")) / c("det")).as(f1),
+        ((c("da11") * c("db2") - c("da12") * c("db1")) / c("det")).as(f2))
+  }
+
+  private val alsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Seq[(DataFrame, DataFrame)])]
+
+  /** Checkpointed ratings + per-alternation (users, items) factor states.
+    * Item init is INTEGER-seeded (the EM/k-means posture): v_f =
+    * ((polyhash(part)·31 + f·7919) mod 997 − 498) / 997 — two exact
+    * integers divided, bit-identical cross-engine.
+    */
+  def alsStates(s: SparkSession, d: String)
+      : (DataFrame, Seq[(DataFrame, DataFrame)]) =
+    alsCache.getOrElseUpdate((s, d), {
+      import s.implicits._
+      val r = alsRatings(s, d).localCheckpoint(false)
+      val ph = graft.functions.PolyHash.poly_hash($"part".cast("string"))
+      var items = r.select($"part").distinct()
+        .select($"part",
+          (((ph * 31 + 7919) % 997) - 498).cast("double")
+            .divide(lit(997.0)).as("v1"),
+          (((ph * 31 + 15838) % 997) - 498).cast("double")
+            .divide(lit(997.0)).as("v2"))
+        .localCheckpoint(false)
+      val states = (1 to AlsIters).map { _ =>
+        val ut = r.join(items, "part")
+          .select($"cust",
+            round(($"v1" * $"v1") * 1e6, 0).cast("long").as("q11"),
+            round(($"v1" * $"v2") * 1e6, 0).cast("long").as("q12"),
+            round(($"v2" * $"v2") * 1e6, 0).cast("long").as("q22"),
+            round(($"r" * $"v1") * 1e6, 0).cast("long").as("qb1"),
+            round(($"r" * $"v2") * 1e6, 0).cast("long").as("qb2"))
+          .groupBy($"cust").agg(sum($"q11").as("a11"), sum($"q12").as("a12"),
+            sum($"q22").as("a22"), sum($"qb1").as("b1"), sum($"qb2").as("b2"))
+        val users = solve2(ut, "cust", "u1", "u2").localCheckpoint(false)
+        val vt = r.join(users, "cust")
+          .select($"part",
+            round(($"u1" * $"u1") * 1e6, 0).cast("long").as("q11"),
+            round(($"u1" * $"u2") * 1e6, 0).cast("long").as("q12"),
+            round(($"u2" * $"u2") * 1e6, 0).cast("long").as("q22"),
+            round(($"r" * $"u1") * 1e6, 0).cast("long").as("qb1"),
+            round(($"r" * $"u2") * 1e6, 0).cast("long").as("qb2"))
+          .groupBy($"part").agg(sum($"q11").as("a11"), sum($"q12").as("a12"),
+            sum($"q22").as("a22"), sum($"qb1").as("b1"), sum($"qb2").as("b2"))
+        items = solve2(vt, "part", "v1", "v2").localCheckpoint(false)
+        (users, items)
+      }
+      (r, states)
+    })
 
   /** Gradient-descent step budget / learning rate for ml_logreg_gd. */
   val GdSteps = 5
@@ -1886,5 +2041,113 @@ object MLOps {
          |  ROUND(CAST(SUM(se_e6) AS BIGINT) / 1e6 / n, 6) AS mse
          |FROM f GROUP BY n, w1, w2, w0""".stripMargin
     },
+
+    "ml_als_factors" -> {
+      val metrics = (1 to AlsIters).map { k =>
+        s"""m$k AS (
+           |  SELECT COUNT(*) AS n_pairs,
+           |    SUM(CAST(ROUND(((r - (u1 * v1 + u2 * v2))
+           |      * (r - (u1 * v1 + u2 * v2))) * 1000000.0, 0) AS BIGINT)) AS se
+           |  FROM r JOIN u$k USING (cust) JOIN v$k USING (part)),
+           |un$k AS (
+           |  SELECT SUM(CAST(ROUND((ABS(u1) + ABS(u2)) * 1000000.0, 0)
+           |    AS BIGINT)) AS su FROM u$k),
+           |vn$k AS (
+           |  SELECT SUM(CAST(ROUND((ABS(v1) + ABS(v2)) * 1000000.0, 0)
+           |    AS BIGINT)) AS sv FROM v$k)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to AlsIters).map { k =>
+        s"""SELECT $k AS step, m$k.n_pairs,
+           |  ROUND(SQRT((CAST(m$k.se AS DOUBLE) / 1000000.0)
+           |    / CAST(m$k.n_pairs AS DOUBLE)), 6) AS rmse,
+           |  ROUND(CAST(un$k.su AS DOUBLE) / 1000000.0, 6) AS u_abs_sum,
+           |  ROUND(CAST(vn$k.sv AS DOUBLE) / 1000000.0, 6) AS v_abs_sum
+           |FROM m$k CROSS JOIN un$k CROSS JOIN vn$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $alsCte,
+         |$metrics
+         |$rows
+         |ORDER BY step""".stripMargin
+    },
+
+    "ml_als_topk" -> {
+      val K = AlsIters
+      val phc = graft.ops.DedupOps.polyHashSql("CAST(cust AS VARCHAR)")
+      s"""WITH $alsCte,
+         |qc AS (
+         |  SELECT cust, u1, u2 FROM u$K
+         |  WHERE $phc % 50 = 0
+         |  ORDER BY cust LIMIT 10),
+         |cand AS (
+         |  SELECT qc.cust, v.part,
+         |    CAST(ROUND((qc.u1 * v.v1 + qc.u2 * v.v2) * 1000000.0, 0)
+         |      AS BIGINT) AS pred_e6
+         |  FROM qc CROSS JOIN v$K v
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM r WHERE r.cust = qc.cust AND r.part = v.part))
+         |SELECT cust, rank, part, pred_e6 FROM (
+         |  SELECT cust, part, pred_e6,
+         |    row_number() OVER (PARTITION BY cust
+         |      ORDER BY pred_e6 DESC, part ASC) AS rank
+         |  FROM cand)
+         |WHERE rank <= 3
+         |ORDER BY cust, rank""".stripMargin
+    },
   )
+
+  /** Shared WITH-body for the ALS oracles: the ratings table, the
+    * integer-seeded item init, and [[AlsIters]] unrolled alternations —
+    * every quantization and every double expression mirrors the Spark
+    * side token for token (see the ml_als_factors scaladoc).
+    */
+  private lazy val alsCte: String = {
+    val ph = graft.ops.DedupOps.polyHashSql("CAST(part AS VARCHAR)")
+    val L = AlsLambdaE6
+    def termsSql(out: String, fac: String, joinKey: String, groupKey: String,
+        g1: String, g2: String): String =
+      s"""$out AS (
+         |  SELECT $groupKey,
+         |    SUM(CAST(ROUND(($g1 * $g1) * 1000000.0, 0) AS BIGINT)) AS a11,
+         |    SUM(CAST(ROUND(($g1 * $g2) * 1000000.0, 0) AS BIGINT)) AS a12,
+         |    SUM(CAST(ROUND(($g2 * $g2) * 1000000.0, 0) AS BIGINT)) AS a22,
+         |    SUM(CAST(ROUND((r * $g1) * 1000000.0, 0) AS BIGINT)) AS b1,
+         |    SUM(CAST(ROUND((r * $g2) * 1000000.0, 0) AS BIGINT)) AS b2
+         |  FROM r JOIN $fac USING ($joinKey) GROUP BY $groupKey)""".stripMargin
+    def solveSql(out: String, terms: String, key: String,
+        f1: String, f2: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT $key,
+         |    (da22 * db1 - da12 * db2) / det AS $f1,
+         |    (da11 * db2 - da12 * db1) / det AS $f2
+         |  FROM (
+         |    SELECT $key, da11, da12, da22, db1, db2,
+         |      da11 * da22 - da12 * da12 AS det
+         |    FROM (
+         |      SELECT $key,
+         |        CAST(a11 + $L AS DOUBLE) / 1000000.0 AS da11,
+         |        CAST(a12 AS DOUBLE) / 1000000.0 AS da12,
+         |        CAST(a22 + $L AS DOUBLE) / 1000000.0 AS da22,
+         |        CAST(b1 AS DOUBLE) / 1000000.0 AS db1,
+         |        CAST(b2 AS DOUBLE) / 1000000.0 AS db2
+         |      FROM $terms)))""".stripMargin
+    val steps = (1 to AlsIters).map { k =>
+      val prevV = if (k == 1) "v0" else s"v${k - 1}"
+      Seq(
+        termsSql(s"ut$k", prevV, "part", "cust", "v1", "v2"),
+        solveSql(s"u$k", s"ut$k", "cust", "u1", "u2"),
+        termsSql(s"vt$k", s"u$k", "cust", "part", "u1", "u2"),
+        solveSql(s"v$k", s"vt$k", "part", "v1", "v2")).mkString(",\n")
+    }.mkString(",\n")
+    s"""r AS MATERIALIZED (
+       |  SELECT o_custkey AS cust, l_partkey AS part, COUNT(*) AS r
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |v0 AS MATERIALIZED (
+       |  SELECT part,
+       |    CAST(((ph * 31 + 7919) % 997) - 498 AS DOUBLE) / 997.0 AS v1,
+       |    CAST(((ph * 31 + 15838) % 997) - 498 AS DOUBLE) / 997.0 AS v2
+       |  FROM (SELECT part, $ph AS ph
+       |        FROM (SELECT DISTINCT part FROM r))),
+       |$steps""".stripMargin
+  }
 }

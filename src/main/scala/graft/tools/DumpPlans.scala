@@ -110,6 +110,8 @@ object DumpPlans {
         "GD logistic trainer: per-step corpus pass with 1-row weight broadcast; gradient shuffle carries 4 numbers; checkpointed weight state",
       "emb_hard_negatives" ->
         "Hard-negative mining: broadcast query side over two map-side corpus scans (positive-max partial-aggregates to Q rows); label-exclusion + margin are rank arithmetic on k·Q rows",
+      "ml_als_factors" ->
+        "Rank-2 ALS trainer: one ratings shuffle per half-step (5 micro-long sums partial-aggregated map-side), side-cardinality 2x2 solves, checkpointed alternation state",
     )
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (`explain(\"formatted\")`)\n\n")

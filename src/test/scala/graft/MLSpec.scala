@@ -234,4 +234,91 @@ class MLSpec extends SparkSpec {
     assert(math.abs(w2x - lw2 * 1e6) < 1e-5, s"w2 $w2x vs ${lw2 * 1e6}")
     assert(math.abs(w0 - lw0) < 1e-5, s"w0 $w0 vs $lw0")
   }
+
+  test("rank-2 ALS matches a local quantized replay; top-k serves only unseen items") {
+    import graft.ops.MLOps.{AlsIters, AlsLambdaE6}
+    def q(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLongExact
+    // the training table, independently rebuilt (same shape as alsRatings)
+    val ratings = graft.ops.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey")
+      .join(graft.ops.Tables.orders(spark, sf)
+        .select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey", $"l_partkey").count()
+      .select($"o_custkey".cast("long"), $"l_partkey".cast("long"),
+        $"count".cast("long"))
+      .as[(Long, Long, Long)].collect()
+    assert(ratings.nonEmpty)
+    // local replay of init + AlsIters alternations with the same
+    // per-row quantization and the same fixed-order double solve
+    def solve(sums: Map[Long, (Long, Long, Long, Long, Long)])
+        : Map[Long, (Double, Double)] =
+      sums.map { case (k, (a11, a12, a22, b1, b2)) =>
+        val da11 = (a11 + AlsLambdaE6).toDouble / 1e6
+        val da12 = a12.toDouble / 1e6
+        val da22 = (a22 + AlsLambdaE6).toDouble / 1e6
+        val db1 = b1.toDouble / 1e6
+        val db2 = b2.toDouble / 1e6
+        val det = da11 * da22 - da12 * da12
+        k -> ((da22 * db1 - da12 * db2) / det,
+          (da11 * db2 - da12 * db1) / det)
+      }
+    def accum(rows: Seq[(Long, Long, Long, Double, Double)])
+        : Map[Long, (Long, Long, Long, Long, Long)] =
+      rows.groupBy(_._1).map { case (k, rs) =>
+        k -> ((rs.map(r => q(r._4 * r._4)).sum, rs.map(r => q(r._4 * r._5)).sum,
+          rs.map(r => q(r._5 * r._5)).sum, rs.map(r => q(r._3 * r._4)).sum,
+          rs.map(r => q(r._3 * r._5)).sum))
+      }
+    var items: Map[Long, (Double, Double)] = ratings.map(_._2).distinct.map { p =>
+      val ph = graft.functions.PolyHash.hashString(p.toString)
+      p -> ((((ph * 31 + 7919) % 997) - 498).toDouble / 997.0,
+        (((ph * 31 + 15838) % 997) - 498).toDouble / 997.0)
+    }.toMap
+    var users: Map[Long, (Double, Double)] = Map.empty
+    val local = (1 to AlsIters).map { _ =>
+      users = solve(accum(ratings.toSeq.map { case (c, p, r) =>
+        (c, p, r, items(p)._1, items(p)._2) }))
+      items = solve(accum(ratings.toSeq.map { case (c, p, r) =>
+        (p, c, r, users(c)._1, users(c)._2) }))
+      val se = ratings.map { case (c, p, r) =>
+        val e = r - (users(c)._1 * items(p)._1 + users(c)._2 * items(p)._2)
+        q(e * e)
+      }.sum
+      val rmse = math.sqrt((se.toDouble / 1e6) / ratings.length.toDouble)
+      val uSum = users.valuesIterator
+        .map { case (a, b) => q(math.abs(a) + math.abs(b)) }.sum / 1e6
+      val vSum = items.valuesIterator
+        .map { case (a, b) => q(math.abs(a) + math.abs(b)) }.sum / 1e6
+      (rmse, uSum, vSum)
+    }
+    val got = SparkEntry.queries("ml_als_factors")(spark, sf)
+      .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1 to AlsIters))
+    got.zip(local).foreach { case ((step, n, rmse, us, vs), (lr, lu, lv)) =>
+      assert(n == ratings.length.toLong, s"step $step n_pairs")
+      assert(math.abs(rmse - lr) < 1e-5, s"step $step rmse $rmse vs $lr")
+      assert(math.abs(us - lu) < 1e-5, s"step $step u_abs_sum $us vs $lu")
+      assert(math.abs(vs - lv) < 1e-5, s"step $step v_abs_sum $vs vs $lv")
+    }
+    // top-k: exact local replay of sampling, anti-join, and ranking
+    val seen = ratings.map(r => (r._1, r._2)).toSet
+    val sampled = users.keys.toSeq
+      .filter(c => graft.functions.PolyHash.hashString(c.toString) % 50 == 0)
+      .sorted.take(10)
+    val want = sampled.flatMap { c =>
+      items.toSeq.filterNot { case (p, _) => seen((c, p)) }
+        .map { case (p, (v1, v2)) =>
+          (c, p, q(users(c)._1 * v1 + users(c)._2 * v2)) }
+        .sortBy { case (_, p, pe) => (-pe, p) }.take(3).zipWithIndex
+        .map { case ((_, p, pe), i) => (c, i + 1, p, pe) }
+    }.toSet
+    val topk = SparkEntry.queries("ml_als_topk")(spark, sf)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(topk.map(r => (r._1, r._2)).distinct.length == topk.length)
+    assert(topk.forall { case (c, _, p, _) => !seen((c, p)) },
+      "top-k recommended an already-purchased part")
+    assert(topk.toSet == want, "top-k diverges from the local replay")
+  }
 }

@@ -140,6 +140,8 @@ class PlanSpec extends SparkSpec {
     "a_seasonality_dow",                             // 1-row totals broadcast
     "u_phrase_bigrams",                              // 1-row vocab-size broadcast (round-12 window fix)
     "emb_hard_negatives",                            // brute-force baseline (label-split branches)
+    "ml_als_factors",                                // 1-row metric-agg crosses per alternation
+    "ml_als_topk",                                   // 10-user factor broadcast × item factors (rec serving)
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.

@@ -123,7 +123,8 @@ class RelationalSpec extends SparkSpec {
       "dedup_lsh_pr_eval", "ml_logreg_gd", "a_benford_digits",
       "graph_assortativity", "text_boilerplate_strip",
       "text_zipf_slope", "a_approx_stats",
-      "mm_binaryfile_source", "emb_hard_negatives").foreach { name =>
+      "mm_binaryfile_source", "emb_hard_negatives",
+      "ml_als_factors", "ml_als_topk").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
