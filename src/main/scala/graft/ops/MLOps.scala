@@ -1337,30 +1337,35 @@ object MLOps {
             .divide(lit(997.0)).as("v2"))
         .localCheckpoint(false)
       val states = (1 to AlsIters).map { _ =>
-        val ut = r.join(items, "part")
-          .select($"cust",
-            round(($"v1" * $"v1") * 1e6, 0).cast("long").as("q11"),
-            round(($"v1" * $"v2") * 1e6, 0).cast("long").as("q12"),
-            round(($"v2" * $"v2") * 1e6, 0).cast("long").as("q22"),
-            round(($"r" * $"v1") * 1e6, 0).cast("long").as("qb1"),
-            round(($"r" * $"v2") * 1e6, 0).cast("long").as("qb2"))
-          .groupBy($"cust").agg(sum($"q11").as("a11"), sum($"q12").as("a12"),
-            sum($"q22").as("a22"), sum($"qb1").as("b1"), sum($"qb2").as("b2"))
-        val users = solve2(ut, "cust", "u1", "u2").localCheckpoint(false)
-        val vt = r.join(users, "cust")
-          .select($"part",
-            round(($"u1" * $"u1") * 1e6, 0).cast("long").as("q11"),
-            round(($"u1" * $"u2") * 1e6, 0).cast("long").as("q12"),
-            round(($"u2" * $"u2") * 1e6, 0).cast("long").as("q22"),
-            round(($"r" * $"u1") * 1e6, 0).cast("long").as("qb1"),
-            round(($"r" * $"u2") * 1e6, 0).cast("long").as("qb2"))
-          .groupBy($"part").agg(sum($"q11").as("a11"), sum($"q12").as("a12"),
-            sum($"q22").as("a22"), sum($"qb1").as("b1"), sum($"qb2").as("b2"))
-        items = solve2(vt, "part", "v1", "v2").localCheckpoint(false)
+        val users = solve2(alsTerms(r, items, "part", "cust", "v1", "v2"),
+          "cust", "u1", "u2").localCheckpoint(false)
+        items = solve2(alsTerms(r, users, "cust", "part", "u1", "u2"),
+          "part", "v1", "v2").localCheckpoint(false)
         (users, items)
       }
       (r, states)
     })
+
+  /** One ALS half-step's normal-equation sums: join the ratings with the
+    * FIXED side's factors (g1, g2) on `joinKey`, quantize the five
+    * per-rating terms to micro longs, and sum per `groupKey` — the Spark
+    * twin of the oracle's `termsSql`, parameterized identically so the
+    * quantization contract lives in exactly one place per engine.
+    */
+  private def alsTerms(r: DataFrame, fac: DataFrame, joinKey: String,
+      groupKey: String, g1: String, g2: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    r.join(fac, joinKey)
+      .select(c(groupKey),
+        round((c(g1) * c(g1)) * 1e6, 0).cast("long").as("q11"),
+        round((c(g1) * c(g2)) * 1e6, 0).cast("long").as("q12"),
+        round((c(g2) * c(g2)) * 1e6, 0).cast("long").as("q22"),
+        round((c("r") * c(g1)) * 1e6, 0).cast("long").as("qb1"),
+        round((c("r") * c(g2)) * 1e6, 0).cast("long").as("qb2"))
+      .groupBy(c(groupKey)).agg(sum(c("q11")).as("a11"),
+        sum(c("q12")).as("a12"), sum(c("q22")).as("a22"),
+        sum(c("qb1")).as("b1"), sum(c("qb2")).as("b2"))
+  }
 
   /** Gradient-descent step budget / learning rate for ml_logreg_gd. */
   val GdSteps = 5

@@ -681,14 +681,15 @@ class StreamingSpec extends SparkSpec {
     assert(keyA == Set(1L, 4L), s"key-A survivors across restart: $keyA")
     // foreachBatch is at-least-once, not exactly-once: if stop() raced
     // the last commit-log write, the restarted query legally re-runs
-    // that batch — under its pre-stop id (∈ preBids) or, when the sink
-    // never got to run before the crash point, as the single id just
-    // past preBids. A1 may lawfully re-appear in that one replay slot;
-    // every batch BEYOND it must be a genuinely fresh extension that
-    // never re-emits A1 (its survivor state was recovered, not rebuilt).
-    val replaySlot = preBids.max + 1
-    val fresh = buf.filterNot(r => preBids.contains(r._1) || r._1 == replaySlot)
-    assert(!fresh.exists(_._2 == 1L), "A1 re-emitted beyond the replay slot")
+    // that batch under its ORIGINAL id from the offset log — those
+    // re-emissions land in preBids and are tolerated by construction.
+    // Batches under NEW ids must never re-emit A1: their offset ranges
+    // are disjoint from the committed prefix (processAllAvailable
+    // drained all pre-stop input), so a re-appearance means survivor
+    // state was rebuilt rather than recovered — including the wholesale
+    // re-read-committed-offsets-under-a-fresh-id regression.
+    val fresh = buf.filterNot(r => preBids.contains(r._1))
+    assert(!fresh.exists(_._2 == 1L), "A1 re-emitted under a new batch id")
     assert(preBids.forall(c => fresh.forall(c < _._1)))
     // the batch greedy-chain twin predicts exactly these survivors
     val rows = Seq((1L, t(12)), (3L, t(12, 30)), (4L, t(16, 30)))
