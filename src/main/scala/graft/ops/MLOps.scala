@@ -1300,7 +1300,7 @@ object MLOps {
     * the long→double casts is fixed-order IEEE +/-/×/÷ — the DuckDB twin
     * evaluates the same expression tree on the same exact inputs.
     */
-  private def solve2(agg: DataFrame, key: String,
+  private[graft] def solve2(agg: DataFrame, key: String,
       f1: String, f2: String): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
     agg

@@ -235,6 +235,23 @@ class MLSpec extends SparkSpec {
     assert(math.abs(w0 - lw0) < 1e-5, s"w0 $w0 vs $lw0")
   }
 
+  test("ALS 2x2 ridge solve matches analytic solutions (formula orientation)") {
+    // Guards against a symmetric formula swap the corpus replay can't
+    // see (a bug mirrored into the local replay and the oracle would
+    // agree with itself): hand-picked micro-long sums whose solutions
+    // are exact by construction, λe6 = 100000 on the DIAGONAL only.
+    //   diag:  A = [[2.1, 0], [0, 2.1]], b = (4.2, 2.1)  → x = (2, 1)
+    //   dense: A = [[1.0, .5], [.5, 2.0]], b = (2, 1)    → x = (2, 0)
+    val agg = Seq(
+      (1L, 2000000L, 0L, 2000000L, 4200000L, 2100000L),
+      (2L, 900000L, 500000L, 1900000L, 2000000L, 1000000L))
+      .toDF("cust", "a11", "a12", "a22", "b1", "b2")
+    val got = graft.ops.MLOps.solve2(agg, "cust", "u1", "u2")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 2.0, 1.0)), s"diagonal case: ${got(0)}")
+    assert(got(1) == ((2L, 2.0, 0.0)), s"dense case: ${got(1)}")
+  }
+
   test("rank-2 ALS matches a local quantized replay; top-k serves only unseen items") {
     import graft.ops.MLOps.{AlsIters, AlsLambdaE6}
     def q(x: Double): Long =
