@@ -95,27 +95,34 @@ object MultimodalOps {
     // spark.sql.sources.binaryFile.maxLength — right for item-sized
     // media objects; shard-packed archives (sink_training_shards) are
     // the complement once items are small enough to pack.
-    // NOTE the export relies on executors and driver sharing one
-    // filesystem (true in local mode and on any shared store mounted
-    // at the same path); on a real cluster `out` must be a shared
-    // mount or an object-store path. The dir is cleared of *.bin
-    // before each export — per-file overwrite alone would silently
-    // re-ingest orphans left by a prior run over since-removed docs.
+    // Both export phases go through the Hadoop FileSystem API, so the
+    // export lands wherever the cluster's (or the URI's) filesystem
+    // points — the local disk here, HDFS/S3A on a real deployment —
+    // and the driver-side binaryFile read resolves the SAME store;
+    // no shared-mount assumption. The dir is cleared of *.bin before
+    // each export — per-file overwrite alone would silently re-ingest
+    // orphans left by a prior run over since-removed docs.
     "mm_binaryfile_source" -> ((s, d) => {
       import s.implicits._
+      import org.apache.hadoop.fs.{FileSystem, Path => HPath}
       val out = new java.io.File(
         Tables.artifactDir("mm_binaryfile_source", d)).getAbsolutePath
-      val outPath = java.nio.file.Paths.get(out)
-      java.nio.file.Files.createDirectories(outPath)
-      val stale = java.nio.file.Files.newDirectoryStream(outPath, "*.bin")
-      try stale.forEach(p => java.nio.file.Files.delete(p))
-      finally stale.close()
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = FileSystem.get(java.net.URI.create(out), conf)
+      fs.mkdirs(new HPath(out))
+      fs.globStatus(new HPath(out, "*.bin"))
+        .foreach(st => fs.delete(st.getPath, false))
       withPayload(s, d).select($"doc_id", $"payload")
         .foreachPartition { rows: Iterator[Row] =>
+          // fresh Configuration on the executor: defaults + any cluster
+          // conf dir resolve the same scheme the driver wrote `out` with
+          val efs = FileSystem.get(java.net.URI.create(out),
+            new org.apache.hadoop.conf.Configuration())
           rows.foreach { r =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(out, s"${r.getLong(0)}.bin"),
-              r.getAs[Array[Byte]](1))
+            val os = efs.create(
+              new HPath(out, s"${r.getLong(0)}.bin"), true)
+            try os.write(r.getAs[Array[Byte]](1))
+            finally os.close()
           }
         }
       s.read.format("binaryFile")
