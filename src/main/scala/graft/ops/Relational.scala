@@ -435,11 +435,17 @@ object Relational {
         .write.mode("overwrite").partitionBy("day").parquet(bigDir)
       val counts = s.read.parquet(bigDir)
         .groupBy($"day").agg(count(lit(1)).as("n_rows"))
-      val fileCounts = new java.io.File(bigDir).listFiles().toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("day="))
-        .map { dir =>
-          (dir.getName.stripPrefix("day="),
-            dir.listFiles().count(_.getName.endsWith(".parquet")).toLong)
+      // Hadoop FS listing, not java.io: resolves the same store the
+      // writers targeted (local disk here, HDFS/S3A under cluster conf)
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(bigDir), s.sparkContext.hadoopConfiguration)
+      val fileCounts = hfs
+        .listStatus(new org.apache.hadoop.fs.Path(bigDir)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+        .map { st =>
+          (st.getPath.getName.stripPrefix("day="),
+            hfs.listStatus(st.getPath)
+              .count(_.getPath.getName.endsWith(".parquet")).toLong)
         }
       counts.join(
           fileCounts.toDF("day_str", "n_files")
