@@ -1272,6 +1272,34 @@ object MLOps {
         .select($"cust", $"rank", $"part", $"pred_e6")
         .orderBy($"cust", $"rank")
     }),
+
+    // Fold-in — the third leg of the ALS lifecycle (train → serve →
+    // fold-in): solve a user's factors from the FINAL item factors
+    // alone, the serving-time path for a new or updated user (one
+    // half-step over that user's ratings; no retrain, items stay
+    // frozen). Run here for the 10 hash-sampled users, whose trained
+    // factors exist — so the query also reports |u_fold − u_train|
+    // L1 drift, a convergence readout: it bounds how far one more
+    // half-step would move the model. Scale: the sampled-user ratings
+    // shrink via a broadcast semi-join BEFORE the item-factor join, so
+    // cost tracks the folded users' history size, not the corpus.
+    "ml_als_fold_in" -> ((s, d) => {
+      import s.implicits._
+      val (r, states) = alsStates(s, d)
+      val (users, items) = states.last
+      val qc = users.filter(pmod(graft.functions.PolyHash.poly_hash(
+          $"cust".cast("string")), lit(50L)) === 0)
+        .orderBy($"cust").limit(10)
+      val rs = r.join(broadcast(qc.select($"cust")), "cust")
+      val folded = solve2(alsTerms(rs, items, "part", "cust", "v1", "v2"),
+        "cust", "f1", "f2")
+      folded.join(qc, "cust")
+        .select($"cust",
+          round($"f1", 6).as("u1_fold"),
+          round($"f2", 6).as("u2_fold"),
+          round(abs($"f1" - $"u1") + abs($"f2" - $"u2"), 6).as("drift"))
+        .orderBy("cust")
+    }),
   )
 
   // ---- ALS machinery ----
@@ -2098,6 +2126,23 @@ object MLOps {
          |WHERE rank <= 3
          |ORDER BY cust, rank""".stripMargin
     },
+
+    "ml_als_fold_in" -> {
+      val K = AlsIters
+      val phc = graft.ops.DedupOps.polyHashSql("CAST(cust AS VARCHAR)")
+      s"""WITH $alsCte,
+         |qc AS (
+         |  SELECT cust, u1, u2 FROM u$K
+         |  WHERE $phc % 50 = 0
+         |  ORDER BY cust LIMIT 10),
+         |rs AS (SELECT r.* FROM r JOIN qc USING (cust)),
+         |${alsTermsSql("ft", s"v$K", "part", "cust", "v1", "v2", "rs")},
+         |${alsSolveSql("f", "ft", "cust", "f1", "f2")}
+         |SELECT cust, ROUND(f1, 6) AS u1_fold, ROUND(f2, 6) AS u2_fold,
+         |  ROUND(ABS(f1 - u1) + ABS(f2 - u2), 6) AS drift
+         |FROM f JOIN qc USING (cust)
+         |ORDER BY cust""".stripMargin
+    },
   )
 
   /** Shared WITH-body for the ALS oracles: the ratings table, the
@@ -2105,36 +2150,42 @@ object MLOps {
     * every quantization and every double expression mirrors the Spark
     * side token for token (see the ml_als_factors scaladoc).
     */
+  private def alsTermsSql(out: String, fac: String, joinKey: String,
+      groupKey: String, g1: String, g2: String, src: String = "r"): String =
+    s"""$out AS (
+       |  SELECT $groupKey,
+       |    SUM(CAST(ROUND(($g1 * $g1) * 1000000.0, 0) AS BIGINT)) AS a11,
+       |    SUM(CAST(ROUND(($g1 * $g2) * 1000000.0, 0) AS BIGINT)) AS a12,
+       |    SUM(CAST(ROUND(($g2 * $g2) * 1000000.0, 0) AS BIGINT)) AS a22,
+       |    SUM(CAST(ROUND((r * $g1) * 1000000.0, 0) AS BIGINT)) AS b1,
+       |    SUM(CAST(ROUND((r * $g2) * 1000000.0, 0) AS BIGINT)) AS b2
+       |  FROM $src JOIN $fac USING ($joinKey) GROUP BY $groupKey)""".stripMargin
+
+  private def alsSolveSql(out: String, terms: String, key: String,
+      f1: String, f2: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT $key,
+       |    (da22 * db1 - da12 * db2) / det AS $f1,
+       |    (da11 * db2 - da12 * db1) / det AS $f2
+       |  FROM (
+       |    SELECT $key, da11, da12, da22, db1, db2,
+       |      da11 * da22 - da12 * da12 AS det
+       |    FROM (
+       |      SELECT $key,
+       |        CAST(a11 + $AlsLambdaE6 AS DOUBLE) / 1000000.0 AS da11,
+       |        CAST(a12 AS DOUBLE) / 1000000.0 AS da12,
+       |        CAST(a22 + $AlsLambdaE6 AS DOUBLE) / 1000000.0 AS da22,
+       |        CAST(b1 AS DOUBLE) / 1000000.0 AS db1,
+       |        CAST(b2 AS DOUBLE) / 1000000.0 AS db2
+       |      FROM $terms)))""".stripMargin
+
   private lazy val alsCte: String = {
     val ph = graft.ops.DedupOps.polyHashSql("CAST(part AS VARCHAR)")
-    val L = AlsLambdaE6
     def termsSql(out: String, fac: String, joinKey: String, groupKey: String,
         g1: String, g2: String): String =
-      s"""$out AS (
-         |  SELECT $groupKey,
-         |    SUM(CAST(ROUND(($g1 * $g1) * 1000000.0, 0) AS BIGINT)) AS a11,
-         |    SUM(CAST(ROUND(($g1 * $g2) * 1000000.0, 0) AS BIGINT)) AS a12,
-         |    SUM(CAST(ROUND(($g2 * $g2) * 1000000.0, 0) AS BIGINT)) AS a22,
-         |    SUM(CAST(ROUND((r * $g1) * 1000000.0, 0) AS BIGINT)) AS b1,
-         |    SUM(CAST(ROUND((r * $g2) * 1000000.0, 0) AS BIGINT)) AS b2
-         |  FROM r JOIN $fac USING ($joinKey) GROUP BY $groupKey)""".stripMargin
+      alsTermsSql(out, fac, joinKey, groupKey, g1, g2)
     def solveSql(out: String, terms: String, key: String,
-        f1: String, f2: String): String =
-      s"""$out AS MATERIALIZED (
-         |  SELECT $key,
-         |    (da22 * db1 - da12 * db2) / det AS $f1,
-         |    (da11 * db2 - da12 * db1) / det AS $f2
-         |  FROM (
-         |    SELECT $key, da11, da12, da22, db1, db2,
-         |      da11 * da22 - da12 * da12 AS det
-         |    FROM (
-         |      SELECT $key,
-         |        CAST(a11 + $L AS DOUBLE) / 1000000.0 AS da11,
-         |        CAST(a12 AS DOUBLE) / 1000000.0 AS da12,
-         |        CAST(a22 + $L AS DOUBLE) / 1000000.0 AS da22,
-         |        CAST(b1 AS DOUBLE) / 1000000.0 AS db1,
-         |        CAST(b2 AS DOUBLE) / 1000000.0 AS db2
-         |      FROM $terms)))""".stripMargin
+        f1: String, f2: String): String = alsSolveSql(out, terms, key, f1, f2)
     val steps = (1 to AlsIters).map { k =>
       val prevV = if (k == 1) "v0" else s"v${k - 1}"
       Seq(

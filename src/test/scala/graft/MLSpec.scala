@@ -337,5 +337,20 @@ class MLSpec extends SparkSpec {
     assert(topk.forall { case (c, _, p, _) => !seen((c, p)) },
       "top-k recommended an already-purchased part")
     assert(topk.toSet == want, "top-k diverges from the local replay")
+    // fold-in: one more u-half-step from the FINAL item factors for the
+    // sampled users — replay it and the L1 drift vs the trained factors
+    val byCust = ratings.groupBy(_._1)
+    val wantFold = sampled.map { c =>
+      val sums = accum(byCust(c).toSeq.map { case (_, p, r) =>
+        (c, p, r, items(p)._1, items(p)._2) })
+      val (f1, f2) = solve(sums)(c)
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (c, r6(f1), r6(f2),
+        r6(math.abs(f1 - users(c)._1) + math.abs(f2 - users(c)._2)))
+    }.toSet
+    val fold = SparkEntry.queries("ml_als_fold_in")(spark, sf)
+      .as[(Long, Double, Double, Double)].collect().toSet
+    assert(fold == wantFold, s"fold-in diverges: $fold vs $wantFold")
   }
 }
