@@ -1300,6 +1300,36 @@ object MLOps {
           round(abs($"f1" - $"u1") + abs($"f2" - $"u2"), 6).as("drift"))
         .orderBy("cust")
     }),
+
+    // Model sink (S11 family, like lda_em_save_load / text_unigram_
+    // save_load): persist both factor frames to parquet, reload, and
+    // serve the rank-1 recommendation per sampled user from the
+    // RELOADED model. Parquet DOUBLEs round-trip bit-exactly, so the
+    // oracle is simply the direct (no round-trip) computation — hash
+    // equality IS the save/load-fidelity proof.
+    "ml_als_save_load" -> ((s, d) => {
+      import s.implicits._
+      val (r, states) = alsStates(s, d)
+      val (users, items) = states.last
+      val uDir = Tables.artifactDir("als_users", d)
+      val iDir = Tables.artifactDir("als_items", d)
+      users.write.mode("overwrite").parquet(uDir)
+      items.write.mode("overwrite").parquet(iDir)
+      val u2 = s.read.parquet(uDir)
+      val i2 = s.read.parquet(iDir)
+      val qc = u2.filter(pmod(graft.functions.PolyHash.poly_hash(
+          $"cust".cast("string")), lit(50L)) === 0)
+        .orderBy($"cust").limit(10)
+      val w = Window.partitionBy($"cust").orderBy(desc("pred_e6"), asc("part"))
+      i2.crossJoin(broadcast(qc))
+        .join(r.select($"cust", $"part"), Seq("cust", "part"), "left_anti")
+        .withColumn("pred_e6",
+          round(($"u1" * $"v1" + $"u2" * $"v2") * 1e6, 0).cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 1)
+        .select($"cust", $"part", $"pred_e6")
+        .orderBy($"cust")
+    }),
   )
 
   // ---- ALS machinery ----
@@ -2141,6 +2171,32 @@ object MLOps {
          |SELECT cust, ROUND(f1, 6) AS u1_fold, ROUND(f2, 6) AS u2_fold,
          |  ROUND(ABS(f1 - u1) + ABS(f2 - u2), 6) AS drift
          |FROM f JOIN qc USING (cust)
+         |ORDER BY cust""".stripMargin
+    },
+
+    // The direct computation — hash equality proves the parquet
+    // round-trip of both factor frames is bit-exact.
+    "ml_als_save_load" -> {
+      val K = AlsIters
+      val phc = graft.ops.DedupOps.polyHashSql("CAST(cust AS VARCHAR)")
+      s"""WITH $alsCte,
+         |qc AS (
+         |  SELECT cust, u1, u2 FROM u$K
+         |  WHERE $phc % 50 = 0
+         |  ORDER BY cust LIMIT 10),
+         |cand AS (
+         |  SELECT qc.cust, v.part,
+         |    CAST(ROUND((qc.u1 * v.v1 + qc.u2 * v.v2) * 1000000.0, 0)
+         |      AS BIGINT) AS pred_e6
+         |  FROM qc CROSS JOIN v$K v
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM r WHERE r.cust = qc.cust AND r.part = v.part))
+         |SELECT cust, part, pred_e6 FROM (
+         |  SELECT cust, part, pred_e6,
+         |    row_number() OVER (PARTITION BY cust
+         |      ORDER BY pred_e6 DESC, part ASC) AS rank
+         |  FROM cand)
+         |WHERE rank <= 1
          |ORDER BY cust""".stripMargin
     },
   )

@@ -352,5 +352,11 @@ class MLSpec extends SparkSpec {
     val fold = SparkEntry.queries("ml_als_fold_in")(spark, sf)
       .as[(Long, Double, Double, Double)].collect().toSet
     assert(fold == wantFold, s"fold-in diverges: $fold vs $wantFold")
+    // save/load: serving from the reloaded parquet factors must equal
+    // the in-memory rank-1 rows exactly (parquet doubles are lossless)
+    val sl = SparkEntry.queries("ml_als_save_load")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val wantSl = want.filter(_._2 == 1).map { case (c, _, p, pe) => (c, p, pe) }
+    assert(sl == wantSl, s"save/load serving diverges: $sl vs $wantSl")
   }
 }

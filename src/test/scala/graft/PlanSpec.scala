@@ -142,6 +142,7 @@ class PlanSpec extends SparkSpec {
     "emb_hard_negatives",                            // brute-force baseline (label-split branches)
     "ml_als_factors",                                // 1-row metric-agg crosses per alternation
     "ml_als_topk",                                   // 10-user factor broadcast × item factors (rec serving)
+    "ml_als_save_load",                              // same serving shape from the reloaded factor frames
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.

@@ -124,7 +124,8 @@ class RelationalSpec extends SparkSpec {
       "graph_assortativity", "text_boilerplate_strip",
       "text_zipf_slope", "a_approx_stats",
       "mm_binaryfile_source", "emb_hard_negatives",
-      "ml_als_factors", "ml_als_topk", "ml_als_fold_in").foreach { name =>
+      "ml_als_factors", "ml_als_topk", "ml_als_fold_in",
+      "ml_als_save_load").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
