@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.ml.clustering.{LDA, LDAModel, LocalLDAModel}
 import org.apache.spark.ml.feature.CountVectorizerModel
-import org.apache.spark.ml.linalg.{Vector => MLVector}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -877,14 +876,20 @@ object MLOps {
     // U5+A7: per-doc dominant topic (argmax of the topic distribution),
     // aggregated to the topic histogram (stats.py:16 shape). transform is
     // the distributed path — it runs over the (parallel) vectorized
-    // corpus, not the single-partition fit input.
+    // corpus, not the single-partition fit input. The argmax is NATIVE
+    // column algebra (vector_to_array + array_position of the max — both
+    // codegen'd), not a Scala UDF: this runs per doc over the corpus,
+    // the one place a UDF would actually cost at 100 TB. First-max-wins
+    // tie semantics match Vector.argmax exactly.
     "u5_lda_doc_topics" -> ((s, d) => {
       import s.implicits._
       val (_, vec) = preparedInput(s, d)
       val model = fittedLda(s, d, K)
-      val argmaxUdf = udf((v: MLVector) => v.argmax)
       model.transform(vec)
-        .select($"doc_id", argmaxUdf($"topicDistribution").as("main_topic"))
+        .withColumn("arr",
+          org.apache.spark.ml.functions.vector_to_array($"topicDistribution"))
+        .select($"doc_id", (array_position($"arr", array_max($"arr")) - 1)
+          .cast("int").as("main_topic"))
         .groupBy($"main_topic").agg(count("*").as("n_docs"))
         .orderBy("main_topic")
     }),
@@ -1027,11 +1032,13 @@ object MLOps {
       val autoK = coherenceByK(s, d).maxBy { case (k, c) => (c, -k) }._1
       val configs = Seq(("fixed_small", K), ("fixed_large", 8), ("auto", autoK))
       fitConcurrently(s, d, configs.map(c => (c._2, 20)))
-      val argmaxUdf = udf((v: MLVector) => v.argmax)
       configs.map { case (name, k) =>
         val m = fittedLda(s, d, k)
+        // native argmax (see u5_lda_doc_topics) — no corpus-scale UDF
         val assigned = m.transform(vec)
-          .select(argmaxUdf($"topicDistribution").as("t"))
+          .withColumn("arr", org.apache.spark.ml.functions
+            .vector_to_array($"topicDistribution"))
+          .select((array_position($"arr", array_max($"arr")) - 1).as("t"))
           .agg(countDistinct($"t").as("n_topics_used"),
             count(lit(1)).as("n_docs"))
           .collect().head
