@@ -632,7 +632,7 @@ object MLOps {
     def distCol(c: Seq[Double]): Column =
       aggregate(zip_with(fcol("e"), typedLit(c), (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x)
-    array(cents.map { case (k, c) =>
+    array(cents.toIndexedSeq.map { case (k, c) =>
       struct(distCol(c).as("d"), lit(k).as("k"))
     }: _*)
   }

@@ -117,7 +117,7 @@ object SimilarityOps {
       val groups = corpus.select($"vec_id", explode(array((0 until PqM).map { m =>
           val sub = slice($"e", m * PqSubDim + 1, PqSubDim)
           struct(lit(m).as("m"),
-            array_min(array(cbs(m).map { case (k, c) =>
+            array_min(array(cbs(m).toIndexedSeq.map { case (k, c) =>
               struct(d2(sub, c).as("d"), lit(k).as("k"))
             }: _*)).getField("k").as("code"),
             sub.as("sub"))
@@ -200,7 +200,7 @@ object SimilarityOps {
   /** Sign-bucket of a (double) embedding under an arbitrary plane set. */
   def lshBucketFor(planeSet: Array[Array[Double]])(e: Column): Column =
     planeSet.zipWithIndex.map { case (p, j) =>
-      when(graft.functions.VecDot.vec_dot(e, array(p.map(lit): _*)) > 0,
+      when(graft.functions.VecDot.vec_dot(e, array(p.toIndexedSeq.map(lit): _*)) > 0,
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -220,7 +220,7 @@ object SimilarityOps {
   /** 6-bit hyperplane sign bucket of a (double) embedding column. */
   def lshBucket(e: Column): Column = {
     val bits = planes.zipWithIndex.map { case (p, j) =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
       when(dot(e, planeCol) > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -695,7 +695,7 @@ object SimilarityOps {
         aggregate(zip_with(a, typedLit(c), (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, x) => acc + x)
       val codeCols = (0 until PqM).map { m =>
-        array_min(array(cbs(m).map { case (k, c) =>
+        array_min(array(cbs(m).toIndexedSeq.map { case (k, c) =>
           struct(d2(subCol(m), c).as("d"), lit(k).as("k"))
         }: _*)).getField("k").as(s"code_$m")
       }
@@ -746,7 +746,7 @@ object SimilarityOps {
         aggregate(zip_with(a, typedLit(c), (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, x) => acc + x)
       val codeCols = (0 until PqM).map { m =>
-        array_min(array(rcbs(m).map { case (k, c) =>
+        array_min(array(rcbs(m).toIndexedSeq.map { case (k, c) =>
           struct(d2(slice($"re", m * PqSubDim + 1, PqSubDim), c).as("d"),
             lit(k).as("k"))
         }: _*)).getField("k").as(s"code_$m")
@@ -785,8 +785,8 @@ object SimilarityOps {
       val rngRows = v.select(posexplode($"e")).toDF("pos", "x")
         .groupBy($"pos").agg(min($"x").as("lo"), max($"x").as("hi"))
         .orderBy("pos").collect()
-      val lo = array(rngRows.map(r => lit(r.getDouble(1))): _*)
-      val hi = array(rngRows.map(r => lit(r.getDouble(2))): _*)
+      val lo = array(rngRows.toIndexedSeq.map(r => lit(r.getDouble(1))): _*)
+      val hi = array(rngRows.toIndexedSeq.map(r => lit(r.getDouble(2))): _*)
       def dq(e: Column): Column = transform(e, (x, i) => {
         val l = element_at(lo, i + 1)
         val h = element_at(hi, i + 1)
