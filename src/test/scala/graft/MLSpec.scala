@@ -224,8 +224,10 @@ class MLSpec extends SparkSpec {
       a(0) * (a(4) * a(8) - a(5) * a(7)) -
         a(1) * (a(3) * a(8) - a(5) * a(6)) +
         a(2) * (a(3) * a(7) - a(4) * a(6))
-    val A = Array[Double](s11 + lam, s12, s1, s12, s22 + lam, s2, s1, s2, n)
-    val b = Array[Double](sy1, sy2, sy)
+    val A = Array[Double]((s11 + lam).toDouble, s12.toDouble, s1.toDouble,
+      s12.toDouble, (s22 + lam).toDouble, s2.toDouble,
+      s1.toDouble, s2.toDouble, n.toDouble)
+    val b = Array[Double](sy1.toDouble, sy2.toDouble, sy.toDouble)
     val d0 = det(A)
     val lw1 = det(Array(b(0), A(1), A(2), b(1), A(4), A(5), b(2), A(7), A(8))) / d0
     val lw2 = det(Array(A(0), b(0), A(2), A(3), b(1), A(5), A(6), b(2), A(8))) / d0
