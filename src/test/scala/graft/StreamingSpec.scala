@@ -194,6 +194,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState (Spark 4 arbitrary state) matches batch countDistinct") {
+    // The successor API to [flat]mapGroupsWithState: typed MapState per
+    // key under the RocksDB state-store provider (which the API
+    // requires). Per-user distinct event types accumulate in MapState
+    // and the latest update per user must equal the batch countDistinct
+    // — the same batch-twin contract the GroupState tests above pin.
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val out = stream.toDS().groupByKey(_._3)
+        .transformWithState(new DistinctTypesProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_types")
+      val q = out.writeStream.outputMode("update")
+        .format("memory").queryName("t_tws").start()
+      try {
+        val (b1, b2) = batchEvents.splitAt(batchEvents.length / 3)
+        stream.addData(b1.toSeq)
+        q.processAllAvailable()
+        stream.addData(b2.toSeq)
+        q.processAllAvailable()
+        val got = spark.table("t_tws").groupBy($"user_id")
+          .agg(max($"n_types").as("n")).orderBy("user_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val want = graft.ops.Tables.events(spark, sf)
+          .groupBy($"user_id").agg(countDistinct($"event_type").as("n"))
+          .orderBy("user_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got == want)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("streaming dropDuplicates on (user_id, event_type) matches stream_dedup_keys") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
@@ -749,5 +790,29 @@ class StreamingSpec extends SparkSpec {
     val (_, s0, e0, n0) = sessA.head
     assert(s0 == t(12) && e0 == t(12, 50) && n0 == 3L,
       s"merged session wrong: start $s0 end $e0 n $n0")
+  }
+}
+
+/** transformWithState processor for the Spark-4 arbitrary-state test:
+  * per-user distinct event types in a typed MapState. Top-level class so
+  * serialization ships only the processor, never the suite.
+  */
+class DistinctTypesProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Timestamp, Long, String, Double), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode,
+    TimerValues, TTLConfig}
+  @transient private var seen: MapState[String, Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getMapState[String, Boolean]("seen",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long,
+      rows: Iterator[(Long, Timestamp, Long, String, Double)],
+      timers: TimerValues): Iterator[(Long, Long)] = {
+    rows.foreach(e => seen.updateValue(e._4, true))
+    Iterator.single((user, seen.keys().size.toLong))
   }
 }
