@@ -1174,44 +1174,130 @@ object MLOps {
     // state is O(dims) — mini-batching changes the pass, not the shape.
     "ml_logreg_gd" -> ((s, d) => {
       import s.implicits._
-      val z = embeddings(s, d).select(
-          (round(element_at($"embedding", 1).cast("double") * 1e6, 0) / 1e6)
-            .as("x1"),
-          (round(element_at($"embedding", 2).cast("double") * 1e6, 0) / 1e6)
-            .as("x2"),
-          when($"label" === 1, 1.0).otherwise(0.0).as("y"))
-        .localCheckpoint(false) // one build, GdSteps passes
-      var w = z.agg(count(lit(1)).as("n"))
-        .select($"n", lit(0.0).as("w0"), lit(0.0).as("w1"),
-          lit(0.0).as("w2"))
-      val steps = (1 to GdSteps).map { k =>
-        val joined = z.crossJoin(broadcast(w))
-          .withColumn("p", lit(1.0) /
-            (lit(1.0) + exp(-($"w0" + $"w1" * $"x1" + $"w2" * $"x2"))))
-          .withColumn("pc",
-            greatest(least($"p", lit(1.0) - lit(1e-12)), lit(1e-12)))
-          .withColumn("r", $"p" - $"y")
-        val g = joined.agg(
-          max($"n").as("n"), max($"w0").as("pw0"),
-          max($"w1").as("pw1"), max($"w2").as("pw2"),
-          sum(round($"r" * 1e9, 0).cast("long")).as("g0"),
-          sum(round($"r" * $"x1" * 1e9, 0).cast("long")).as("g1"),
-          sum(round($"r" * $"x2" * 1e9, 0).cast("long")).as("g2"),
-          sum(round(-($"y" * log($"pc") +
-            (lit(1.0) - $"y") * log(lit(1.0) - $"pc")) * 1e6, 0)
-            .cast("long")).as("le6"))
-        w = g.select($"n",
-            ($"pw0" - lit(GdEta) * ($"g0" / 1e9) / $"n").as("w0"),
-            ($"pw1" - lit(GdEta) * ($"g1" / 1e9) / $"n").as("w1"),
-            ($"pw2" - lit(GdEta) * ($"g2" / 1e9) / $"n").as("w2"))
-          .localCheckpoint(false)
-        g.select(lit(k).as("step"), $"n",
-          round(($"pw0" - lit(GdEta) * ($"g0" / 1e9) / $"n"), 6).as("w0"),
-          round(($"pw1" - lit(GdEta) * ($"g1" / 1e9) / $"n"), 6).as("w1"),
-          round(($"pw2" - lit(GdEta) * ($"g2" / 1e9) / $"n"), 6).as("w2"),
-          round($"le6" / 1e6 / $"n", 6).as("pre_step_logloss"))
+      gdSteps(s, d).map(_.select($"step", $"n",
+          round($"w0", 6).as("w0"), round($"w1", 6).as("w1"),
+          round($"w2", 6).as("w2"),
+          round($"le6" / 1e6 / $"n", 6).as("pre_step_logloss")))
+        .reduce(_.unionByName(_)).orderBy("step")
+    }),
+
+    // Dataset cartography (Swayamdipta et al., EMNLP 2020 "Dataset
+    // Cartography: Mapping and Diagnosing Datasets with Training
+    // Dynamics"): score every training example at each checkpoint of the
+    // ml_logreg_gd trajectory (the 5 post-update weight snapshots stand
+    // in for the paper's per-epoch checkpoints) and summarize its
+    // training dynamics — confidence = mean P(true class), variability =
+    // population std of that probability, correctness = #checkpoints
+    // with P > 0.5 — then bucket into the paper's map regions
+    // (easy-to-learn / hard-to-learn / ambiguous). This is the
+    // data-curation readout: hard-to-learn points are the mislabel
+    // candidates, ambiguous points carry the most training signal.
+    // Determinism: per-(example, checkpoint) P(true) quantizes to a nano
+    // long, and all five sit in ONE row as fixed left-to-right column
+    // sums — no aggregation order anywhere; conf/vrb are then fixed
+    // double expressions over those exact longs, so region boundaries
+    // compare identical IEEE doubles in both engines. Scale: the weight
+    // snapshots are O(dims) model state cross-joined wide (one 15-value
+    // broadcast row), so the scoring pass is MAP-ONLY — zero shuffles
+    // beyond the trainer's own per-step aggregates; output is one row
+    // per example, shippable to a curation sink.
+    "ml_cartography" -> ((s, d) => {
+      import s.implicits._
+      val wWide = gdSteps(s, d).zipWithIndex.map { case (df, i) =>
+        df.select($"w0".as(s"w0_${i + 1}"), $"w1".as(s"w1_${i + 1}"),
+          $"w2".as(s"w2_${i + 1}"))
+      }.reduce(_.crossJoin(_)) // 1 row x (3 * GdSteps) weight columns
+      val zc = embeddings(s, d).select($"vec_id",
+        (round(element_at($"embedding", 1).cast("double") * 1e6, 0) / 1e6)
+          .as("x1"),
+        (round(element_at($"embedding", 2).cast("double") * 1e6, 0) / 1e6)
+          .as("x2"),
+        when($"label" === 1, 1.0).otherwise(0.0).as("y"))
+      val pt = (1 to GdSteps).map { k =>
+        val p = lit(1.0) / (lit(1.0) + exp(-(col(s"w0_$k")
+          + col(s"w1_$k") * $"x1" + col(s"w2_$k") * $"x2")))
+        round((when($"y" === 1.0, p).otherwise(lit(1.0) - p)) * 1e9, 0)
+          .cast("long")
       }
-      steps.reduce(_.unionByName(_)).orderBy("step")
+      val scored = zc.crossJoin(broadcast(wWide))
+        .withColumn("sp", pt.reduce(_ + _))
+        .withColumn("spp", pt.map(c => c * c).reduce(_ + _))
+        .withColumn("n_correct", pt.map(c =>
+          when(c > lit(CartCorrectE9), 1L).otherwise(0L)).reduce(_ + _))
+        .withColumn("conf",
+          $"sp".cast("double") / lit(GdSteps) / 1e9)
+        .withColumn("vrb", sqrt(greatest(lit(0.0),
+          $"spp".cast("double") / lit(GdSteps) / 1e18 - $"conf" * $"conf")))
+      scored.select($"vec_id", $"y", $"n_correct",
+          round($"conf", 6).as("confidence"),
+          round($"vrb", 6).as("variability"),
+          when($"conf" >= lit(CartConfHi) && $"vrb" < lit(CartVarLo),
+            lit("easy"))
+            .when($"conf" <= lit(CartConfLo) && $"vrb" < lit(CartVarLo),
+              lit("hard"))
+            .otherwise(lit("ambiguous")).as("region"))
+        .orderBy("vec_id")
+    }),
+
+    // Bradley-Terry preference strengths via Hunter's MM algorithm
+    // (Hunter 2004, "MM algorithms for generalized Bradley-Terry
+    // models", Ann. Statist. 32(1)) — the preference-aggregation op of
+    // an RLHF data pipeline: pairwise "A beats B" counts in, one
+    // consistent global strength per item out. Comparisons derive from
+    // revealed per-user preference: for each user and ordered type pair
+    // with BOTH types present, the type with the strictly larger event
+    // count scores a win (ties abstain). The MM update
+    //   pi_i <- W_i / SUM_j n_ij/(pi_i + pi_j),  then mean-1 normalize
+    // runs BtRounds rounds from pi = 1, and the whole trajectory ships
+    // (step, type, strength). Determinism: the only order-sensitive
+    // sums live on the |types|-bounded pair frame and every term
+    // quantizes to a nano long first — den, raw strength, and the
+    // normalizing total are exact integers between fixed double
+    // expressions, so all BtRounds rounds replay bit-for-bit in DuckDB.
+    // Scale: one user-keyed count shuffle; pair expansion <= |types|^2
+    // per user; everything after the global win aggregate lives on the
+    // |types|^2-bounded comparison matrix (the a_markov_transitions
+    // posture) with per-round localCheckpoints pinning the tiny lineage.
+    "ml_bt_strength" -> ((s, d) => {
+      import s.implicits._
+      val uc = events(s, d).groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("cnt"))
+      val wins = uc.as("a").join(uc.as("b"),
+          $"a.user_id" === $"b.user_id" &&
+            $"a.event_type" =!= $"b.event_type" && $"a.cnt" > $"b.cnt")
+        .groupBy($"a.event_type".as("ti"), $"b.event_type".as("tj"))
+        .agg(count(lit(1)).as("wins"))
+        .localCheckpoint(false)
+      val nij = wins.select($"ti", $"tj", $"wins")
+        .unionByName(wins.select($"tj".as("ti"), $"ti".as("tj"), $"wins"))
+        .groupBy($"ti", $"tj").agg(sum($"wins").as("nij"))
+        .localCheckpoint(false)
+      val wi = wins.groupBy($"ti".as("t")).agg(sum($"wins").as("wi"))
+      val dom = nij.select($"ti".as("t")).distinct()
+        .join(wi, Seq("t"), "left").na.fill(0L, Seq("wi"))
+        .localCheckpoint(false)
+      var st = dom.select($"t", lit(1000000000L).as("s_e9"))
+      val rounds = (1 to BtRounds).map { k =>
+        val den = nij
+          .join(st.select($"t".as("ti"), $"s_e9".as("si")), "ti")
+          .join(st.select($"t".as("tj"), $"s_e9".as("sj")), "tj")
+          .withColumn("term_e9", round(lit(1e9) * $"nij".cast("double")
+            / ($"si".cast("double") / 1e9 + $"sj".cast("double") / 1e9), 0)
+            .cast("long"))
+          .groupBy($"ti".as("t")).agg(sum($"term_e9").as("den_e9"))
+        val raw = dom.join(den, Seq("t"))
+          .withColumn("r_e9", round($"wi".cast("double")
+            / ($"den_e9".cast("double") / 1e9) * 1e9, 0).cast("long"))
+        val tot = raw.agg(sum($"r_e9").as("sum_e9"), count(lit(1)).as("nt"))
+        st = raw.crossJoin(broadcast(tot))
+          .select($"t", round($"r_e9".cast("double") * $"nt".cast("double")
+            * 1e9 / $"sum_e9".cast("double"), 0).cast("long").as("s_e9"))
+          .localCheckpoint(false)
+        st.select(lit(k).as("step"), $"t".as("event_type"),
+          $"s_e9".as("strength_e9"),
+          round($"s_e9".cast("double") / 1e9, 6).as("strength"))
+      }
+      rounds.reduce(_.unionByName(_)).orderBy("step", "event_type")
     }),
 
     // Rank-2 alternating least squares on implicit purchase counts
@@ -1435,6 +1521,111 @@ object MLOps {
   /** Gradient-descent step budget / learning rate for ml_logreg_gd. */
   val GdSteps = 5
   val GdEta = 1.0
+
+  /** Cartography region cuts (ml_cartography): P(true) > 0.5 counts as a
+    * correct checkpoint (nano-int form), confidence >= 0.7 with
+    * variability < 0.2 is easy-to-learn, confidence <= 0.3 with low
+    * variability is hard-to-learn, everything else ambiguous.
+    */
+  val CartCorrectE9 = 500000000L
+  val CartConfHi = 0.7
+  val CartConfLo = 0.3
+  val CartVarLo = 0.2
+
+  /** MM rounds for the Bradley-Terry fit (ml_bt_strength). */
+  val BtRounds = 5
+
+  /** The ml_logreg_gd training loop, factored so ml_cartography replays
+    * the SAME trajectory (one source of truth for the arithmetic): one
+    * frame per step carrying (step, n, w0, w1, w2, le6) with POST-update
+    * weights as exact unrounded doubles and the pre-update log-loss
+    * micro-sum. Each step's frame costs one pass over the checkpointed
+    * feature build when executed; w state is localCheckpointed per step
+    * so lineage stays linear in steps.
+    */
+  private def gdSteps(s: SparkSession, d: String): Seq[DataFrame] = {
+    import s.implicits._
+    val z = embeddings(s, d).select(
+        (round(element_at($"embedding", 1).cast("double") * 1e6, 0) / 1e6)
+          .as("x1"),
+        (round(element_at($"embedding", 2).cast("double") * 1e6, 0) / 1e6)
+          .as("x2"),
+        when($"label" === 1, 1.0).otherwise(0.0).as("y"))
+      .localCheckpoint(false) // one build, GdSteps passes
+    var w = z.agg(count(lit(1)).as("n"))
+      .select($"n", lit(0.0).as("w0"), lit(0.0).as("w1"),
+        lit(0.0).as("w2"))
+    (1 to GdSteps).map { k =>
+      val joined = z.crossJoin(broadcast(w))
+        .withColumn("p", lit(1.0) /
+          (lit(1.0) + exp(-($"w0" + $"w1" * $"x1" + $"w2" * $"x2"))))
+        .withColumn("pc",
+          greatest(least($"p", lit(1.0) - lit(1e-12)), lit(1e-12)))
+        .withColumn("r", $"p" - $"y")
+      val g = joined.agg(
+        max($"n").as("n"), max($"w0").as("pw0"),
+        max($"w1").as("pw1"), max($"w2").as("pw2"),
+        sum(round($"r" * 1e9, 0).cast("long")).as("g0"),
+        sum(round($"r" * $"x1" * 1e9, 0).cast("long")).as("g1"),
+        sum(round($"r" * $"x2" * 1e9, 0).cast("long")).as("g2"),
+        sum(round(-($"y" * log($"pc") +
+          (lit(1.0) - $"y") * log(lit(1.0) - $"pc")) * 1e6, 0)
+          .cast("long")).as("le6"))
+      w = g.select($"n",
+          ($"pw0" - lit(GdEta) * ($"g0" / 1e9) / $"n").as("w0"),
+          ($"pw1" - lit(GdEta) * ($"g1" / 1e9) / $"n").as("w1"),
+          ($"pw2" - lit(GdEta) * ($"g2" / 1e9) / $"n").as("w2"))
+        .localCheckpoint(false)
+      g.select(lit(k).as("step"), $"n",
+        ($"pw0" - lit(GdEta) * ($"g0" / 1e9) / $"n").as("w0"),
+        ($"pw1" - lit(GdEta) * ($"g1" / 1e9) / $"n").as("w1"),
+        ($"pw2" - lit(GdEta) * ($"g2" / 1e9) / $"n").as("w2"),
+        $"le6")
+    }
+  }
+
+  /** The ml_logreg_gd trajectory as DuckDB CTEs (z features, nn count,
+    * wz zero init, then g_k gradient aggregates + w_k post-update
+    * weights per step) — shared verbatim by the ml_logreg_gd and
+    * ml_cartography oracles so the replayed trainer cannot drift
+    * between them.
+    */
+  private lazy val gdTrajSql: String = {
+    val steps = (1 to GdSteps).map { k =>
+      val pw = if (k == 1) "wz" else s"w${k - 1}"
+      s"""g$k AS MATERIALIZED (
+         |  SELECT
+         |    SUM(CAST(ROUND(r * 1000000000.0, 0) AS BIGINT)) AS g0,
+         |    SUM(CAST(ROUND(r * x1 * 1000000000.0, 0) AS BIGINT)) AS g1,
+         |    SUM(CAST(ROUND(r * x2 * 1000000000.0, 0) AS BIGINT)) AS g2,
+         |    SUM(CAST(ROUND(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc))
+         |      * 1000000.0, 0) AS BIGINT)) AS le6
+         |  FROM (
+         |    SELECT y, x1, x2,
+         |      GREATEST(LEAST(p, 1.0 - 1e-12), 1e-12) AS pc, p - y AS r
+         |    FROM (
+         |      SELECT z.y, z.x1, z.x2,
+         |        1.0 / (1.0 + exp(-($pw.w0 + $pw.w1 * z.x1
+         |          + $pw.w2 * z.x2))) AS p
+         |      FROM z CROSS JOIN $pw))),
+         |w$k AS (
+         |  SELECT $pw.w0 - 1.0 * (g$k.g0 / 1000000000.0) / nn.n AS w0,
+         |         $pw.w1 - 1.0 * (g$k.g1 / 1000000000.0) / nn.n AS w1,
+         |         $pw.w2 - 1.0 * (g$k.g2 / 1000000000.0) / nn.n AS w2
+         |  FROM $pw CROSS JOIN g$k CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""z AS MATERIALIZED (
+       |  SELECT
+       |    ROUND(CAST(embedding[1] AS DOUBLE) * 1000000.0, 0)
+       |      / 1000000.0 AS x1,
+       |    ROUND(CAST(embedding[2] AS DOUBLE) * 1000000.0, 0)
+       |      / 1000000.0 AS x2,
+       |    CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END AS y
+       |  FROM embeddings),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM z),
+       |wz AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+       |$steps""".stripMargin
+  }
 
   // ---- oracle SQL (NPMI queries only — the LDA fits are rows-only) ----
 
@@ -2009,29 +2200,6 @@ object MLOps {
     // engine's nano/micro quantization term for term, so the weight
     // trajectory is exact.
     "ml_logreg_gd" -> {
-      val steps = (1 to GdSteps).map { k =>
-        val pw = if (k == 1) "wz" else s"w${k - 1}"
-        s"""g$k AS MATERIALIZED (
-           |  SELECT
-           |    SUM(CAST(ROUND(r * 1000000000.0, 0) AS BIGINT)) AS g0,
-           |    SUM(CAST(ROUND(r * x1 * 1000000000.0, 0) AS BIGINT)) AS g1,
-           |    SUM(CAST(ROUND(r * x2 * 1000000000.0, 0) AS BIGINT)) AS g2,
-           |    SUM(CAST(ROUND(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc))
-           |      * 1000000.0, 0) AS BIGINT)) AS le6
-           |  FROM (
-           |    SELECT y, x1, x2,
-           |      GREATEST(LEAST(p, 1.0 - 1e-12), 1e-12) AS pc, p - y AS r
-           |    FROM (
-           |      SELECT z.y, z.x1, z.x2,
-           |        1.0 / (1.0 + exp(-($pw.w0 + $pw.w1 * z.x1
-           |          + $pw.w2 * z.x2))) AS p
-           |      FROM z CROSS JOIN $pw))),
-           |w$k AS (
-           |  SELECT $pw.w0 - 1.0 * (g$k.g0 / 1000000000.0) / nn.n AS w0,
-           |         $pw.w1 - 1.0 * (g$k.g1 / 1000000000.0) / nn.n AS w1,
-           |         $pw.w2 - 1.0 * (g$k.g2 / 1000000000.0) / nn.n AS w2
-           |  FROM $pw CROSS JOIN g$k CROSS JOIN nn)""".stripMargin
-      }.mkString(",\n")
       val rows = (1 to GdSteps).map { k =>
         s"""SELECT $k AS step, nn.n AS n,
            |  ROUND(w$k.w0, 6) AS w0, ROUND(w$k.w1, 6) AS w1,
@@ -2039,19 +2207,114 @@ object MLOps {
            |  ROUND((g$k.le6 / 1000000.0) / nn.n, 6) AS pre_step_logloss
            |FROM w$k CROSS JOIN g$k CROSS JOIN nn""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH z AS MATERIALIZED (
-         |  SELECT
+      s"""WITH $gdTrajSql
+         |$rows
+         |ORDER BY step""".stripMargin
+    },
+    "ml_cartography" -> {
+      // P(true) at each post-update checkpoint, one expression per step —
+      // the Spark side holds all GdSteps quantized probabilities in one
+      // row, so the oracle mirrors that as fixed left-to-right sums.
+      def ptk(k: Int) =
+        s"""CAST(ROUND((CASE WHEN y = 1.0
+           |  THEN 1.0 / (1.0 + exp(-(w$k.w0 + w$k.w1 * x1 + w$k.w2 * x2)))
+           |  ELSE 1.0 - 1.0 / (1.0 + exp(-(w$k.w0 + w$k.w1 * x1
+           |    + w$k.w2 * x2))) END) * 1e9, 0) AS BIGINT)""".stripMargin
+      val ptCols = (1 to GdSteps)
+        .map(k => s"${ptk(k)} AS pt$k").mkString(",\n")
+      val spSum = (1 to GdSteps).map(k => s"pt$k").mkString(" + ")
+      val sppSum = (1 to GdSteps).map(k => s"pt$k * pt$k").mkString(" + ")
+      val ncSum = (1 to GdSteps)
+        .map(k => s"(CASE WHEN pt$k > $CartCorrectE9 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val crossW = (1 to GdSteps).map(k => s"CROSS JOIN w$k").mkString(" ")
+      s"""WITH $gdTrajSql,
+         |z2 AS (
+         |  SELECT vec_id,
          |    ROUND(CAST(embedding[1] AS DOUBLE) * 1000000.0, 0)
          |      / 1000000.0 AS x1,
          |    ROUND(CAST(embedding[2] AS DOUBLE) * 1000000.0, 0)
          |      / 1000000.0 AS x2,
          |    CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END AS y
          |  FROM embeddings),
-         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM z),
-         |wz AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
-         |$steps
+         |sc AS (
+         |  SELECT vec_id, y, $ptCols
+         |  FROM z2 $crossW),
+         |st AS (
+         |  SELECT vec_id, y,
+         |    $spSum AS sp,
+         |    $sppSum AS spp,
+         |    CAST($ncSum AS BIGINT) AS n_correct
+         |  FROM sc),
+         |mx AS (
+         |  SELECT vec_id, y, n_correct,
+         |    CAST(sp AS DOUBLE) / $GdSteps / 1e9 AS conf,
+         |    CAST(spp AS DOUBLE) / $GdSteps / 1e18 AS ep2
+         |  FROM st),
+         |fin AS (
+         |  SELECT vec_id, y, n_correct, conf,
+         |    sqrt(GREATEST(0.0, ep2 - conf * conf)) AS vrb
+         |  FROM mx)
+         |SELECT vec_id, y, n_correct,
+         |  ROUND(conf, 6) AS confidence,
+         |  ROUND(vrb, 6) AS variability,
+         |  CASE WHEN conf >= $CartConfHi AND vrb < $CartVarLo THEN 'easy'
+         |       WHEN conf <= $CartConfLo AND vrb < $CartVarLo THEN 'hard'
+         |       ELSE 'ambiguous' END AS region
+         |FROM fin
+         |ORDER BY vec_id""".stripMargin
+    },
+    "ml_bt_strength" -> {
+      val roundCtes = (1 to BtRounds).map { k =>
+        val prev = if (k == 1) "s0" else s"s${k - 1}"
+        s"""den$k AS (
+           |  SELECT n.ti AS t, CAST(SUM(CAST(ROUND(1e9 * CAST(n.nij AS DOUBLE)
+           |    / (CAST(si.s_e9 AS DOUBLE) / 1e9
+           |       + CAST(sj.s_e9 AS DOUBLE) / 1e9), 0) AS BIGINT)) AS BIGINT)
+           |    AS den_e9
+           |  FROM nij n JOIN $prev si ON n.ti = si.t
+           |    JOIN $prev sj ON n.tj = sj.t
+           |  GROUP BY 1),
+           |raw$k AS (
+           |  SELECT dw.t, CAST(ROUND(CAST(dw.wi AS DOUBLE)
+           |    / (CAST(den_e9 AS DOUBLE) / 1e9) * 1e9, 0) AS BIGINT) AS r_e9
+           |  FROM dw JOIN den$k ON dw.t = den$k.t),
+           |tot$k AS (
+           |  SELECT CAST(SUM(r_e9) AS BIGINT) AS sum_e9, COUNT(*) AS nt
+           |  FROM raw$k),
+           |s$k AS (
+           |  SELECT t, CAST(ROUND(CAST(r_e9 AS DOUBLE) * CAST(nt AS DOUBLE)
+           |    * 1e9 / CAST(sum_e9 AS DOUBLE), 0) AS BIGINT) AS s_e9
+           |  FROM raw$k CROSS JOIN tot$k)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to BtRounds).map { k =>
+        s"""SELECT $k AS step, t AS event_type, s_e9 AS strength_e9,
+           |  ROUND(CAST(s_e9 AS DOUBLE) / 1e9, 6) AS strength FROM s$k"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH uc AS MATERIALIZED (
+         |  SELECT user_id, event_type, COUNT(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |w AS MATERIALIZED (
+         |  SELECT a.event_type AS ti, b.event_type AS tj, COUNT(*) AS wins
+         |  FROM uc a JOIN uc b ON a.user_id = b.user_id
+         |    AND a.event_type <> b.event_type AND a.cnt > b.cnt
+         |  GROUP BY 1, 2),
+         |nij AS MATERIALIZED (
+         |  SELECT ti, tj, CAST(SUM(wins) AS BIGINT) AS nij FROM (
+         |    SELECT ti, tj, wins FROM w
+         |    UNION ALL SELECT tj AS ti, ti AS tj, wins FROM w)
+         |  GROUP BY 1, 2),
+         |wt AS (SELECT ti AS t, CAST(SUM(wins) AS BIGINT) AS wi
+         |  FROM w GROUP BY 1),
+         |dom AS (SELECT DISTINCT ti AS t FROM nij),
+         |dw AS (
+         |  SELECT dom.t, COALESCE(wt.wi, 0) AS wi
+         |  FROM dom LEFT JOIN wt ON dom.t = wt.t),
+         |s0 AS (SELECT t, CAST(1000000000 AS BIGINT) AS s_e9 FROM dom),
+         |$roundCtes
          |$rows
-         |ORDER BY step""".stripMargin
+         |ORDER BY step, event_type""".stripMargin
     },
     "ml_ridge_probe" -> {
       def det(a11: String, a12: String, a13: String,

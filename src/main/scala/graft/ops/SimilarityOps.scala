@@ -68,6 +68,12 @@ object SimilarityOps {
     */
   val Nprobe = 4
 
+  /** KNN-Shapley config (ml_knn_shapley): K of the K-NN utility and the
+    * number of top/bottom-valued training points shipped.
+    */
+  val ShapK = 5
+  val ShapTop = 15
+
   /** ADC candidates rescored per query by IVF-ADC (FAISS's refine
     * factor). Deeper than the flat scan's 2k: 16-code subquantizers on
     * isotropic data rank coarsely, so the recall lever is the exact
@@ -313,6 +319,71 @@ object SimilarityOps {
           round($"cos_exact", 6).as("cosine"),
           round($"best_pos" - $"cos_exact", 6).as("margin"))
         .orderBy("query_id", "rank")
+    }),
+
+    // Exact KNN-Shapley data valuation (Jia et al., PVLDB 2019,
+    // "Efficient Task-Specific Data Valuation for Nearest Neighbor
+    // Algorithms", Theorem 1): under a K-NN utility the Shapley value of
+    // every training point has a CLOSED FORM over one similarity ranking
+    // per test probe —
+    //   s_(N) = 1[y_(N)=y_q] / max(K, N)
+    //   s_(i) = s_(i+1) + (1[y_(i)=y_q] − 1[y_(i+1)=y_q]) · min(K,i)/(K·i)
+    // — so the whole valuation is rank + lead + one suffix sum, with no
+    // marginal-contribution sampling. This is the principled form of
+    // "which training examples help or hurt" curation: mislabeled or
+    // off-distribution points surface with NEGATIVE value. Test split =
+    // the NumQueries probe vectors, train split = everything else;
+    // per-point values sum over probes and the top/bottom ShapTop points
+    // ship. Determinism: cosine ties break on vec_id both engines; each
+    // recurrence term quantizes to a nano integer BEFORE the suffix sum
+    // (the exact rationals have denominators N and K·i, so the per-term
+    // rounding is the only float step and both engines round identical
+    // IEEE doubles). Scale: the pair frame is the ann_cosine_topk
+    // broadcast shape (Q probes ride along each corpus partition; the
+    // shuffle carries the Q-partitioned ranked pairs once); the suffix
+    // scan is per-probe O(N log N) — the paper's own LSH variant swaps
+    // the exact ranking for ANN candidates, which here means feeding any
+    // ann_* index's top-k' list into the same recurrence (rank
+    // arithmetic on k'·Q rows). Top/bottom rank windows run AFTER
+    // .limit(ShapTop) (TakeOrderedAndProject caps the frame first).
+    "ml_knn_shapley" -> ((s, d) => {
+      import s.implicits._
+      val v = prepared(s, d)
+      val q = v.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+          $"e".as("qe"), $"norm".as("qn"))
+      val train = v.filter($"vec_id" >= NumQueries)
+      val wr = Window.partitionBy($"query_id")
+        .orderBy(desc("cos_exact"), asc("vec_id"))
+      val ranked = train.crossJoin(broadcast(q))
+        .withColumn("cos_exact", dot($"e", $"qe") / ($"norm" * $"qn"))
+        .withColumn("i", row_number().over(wr))
+        .withColumn("m", when($"label" === $"qlabel", 1L).otherwise(0L))
+        .withColumn("nn",
+          count(lit(1)).over(Window.partitionBy($"query_id")))
+        .withColumn("m_next", lead($"m", 1).over(wr))
+      val terms = ranked.withColumn("t_e9",
+        when($"m_next".isNull,
+          round($"m".cast("double") * 1e9
+            / greatest(lit(ShapK.toLong), $"nn").cast("double"), 0)
+            .cast("long"))
+          .otherwise(round(($"m" - $"m_next").cast("double")
+            * least(lit(ShapK.toDouble), $"i".cast("double")) * 1e9
+            / (lit(ShapK.toDouble) * $"i".cast("double")), 0).cast("long")))
+        .withColumn("shap_e9", sum($"t_e9").over(
+          Window.partitionBy($"query_id").orderBy($"i")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      val perTrain = terms.groupBy($"vec_id", $"label")
+        .agg(sum($"shap_e9").as("shap_e9_sum"))
+      def side(tag: String, ord: Seq[Column]): DataFrame =
+        perTrain.orderBy(ord: _*).limit(ShapTop)
+          .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+          .withColumn("bucket", lit(tag))
+      side("top", Seq(desc("shap_e9_sum"), asc("vec_id")))
+        .unionByName(side("bottom", Seq(asc("shap_e9_sum"), asc("vec_id"))))
+        .select($"bucket", $"rank", $"vec_id", $"label", $"shap_e9_sum",
+          round($"shap_e9_sum" / 1e9 / lit(NumQueries), 6).as("avg_value"))
+        .orderBy($"bucket", $"rank")
     }),
 
     // Hybrid retrieval: BM25 lexical ranking ⊕ dense cosine ranking,
@@ -1167,6 +1238,58 @@ object SimilarityOps {
          |FROM neg LEFT JOIN bp ON neg.query_id = bp.query_id
          |WHERE neg.rank <= $TopK
          |ORDER BY neg.query_id, neg.rank""".stripMargin,
+    "ml_knn_shapley" ->
+      s"""WITH $prepSql,
+         |q AS (
+         |  SELECT vec_id AS query_id, label AS qlabel, e AS qe, norm AS qn
+         |  FROM n WHERE vec_id < $NumQueries),
+         |tr AS (
+         |  SELECT vec_id, label, e, norm FROM n WHERE vec_id >= $NumQueries),
+         |sc AS (
+         |  SELECT q.query_id, q.qlabel, tr.vec_id, tr.label,
+         |    ${dotSql("tr.e", "q.qe")} / (tr.norm * q.qn) AS cos_exact
+         |  FROM tr CROSS JOIN q),
+         |rk AS (
+         |  SELECT query_id, vec_id, label,
+         |    row_number() OVER w AS i,
+         |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS m,
+         |    LEAD(CASE WHEN label = qlabel THEN 1 ELSE 0 END) OVER w AS m_next,
+         |    COUNT(*) OVER (PARTITION BY query_id) AS nn
+         |  FROM sc
+         |  WINDOW w AS (PARTITION BY query_id
+         |    ORDER BY cos_exact DESC, vec_id ASC)),
+         |te AS (
+         |  SELECT query_id, vec_id, label, i,
+         |    CAST(ROUND(CASE WHEN m_next IS NULL
+         |      THEN CAST(m AS DOUBLE) * 1e9
+         |        / CAST(GREATEST($ShapK, nn) AS DOUBLE)
+         |      ELSE CAST(m - m_next AS DOUBLE)
+         |        * LEAST($ShapK.0, CAST(i AS DOUBLE)) * 1e9
+         |        / ($ShapK.0 * CAST(i AS DOUBLE)) END, 0) AS BIGINT) AS t_e9
+         |  FROM rk),
+         |sp AS (
+         |  SELECT query_id, vec_id, label,
+         |    CAST(SUM(t_e9) OVER (PARTITION BY query_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+         |      AS shap_e9
+         |  FROM te),
+         |pt AS (
+         |  SELECT vec_id, label, CAST(SUM(shap_e9) AS BIGINT) AS shap_e9_sum
+         |  FROM sp GROUP BY 1, 2),
+         |top AS (
+         |  SELECT 'top' AS bucket,
+         |    row_number() OVER (ORDER BY shap_e9_sum DESC, vec_id) AS rank,
+         |    vec_id, label, shap_e9_sum
+         |  FROM pt ORDER BY shap_e9_sum DESC, vec_id LIMIT $ShapTop),
+         |bot AS (
+         |  SELECT 'bottom' AS bucket,
+         |    row_number() OVER (ORDER BY shap_e9_sum ASC, vec_id) AS rank,
+         |    vec_id, label, shap_e9_sum
+         |  FROM pt ORDER BY shap_e9_sum ASC, vec_id LIMIT $ShapTop)
+         |SELECT bucket, rank, vec_id, label, shap_e9_sum,
+         |  ROUND(shap_e9_sum / 1e9 / $NumQueries, 6) AS avg_value
+         |FROM (SELECT * FROM top UNION ALL SELECT * FROM bot)
+         |ORDER BY bucket, rank""".stripMargin,
     "ann_filtered_topk" ->
       s"""WITH $prepSql,
          |f AS (

@@ -143,6 +143,9 @@ class PlanSpec extends SparkSpec {
     "ml_als_factors",                                // 1-row metric-agg crosses per alternation
     "ml_als_topk",                                   // 10-user factor broadcast × item factors (rec serving)
     "ml_als_save_load",                              // same serving shape from the reloaded factor frames
+    "ml_knn_shapley",                                // brute-force candidate gen (broadcast probe side)
+    "ml_cartography",                                // 1-row wide weight-snapshot broadcast (gdSteps state)
+    "ml_bt_strength",                                // 1-row normalizing-total broadcast per MM round
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.
@@ -171,6 +174,8 @@ class PlanSpec extends SparkSpec {
       "same mean-weight threshold window over the |V|^2-bounded edge aggregate",
     "retrieval_maxscore_topk" ->
       "cum-bound window over the <=|query terms| upper-bound table; rank window after .limit(K)",
+    "ml_knn_shapley" ->
+      "top/bottom rank windows after .limit(ShapTop) (TakeOrderedAndProject caps the frame first)",
     "text_heaps_law" ->
       "cumulative windows over the 10-row corpus-decile frame",
     "text_unigram_train" ->

@@ -316,4 +316,54 @@ class SimilaritySpec extends SparkSpec {
       assert(idcg == rows.head._5, "IDCG should be the full-k constant here")
     }
   }
+
+  test("KNN-Shapley: full local replay of Theorem 1 + efficiency axiom") {
+    import graft.ops.SimilarityOps.{NumQueries, ShapK, ShapTop}
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dotf(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i)) // VecDot fold order
+    def rnd(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    val norms = rows.map(r => r._1 -> math.sqrt(dotf(r._3, r._3))).toMap
+    val probes = rows.filter(_._1 < NumQueries)
+    val train = rows.filter(_._1 >= NumQueries)
+    val nn = train.length
+    val acc = scala.collection.mutable.Map
+      .empty[Long, Long].withDefaultValue(0L)
+    probes.foreach { case (qid, qlab, qe) =>
+      val ranked = train.map { case (id, lab, e) =>
+        (id, lab, dotf(e, qe) / (norms(id) * norms(qid)))
+      }.sortBy { case (id, _, c) => (-c, id) }
+      val m = ranked.map { case (_, lab, _) => if (lab == qlab) 1L else 0L }
+      val t = Array.tabulate(nn) { j => // j is 0-based; rank i = j + 1
+        if (j == nn - 1)
+          rnd(m(j).toDouble * 1e9 / math.max(ShapK.toLong, nn.toLong).toDouble)
+        else rnd((m(j) - m(j + 1)).toDouble
+          * math.min(ShapK.toDouble, (j + 1).toDouble) * 1e9
+          / (ShapK.toDouble * (j + 1).toDouble))
+      }
+      val suffix = t.scanRight(0L)(_ + _).dropRight(1) // s_(j+1) in nano units
+      ranked.indices.foreach(j => acc(ranked(j)._1) += suffix(j))
+      // Efficiency axiom: sum of all Shapley values = v(full train set)
+      // = hits@K / K. Per-term nano rounding gives each suffix sum <= nn/2
+      // nano error, so the grand sum deviates at most nn^2/2 nano units.
+      val hitsAtK = m.take(ShapK).sum
+      assert(math.abs(suffix.sum - hitsAtK * (1e9.toLong / ShapK)) <=
+        nn.toLong * nn / 2, s"probe $qid efficiency axiom")
+    }
+    val got = SparkEntry.queries("ml_knn_shapley")(spark, sf)
+      .as[(String, Int, Long, Int, Long, Double)].collect()
+    val expTop = acc.toSeq.sortBy { case (id, v) => (-v, id) }.take(ShapTop)
+    val expBot = acc.toSeq.sortBy { case (id, v) => (v, id) }.take(ShapTop)
+    def sideOf(tag: String) =
+      got.filter(_._1 == tag).sortBy(_._2).map(r => (r._3, r._5)).toSeq
+    assert(sideOf("top") == expTop, "top-valued points replay")
+    assert(sideOf("bottom") == expBot, "bottom-valued points replay")
+    // mislabel detector sanity: some training point must carry negative
+    // value on this corpus (labels are ~uniform -> plenty of bad neighbors)
+    assert(expBot.head._2 < 0L, "most harmful point should have negative value")
+  }
 }

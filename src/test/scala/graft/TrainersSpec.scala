@@ -155,6 +155,111 @@ class TrainersSpec extends SparkSpec {
     }
   }
 
+  test("ml_bt_strength: normalized trajectory replays the MM rounds locally") {
+    import graft.ops.MLOps.BtRounds
+    def q(v: Double): Long =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    val rows = SparkEntry.queries("ml_bt_strength")(spark, sf)
+      .as[(Int, String, Long, Double)].collect()
+    val byStep = rows.groupBy(_._1)
+    assert(byStep.keySet == (1 to BtRounds).toSet)
+    // mean-1 normalization: per step, sum of strengths ~= |types| (each
+    // s_e9 rounds once, so the total is off by at most |types|/2 nanos)
+    byStep.foreach { case (k, rs) =>
+      assert(math.abs(rs.map(_._3).sum - rs.length * 1000000000L) <=
+        rs.length, s"step $k not mean-normalized")
+      rs.foreach(r => assert(r._3 > 0L, s"non-positive strength at $r"))
+    }
+    // full local replay of the comparison build + BtRounds MM rounds
+    val cnt = graft.ops.Tables.events(spark, sf)
+      .groupBy($"user_id", $"event_type").count()
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val wins = scala.collection.mutable.Map
+      .empty[(String, String), Long].withDefaultValue(0L)
+    cnt.values.foreach { m =>
+      for ((a, ca) <- m; (b, cb) <- m if a != b && ca > cb)
+        wins((a, b)) += 1L
+    }
+    val types = wins.keys.flatMap(p => Seq(p._1, p._2)).toSeq.distinct.sorted
+    val nij = types.flatMap(i => types.filter(_ != i).map(j =>
+      (i, j) -> (wins((i, j)) + wins((j, i))))).filter(_._2 > 0L).toMap
+    val wi = types.map(i => i -> types.filter(_ != i)
+      .map(j => wins((i, j))).sum).toMap
+    var st = types.map(_ -> 1000000000L).toMap
+    (1 to BtRounds).foreach { k =>
+      val den = types.map { i =>
+        i -> types.filter(j => j != i && nij.contains((i, j))).map { j =>
+          q(1e9 * nij((i, j)).toDouble
+            / (st(i).toDouble / 1e9 + st(j).toDouble / 1e9))
+        }.sum
+      }.toMap
+      val raw = types.map(i =>
+        i -> q(wi(i).toDouble / (den(i).toDouble / 1e9) * 1e9)).toMap
+      val sumE9 = types.map(raw).sum
+      st = types.map(i => i -> q(raw(i).toDouble * types.length.toDouble
+        * 1e9 / sumE9.toDouble)).toMap
+      val got = byStep(k).map(r => r._2 -> r._3).toMap
+      assert(got == st, s"step $k strengths diverged from the local replay")
+    }
+  }
+
+  test("ml_cartography: exact local replay of the training-dynamics map") {
+    import graft.ops.MLOps.{GdSteps, CartConfHi, CartConfLo, CartVarLo}
+    def q(v: Double, s: Double): Long =
+      BigDecimal(v * s).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLongExact
+    // replay the gd trajectory (same loop the logreg test pins)
+    val z = graft.ops.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+      .map { case (id, e, l) =>
+        (id, math.rint(e(0).toDouble * 1e6) / 1e6,
+          math.rint(e(1).toDouble * 1e6) / 1e6, if (l == 1) 1.0 else 0.0) }
+    val n = z.length.toDouble
+    var (w0, w1, w2) = (0.0, 0.0, 0.0)
+    val traj = (1 to GdSteps).map { _ =>
+      var (g0, g1, g2) = (0L, 0L, 0L)
+      z.foreach { case (_, x1, x2, y) =>
+        val p = 1.0 / (1.0 + math.exp(-(w0 + w1 * x1 + w2 * x2)))
+        val r = p - y
+        g0 += q(r, 1e9); g1 += q(r * x1, 1e9); g2 += q(r * x2, 1e9)
+      }
+      w0 = w0 - 1.0 * (g0 / 1e9) / n
+      w1 = w1 - 1.0 * (g1 / 1e9) / n
+      w2 = w2 - 1.0 * (g2 / 1e9) / n
+      (w0, w1, w2)
+    }
+    val exp = z.map { case (id, x1, x2, y) =>
+      val pts = traj.map { case (a0, a1, a2) =>
+        val p = 1.0 / (1.0 + math.exp(-(a0 + a1 * x1 + a2 * x2)))
+        q(if (y == 1.0) p else 1.0 - p, 1e9)
+      }
+      val sp = pts.sum
+      val spp = pts.map(v => v * v).sum
+      val nc = pts.count(_ > 500000000L).toLong
+      val conf = sp.toDouble / GdSteps / 1e9
+      val vrb = math.sqrt(math.max(0.0,
+        spp.toDouble / GdSteps / 1e18 - conf * conf))
+      val region =
+        if (conf >= CartConfHi && vrb < CartVarLo) "easy"
+        else if (conf <= CartConfLo && vrb < CartVarLo) "hard"
+        else "ambiguous"
+      id -> (y, nc, conf, vrb, region)
+    }.toMap
+    val got = SparkEntry.queries("ml_cartography")(spark, sf)
+      .as[(Long, Double, Long, Double, Double, String)].collect()
+    assert(got.length == z.length, "one row per example")
+    got.foreach { case (id, y, nc, conf, vrb, region) =>
+      val (ey, enc, econf, evrb, eregion) = exp(id)
+      assert(y == ey && nc == enc && region == eregion, s"example $id")
+      assert(math.abs(conf - econf) < 1e-6 && math.abs(vrb - evrb) < 1e-6,
+        s"example $id stats")
+    }
+    // the map is non-degenerate on this corpus: more than one region fires
+    assert(got.map(_._6).distinct.length > 1, "cartography map degenerate")
+  }
+
   test("ml_kmeans_silhouette: full coverage, scores in [0, 1]") {
     val rows = SparkEntry.queries("ml_kmeans_silhouette")(spark, sf).collect()
     val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
