@@ -1741,6 +1741,72 @@ object TextOps {
         .orderBy("bin")
     }),
 
+    // Split conformal prediction over the NB classifier (Vovk's
+    // conformal framework; Angelopoulos & Bates 2022, "A Gentle
+    // Introduction to Conformal Prediction and Distribution-Free
+    // Uncertainty Quantification"): the coverage wrapper an eval stack
+    // puts around ANY classifier — prediction SETS with the
+    // finite-sample marginal guarantee P(true class in set) >= 1-alpha,
+    // no model assumptions. The held-out buckets split again: bucket 8
+    // calibrates (nonconformity s = 1 - softmax P(true class)), bucket
+    // 9 evaluates. qhat = the ceil((n+1)(1-alpha))-th smallest
+    // calibration score; a class enters a doc's set iff its score <=
+    // qhat. Reported per alpha in {0.1, 0.2}: qhat, empirical coverage,
+    // average set size (the efficiency metric). Determinism: the
+    // softmax is ml_calibration_bins' max-shift nano device, the
+    // nonconformity re-quantizes to micro ints, rank k is pure integer
+    // arithmetic (ceil via (x + den - 1) div den), and qhat is a MIN
+    // over an integer cumulative — every threshold comparison is
+    // integer-exact in both engines. Scale: calibration scores collapse
+    // to <= 1e6+1 micro-value bins (value-range-bounded,
+    // corpus-independent) before the rank scan; the eval pass is a
+    // 2-row qhat broadcast over the (doc, class) score frame.
+    "ml_conformal_split" -> ((s, d) => {
+      import s.implicits._
+      val sc = nbScored(s, d)
+      val mx = sc.groupBy($"doc_id").agg(max($"score").as("smax"))
+      val soft = sc.join(mx, "doc_id")
+        .withColumn("nano",
+          round(exp(($"score" - $"smax").cast("double") / 1e6) * 1e9, 0)
+            .cast("long"))
+      val den = soft.groupBy($"doc_id").agg(sum($"nano").as("dn"))
+      val scored = soft.join(den, "doc_id")
+        .withColumn("alpha_m",
+          round((lit(1.0) - $"nano".cast("double") / $"dn") * 1e6, 0)
+            .cast("long"))
+        .withColumn("split", pmod(graft.functions.PolyHash.poly_hash(
+          $"doc_id".cast("string")), lit(10L)))
+      val cal = scored.filter($"split" === 8 && $"pred_cand" === $"true_lang")
+      val calCum = cal.groupBy($"alpha_m").agg(count(lit(1)).as("cb"))
+        .withColumn("cum", sum($"cb").over(Window.orderBy($"alpha_m")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val nCal = cal.agg(count(lit(1)).as("n_cal"))
+      val lv = Seq((0.1, 9L, 10L), (0.2, 4L, 5L))
+        .toDF("alpha", "knum", "kden")
+      val kq = lv.crossJoin(broadcast(nCal))
+        .withColumn("k", expr("((n_cal + 1) * knum + kden - 1) div kden"))
+      val qh = kq.join(calCum, $"cum" >= $"k", "left")
+        .groupBy($"alpha", $"n_cal", $"k")
+        .agg(coalesce(min($"alpha_m"), lit(1000000L)).as("qhat_m"))
+      val ev = scored.filter($"split" === 9)
+        .select($"doc_id", $"true_lang", $"pred_cand", $"alpha_m")
+      val perDoc = ev.crossJoin(broadcast(qh))
+        .withColumn("inset", when($"alpha_m" <= $"qhat_m", 1L).otherwise(0L))
+        .groupBy($"alpha", $"n_cal", $"k", $"qhat_m", $"doc_id")
+        .agg(sum($"inset").as("set_size"),
+          max(when($"pred_cand" === $"true_lang", $"inset").otherwise(0L))
+            .as("covered"))
+      perDoc.groupBy($"alpha", $"n_cal", $"k", $"qhat_m")
+        .agg(count(lit(1)).as("n_eval"), sum($"set_size").as("tss"),
+          sum($"covered").as("ncov"))
+        .select($"alpha", $"n_cal", $"k",
+          round($"qhat_m".cast("double") / 1e6, 6).as("qhat"),
+          $"n_eval",
+          round($"tss".cast("double") / $"n_eval", 6).as("avg_set_size"),
+          round($"ncov".cast("double") / $"n_eval", 6).as("coverage"))
+        .orderBy("alpha")
+    }),
+
     // DoReMi-lite domain reweighting (Xie et al. 2023 "DoReMi", the
     // closed-form single-pass variant): the mixture family's FEEDBACK
     // member — temperature resampling flattens by size alone, DSIR
@@ -2619,6 +2685,57 @@ object TextOps {
          |  ROUND(CAST(n_correct AS DOUBLE) / n_docs, 6) AS accuracy,
          |  n_correct, ece
          |FROM bins CROSS JOIN ec ORDER BY bin""".stripMargin,
+    "ml_conformal_split" ->
+      s"""WITH $nbScoredCtes,
+         |mx AS (SELECT doc_id, MAX(score) AS smax FROM sc GROUP BY 1),
+         |soft AS (
+         |  SELECT sc.doc_id, sc.true_lang, sc.pred_cand,
+         |    CAST(ROUND(exp(CAST(sc.score - mx.smax AS DOUBLE) / 1e6)
+         |      * 1e9, 0) AS BIGINT) AS nano
+         |  FROM sc JOIN mx ON sc.doc_id = mx.doc_id),
+         |den AS (
+         |  SELECT doc_id, CAST(SUM(nano) AS BIGINT) AS dn
+         |  FROM soft GROUP BY 1),
+         |sco AS (
+         |  SELECT soft.doc_id, soft.true_lang, soft.pred_cand,
+         |    CAST(ROUND((1.0 - CAST(nano AS DOUBLE) / dn) * 1e6, 0)
+         |      AS BIGINT) AS alpha_m,
+         |    ${graft.ops.DedupOps.polyHashSql("CAST(soft.doc_id AS VARCHAR)")}
+         |      % 10 AS split
+         |  FROM soft JOIN den ON soft.doc_id = den.doc_id),
+         |cal AS (SELECT alpha_m FROM sco
+         |  WHERE split = 8 AND pred_cand = true_lang),
+         |cbins AS (SELECT alpha_m, COUNT(*) AS cb FROM cal GROUP BY 1),
+         |ccum AS (SELECT alpha_m, SUM(cb) OVER (ORDER BY alpha_m
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM cbins),
+         |ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+         |lv(alpha, knum, kden) AS (VALUES
+         |  (CAST(0.1 AS DOUBLE), 9, 10), (CAST(0.2 AS DOUBLE), 4, 5)),
+         |kq AS (SELECT alpha, n_cal,
+         |    ((n_cal + 1) * knum + kden - 1) // kden AS k
+         |  FROM lv CROSS JOIN ncal),
+         |qh AS (SELECT kq.alpha, kq.n_cal, kq.k,
+         |    COALESCE(MIN(ccum.alpha_m), 1000000) AS qhat_m
+         |  FROM kq LEFT JOIN ccum ON ccum.cum >= kq.k GROUP BY 1, 2, 3),
+         |ev AS (SELECT doc_id, true_lang, pred_cand, alpha_m
+         |  FROM sco WHERE split = 9),
+         |pd AS (
+         |  SELECT qh.alpha, qh.n_cal, qh.k, qh.qhat_m, ev.doc_id,
+         |    CAST(SUM(CASE WHEN ev.alpha_m <= qh.qhat_m THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS set_size,
+         |    MAX(CASE WHEN ev.pred_cand = ev.true_lang
+         |      AND ev.alpha_m <= qh.qhat_m THEN 1 ELSE 0 END) AS covered
+         |  FROM ev CROSS JOIN qh GROUP BY 1, 2, 3, 4, 5)
+         |SELECT alpha, n_cal, k,
+         |  ROUND(CAST(qhat_m AS DOUBLE) / 1e6, 6) AS qhat,
+         |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |  ROUND(CAST(SUM(set_size) AS BIGINT)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS avg_set_size,
+         |  ROUND(CAST(SUM(covered) AS BIGINT)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+         |FROM pd GROUP BY alpha, n_cal, k, qhat_m
+         |ORDER BY alpha""".stripMargin,
     "corpus_doremi_weights" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |db AS (

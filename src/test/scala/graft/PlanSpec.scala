@@ -146,6 +146,7 @@ class PlanSpec extends SparkSpec {
     "ml_knn_shapley",                                // brute-force candidate gen (broadcast probe side)
     "ml_cartography",                                // 1-row wide weight-snapshot broadcast (gdSteps state)
     "ml_bt_strength",                                // 1-row normalizing-total broadcast per MM round
+    "ml_conformal_split",                            // cum>=k rank probe + 2-row qhat broadcast (nbScored core)
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.
@@ -176,6 +177,8 @@ class PlanSpec extends SparkSpec {
       "cum-bound window over the <=|query terms| upper-bound table; rank window after .limit(K)",
     "ml_knn_shapley" ->
       "top/bottom rank windows after .limit(ShapTop) (TakeOrderedAndProject caps the frame first)",
+    "ml_conformal_split" ->
+      "cumulative window over the micro-quantized nonconformity bins (<= 1e6+1 value-range-bounded domain, corpus-independent)",
     "text_heaps_law" ->
       "cumulative windows over the 10-row corpus-decile frame",
     "text_unigram_train" ->

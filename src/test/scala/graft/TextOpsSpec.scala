@@ -177,6 +177,32 @@ class TextOpsSpec extends SparkSpec {
       s"ece ${rows.head._6} vs $eceLocal")
   }
 
+  test("conformal sets: rank formula, threshold monotonicity, coverage") {
+    val rows = SparkEntry.queries("ml_conformal_split")(spark, sf)
+      .as[(Double, Long, Long, Double, Long, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0.1, 0.2))
+    val nClasses = SparkEntry.queries("text_nb_classifier")(spark, sf)
+      .select($"true_lang").distinct().count()
+    rows.foreach { case (alpha, nCal, k, qhat, nEval, avgSz, cov) =>
+      // k = ceil((n+1)(1-alpha)) replayed locally in exact rationals
+      val (num, den) = if (alpha == 0.1) (9L, 10L) else (4L, 5L)
+      assert(k == ((nCal + 1) * num + den - 1) / den, s"alpha $alpha rank")
+      assert(qhat >= 0.0 && qhat <= 1.0 && nEval > 0)
+      assert(avgSz >= 0.0 && avgSz <= nClasses.toDouble,
+        s"set size $avgSz vs $nClasses classes")
+      // finite-sample slack: the 1-alpha guarantee is marginal over
+      // calibration draws; allow 3 binomial sigmas on this fixed split
+      val slack = 3.0 * math.sqrt(alpha * (1 - alpha) / nEval)
+      assert(cov >= 1.0 - alpha - slack,
+        s"alpha $alpha coverage $cov below ${1 - alpha} - $slack")
+    }
+    // lower alpha demands MORE coverage -> larger threshold and sets
+    assert(rows(0)._4 >= rows(1)._4, "qhat not monotone in coverage level")
+    assert(rows(0)._6 >= rows(1)._6, "set size not monotone")
+    assert(rows(0)._7 >= rows(1)._7, "coverage not monotone")
+  }
+
   test("Zipf fit matches an exact local OLS over the same rank table") {
     val rows = SparkEntry.queries("text_zipf_slope")(spark, sf)
       .as[(Long, String, Long, Double, Double)].collect().sortBy(_._1)
