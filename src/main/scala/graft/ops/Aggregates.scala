@@ -527,6 +527,53 @@ object Aggregates {
         .orderBy("dow")
     }),
 
+    // Skyline / Pareto-front query (Börzsönyi, Kossmann & Stocker, ICDE
+    // 2001, "The Skyline Operator"): the maximal users under (total
+    // event value, event count) — no other user is >= on both dims and
+    // > on one. The multi-objective "best examples" selector every
+    // curation stack reinvents (quality vs length vs novelty); here on
+    // exact integer dims (micro-quantized value sum, count) so dominance
+    // is integer comparison in both engines. TWO-PHASE scale-safe plan:
+    // (1) PRUNE — a 1-row min/max broadcast grid-bins the value dim into
+    // <= 1001 equi-width buckets (bounded by construction, not by data);
+    // the running max of event counts over STRICTLY higher buckets is a
+    // dominance envelope (any point at or under it has a strictly-
+    // richer, no-less-active dominator), and only envelope-beating
+    // points survive — the map-side kill that does the corpus-scale
+    // work. (2) VERIFY — exact dominance anti-join among the survivors
+    // only; transitivity guarantees every dominator of a survivor is
+    // itself a survivor, so the prune is lossless (proven against the
+    // N^2 definition in RelationalSpec and by the oracle, which runs
+    // the DIRECT NOT-EXISTS definition — a genuinely different
+    // algorithm). At 100 TB: one user-keyed aggregate, one bounded
+    // envelope, survivor-set-sized quadratic verify.
+    "a_pareto_front" -> ((s, d) => {
+      import s.implicits._
+      val prof = events(s, d).groupBy($"user_id")
+        .agg(sum(round($"value" * 1e6, 0).cast("long")).as("tv_micro"),
+          count(lit(1)).as("n_events"))
+        .localCheckpoint(false) // built once; probed by prune + verify
+      val st = prof.agg(min($"tv_micro").as("lo"), max($"tv_micro").as("hi"))
+      val binned = prof.crossJoin(broadcast(st))
+        .withColumn("bkt", when($"hi" === $"lo", lit(0L))
+          .otherwise(expr("((tv_micro - lo) * 1000) div (hi - lo + 1)")))
+      val env = binned.groupBy($"bkt").agg(max($"n_events").as("bmax"))
+      val above = env.withColumn("above",
+        max($"bmax").over(Window.orderBy(desc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      val cand = binned.join(above.select($"bkt", $"above"), "bkt")
+        .filter($"above".isNull || $"n_events" > $"above")
+        .select($"user_id", $"tv_micro", $"n_events")
+        .localCheckpoint(false) // survivor set: probed by both verify sides
+      val c2 = cand.select($"tv_micro".as("qtv"), $"n_events".as("qne"))
+      cand.join(c2,
+          $"qtv" >= $"tv_micro" && $"qne" >= $"n_events" &&
+            ($"qtv" > $"tv_micro" || $"qne" > $"n_events"), "left_anti")
+        .select($"user_id", $"n_events", $"tv_micro",
+          round($"tv_micro".cast("double") / 1e6, 6).as("total_value"))
+        .orderBy("user_id")
+    }),
+
     // First-order Markov transition matrix over per-user event sequences
     // — the behavioral-model readout (what follows a signup?). One
     // user-keyed window (lead over the unique (ts, event_id) order, so
@@ -1979,6 +2026,21 @@ object Aggregates {
         |    / (tn / td), 6) AS seasonality_idx
         |FROM d2 CROSS JOIN tot
         |GROUP BY dow, tn, td ORDER BY dow""".stripMargin,
+    "a_pareto_front" ->
+      """WITH prof AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |      AS tv_micro,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT p.user_id, p.n_events, p.tv_micro,
+        |  ROUND(CAST(p.tv_micro AS DOUBLE) / 1e6, 6) AS total_value
+        |FROM prof p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM prof q
+        |  WHERE q.tv_micro >= p.tv_micro AND q.n_events >= p.n_events
+        |    AND (q.tv_micro > p.tv_micro OR q.n_events > p.n_events))
+        |ORDER BY p.user_id""".stripMargin,
     "a_markov_transitions" ->
       """WITH seq AS (
         |  SELECT event_type AS from_type,

@@ -147,6 +147,7 @@ class PlanSpec extends SparkSpec {
     "ml_cartography",                                // 1-row wide weight-snapshot broadcast (gdSteps state)
     "ml_bt_strength",                                // 1-row normalizing-total broadcast per MM round
     "ml_conformal_split",                            // cum>=k rank probe + 2-row qhat broadcast (nbScored core)
+    "a_pareto_front",                                // 1-row min/max grid broadcast + survivor-set dominance verify
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.
@@ -179,6 +180,8 @@ class PlanSpec extends SparkSpec {
       "top/bottom rank windows after .limit(ShapTop) (TakeOrderedAndProject caps the frame first)",
     "ml_conformal_split" ->
       "cumulative window over the micro-quantized nonconformity bins (<= 1e6+1 value-range-bounded domain, corpus-independent)",
+    "a_pareto_front" ->
+      "envelope running-max over the <= 1001 equi-width grid buckets (bounded by construction)",
     "text_heaps_law" ->
       "cumulative windows over the 10-row corpus-decile frame",
     "text_unigram_train" ->

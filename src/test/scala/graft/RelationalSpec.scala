@@ -247,6 +247,27 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.benchQueries.forall(SparkEntry.queries.contains))
   }
 
+  test("pareto front equals the brute-force N^2 skyline (prune lossless)") {
+    val prof = graft.ops.Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(sum(round($"value" * 1e6, 0).cast("long")).as("tv"),
+        count(lit(1)).as("ne"))
+      .as[(Long, Long, Long)].collect()
+    def dom(q: (Long, Long, Long), p: (Long, Long, Long)): Boolean =
+      q._2 >= p._2 && q._3 >= p._3 && (q._2 > p._2 || q._3 > p._3)
+    val brute = prof.filter(p => !prof.exists(q => dom(q, p)))
+      .map(_._1).toSet
+    val got = SparkEntry.queries("a_pareto_front")(spark, sf)
+      .select($"user_id").as[Long].collect().toSet
+    assert(got == brute, s"skyline mismatch: got $got vs $brute")
+    // the front is an antichain and every other point is dominated by it
+    val frontRows = prof.filter(p => got(p._1))
+    frontRows.foreach(p => assert(!frontRows.exists(q => dom(q, p))))
+    prof.filterNot(p => got(p._1)).foreach { p =>
+      assert(frontRows.exists(q => dom(q, p)), s"uncovered point $p")
+    }
+  }
+
   test("incremental aggregate merge equals the direct one-pass aggregate") {
     val merged = SparkEntry.queries("agg_incremental_merge")(spark, sf)
       .select($"event_type", $"n_total", $"sum_value", $"min_value",
