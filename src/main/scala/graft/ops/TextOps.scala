@@ -1230,6 +1230,72 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    // Goodman 1999's interpolated form with one absolute discount
+    // D = 0.75) — the KenLM-grade perplexity scorer CCNet-style quality
+    // filtering actually uses, completing the LM-quality family (raw
+    // bigram text_lm_score, stupid-backoff text_lm_backoff, KN here):
+    //   P(w2|w1) = max(c(w1 w2) − D, 0)/c(w1·)
+    //            + [D · N1+(w1·)/c(w1·)] · Pcont(w2)
+    // where Pcont is the CONTINUATION distribution (how many distinct
+    // histories precede w2 — the "San Francisco" fix: 'francisco' is
+    // frequent but predictable, so its unigram weight collapses), here
+    // add-one smoothed over the train vocab so unseen words keep a
+    // positive floor; an unseen history backs off to Pcont alone.
+    // Scoring: held-out (bucket 9) docs' per-bigram NLL quantizes to a
+    // micro long BEFORE the per-doc sum (order-free), so avg NLL and
+    // e-based perplexity are fixed expressions over exact integers —
+    // fully DuckDB-replayed. Scale: counts are corpus-keyed aggregates
+    // built once (the model IS three count tables, join-distributed at
+    // serve time — no driver state beyond the vocab-size scalar); the
+    // scoring pass is test-bigram-keyed joins against them.
+    "text_kn_bigram" -> ((s, d) => {
+      import s.implicits._
+      val D = 0.75
+      val bucketed = documents(s, d).select($"doc_id", tokens($"text").as("t"),
+        (graft.functions.PolyHash.poly_hash($"doc_id".cast("string")) % 10)
+          .as("bucket"))
+      val train = bucketed.filter($"bucket" < 8)
+      def bigrams(df: DataFrame, cols: Column*): DataFrame =
+        df.select(cols :+ explode(when(size($"t") >= 2,
+          transform(sequence(lit(0), size($"t") - 2),
+            i => struct(element_at($"t", i + 1).as("w1"),
+              element_at($"t", i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("g"): _*)
+      val bi = bigrams(train)
+        .select($"g.w1", $"g.w2")
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+        .localCheckpoint(false) // feeds hist/cont/type-count + the probe
+      val hist = bi.groupBy($"w1")
+        .agg(sum($"cb").as("ch"), count(lit(1)).as("n1f"))
+      val cont = bi.groupBy($"w2").agg(count(lit(1)).as("n1b"))
+      val stats = bi.agg(count(lit(1)).as("nbt"))
+      // train vocab size: an S12-family model scalar (the lm_backoff
+      // nTokens posture)
+      val v = train.select(explode($"t").as("w")).distinct().count()
+      val scored = bigrams(bucketed.filter($"bucket" === 9), $"doc_id")
+        .select($"doc_id", $"g.w1", $"g.w2")
+        .join(bi, Seq("w1", "w2"), "left")
+        .join(hist, Seq("w1"), "left")
+        .join(cont, Seq("w2"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("pcont", (coalesce($"n1b", lit(0L)) + 1).cast("double")
+          / ($"nbt" + lit(v)).cast("double"))
+        .withColumn("p", when($"ch".isNotNull,
+          greatest(coalesce($"cb", lit(0L)).cast("double") - lit(D), lit(0.0))
+            / $"ch"
+            + (lit(D) * $"n1f".cast("double") / $"ch") * $"pcont")
+          .otherwise($"pcont"))
+        .withColumn("nllm", round(-log($"p") * 1e6, 0).cast("long"))
+      scored.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"nllm").as("snll"))
+        .select($"doc_id", $"n_bigrams",
+          round($"snll" / 1e6 / $"n_bigrams", 6).as("kn_nll"),
+          round(exp($"snll" / 1e6 / $"n_bigrams"), 6).as("kn_ppl"))
+        .orderBy("doc_id")
+    }),
+
     // BPE merge training (Sennrich et al. 2016), 8 rounds over the word-
     // frequency table: start from characters + a </w> end marker, each
     // round count adjacent symbol pairs (positional, freq-weighted), merge
@@ -2811,6 +2877,54 @@ object TextOps {
       s"""SELECT lang, COUNT(*) AS n_sampled FROM documents
          |WHERE ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 2
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_kn_bigram" ->
+      s"""WITH dzk AS MATERIALIZED (
+         |  SELECT doc_id, $tokensSql AS t,
+         |    ${graft.ops.DedupOps.polyHashSql("CAST(doc_id AS VARCHAR)")}
+         |      % 10 AS bucket
+         |  FROM documents),
+         |trk AS (SELECT t FROM dzk WHERE bucket < 8),
+         |bik AS (
+         |  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         |    COUNT(*) AS cb
+         |  FROM (SELECT unnest(list_transform(range(len(t) - 1),
+         |    i -> t[i+1] || ' ' || t[i+2])) AS bg FROM trk)
+         |  GROUP BY 1, 2),
+         |histk AS (
+         |  SELECT w1, CAST(SUM(cb) AS BIGINT) AS ch, COUNT(*) AS n1f
+         |  FROM bik GROUP BY 1),
+         |contk AS (SELECT w2, COUNT(*) AS n1b FROM bik GROUP BY 1),
+         |stk AS (SELECT COUNT(*) AS nbt FROM bik),
+         |vzk AS (SELECT COUNT(DISTINCT w) AS v FROM (
+         |  SELECT unnest(t) AS w FROM trk)),
+         |tek AS (
+         |  SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+         |    split_part(bg, ' ', 2) AS w2
+         |  FROM (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+         |    i -> t[i+1] || ' ' || t[i+2])) AS bg
+         |    FROM dzk WHERE bucket = 9)),
+         |sck AS (
+         |  SELECT tek.doc_id,
+         |    CAST(ROUND(-ln(
+         |      CASE WHEN histk.ch IS NOT NULL THEN
+         |        GREATEST(CAST(COALESCE(bik.cb, 0) AS DOUBLE) - 0.75, 0.0)
+         |          / histk.ch
+         |        + (0.75 * CAST(histk.n1f AS DOUBLE) / histk.ch)
+         |          * (CAST(COALESCE(contk.n1b, 0) + 1 AS DOUBLE)
+         |             / CAST(stk.nbt + vzk.v AS DOUBLE))
+         |      ELSE CAST(COALESCE(contk.n1b, 0) + 1 AS DOUBLE)
+         |        / CAST(stk.nbt + vzk.v AS DOUBLE) END) * 1e6, 0)
+         |      AS BIGINT) AS nllm
+         |  FROM tek
+         |  LEFT JOIN bik ON tek.w1 = bik.w1 AND tek.w2 = bik.w2
+         |  LEFT JOIN histk ON tek.w1 = histk.w1
+         |  LEFT JOIN contk ON tek.w2 = contk.w2
+         |  CROSS JOIN stk CROSS JOIN vzk)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  ROUND(CAST(SUM(nllm) AS BIGINT) / 1e6 / COUNT(*), 6) AS kn_nll,
+         |  ROUND(exp(CAST(SUM(nllm) AS BIGINT) / 1e6 / COUNT(*)), 6)
+         |    AS kn_ppl
+         |FROM sck GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_lm_backoff" ->
       s"""WITH d AS MATERIALIZED (
          |  SELECT doc_id, $tokensSql AS toks,

@@ -148,6 +148,7 @@ class PlanSpec extends SparkSpec {
     "ml_bt_strength",                                // 1-row normalizing-total broadcast per MM round
     "ml_conformal_split",                            // cum>=k rank probe + 2-row qhat broadcast (nbScored core)
     "a_pareto_front",                                // 1-row min/max grid broadcast + survivor-set dominance verify
+    "text_kn_bigram",                                // 1-row bigram-type-count broadcast (KN continuation denominator)
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.

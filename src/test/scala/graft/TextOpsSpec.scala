@@ -177,6 +177,66 @@ class TextOpsSpec extends SparkSpec {
       s"ece ${rows.head._6} vs $eceLocal")
   }
 
+  test("KN bigram LM: local replay + exact per-history normalization") {
+    def q(v: Double, s: Double): Long =
+      BigDecimal(v * s).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLongExact
+    val D = 0.75
+    val raw = graft.ops.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        (id, t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq) }
+    val buckets = graft.ops.Tables.documents(spark, sf)
+      .select($"doc_id", (graft.functions.PolyHash.poly_hash(
+        $"doc_id".cast("string")) % 10).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val train = raw.filter(r => buckets(r._1) < 8)
+    val test = raw.filter(r => buckets(r._1) == 9)
+    val bi = scala.collection.mutable.Map
+      .empty[(String, String), Long].withDefaultValue(0L)
+    train.foreach { case (_, t) =>
+      t.sliding(2).filter(_.length == 2).foreach(p => bi((p(0), p(1))) += 1) }
+    val ch = bi.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val n1f = bi.toSeq.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1b = bi.toSeq.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val nbt = bi.size.toLong
+    val vocab = train.flatMap(_._2).distinct
+    val v = vocab.length.toLong
+    def pcont(w2: String): Double =
+      (n1b.getOrElse(w2, 0L) + 1).toDouble / (nbt + v).toDouble
+    def p(w1: String, w2: String): Double = ch.get(w1) match {
+      case Some(c) =>
+        math.max(bi((w1, w2)).toDouble - D, 0.0) / c +
+          (D * n1f(w1).toDouble / c) * pcont(w2)
+      case None => pcont(w2)
+    }
+    // interpolated KN normalizes EXACTLY over the vocab for seen
+    // histories (the discount mass equals the continuation mass)
+    ch.keys.take(3).foreach { w1 =>
+      val tot = vocab.map(w2 => p(w1, w2)).sum
+      assert(math.abs(tot - 1.0) < 1e-9, s"history '$w1' sums to $tot")
+    }
+    val exp = test.flatMap { case (id, t) =>
+      val grams = t.sliding(2).filter(_.length == 2).toSeq
+      if (grams.isEmpty) None
+      else {
+        val snll = grams.map(g => q(-math.log(p(g(0), g(1))), 1e6)).sum
+        Some(id -> (grams.length.toLong, snll))
+      }
+    }.toMap
+    val got = SparkEntry.queries("text_kn_bigram")(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length == exp.size, "one row per scoreable held-out doc")
+    got.foreach { case (id, n, nll, ppl) =>
+      val (en, esnll) = exp(id)
+      assert(n == en, s"doc $id bigram count")
+      assert(math.abs(nll - esnll / 1e6 / en) < 1e-6, s"doc $id nll")
+      assert(nll > 0.0 && math.abs(ppl - math.exp(esnll / 1e6 / en)) < 1e-3,
+        s"doc $id ppl")
+    }
+  }
+
   test("conformal sets: rank formula, threshold monotonicity, coverage") {
     val rows = SparkEntry.queries("ml_conformal_split")(spark, sf)
       .as[(Double, Long, Long, Double, Long, Double, Double)].collect()
