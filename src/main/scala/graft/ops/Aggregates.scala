@@ -970,6 +970,38 @@ object Aggregates {
     // distinct count, min/max rendered as strings — long-form so new
     // columns don't change the schema. One pass per column group via a
     // single wide aggregate, unioned long.
+    // k-anonymity audit (Sweeney 2002, "k-Anonymity: A Model for
+    // Protecting Privacy") over the document catalog's quasi-identifier
+    // tuple (lang, source, n_chars div 100 size bin): a record is
+    // k-anonymous iff at least k records share its full QI combination,
+    // so re-identification risk concentrates in the small groups. For
+    // k in {2, 5, 10}: how many docs / groups sit below the threshold
+    // and what share of the corpus that is — the privacy companion to
+    // text_pii_redact (that op scrubs direct identifiers; this one
+    // measures QUASI-identifier exposure, the half k-anonymity exists
+    // for). Scale: one QI-keyed aggregate (map-side combinable), then
+    // 3 x |QI-combinations| bounded arithmetic — the corpus never
+    // touches the k fan-out.
+    "privacy_k_anonymity" -> ((s, d) => {
+      import s.implicits._
+      val g = documents(s, d)
+        .select($"lang", $"source", expr("n_chars div 100").as("size_bin"))
+        .groupBy($"lang", $"source", $"size_bin")
+        .agg(count(lit(1)).as("gsz"))
+        .localCheckpoint(false) // one aggregate, 3 k-level probes
+      Seq(2L, 5L, 10L).toDF("k").crossJoin(g)
+        .groupBy($"k").agg(
+          sum($"gsz").as("n_docs"),
+          count(lit(1)).as("n_groups"),
+          sum(when($"gsz" < $"k", $"gsz").otherwise(0L)).as("n_risky_docs"),
+          sum(when($"gsz" < $"k", 1L).otherwise(0L)).as("n_risky_groups"))
+        .select($"k", $"n_docs", $"n_groups", $"n_risky_docs",
+          $"n_risky_groups",
+          round($"n_risky_docs".cast("double") / $"n_docs", 6)
+            .as("risky_share"))
+        .orderBy("k")
+    }),
+
     "profile_events" -> ((s, d) => {
       import s.implicits._
       val ev = events(s, d)
@@ -1849,6 +1881,24 @@ object Aggregates {
     "f22_json_extract" ->
       """SELECT CAST(props->>'$.k' AS INT) AS k, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "privacy_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT lang, source, n_chars // 100 AS size_bin,
+        |    COUNT(*) AS gsz
+        |  FROM documents GROUP BY 1, 2, 3),
+        |ks(k) AS (VALUES (CAST(2 AS BIGINT)), (CAST(5 AS BIGINT)),
+        |  (CAST(10 AS BIGINT)))
+        |SELECT k,
+        |  CAST(SUM(gsz) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN gsz < k THEN gsz ELSE 0 END) AS BIGINT)
+        |    AS n_risky_docs,
+        |  CAST(SUM(CASE WHEN gsz < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_groups,
+        |  ROUND(CAST(SUM(CASE WHEN gsz < k THEN gsz ELSE 0 END) AS BIGINT)
+        |    / CAST(SUM(gsz) AS DOUBLE), 6) AS risky_share
+        |FROM ks CROSS JOIN g
+        |GROUP BY k ORDER BY k""".stripMargin,
     "profile_events" ->
       """SELECT * FROM (
         |  SELECT 'event_id' AS "column", COUNT(*) AS n_rows,

@@ -74,6 +74,9 @@ object SimilarityOps {
   val ShapK = 5
   val ShapTop = 15
 
+  /** Greedy k-center picks (sample_coreset_kcenter). */
+  val KcPicks = 5
+
   /** ADC candidates rescored per query by IVF-ADC (FAISS's refine
     * factor). Deeper than the flat scan's 2k: 16-code subquantizers on
     * isotropic data rank coarsely, so the recall lever is the exact
@@ -559,6 +562,53 @@ object SimilarityOps {
       }
       sel.select($"qdoc".as("query_doc"), $"pick", $"vec_id".as("doc_id"))
         .orderBy("query_doc", "pick")
+    }),
+
+    // Greedy k-center coreset / farthest-point sampling (Gonzalez 1985's
+    // 2-approximation; Sener & Savarese ICLR 2018 "Active Learning for
+    // CNNs: A Core-Set Approach") — the DIVERSITY-maximizing sample
+    // selector, complementing sample_cluster_balanced (quota-uniform)
+    // and MMR (query-relative): seed = lowest vec_id, then each round
+    // picks the point FARTHEST (cosine distance) from everything chosen
+    // so far, and the final coverage radius (max over the corpus of
+    // min-distance to the picks) is the k-center objective the greedy
+    // 2-approximates. Determinism: every pairwise distance quantizes to
+    // a nano long BEFORE the per-candidate MIN, so the argmax candidate
+    // order (md DESC, vec_id ASC) is exact-integer in both engines.
+    // Scale: each round is one corpus pass against an r-row broadcast of
+    // chosen vectors (KcPicks * corpus total work — how FPS is actually
+    // run over embedding lakes), argmax via TakeOrderedAndProject, and
+    // the pick state is localCheckpointed per round (the MMR lineage
+    // lesson). No windows, no corpus-keyed shuffles beyond the final
+    // per-candidate min aggregate.
+    "sample_coreset_kcenter" -> ((s, d) => {
+      import s.implicits._
+      val v = prepared(s, d).localCheckpoint(false) // KcPicks passes + radius
+      def minDistTo(sel: DataFrame): DataFrame = {
+        val selv = v.join(sel.select($"vec_id"), "vec_id")
+          .select($"e".as("se"), $"norm".as("sn"))
+        v.join(sel.select($"vec_id"), Seq("vec_id"), "left_anti")
+          .crossJoin(broadcast(selv))
+          .withColumn("dn",
+            round((lit(1.0) - dot($"e", $"se") / ($"norm" * $"sn")) * 1e9, 0)
+              .cast("long"))
+          .groupBy($"vec_id").agg(min($"dn").as("md"))
+      }
+      var sel = v.orderBy($"vec_id").limit(1)
+        .select(lit(1).as("pick"), $"vec_id",
+          lit(null).cast("double").as("sel_dist"))
+        .localCheckpoint(false)
+      for (r <- 2 to KcPicks) {
+        val next = minDistTo(sel).orderBy(desc("md"), asc("vec_id")).limit(1)
+          .select(lit(r).as("pick"), $"vec_id",
+            round($"md".cast("double") / 1e9, 6).as("sel_dist"))
+        sel = sel.unionByName(next).localCheckpoint(false)
+      }
+      val rad = minDistTo(sel).agg(max($"md").as("mr"))
+      sel.crossJoin(broadcast(rad))
+        .select($"pick", $"vec_id", $"sel_dist",
+          round($"mr".cast("double") / 1e9, 6).as("radius"))
+        .orderBy("pick")
     }),
 
     // LSH-bucketed ANN: same queries, neighbors restricted to the query's
@@ -1238,6 +1288,37 @@ object SimilarityOps {
          |FROM neg LEFT JOIN bp ON neg.query_id = bp.query_id
          |WHERE neg.rank <= $TopK
          |ORDER BY neg.query_id, neg.rank""".stripMargin,
+    "sample_coreset_kcenter" -> {
+      def mdSql(selRel: String): String =
+        s"""SELECT c.vec_id,
+           |  MIN(CAST(ROUND((1.0 - ${dotSql("c.e", "s.e")}
+           |    / (c.norm * s.norm)) * 1e9, 0) AS BIGINT)) AS md
+           |FROM n c, $selRel sp, n s
+           |WHERE s.vec_id = sp.vec_id
+           |  AND c.vec_id NOT IN (SELECT vec_id FROM $selRel)
+           |GROUP BY 1""".stripMargin
+      val rounds = (2 to KcPicks).map { r =>
+        s"""d$r AS (
+           |${mdSql(s"s${r - 1}")}),
+           |p$r AS (
+           |  SELECT $r AS pick, vec_id,
+           |    ROUND(CAST(md AS DOUBLE) / 1e9, 6) AS sel_dist
+           |  FROM d$r ORDER BY md DESC, vec_id ASC LIMIT 1),
+           |s$r AS (SELECT * FROM s${r - 1} UNION ALL SELECT * FROM p$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $prepSql,
+         |s1 AS (
+         |  SELECT 1 AS pick, vec_id, CAST(NULL AS DOUBLE) AS sel_dist
+         |  FROM n WHERE vec_id = (SELECT MIN(vec_id) FROM n)),
+         |$rounds,
+         |rad AS (SELECT MAX(md) AS mr FROM (
+         |${mdSql(s"s$KcPicks")}))
+         |SELECT pick, vec_id, sel_dist,
+         |  ROUND(CAST(rad.mr AS DOUBLE) / 1e9, 6) AS radius
+         |FROM s$KcPicks CROSS JOIN rad
+         |ORDER BY pick""".stripMargin
+    },
     "ml_knn_shapley" ->
       s"""WITH $prepSql,
          |q AS (

@@ -149,6 +149,8 @@ class PlanSpec extends SparkSpec {
     "ml_conformal_split",                            // cum>=k rank probe + 2-row qhat broadcast (nbScored core)
     "a_pareto_front",                                // 1-row min/max grid broadcast + survivor-set dominance verify
     "text_kn_bigram",                                // 1-row bigram-type-count broadcast (KN continuation denominator)
+    "sample_coreset_kcenter",                        // r-row chosen-vector broadcast per greedy round + 1-row radius
+    "privacy_k_anonymity",                           // 3-row k-level fan-out over the QI-group aggregate
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.

@@ -247,6 +247,24 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.benchQueries.forall(SparkEntry.queries.contains))
   }
 
+  test("k-anonymity audit: local replay + monotone risk in k") {
+    val groups = graft.ops.Tables.documents(spark, sf)
+      .groupBy($"lang", $"source", expr("n_chars div 100"))
+      .count().as[(String, String, Long, Long)].collect().map(_._4)
+    val got = SparkEntry.queries("privacy_k_anonymity")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(2L, 5L, 10L))
+    got.foreach { case (k, nDocs, nGroups, riskyDocs, riskyGroups, share) =>
+      assert(nDocs == groups.sum && nGroups == groups.length.toLong)
+      assert(riskyDocs == groups.filter(_ < k).sum, s"k=$k risky docs")
+      assert(riskyGroups == groups.count(_ < k).toLong, s"k=$k risky groups")
+      assert(math.abs(share - riskyDocs.toDouble / nDocs) < 1e-6)
+    }
+    // raising k can only add risky mass
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 >= a._4 && b._5 >= a._5, "risk not monotone in k") }
+  }
+
   test("pareto front equals the brute-force N^2 skyline (prune lossless)") {
     val prof = graft.ops.Tables.events(spark, sf)
       .groupBy($"user_id")

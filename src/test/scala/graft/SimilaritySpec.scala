@@ -317,6 +317,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("k-center coreset: local FPS replay, monotone gaps, radius bound") {
+    import graft.ops.SimilarityOps.KcPicks
+    def rnd(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dotf(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val norms = rows.map(r => r._1 -> math.sqrt(dotf(r._2, r._2))).toMap
+    val vecs = rows.toMap
+    def dn(a: Long, b: Long): Long =
+      rnd((1.0 - dotf(vecs(a), vecs(b)) / (norms(a) * norms(b))) * 1e9)
+    var chosen = Vector(rows.map(_._1).min)
+    val expPicks = (2 to KcPicks).map { _ =>
+      val cands = rows.map(_._1).filterNot(chosen.contains)
+      val scored = cands.map(c => (c, chosen.map(s => dn(c, s)).min))
+      val best = scored.minBy { case (id, md) => (-md, id) }
+      chosen :+= best._1
+      best
+    }
+    val got = SparkEntry.queries("sample_coreset_kcenter")(spark, sf)
+      .as[(Int, Long, Option[Double], Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == chosen, "greedy FPS pick sequence")
+    // selection gaps are non-increasing (min-dist to a growing set) and
+    // the final coverage radius is bounded by the last gap
+    val gaps = got.flatMap(_._3)
+    assert(gaps.length == KcPicks - 1)
+    gaps.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"gap rose: $a -> $b") }
+    val radius = got.head._4
+    assert(got.map(_._4).distinct.length == 1, "radius constant per row")
+    assert(radius <= gaps.last + 1e-9, s"radius $radius > last gap ${gaps.last}")
+    expPicks.zip(gaps).foreach { case ((_, md), g) =>
+      assert(math.abs(g - md / 1e9) < 1e-6, "gap replay") }
+  }
+
   test("KNN-Shapley: full local replay of Theorem 1 + efficiency axiom") {
     import graft.ops.SimilarityOps.{NumQueries, ShapK, ShapTop}
     val rows = spark.read.parquet(s"$sf/embeddings.parquet")
