@@ -30,6 +30,13 @@ object MultimodalOps {
   val FrameBytes = 32
   val FrameStride = 4 // sample every 4th frame
 
+  /** mm_phash_dedup config: band count x bits (4x16 covers the 64-bit
+    * hash) and the Hamming radius a candidate pair must pass.
+    */
+  val PhashBands = 4
+  val PhashBandBits = 16
+  val PhashHamMax = 12
+
   val InferClasses = Seq("negative", "neutral", "positive")
   val InferBatch = 64
   val ClassSalt = 2654435761L // Knuth multiplicative constant, decorrelates classes
@@ -283,6 +290,77 @@ object MultimodalOps {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // Perceptual-hash near-dup detection over the BINARY payloads — the
+    // image-dedup member of the dedup family (every media lake runs
+    // aHash/pHash before training): a 64-bit average-hash per payload
+    // (64 equal byte segments stand in for the 8x8 grayscale grid; bit s
+    // = segment-mean > payload-mean, compared CROSS-MULTIPLIED so the
+    // bit is exact integer arithmetic, no division), then SimHash-style
+    // banding (4 x 16-bit bands) generates candidates WITHOUT any
+    // all-pairs work, and a Hamming verify (bit_count(xor) <=
+    // PhashHamMax) keeps real near-dups. Exact payload dups collide in
+    // all 4 bands at Hamming 0 and byte-level corruptions survive the
+    // radius — both pinned on a planted fixture in RelationalSpec (the
+    // driver corpus has no raw-byte dups; its one template near-pair is
+    // what the sf0.01 run surfaces). Scale: the hash is one map-only
+    // pass in the batched
+    // mapPartitions decoder shape; candidates are band-bucket equi-joins
+    // (cost tracks bucket collisions, the dedup_simhash posture);
+    // verify is per-candidate O(1).
+    "mm_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("phash", LongType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val ph = withPayload(s, d).select($"doc_id", $"payload")
+        .mapPartitions { it =>
+          it.grouped(InferBatch).flatMap { batch =>
+            batch.iterator.map { r =>
+              val id = r.getLong(0)
+              val bytes = r.getAs[Array[Byte]](1)
+              val n = bytes.length
+              val segSum = new Array[Long](64)
+              val segCnt = new Array[Long](64)
+              var tsum = 0L
+              var i = 0
+              while (i < n) {
+                val sIdx = (i.toLong * 64L / n).toInt
+                val v = (bytes(i) & 0xff).toLong
+                segSum(sIdx) += v; segCnt(sIdx) += 1; tsum += v
+                i += 1
+              }
+              var h = 0L
+              var b = 0
+              while (b < 64) {
+                // seg mean > payload mean, cross-multiplied (exact ints)
+                if (segSum(b) * n > tsum * segCnt(b)) h |= (1L << b)
+                b += 1
+              }
+              Row(id, h)
+            }
+          }
+        }(enc)
+        .localCheckpoint(false) // one decode pass; banded + verified below
+      val bands = (0 until PhashBands).map { t =>
+        ph.select($"doc_id", $"phash", lit(t).as("t"),
+          shiftright($"phash", PhashBandBits * t)
+            .bitwiseAND(lit(65535L)).as("bv"))
+      }.reduce(_.unionByName(_))
+      val a = bands.select($"doc_id".as("doc_a"), $"phash".as("ha"),
+        $"t", $"bv")
+      val b = bands.select($"doc_id".as("doc_b"), $"phash".as("hb"),
+        $"t", $"bv")
+      a.join(b, Seq("t", "bv")).filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count(lit(1)).as("n_bands"),
+          min($"ha").as("ha"), min($"hb").as("hb"))
+        .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")))
+        .filter($"hamming" <= PhashHamMax)
+        .select($"doc_a", $"doc_b", $"n_bands", $"hamming")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Audio-style framing: payload bytes as unsigned 8-bit PCM centered
     // at 128, non-overlapping 64-sample windows, per-window RMS energy —
     // the frame-level feature extraction (VAD / loudness gating) of an
@@ -464,6 +542,49 @@ object MultimodalOps {
         |        c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, c) -> (acc * 131 + c) % 1000000007) AS frame_hash
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_phash_dedup" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, (i * 64) // n AS s,
+         |    CAST(ascii(substr(text, CAST(i + 1 AS BIGINT), 1)) AS BIGINT)
+         |      AS v, n
+         |  FROM (SELECT doc_id, text, strlen(text) AS n,
+         |          unnest(range(strlen(text))) AS i
+         |        FROM documents)),
+         |tot AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS tsum,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM ch GROUP BY 1),
+         |seg AS (SELECT doc_id, s, CAST(SUM(v) AS BIGINT) AS ssum,
+         |    CAST(COUNT(*) AS BIGINT) AS scnt
+         |  FROM ch GROUP BY 1, 2),
+         |phx AS (
+         |  SELECT seg.doc_id,
+         |    CAST(SUM(CASE
+         |      WHEN seg.ssum * tot.n <= tot.tsum * seg.scnt THEN 0
+         |      -- DuckDB rejects the signed-overflow shift 1 << 63; the
+         |      -- sign bit's two's-complement value is spelled out instead
+         |      WHEN seg.s = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+         |      ELSE (CAST(1 AS BIGINT) << seg.s) END) AS BIGINT)
+         |      AS phash
+         |  FROM seg JOIN tot ON seg.doc_id = tot.doc_id
+         |  GROUP BY 1),
+         |ph AS (
+         |  SELECT d.doc_id, COALESCE(phx.phash, 0) AS phash
+         |  FROM documents d LEFT JOIN phx ON d.doc_id = phx.doc_id),
+         |bands AS (
+         |  SELECT doc_id, phash, t,
+         |    (phash >> (t * $PhashBandBits)) & 65535 AS bv
+         |  FROM ph, (VALUES (0), (1), (2), (3)) bt(t))
+         |SELECT doc_a, doc_b, n_bands,
+         |  bit_count(xor(ha, hb)) AS hamming
+         |FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_bands,
+         |    MIN(a.phash) AS ha, MIN(b.phash) AS hb
+         |  FROM bands a JOIN bands b
+         |    ON a.t = b.t AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |WHERE bit_count(xor(ha, hb)) <= $PhashHamMax
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "mm_interleaved_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, len(${graft.ops.TextOps.tokensSql}) AS text_tok,

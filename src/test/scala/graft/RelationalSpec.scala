@@ -247,6 +247,35 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.benchQueries.forall(SparkEntry.queries.contains))
   }
 
+  test("phash dedup: planted exact + corrupted payloads pair, others don't") {
+    val dir = "target/tmp/phash_fixture"
+    val rnd = new scala.util.Random(7)
+    def randDoc(): String =
+      (0 until 512).map(_ => (33 + rnd.nextInt(94)).toChar).mkString // ASCII
+    val base = randDoc()
+    val corrupted = base.substring(0, 250) + "zzzzzzzz" + base.substring(258)
+    val texts = Seq(base, base, corrupted) ++ (0 until 5).map(_ => randDoc())
+    val rows = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "fixture", t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("mm_phash_dedup")(spark, dir)
+      .as[(Long, Long, Long, Int)].collect()
+    val byPair = got.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // exact payload dup: all bands collide, Hamming 0
+    assert(byPair.get((0L, 1L)).contains((4L, 0)), s"exact pair: $byPair")
+    // corrupted copy still pairs with both originals inside the radius
+    Seq((0L, 2L), (1L, 2L)).foreach { p =>
+      val (nb, hd) = byPair.getOrElse(p, fail(s"missing near pair $p"))
+      assert(nb >= 1L && hd > 0 &&
+        hd <= graft.ops.MultimodalOps.PhashHamMax, s"pair $p: $nb bands, $hd")
+    }
+    // independent random payloads never pair with the planted family
+    got.foreach { case (a, b, _, _) =>
+      assert(a <= 2L && b <= 2L, s"spurious pair ($a, $b)")
+    }
+  }
+
   test("k-anonymity audit: local replay + monotone risk in k") {
     val groups = graft.ops.Tables.documents(spark, sf)
       .groupBy($"lang", $"source", expr("n_chars div 100"))
