@@ -378,7 +378,53 @@ object GraphOps {
           coalesce($"in3", lit(false)).as("in_3core"))
         .orderBy("n_name")
     }),
+
+    // Strongly connected components of the DIRECTED trade graph — the
+    // cyclic-dependency readout the undirected ops can't see (an SCC =
+    // a set of nations whose trade flows form cycles; link-graph
+    // curation uses the same decomposition to separate the web's core
+    // from drain-only tendrils, cf. Broder et al. 2000's bow-tie).
+    // Algorithm: transitive closure by SccRounds rounds of relational
+    // SQUARING (reach' = reach ∪ reach∘reach, distinct) seeded with the
+    // reflexive pairs, so round k covers all paths up to length 2^k —
+    // 2^SccRounds exceeds |V|; then u's component is the min node that
+    // reaches u and is reached by u, and sizes come from counting the
+    // mutual set. Every frame is |V|²-bounded (the PageRank posture:
+    // corpus-scale work is the one edge-aggregate pass; iteration lives
+    // on the closure table, localCheckpointed per round so the
+    // distinct-union lineage stays linear). At web scale the closure
+    // table is NOT materializable — the known swap is label-propagation
+    // SCC (forward-backward coloring); the output contract is identical.
+    "graph_scc" -> ((s, d) => {
+      import s.implicits._
+      val nodes = nation(s, d).select($"n_nationkey".as("node"), $"n_name")
+      val e = tradeEdges(s, d).filter($"src" =!= $"dst")
+        .select($"src", $"dst").distinct()
+      var reach = e
+        .unionByName(nodes.select($"node".as("src"), $"node".as("dst")))
+        .distinct().localCheckpoint(false)
+      for (_ <- 1 to SccRounds) {
+        reach = reach.unionByName(
+            reach.select($"src", $"dst".as("mid"))
+              .join(reach.select($"src".as("mid"), $"dst"), "mid")
+              .select($"src", $"dst"))
+          .distinct().localCheckpoint(false)
+      }
+      val mutual = reach.as("f").join(reach.as("b"),
+          $"f.src" === $"b.dst" && $"f.dst" === $"b.src")
+        .select($"f.src".as("u"), $"f.dst".as("v"))
+      val scc = mutual.groupBy($"u")
+        .agg(min($"v").as("scc_id"), count(lit(1)).as("scc_size"))
+      nodes.join(scc, $"node" === $"u")
+        .select($"scc_id", $"node", $"n_name", $"scc_size")
+        .orderBy("scc_id", "node")
+    }),
   )
+
+  /** Closure-squaring rounds for graph_scc: paths up to 2^SccRounds,
+    * past any simple path on the nation graph.
+    */
+  val SccRounds = 5
 
   /** Peel-round budget for graph_kcore — comfortably past the fixpoint
     * on the nation graph (GraphSpec asserts convergence within it).
@@ -471,6 +517,35 @@ object GraphOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "graph_scc" -> {
+      val rounds = (1 to SccRounds).map { k =>
+        val prev = s"r${k - 1}"
+        s"""r$k AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM $prev
+           |    UNION ALL
+           |    SELECT a.src, b.dst FROM $prev a JOIN $prev b
+           |      ON a.dst = b.src))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  $edgesSql),
+         |r0 AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM e WHERE src <> dst
+         |    UNION ALL
+         |    SELECT n_nationkey AS src, n_nationkey AS dst FROM nation)),
+         |$rounds,
+         |mu AS (
+         |  SELECT f.src AS u, f.dst AS v
+         |  FROM r$SccRounds f JOIN r$SccRounds b
+         |    ON f.src = b.dst AND f.dst = b.src),
+         |scc AS (
+         |  SELECT u, MIN(v) AS scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size
+         |  FROM mu GROUP BY 1)
+         |SELECT scc_id, n_nationkey AS node, n_name, scc_size
+         |FROM nation JOIN scc ON n_nationkey = scc.u
+         |ORDER BY scc_id, node""".stripMargin
+    },
     "graph_assortativity" ->
       s"""WITH $undCoreCteSql,
          |dz AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg

@@ -202,4 +202,40 @@ class GraphSpec extends SparkSpec {
     assert(communities.length < 25, "no label propagated at all")
     assert(communities.nonEmpty)
   }
+
+  test("SCC matches a local Floyd-Warshall closure over the same edges") {
+    val edges = graft.ops.Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_nationkey".as("src"))
+      .join(graft.ops.Tables.orders(spark, sf)
+        .select($"o_orderkey", $"o_custkey"), $"o_custkey" === $"c_custkey")
+      .join(graft.ops.Tables.lineitem(spark, sf)
+        .select($"l_orderkey", $"l_suppkey"), $"l_orderkey" === $"o_orderkey")
+      .join(graft.ops.Tables.supplier(spark, sf)
+        .select($"s_suppkey", $"s_nationkey".as("dst")),
+        $"s_suppkey" === $"l_suppkey")
+      .select($"src", $"dst").distinct()
+      .as[(Long, Long)].collect().filter(e => e._1 != e._2)
+    val nodes = graft.ops.Tables.nation(spark, sf)
+      .select($"n_nationkey").as[Long].collect().sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val reach = Array.fill(n, n)(false)
+    nodes.indices.foreach(i => reach(i)(i) = true)
+    edges.foreach { case (a, b) => reach(idx(a))(idx(b)) = true }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+    val expScc = nodes.indices.map { i =>
+      val comp = nodes.indices.filter(j => reach(i)(j) && reach(j)(i))
+      nodes(i) -> (nodes(comp.min), comp.length.toLong)
+    }.toMap
+    val got = SparkEntry.queries("graph_scc")(spark, sf)
+      .select($"node", $"scc_id", $"scc_size")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == n, "every nation assigned to one SCC")
+    got.foreach { case (node, id, size) =>
+      assert(expScc(node) == (id, size), s"node $node: ($id, $size)")
+    }
+    // the component relation partitions the nodes: sizes sum to |V|
+    assert(got.map(r => r._2 -> r._3).distinct.map(_._2).sum == n.toLong)
+  }
 }
