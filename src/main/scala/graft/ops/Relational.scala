@@ -791,30 +791,74 @@ object Relational {
     // history build is a single exchange regardless of history depth.
     "scd2_status_history" -> ((s, d) => {
       import s.implicits._
-      val o = orders(s, d)
-        .select($"o_custkey", $"o_orderstatus", $"o_orderdate", $"o_orderkey")
-      val wAll = Window.partitionBy($"o_custkey")
-        .orderBy($"o_orderdate", $"o_orderkey")
-      val wSt = Window.partitionBy($"o_custkey", $"o_orderstatus")
-        .orderBy($"o_orderdate", $"o_orderkey")
-      val runs = o
-        .withColumn("rn", row_number().over(wAll))
-        .withColumn("grp", row_number().over(wAll) - row_number().over(wSt))
-      val hist = runs.groupBy($"o_custkey", $"o_orderstatus", $"grp")
-        .agg(min($"o_orderdate").as("valid_from"),
-          min($"rn").as("first_rn"), count(lit(1)).as("n_orders"))
-      val wVer = Window.partitionBy($"o_custkey").orderBy($"first_rn")
-      hist
-        .withColumn("version", row_number().over(wVer))
-        .withColumn("valid_to",
-          coalesce(lead($"valid_from", 1).over(wVer), lit("9999-12-31").cast("date")))
-        .withColumn("is_current",
-          when(lead($"valid_from", 1).over(wVer).isNull, 1L).otherwise(0L))
-        .select($"o_custkey", $"o_orderstatus".as("status"), $"version",
-          $"valid_from", $"valid_to", $"n_orders", $"is_current")
-        .orderBy("o_custkey", "version")
+      scd2Hist(s, d).orderBy("o_custkey", "version")
+    }),
+
+    // Point-in-time (PIT) dimension lookup against the SCD2 history —
+    // the feature-store join that keeps training data leakage-free
+    // (Kimball's type-2 lookup; every feature platform's "as-of the
+    // label timestamp" retrieval): each probed order joins the ONE
+    // history version whose half-open [valid_from, valid_to) interval
+    // contains its order date, never a later version (which would leak
+    // the future into the feature row). The intervals tile each
+    // customer's timeline, so exactly one version matches per probe.
+    // is_match exposes the daily-grain artifact (a same-day status flip
+    // collapses to the day's last run — deterministic both engines).
+    // Scale: the probe side pre-filters BEFORE the join (cost ∝
+    // selectivity); custkey is the equi key so Catalyst plans a hash/
+    // sort-merge join with the interval predicate as a residual — no
+    // nested loop, and at 100 TB both sides co-partition on the
+    // customer key.
+    "j_scd2_pointintime" -> ((s, d) => {
+      import s.implicits._
+      val hist = scd2Hist(s, d)
+      val probes = orders(s, d)
+        .filter(pmod(graft.functions.PolyHash.poly_hash(
+          $"o_orderkey".cast("string")), lit(100L)) === 0)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+          $"o_orderstatus")
+      probes.join(hist,
+          probes("o_custkey") === hist("o_custkey") &&
+            $"valid_from" <= $"o_orderdate" &&
+            $"o_orderdate" < $"valid_to")
+        .select(probes("o_orderkey"), probes("o_custkey"), $"o_orderdate",
+          $"o_orderstatus".as("actual_status"),
+          $"status".as("pit_status"), $"version".as("pit_version"),
+          when($"o_orderstatus" === $"status", 1L).otherwise(0L)
+            .as("is_match"))
+        .orderBy("o_orderkey")
     }),
   )
+
+  /** The SCD2 status-history build (gaps-and-islands runs → versioned
+    * [valid_from, valid_to) rows, 9999-12-31 open sentinel) — shared by
+    * scd2_status_history and the point-in-time lookup so the dimension
+    * cannot drift between them.
+    */
+  private def scd2Hist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d)
+      .select($"o_custkey", $"o_orderstatus", $"o_orderdate", $"o_orderkey")
+    val wAll = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val wSt = Window.partitionBy($"o_custkey", $"o_orderstatus")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val runs = o
+      .withColumn("rn", row_number().over(wAll))
+      .withColumn("grp", row_number().over(wAll) - row_number().over(wSt))
+    val hist = runs.groupBy($"o_custkey", $"o_orderstatus", $"grp")
+      .agg(min($"o_orderdate").as("valid_from"),
+        min($"rn").as("first_rn"), count(lit(1)).as("n_orders"))
+    val wVer = Window.partitionBy($"o_custkey").orderBy($"first_rn")
+    hist
+      .withColumn("version", row_number().over(wVer))
+      .withColumn("valid_to",
+        coalesce(lead($"valid_from", 1).over(wVer), lit("9999-12-31").cast("date")))
+      .withColumn("is_current",
+        when(lead($"valid_from", 1).over(wVer).isNull, 1L).otherwise(0L))
+      .select($"o_custkey", $"o_orderstatus".as("status"), $"version",
+        $"valid_from", $"valid_to", $"n_orders", $"is_current")
+  }
 
   val oracles: Map[String, String] = Map(
     "s1_latest_events" ->
@@ -1114,29 +1158,53 @@ object Relational {
         |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "scd2_status_history" ->
-      """WITH o AS (
-        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
-        |    row_number() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_orderdate, o_orderkey) AS rn,
-        |    row_number() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_orderdate, o_orderkey)
-        |      - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
-        |          ORDER BY o_orderdate, o_orderkey) AS grp
-        |  FROM orders),
-        |hist AS (
-        |  SELECT o_custkey, o_orderstatus, grp,
-        |    MIN(o_orderdate) AS valid_from, MIN(rn) AS first_rn,
-        |    COUNT(*) AS n_orders
-        |  FROM o GROUP BY 1, 2, 3)
-        |SELECT o_custkey, o_orderstatus AS status,
-        |  row_number() OVER w AS version,
-        |  valid_from,
-        |  COALESCE(lead(valid_from) OVER w, DATE '9999-12-31') AS valid_to,
-        |  n_orders,
-        |  CAST(CASE WHEN lead(valid_from) OVER w IS NULL THEN 1 ELSE 0 END
-        |    AS BIGINT) AS is_current
-        |FROM hist
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY first_rn)
+      s"""WITH $scd2HistCtes
+        |SELECT * FROM h2
         |ORDER BY o_custkey, version""".stripMargin,
+    "j_scd2_pointintime" ->
+      s"""WITH $scd2HistCtes,
+        |pr AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate, o_orderstatus
+        |  FROM orders
+        |  WHERE ${graft.ops.DedupOps.polyHashSql("CAST(o_orderkey AS VARCHAR)")}
+        |    % 100 = 0)
+        |SELECT pr.o_orderkey, pr.o_custkey, pr.o_orderdate,
+        |  pr.o_orderstatus AS actual_status,
+        |  h2.status AS pit_status, h2.version AS pit_version,
+        |  CAST(CASE WHEN pr.o_orderstatus = h2.status THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_match
+        |FROM pr JOIN h2 ON pr.o_custkey = h2.o_custkey
+        |  AND h2.valid_from <= pr.o_orderdate
+        |  AND pr.o_orderdate < h2.valid_to
+        |ORDER BY o_orderkey""".stripMargin,
   )
+
+  /** Oracle twin of scd2Hist, ending in `h2(o_custkey, status, version,
+    * valid_from, valid_to, n_orders, is_current)`.
+    */
+  private lazy val scd2HistCtes: String =
+    """o AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS rn,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey)
+      |      - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+      |          ORDER BY o_orderdate, o_orderkey) AS grp
+      |  FROM orders),
+      |hist AS (
+      |  SELECT o_custkey, o_orderstatus, grp,
+      |    MIN(o_orderdate) AS valid_from, MIN(rn) AS first_rn,
+      |    COUNT(*) AS n_orders
+      |  FROM o GROUP BY 1, 2, 3),
+      |h2 AS (
+      |  SELECT o_custkey, o_orderstatus AS status,
+      |    row_number() OVER w AS version,
+      |    valid_from,
+      |    COALESCE(lead(valid_from) OVER w, DATE '9999-12-31') AS valid_to,
+      |    n_orders,
+      |    CAST(CASE WHEN lead(valid_from) OVER w IS NULL THEN 1 ELSE 0 END
+      |      AS BIGINT) AS is_current
+      |  FROM hist
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY first_rn))""".stripMargin
 }

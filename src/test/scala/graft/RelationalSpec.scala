@@ -247,6 +247,33 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.benchQueries.forall(SparkEntry.queries.contains))
   }
 
+  test("PIT lookup: every probe hits exactly its containing SCD2 version") {
+    val hist = SparkEntry.queries("scd2_status_history")(spark, sf)
+      .select($"o_custkey", $"status", $"version",
+        $"valid_from".cast("date"), $"valid_to".cast("date"))
+      .as[(Long, String, Int, java.sql.Date, java.sql.Date)].collect()
+      .groupBy(_._1)
+    val probes = graft.ops.Tables.orders(spark, sf)
+      .filter(pmod(graft.functions.PolyHash.poly_hash(
+        $"o_orderkey".cast("string")), lit(100L)) === 0)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate".cast("date"))
+      .as[(Long, Long, java.sql.Date)].collect()
+    val got = SparkEntry.queries("j_scd2_pointintime")(spark, sf)
+      .select($"o_orderkey", $"pit_status", $"pit_version")
+      .as[(Long, String, Int)].collect().groupBy(_._1)
+    assert(got.size == probes.length, "exactly one PIT row per probe")
+    probes.foreach { case (ok, ck, dt) =>
+      val containing = hist(ck).filter(h =>
+        !h._4.after(dt) && dt.before(h._5))
+      assert(containing.length == 1, s"order $ok: ${containing.length} versions")
+      val Array((_, st, ver)) = got(ok)
+      assert((st, ver) == (containing.head._2, containing.head._3),
+        s"order $ok PIT row")
+      // leakage guard: the joined version never starts after the label date
+      assert(!containing.head._4.after(dt))
+    }
+  }
+
   test("phash dedup: planted exact + corrupted payloads pair, others don't") {
     val dir = "target/tmp/phash_fixture"
     val rnd = new scala.util.Random(7)
