@@ -1239,6 +1239,93 @@ object MLOps {
         .orderBy("vec_id")
     }),
 
+    // Two-component 1-D Gaussian mixture via EM (Dempster, Laird &
+    // Rubin 1977) over the event values — the DISTRIBUTIONAL trainer
+    // beside the discriminative ones (logreg/ridge) and the hard-
+    // assignment one (k-means): soft responsibilities, closed-form
+    // M-step, the model behind every GMM-based quality/outlier gate.
+    // Deterministic-replay posture (the logreg trajectory, extended to
+    // E/M): responsibilities r = l1/(l1+l2) are identical IEEE doubles
+    // in both engines (exp/sqrt on exact quantized inputs, denominator
+    // clamped at 1e-300 so a far-tail underflow can't produce NaN), and
+    // every M-step sufficient statistic (r, r·x, r·x², and the
+    // pre-update log-likelihood) quantizes per ROW to a nano/micro long
+    // before summation — so all GmmSteps rounds of (w, μ, σ²) replay
+    // bit-for-bit in DuckDB, with EM's monotone-likelihood guarantee
+    // visible in the avg_ll column. Init is deterministic from one
+    // exact-integer stats pass (means at the 1/4 and 3/4 points of the
+    // value range, shared global variance). Scale: one corpus pass per
+    // round carrying 7 numbers through the shuffle; parameter state is
+    // O(components) broadcast back (mini-batch EM changes the pass, not
+    // the shape); per-round localCheckpoint pins the lineage.
+    "ml_gmm_em" -> ((s, d) => {
+      import s.implicits._
+      val z = events(s, d)
+        .select((round($"value" * 1e6, 0) / 1e6).as("x"))
+        .localCheckpoint(false) // one build, GmmSteps passes
+      var w = z.agg(count(lit(1)).as("n"),
+          min(round($"x" * 1e6, 0).cast("long")).as("xmin"),
+          max(round($"x" * 1e6, 0).cast("long")).as("xmax"),
+          sum(round($"x" * 1e6, 0).cast("long")).as("sx"),
+          sum(round($"x" * $"x" * 1e6, 0).cast("long")).as("sxx"))
+        .select($"n", lit(0.5).as("w1"),
+          ($"xmin".cast("double") / 1e6
+            + ($"xmax".cast("double") / 1e6 - $"xmin".cast("double") / 1e6)
+            / 4).as("m1"),
+          greatest($"sxx".cast("double") / 1e6 / $"n"
+            - ($"sx".cast("double") / 1e6 / $"n")
+            * ($"sx".cast("double") / 1e6 / $"n"), lit(GmmVarFloor)).as("v1"),
+          lit(0.5).as("w2"),
+          ($"xmin".cast("double") / 1e6
+            + ($"xmax".cast("double") / 1e6 - $"xmin".cast("double") / 1e6)
+            / 4 * 3).as("m2"),
+          greatest($"sxx".cast("double") / 1e6 / $"n"
+            - ($"sx".cast("double") / 1e6 / $"n")
+            * ($"sx".cast("double") / 1e6 / $"n"), lit(GmmVarFloor)).as("v2"))
+        .localCheckpoint(false)
+      def mstep(a: Column, b: Column, c: Column): Seq[Column] = {
+        val r = a.cast("double") / 1e9
+        val m = (b.cast("double") / 1e6) / r
+        Seq(r, m, greatest((c.cast("double") / 1e6) / r - m * m,
+          lit(GmmVarFloor)))
+      }
+      val steps = (1 to GmmSteps).map { k =>
+        val sc = z.crossJoin(broadcast(w))
+          .withColumn("l1", $"w1" * exp(-(($"x" - $"m1") * ($"x" - $"m1"))
+            / (lit(2.0) * $"v1")) / sqrt($"v1"))
+          .withColumn("l2", $"w2" * exp(-(($"x" - $"m2") * ($"x" - $"m2"))
+            / (lit(2.0) * $"v2")) / sqrt($"v2"))
+          .withColumn("den", greatest($"l1" + $"l2", lit(1e-300)))
+          .withColumn("r1", $"l1" / $"den")
+        val g = sc.agg(max($"n").as("n"),
+          sum(round($"r1" * 1e9, 0).cast("long")).as("a1"),
+          sum(round($"r1" * $"x" * 1e6, 0).cast("long")).as("b1"),
+          sum(round($"r1" * $"x" * $"x" * 1e6, 0).cast("long")).as("c1"),
+          sum(round((lit(1.0) - $"r1") * 1e9, 0).cast("long")).as("a2"),
+          sum(round((lit(1.0) - $"r1") * $"x" * 1e6, 0).cast("long")).as("b2"),
+          sum(round((lit(1.0) - $"r1") * $"x" * $"x" * 1e6, 0).cast("long"))
+            .as("c2"),
+          sum(round(log($"den") * 1e6, 0).cast("long")).as("ll"))
+          .localCheckpoint(false)
+        val p1 = mstep($"a1", $"b1", $"c1")
+        val p2 = mstep($"a2", $"b2", $"c2")
+        w = g.select($"n",
+          (p1(0) / $"n".cast("double")).as("w1"), p1(1).as("m1"),
+          p1(2).as("v1"),
+          (p2(0) / $"n".cast("double")).as("w2"), p2(1).as("m2"),
+          p2(2).as("v2"))
+          .localCheckpoint(false)
+        w.crossJoin(broadcast(g.select($"ll", $"n".as("gn"))))
+          .select(lit(k).as("step"),
+            round($"w1", 6).as("w1"), round($"m1", 6).as("m1"),
+            round($"v1", 6).as("v1"),
+            round($"w2", 6).as("w2"), round($"m2", 6).as("m2"),
+            round($"v2", 6).as("v2"),
+            round($"ll" / 1e6 / $"gn", 6).as("avg_ll"))
+      }
+      steps.reduce(_.unionByName(_)).orderBy("step")
+    }),
+
     // Bradley-Terry preference strengths via Hunter's MM algorithm
     // (Hunter 2004, "MM algorithms for generalized Bradley-Terry
     // models", Ann. Statist. 32(1)) — the preference-aggregation op of
@@ -1534,6 +1621,10 @@ object MLOps {
 
   /** MM rounds for the Bradley-Terry fit (ml_bt_strength). */
   val BtRounds = 5
+
+  /** EM rounds / variance floor for the Gaussian mixture (ml_gmm_em). */
+  val GmmSteps = 3
+  val GmmVarFloor = 1e-6
 
   /** The ml_logreg_gd training loop, factored so ml_cartography replays
     * the SAME trajectory (one source of truth for the arithmetic): one
@@ -2263,6 +2354,86 @@ object MLOps {
          |       ELSE 'ambiguous' END AS region
          |FROM fin
          |ORDER BY vec_id""".stripMargin
+    },
+    "ml_gmm_em" -> {
+      val steps = (1 to GmmSteps).map { k =>
+        val prev = if (k == 1) "gw0" else s"gw${k - 1}"
+        s"""ge$k AS MATERIALIZED (
+           |  SELECT n,
+           |    SUM(CAST(ROUND(r1 * 1e9, 0) AS BIGINT)) AS a1,
+           |    SUM(CAST(ROUND(r1 * x * 1e6, 0) AS BIGINT)) AS b1,
+           |    SUM(CAST(ROUND(r1 * x * x * 1e6, 0) AS BIGINT)) AS c1,
+           |    SUM(CAST(ROUND((1.0 - r1) * 1e9, 0) AS BIGINT)) AS a2,
+           |    SUM(CAST(ROUND((1.0 - r1) * x * 1e6, 0) AS BIGINT)) AS b2,
+           |    SUM(CAST(ROUND((1.0 - r1) * x * x * 1e6, 0) AS BIGINT)) AS c2,
+           |    SUM(CAST(ROUND(ln(den) * 1e6, 0) AS BIGINT)) AS ll
+           |  FROM (
+           |    SELECT n, x, l1 / GREATEST(l1 + l2, 1e-300) AS r1,
+           |      GREATEST(l1 + l2, 1e-300) AS den
+           |    FROM (
+           |      SELECT p.n, zg.x,
+           |        p.w1 * exp(-((zg.x - p.m1) * (zg.x - p.m1))
+           |          / (2.0 * p.v1)) / sqrt(p.v1) AS l1,
+           |        p.w2 * exp(-((zg.x - p.m2) * (zg.x - p.m2))
+           |          / (2.0 * p.v2)) / sqrt(p.v2) AS l2
+           |      FROM zg CROSS JOIN $prev p))
+           |  GROUP BY n),
+           |gw$k AS (
+           |  SELECT n,
+           |    r1c / CAST(n AS DOUBLE) AS w1, m1c AS m1,
+           |    GREATEST(vc1 - m1c * m1c, $GmmVarFloor) AS v1,
+           |    r2c / CAST(n AS DOUBLE) AS w2, m2c AS m2,
+           |    GREATEST(vc2 - m2c * m2c, $GmmVarFloor) AS v2
+           |  FROM (
+           |    SELECT n,
+           |      CAST(a1 AS DOUBLE) / 1e9 AS r1c,
+           |      (CAST(b1 AS DOUBLE) / 1e6) / (CAST(a1 AS DOUBLE) / 1e9)
+           |        AS m1c,
+           |      (CAST(c1 AS DOUBLE) / 1e6) / (CAST(a1 AS DOUBLE) / 1e9)
+           |        AS vc1,
+           |      CAST(a2 AS DOUBLE) / 1e9 AS r2c,
+           |      (CAST(b2 AS DOUBLE) / 1e6) / (CAST(a2 AS DOUBLE) / 1e9)
+           |        AS m2c,
+           |      (CAST(c2 AS DOUBLE) / 1e6) / (CAST(a2 AS DOUBLE) / 1e9)
+           |        AS vc2
+           |    FROM ge$k))""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to GmmSteps).map { k =>
+        s"""SELECT $k AS step,
+           |  ROUND(w1, 6) AS w1, ROUND(m1, 6) AS m1, ROUND(v1, 6) AS v1,
+           |  ROUND(w2, 6) AS w2, ROUND(m2, 6) AS m2, ROUND(v2, 6) AS v2,
+           |  ROUND(ge$k.ll / 1e6 / ge$k.n, 6) AS avg_ll
+           |FROM gw$k CROSS JOIN ge$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH zg AS MATERIALIZED (
+         |  SELECT ROUND(value * 1e6, 0) / 1e6 AS x FROM events),
+         |gst AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(MIN(CAST(ROUND(x * 1e6, 0) AS BIGINT)) AS BIGINT) AS xmin,
+         |    CAST(MAX(CAST(ROUND(x * 1e6, 0) AS BIGINT)) AS BIGINT) AS xmax,
+         |    CAST(SUM(CAST(ROUND(x * 1e6, 0) AS BIGINT)) AS BIGINT) AS sx,
+         |    CAST(SUM(CAST(ROUND(x * x * 1e6, 0) AS BIGINT)) AS BIGINT)
+         |      AS sxx
+         |  FROM zg),
+         |gw0 AS (
+         |  SELECT n, 0.5 AS w1,
+         |    CAST(xmin AS DOUBLE) / 1e6
+         |      + (CAST(xmax AS DOUBLE) / 1e6 - CAST(xmin AS DOUBLE) / 1e6)
+         |      / 4 AS m1,
+         |    GREATEST(CAST(sxx AS DOUBLE) / 1e6 / n
+         |      - (CAST(sx AS DOUBLE) / 1e6 / n)
+         |      * (CAST(sx AS DOUBLE) / 1e6 / n), $GmmVarFloor) AS v1,
+         |    0.5 AS w2,
+         |    CAST(xmin AS DOUBLE) / 1e6
+         |      + (CAST(xmax AS DOUBLE) / 1e6 - CAST(xmin AS DOUBLE) / 1e6)
+         |      / 4 * 3 AS m2,
+         |    GREATEST(CAST(sxx AS DOUBLE) / 1e6 / n
+         |      - (CAST(sx AS DOUBLE) / 1e6 / n)
+         |      * (CAST(sx AS DOUBLE) / 1e6 / n), $GmmVarFloor) AS v2
+         |  FROM gst),
+         |$steps
+         |$rows
+         |ORDER BY step""".stripMargin
     },
     "ml_bt_strength" -> {
       val roundCtes = (1 to BtRounds).map { k =>

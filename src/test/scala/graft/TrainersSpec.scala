@@ -155,6 +155,61 @@ class TrainersSpec extends SparkSpec {
     }
   }
 
+  test("ml_gmm_em: local EM replay, monotone likelihood, proper weights") {
+    import graft.ops.MLOps.{GmmSteps, GmmVarFloor}
+    def q(v: Double, s: Double): Long =
+      BigDecimal(v * s).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLongExact
+    val xs = graft.ops.Tables.events(spark, sf).select($"value")
+      .as[Double].collect().map(v => math.rint(v * 1e6) / 1e6)
+    val n = xs.length.toLong
+    val xmin = xs.map(x => q(x, 1e6)).min / 1e6
+    val xmax = xs.map(x => q(x, 1e6)).max / 1e6
+    val sx = xs.map(x => q(x, 1e6)).sum
+    val sxx = xs.map(x => q(x * x, 1e6)).sum
+    val v0 = math.max(sxx / 1e6 / n - (sx / 1e6 / n) * (sx / 1e6 / n),
+      GmmVarFloor)
+    var (w1, m1, v1) = (0.5, xmin + (xmax - xmin) / 4, v0)
+    var (w2, m2, v2) = (0.5, xmin + (xmax - xmin) / 4 * 3, v0)
+    val got = SparkEntry.queries("ml_gmm_em")(spark, sf)
+      .as[(Int, Double, Double, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1 to GmmSteps))
+    got.foreach { case (k, qw1, qm1, qv1, qw2, qm2, qv2, ll) =>
+      var (a1, b1, c1, a2, b2, c2, lls) = (0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      xs.foreach { x =>
+        val l1 = w1 * math.exp(-((x - m1) * (x - m1)) / (2.0 * v1)) /
+          math.sqrt(v1)
+        val l2 = w2 * math.exp(-((x - m2) * (x - m2)) / (2.0 * v2)) /
+          math.sqrt(v2)
+        val den = math.max(l1 + l2, 1e-300)
+        val r1 = l1 / den
+        a1 += q(r1, 1e9); b1 += q(r1 * x, 1e6); c1 += q(r1 * x * x, 1e6)
+        a2 += q(1.0 - r1, 1e9); b2 += q((1.0 - r1) * x, 1e6)
+        c2 += q((1.0 - r1) * x * x, 1e6)
+        lls += q(math.log(den), 1e6)
+      }
+      def upd(a: Long, b: Long, c: Long) = {
+        val r = a / 1e9; val m = (b / 1e6) / r
+        (r / n, m, math.max((c / 1e6) / r - m * m, GmmVarFloor))
+      }
+      val u1 = upd(a1, b1, c1); val u2 = upd(a2, b2, c2)
+      w1 = u1._1; m1 = u1._2; v1 = u1._3
+      w2 = u2._1; m2 = u2._2; v2 = u2._3
+      assert(math.abs(qw1 - w1) < 1e-6 && math.abs(qm1 - m1) < 1e-6 &&
+        math.abs(qv1 - v1) < 1e-5, s"step $k comp1")
+      assert(math.abs(qw2 - w2) < 1e-6 && math.abs(qm2 - m2) < 1e-6 &&
+        math.abs(qv2 - v2) < 1e-5, s"step $k comp2")
+      assert(math.abs(ll - lls / 1e6 / n) < 1e-6, s"step $k avg_ll")
+      assert(math.abs(qw1 + qw2 - 1.0) < 1e-5, s"step $k weights")
+      assert(qv1 >= GmmVarFloor && qv2 >= GmmVarFloor)
+    }
+    // EM's defining guarantee: the (pre-update-measured) likelihood
+    // never decreases across steps (nano-quantization slack only)
+    got.map(_._8).sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a - 1e-4, s"likelihood fell: $a -> $b") }
+  }
+
   test("ml_bt_strength: normalized trajectory replays the MM rounds locally") {
     import graft.ops.MLOps.BtRounds
     def q(v: Double): Long =
