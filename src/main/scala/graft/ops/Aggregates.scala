@@ -527,6 +527,53 @@ object Aggregates {
         .orderBy("dow")
     }),
 
+    // Mutual information + entropies between event type and weekday —
+    // the model-free dependence audit (is the category mix actually
+    // day-driven, and by how many bits?) that complements the
+    // hypothesis-test family (chi2 says "dependent or not", MI says
+    // "how much"), plus the normalized MI feature-relevance score
+    // feature selection uses. All counts are exact integers on the
+    // |types| x 7 contingency table; each MI/entropy term quantizes to
+    // a micro long BEFORE its (35-row / 7-row / |types|-row bounded)
+    // sum, and the natural logs run on identical exact ratios — so mi,
+    // h_type, h_dow, and nmi = mi/min(h) replay bit-for-bit. Portable
+    // weekday arithmetic ((epoch-days + 4) mod 7), no locale. Scale:
+    // one corpus-keyed aggregate to the contingency table; everything
+    // after is types x 7 arithmetic.
+    "a_mutual_info" -> ((s, d) => {
+      import s.implicits._
+      val xy = events(s, d)
+        .withColumn("dow",
+          (datediff(to_date($"ts"), lit("1970-01-01").cast("date")) + 4) % 7)
+        .groupBy($"event_type", $"dow").agg(count(lit(1)).as("nxy"))
+        .localCheckpoint(false) // feeds marginals + the joint terms
+      val nx = xy.groupBy($"event_type").agg(sum($"nxy").as("nx"))
+      val ny = xy.groupBy($"dow").agg(sum($"nxy").as("ny"))
+      val tot = xy.agg(sum($"nxy").as("nn"))
+      val mi = xy.join(nx, "event_type").join(ny, "dow")
+        .crossJoin(broadcast(tot))
+        .select(round(($"nxy".cast("double") / $"nn")
+          * log($"nn".cast("double") * $"nxy"
+            / ($"nx".cast("double") * $"ny")) * 1e6, 0).cast("long")
+          .as("t"))
+        .agg(sum($"t").as("mi_u"))
+      def entropy(m: DataFrame, c: String): DataFrame =
+        m.crossJoin(broadcast(tot))
+          .select(round((col(c).cast("double") / $"nn")
+            * log(col(c).cast("double") / $"nn") * -1e6, 0).cast("long")
+            .as("t"))
+          .agg(sum($"t").as(s"h_$c"))
+      mi.crossJoin(broadcast(entropy(nx, "nx")))
+        .crossJoin(broadcast(entropy(ny, "ny")))
+        .crossJoin(broadcast(tot))
+        .select($"nn".as("n_events"),
+          round($"mi_u" / 1e6, 6).as("mi"),
+          round($"h_nx" / 1e6, 6).as("h_type"),
+          round($"h_ny" / 1e6, 6).as("h_dow"),
+          round($"mi_u".cast("double") / least($"h_nx", $"h_ny"), 6)
+            .as("nmi"))
+    }),
+
     // Skyline / Pareto-front query (Börzsönyi, Kossmann & Stocker, ICDE
     // 2001, "The Skyline Operator"): the maximal users under (total
     // event value, event count) — no other user is >= on both dims and
@@ -2076,6 +2123,39 @@ object Aggregates {
         |    / (tn / td), 6) AS seasonality_idx
         |FROM d2 CROSS JOIN tot
         |GROUP BY dow, tn, td ORDER BY dow""".stripMargin,
+    "a_mutual_info" ->
+      """WITH xy AS MATERIALIZED (
+        |  SELECT event_type,
+        |    (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+        |      AS dow,
+        |    COUNT(*) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |nx AS (SELECT event_type, CAST(SUM(nxy) AS BIGINT) AS nx
+        |  FROM xy GROUP BY 1),
+        |ny AS (SELECT dow, CAST(SUM(nxy) AS BIGINT) AS ny FROM xy GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS nn FROM xy),
+        |mi AS (
+        |  SELECT CAST(SUM(CAST(ROUND((CAST(nxy AS DOUBLE) / nn)
+        |    * ln(CAST(nn AS DOUBLE) * nxy / (CAST(nx AS DOUBLE) * ny))
+        |    * 1e6, 0) AS BIGINT)) AS BIGINT) AS mi_u
+        |  FROM xy JOIN nx USING (event_type) JOIN ny USING (dow)
+        |  CROSS JOIN tot),
+        |hx AS (
+        |  SELECT CAST(SUM(CAST(ROUND((CAST(nx AS DOUBLE) / nn)
+        |    * ln(CAST(nx AS DOUBLE) / nn) * -1e6, 0) AS BIGINT)) AS BIGINT)
+        |    AS h_nx
+        |  FROM nx CROSS JOIN tot),
+        |hy AS (
+        |  SELECT CAST(SUM(CAST(ROUND((CAST(ny AS DOUBLE) / nn)
+        |    * ln(CAST(ny AS DOUBLE) / nn) * -1e6, 0) AS BIGINT)) AS BIGINT)
+        |    AS h_ny
+        |  FROM ny CROSS JOIN tot)
+        |SELECT nn AS n_events,
+        |  ROUND(mi_u / 1e6, 6) AS mi,
+        |  ROUND(h_nx / 1e6, 6) AS h_type,
+        |  ROUND(h_ny / 1e6, 6) AS h_dow,
+        |  ROUND(CAST(mi_u AS DOUBLE) / LEAST(h_nx, h_ny), 6) AS nmi
+        |FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot""".stripMargin,
     "a_pareto_front" ->
       """WITH prof AS (
         |  SELECT user_id,

@@ -247,6 +247,39 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.benchQueries.forall(SparkEntry.queries.contains))
   }
 
+  test("mutual information: local replay + information-theory bounds") {
+    def q(v: Double): Long =
+      BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLongExact
+    val cells = graft.ops.Tables.events(spark, sf)
+      .withColumn("dow",
+        (datediff(to_date($"ts"), lit("1970-01-01").cast("date")) + 4) % 7)
+      .groupBy($"event_type", $"dow").count()
+      .as[(String, Int, Long)].collect()
+    val nn = cells.map(_._3).sum
+    val nx = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ny = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val miU = cells.map { case (x, y, c) =>
+      q((c.toDouble / nn) *
+        math.log(nn.toDouble * c / (nx(x).toDouble * ny(y)))) }.sum
+    val hxU = nx.values.map(c =>
+      q((c.toDouble / nn) * math.log(c.toDouble / nn) * -1)).sum
+    val hyU = ny.values.map(c =>
+      q((c.toDouble / nn) * math.log(c.toDouble / nn) * -1)).sum
+    val Array((gotN, mi, hType, hDow, nmi)) =
+      SparkEntry.queries("a_mutual_info")(spark, sf)
+        .as[(Long, Double, Double, Double, Double)].collect()
+    assert(gotN == nn)
+    assert(math.abs(mi - miU / 1e6) < 1e-6 &&
+      math.abs(hType - hxU / 1e6) < 1e-6 &&
+      math.abs(hDow - hyU / 1e6) < 1e-6, "local replay")
+    // information-theory sanity: 0 <= MI <= min(H); H bounded by ln|domain|
+    assert(mi >= -1e-4 && mi <= math.min(hType, hDow) + 1e-6)
+    assert(hDow <= math.log(7.0) + 1e-6)
+    assert(hType <= math.log(nx.size.toDouble) + 1e-6)
+    assert(math.abs(nmi - miU.toDouble / math.min(hxU, hyU)) < 1e-4)
+  }
+
   test("PIT lookup: every probe hits exactly its containing SCD2 version") {
     val hist = SparkEntry.queries("scd2_status_history")(spark, sf)
       .select($"o_custkey", $"status", $"version",
