@@ -611,6 +611,41 @@ object SimilarityOps {
         .orderBy("pick")
     }),
 
+    // Embedding-space isotropy audit (Ethayarajh EMNLP 2019 on
+    // anisotropic representation cones; Mu & Viswanath ICLR 2018
+    // "All-but-the-Top"): the average pairwise cosine across ALL N²
+    // vector pairs and the common-direction strength ||mean(v̂)|| — the
+    // diagnostic that says whether cosine retrieval/dedup over this
+    // space is discriminative or squeezed into a cone. Computed WITHOUT
+    // any pair join via the sum-vector identity
+    //   Σ_{i≠j} cos(i,j) = ||Σ v̂||² − Σ ||v̂||²  (unit norms → − n),
+    // so the whole audit is one map-side normalize pass + a dim-keyed
+    // 64-row aggregate. Determinism: each normalized component
+    // quantizes to a nano long before the per-dim sum, each per-dim
+    // square to a micro long before the 64-row sum — both engines then
+    // evaluate fixed double expressions over exact integers. Scale:
+    // corpus-size work is the single posexplode pass (64N rows,
+    // map-side partial agg to 64 rows); everything after is
+    // dim-bounded.
+    "emb_isotropy" -> ((s, d) => {
+      import s.implicits._
+      val v = prepared(s, d)
+      val dims = v.select($"norm", posexplode($"e").as(Seq("dim", "x")))
+        .select($"dim",
+          round($"x" / $"norm" * 1e9, 0).cast("long").as("xq"))
+        .groupBy($"dim").agg(sum($"xq").as("sd"))
+      val ss = dims.select(round(($"sd".cast("double") / 1e9)
+          * ($"sd".cast("double") / 1e9) * 1e6, 0).cast("long").as("t"))
+        .agg(sum($"t").as("ss_u"))
+      val nn = v.agg(count(lit(1)).as("n"))
+      ss.crossJoin(broadcast(nn)).select(
+        $"n".as("n_vectors"),
+        round((($"ss_u".cast("double") / 1e6) - $"n")
+          / ($"n".cast("double") * ($"n" - 1)), 6).as("avg_pairwise_cos"),
+        round(sqrt($"ss_u".cast("double") / 1e6) / $"n", 6)
+          .as("mean_vec_norm"))
+    }),
+
     // LSH-bucketed ANN: same queries, neighbors restricted to the query's
     // 16-bit hyperplane bucket (the approximate scale path).
     "ann_lsh_topk" -> ((s, d) => {
@@ -1288,6 +1323,27 @@ object SimilarityOps {
          |FROM neg LEFT JOIN bp ON neg.query_id = bp.query_id
          |WHERE neg.rank <= $TopK
          |ORDER BY neg.query_id, neg.rank""".stripMargin,
+    "emb_isotropy" ->
+      s"""WITH $prepSql,
+         |pos AS (
+         |  SELECT norm, e, unnest(range(len(e))) AS dim FROM n),
+         |comp AS (
+         |  SELECT dim,
+         |    CAST(ROUND(e[dim + 1] / norm * 1e9, 0) AS BIGINT) AS xq
+         |  FROM pos),
+         |dims AS (SELECT dim, CAST(SUM(xq) AS BIGINT) AS sd
+         |  FROM comp GROUP BY 1),
+         |ss AS (
+         |  SELECT CAST(SUM(CAST(ROUND((CAST(sd AS DOUBLE) / 1e9)
+         |    * (CAST(sd AS DOUBLE) / 1e9) * 1e6, 0) AS BIGINT)) AS BIGINT)
+         |    AS ss_u
+         |  FROM dims),
+         |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM n)
+         |SELECT n AS n_vectors,
+         |  ROUND(((ss_u / 1e6) - n) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+         |    AS avg_pairwise_cos,
+         |  ROUND(sqrt(ss_u / 1e6) / n, 6) AS mean_vec_norm
+         |FROM ss CROSS JOIN nv""".stripMargin,
     "sample_coreset_kcenter" -> {
       def mdSql(selRel: String): String =
         s"""SELECT c.vec_id,

@@ -148,6 +148,7 @@ class PlanSpec extends SparkSpec {
     "ml_bt_strength",                                // 1-row normalizing-total broadcast per MM round
     "ml_gmm_em",                                     // 1-row parameter-state broadcast per EM round
     "a_mutual_info",                                 // 1-row total broadcast over the |types|x7 contingency table
+    "emb_isotropy",                                  // 1-row count broadcast onto the 64-row dim aggregate
     "ml_conformal_split",                            // cum>=k rank probe + 2-row qhat broadcast (nbScored core)
     "a_pareto_front",                                // 1-row min/max grid broadcast + survivor-set dominance verify
     "text_kn_bigram",                                // 1-row bigram-type-count broadcast (KN continuation denominator)

@@ -317,6 +317,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("isotropy audit matches the brute-force all-pairs average cosine") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def dotf(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val unit = rows.map { e =>
+      val nrm = math.sqrt(dotf(e, e)); e.map(_ / nrm) }
+    val n = unit.length
+    var sum = 0.0
+    for (i <- unit.indices; j <- unit.indices if i != j)
+      sum += dotf(unit(i), unit(j))
+    val brute = sum / (n.toDouble * (n - 1))
+    val Array((gotN, avgCos, meanNorm)) =
+      SparkEntry.queries("emb_isotropy")(spark, sf)
+        .as[(Long, Double, Double)].collect()
+    assert(gotN == n.toLong)
+    // the sum-vector identity vs the O(N^2) definition (1e-6 per-element
+    // quantization leaves ~1e-5 slack on the aggregate)
+    assert(math.abs(avgCos - brute) < 1e-4, s"$avgCos vs brute $brute")
+    assert(meanNorm >= 0.0 && meanNorm <= 1.0 + 1e-9)
+    // ||mean||^2 = (avg_cos * (n-1) + 1) / n, the same identity rearranged
+    val lhs = meanNorm * meanNorm
+    val rhs = (avgCos * (n - 1) + 1.0) / n
+    assert(math.abs(lhs - rhs) < 1e-4, s"identity: $lhs vs $rhs")
+  }
+
   test("k-center coreset: local FPS replay, monotone gaps, radius bound") {
     import graft.ops.SimilarityOps.KcPicks
     def rnd(x: Double): Long =
