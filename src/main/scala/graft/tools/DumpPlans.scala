@@ -112,6 +112,16 @@ object DumpPlans {
         "Hard-negative mining: broadcast query side over two map-side corpus scans (positive-max partial-aggregates to Q rows); label-exclusion + margin are rank arithmetic on k·Q rows",
       "ml_als_factors" ->
         "Rank-2 ALS trainer: one ratings shuffle per half-step (5 micro-long sums partial-aggregated map-side), side-cardinality 2x2 solves, checkpointed alternation state",
+      "ml_knn_shapley" ->
+        "KNN-Shapley valuation: broadcast probe side over one corpus scan; rank + lead + suffix sum per probe partition; top/bottom via TakeOrderedAndProject before the bounded rank windows",
+      "a_pareto_front" ->
+        "Skyline: 1-row min/max grid broadcast, <=1001-bucket envelope window, survivor-only dominance anti-join",
+      "mm_phash_dedup" ->
+        "Perceptual-hash dedup: map-only batched hash pass, banded equi-join candidates, O(1) Hamming verify — never all-pairs",
+      "ml_gmm_em" ->
+        "GMM EM trainer: per-round corpus pass with 1-row parameter broadcast; sufficient-statistic shuffle carries 7 quantized longs; checkpointed state",
+      "j_scd2_pointintime" ->
+        "Point-in-time lookup: pre-filtered probe side, custkey equi-join with the interval predicate as a residual — no nested loop",
     )
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (`explain(\"formatted\")`)\n\n")
