@@ -527,6 +527,92 @@ object Aggregates {
         .orderBy("dow")
     }),
 
+    // First/last-touch conversion attribution — the event-analytics
+    // classic (which channel gets credit for a purchase?): each purchase
+    // looks back 7 days for the same user's clicks; the earliest click
+    // in the window is the first-touch credit, the latest the
+    // last-touch, purchases with no in-window click report as
+    // unattributed. "Channel" = the click's props.k div 20 (5 synthetic
+    // channels via the JSON payload). Determinism: the in-window click
+    // ranking orders by (ts, event_id) — a total order — and purchase
+    // values micro-quantize before the per-channel sums. Scale: the
+    // purchase×click pair frame rides the user equi-join (range
+    // predicate is a residual — never a nested loop) and is bounded by
+    // per-user weekly activity; both touch models come from ONE ranked
+    // pass (row_number + partition count), one shuffle keyed by
+    // purchase.
+    "a_attribution_touch" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"),
+          round($"value" * 1e6, 0).cast("long").as("v_micro"))
+        .localCheckpoint(false) // probed by the pair join AND the anti side
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("c_ts"), $"event_id".as("c_id"),
+          expr("cast(get_json_object(props, '$.k') as bigint) div 20")
+            .as("channel"))
+      val pairs = purchases.join(clicks, Seq("user_id"))
+        .filter($"c_ts" < $"p_ts" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 7 DAYS"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"p_id").orderBy($"c_ts", $"c_id")))
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy($"p_id")))
+        .localCheckpoint(false) // one ranked pass feeds both touch models
+      val first = pairs.filter($"rn" === 1)
+        .select(lit("first_touch").as("model"), $"channel", $"v_micro")
+      val last = pairs.filter($"rn" === $"cnt")
+        .select(lit("last_touch").as("model"), $"channel", $"v_micro")
+      val unatt = purchases
+        .join(pairs.select($"p_id").distinct(), Seq("p_id"), "left_anti")
+        .select(lit("unattributed").as("model"), lit(-1L).as("channel"),
+          $"v_micro")
+      first.unionByName(last).unionByName(unatt)
+        .groupBy($"model", $"channel")
+        .agg(count(lit(1)).as("n_purchases"), sum($"v_micro").as("sv"))
+        .select($"model", $"channel", $"n_purchases",
+          round($"sv" / 1e6, 6).as("attributed_value"))
+        .orderBy("model", "channel")
+    }),
+
+    // Data-contract validation report (the Great-Expectations shape, and
+    // the generalization of the P9 schema guard / P10 validation gate):
+    // a pinned expectation suite — null checks, key uniqueness, value
+    // bounds, categorical domain, timestamp range — evaluated in ONE
+    // scan as conditional aggregates, shipped long-form as
+    // (rule, column, expectation, n_violations, passed). This is the
+    // CI gate a pipeline runs before promoting a batch; everything is
+    // an exact integer count, trivially engine-identical. Scale: one
+    // pass, map-side partial aggregation, 6-row output; new rules add
+    // aggregate columns, not passes.
+    "dq_expectations" -> ((s, d) => {
+      import s.implicits._
+      val g = events(s, d).agg(
+        sum(when($"event_id".isNull, 1L).otherwise(0L)).as("v1"),
+        (count(lit(1)) - countDistinct($"event_id")).as("v2"),
+        sum(when($"value" < 0.0, 1L).otherwise(0L)).as("v3"),
+        sum(when(!$"event_type".isin(EventTypes: _*), 1L).otherwise(0L))
+          .as("v4"),
+        sum(when($"ts" < lit("2020-01-01").cast("timestamp") ||
+          $"ts" >= lit("2030-01-01").cast("timestamp"), 1L).otherwise(0L))
+          .as("v5"),
+        sum(when($"user_id".isNull, 1L).otherwise(0L)).as("v6"))
+        .localCheckpoint(false) // 1-row aggregate, unpivoted 6 ways
+      val rules = Seq(
+        (1L, "event_id", "not_null", "v1"),
+        (2L, "event_id", "unique", "v2"),
+        (3L, "value", "non_negative", "v3"),
+        (4L, "event_type", "in_domain", "v4"),
+        (5L, "ts", "in_range_2020_2030", "v5"),
+        (6L, "user_id", "not_null", "v6"))
+      rules.map { case (id, c, e, v) =>
+        g.select(lit(id).as("rule_id"), lit(c).as("column_name"),
+          lit(e).as("expectation"), col(v).as("n_violations"),
+          (col(v) === 0L).as("passed"))
+      }.reduce(_.unionByName(_)).orderBy("rule_id")
+    }),
+
     // Mutual information + entropies between event type and weekday —
     // the model-free dependence audit (is the category mix actually
     // day-driven, and by how many bits?) that complements the
@@ -2123,6 +2209,62 @@ object Aggregates {
         |    / (tn / td), 6) AS seasonality_idx
         |FROM d2 CROSS JOIN tot
         |GROUP BY dow, tn, td ORDER BY dow""".stripMargin,
+    "a_attribution_touch" ->
+      """WITH pur AS (
+        |  SELECT event_id AS p_id, user_id, ts AS p_ts,
+        |    CAST(ROUND(value * 1e6, 0) AS BIGINT) AS v_micro
+        |  FROM events WHERE event_type = 'purchase'),
+        |clk AS (
+        |  SELECT user_id, ts AS c_ts, event_id AS c_id,
+        |    CAST(props->>'$.k' AS BIGINT) // 20 AS channel
+        |  FROM events WHERE event_type = 'click'),
+        |pairs AS (
+        |  SELECT p.p_id, p.v_micro, c.channel,
+        |    row_number() OVER (PARTITION BY p.p_id
+        |      ORDER BY c.c_ts, c.c_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY p.p_id) AS cnt
+        |  FROM pur p JOIN clk c ON p.user_id = c.user_id
+        |    AND c.c_ts < p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 7 DAY),
+        |att AS (
+        |  SELECT 'first_touch' AS model, channel, v_micro
+        |  FROM pairs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT 'last_touch', channel, v_micro FROM pairs WHERE rn = cnt
+        |  UNION ALL
+        |  SELECT 'unattributed', CAST(-1 AS BIGINT), v_micro FROM pur
+        |  WHERE p_id NOT IN (SELECT p_id FROM pairs))
+        |SELECT model, channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  ROUND(CAST(SUM(v_micro) AS BIGINT) / 1e6, 6) AS attributed_value
+        |FROM att GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dq_expectations" -> {
+      val domain = EventTypes.map(t => s"'$t'").mkString(", ")
+      s"""WITH g AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS v1,
+         |    CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS v2,
+         |    CAST(SUM(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS v3,
+         |    CAST(SUM(CASE WHEN event_type NOT IN ($domain) THEN 1 ELSE 0
+         |      END) AS BIGINT) AS v4,
+         |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2020-01-01'
+         |      OR ts >= TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS v5,
+         |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS v6
+         |  FROM events)
+         |SELECT rule_id, column_name, expectation, n_violations,
+         |  n_violations = 0 AS passed
+         |FROM (
+         |  SELECT 1 AS rule_id, 'event_id' AS column_name,
+         |    'not_null' AS expectation, v1 AS n_violations FROM g
+         |  UNION ALL SELECT 2, 'event_id', 'unique', v2 FROM g
+         |  UNION ALL SELECT 3, 'value', 'non_negative', v3 FROM g
+         |  UNION ALL SELECT 4, 'event_type', 'in_domain', v4 FROM g
+         |  UNION ALL SELECT 5, 'ts', 'in_range_2020_2030', v5 FROM g
+         |  UNION ALL SELECT 6, 'user_id', 'not_null', v6 FROM g)
+         |ORDER BY rule_id""".stripMargin
+    },
     "a_mutual_info" ->
       """WITH xy AS MATERIALIZED (
         |  SELECT event_type,

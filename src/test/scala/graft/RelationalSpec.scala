@@ -247,6 +247,66 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.benchQueries.forall(SparkEntry.queries.contains))
   }
 
+  test("attribution: both touch models conserve purchases and value") {
+    val rows = SparkEntry.queries("a_attribution_touch")(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    val purchases = graft.ops.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .agg(count(lit(1)),
+        sum(round($"value" * 1e6, 0).cast("long")))
+      .as[(Long, Long)].head()
+    def tot(model: String) = {
+      val m = rows.filter(r => r._1 == model || r._1 == "unattributed")
+      (m.map(_._3).sum, m.map(_._4).sum)
+    }
+    // every purchase is credited exactly once per model (or unattributed)
+    Seq("first_touch", "last_touch").foreach { m =>
+      val (n, v) = tot(m)
+      assert(n == purchases._1, s"$m purchase conservation")
+      assert(math.abs(v - purchases._2 / 1e6) < 1e-3, s"$m value conservation")
+    }
+    // channel domain: props.k in [0,99] -> div 20 in [0,4]; -1 = unattributed
+    rows.foreach { case (m, c, n, v) =>
+      assert(if (m == "unattributed") c == -1L else c >= 0L && c <= 4L)
+      assert(n > 0L && v >= 0.0)
+    }
+  }
+
+  test("dq expectations: clean corpus passes; planted violations counted") {
+    val clean = SparkEntry.queries("dq_expectations")(spark, sf)
+      .as[(Long, String, String, Long, Boolean)].collect().sortBy(_._1)
+    assert(clean.map(_._1).toSeq == (1L to 6L))
+    clean.foreach { case (id, _, _, nv, passed) =>
+      assert(passed == (nv == 0L), s"rule $id passed flag")
+      assert(nv == 0L, s"rule $id unexpectedly violated on the corpus")
+    }
+    // planted-violation fixture: dup key, null key, negative value,
+    // out-of-domain type, out-of-range ts, null user
+    val dir = "target/tmp/dq_fixture"
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      (Some(1L), base, Some(10L), "click", 1.0, "{}"),
+      (Some(1L), base, Some(11L), "view", 2.0, "{}"),       // dup event_id
+      (None: Option[Long], base, Some(12L), "click", 3.0, "{}"), // null id
+      (Some(3L), base, Some(13L), "bogus", 4.0, "{}"),      // bad domain
+      (Some(4L), base, Some(14L), "click", -5.0, "{}"),     // negative
+      (Some(5L), java.sql.Timestamp.valueOf("2035-01-01 00:00:00"),
+        Some(15L), "click", 6.0, "{}"),                     // out of range
+      (Some(6L), base, None: Option[Long], "click", 7.0, "{}")) // null user
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("dq_expectations")(spark, dir)
+      .as[(Long, String, String, Long, Boolean)].collect().sortBy(_._1)
+      .map(r => r._1 -> (r._4, r._5)).toMap
+    assert(got(1L) == (1L, false), "null event_id counted")
+    // count(*) - countDistinct = 7 - 5 non-null distinct = 2 (dup + null)
+    assert(got(2L) == (2L, false), "uniqueness violations counted")
+    assert(got(3L) == (1L, false), "negative value counted")
+    assert(got(4L) == (1L, false), "domain violation counted")
+    assert(got(5L) == (1L, false), "ts range violation counted")
+    assert(got(6L) == (1L, false), "null user counted")
+  }
+
   test("mutual information: local replay + information-theory bounds") {
     def q(v: Double): Long =
       BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
