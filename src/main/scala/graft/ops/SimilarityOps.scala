@@ -77,6 +77,47 @@ object SimilarityOps {
   /** Greedy k-center picks (sample_coreset_kcenter). */
   val KcPicks = 5
 
+  /** The KNN-Shapley pipeline downstream of candidate generation —
+    * shared by the exact (ml_knn_shapley) and LSH-restricted
+    * (ml_knn_shapley_lsh) variants so the recurrence cannot drift:
+    * rank per probe, Theorem-1 terms nano-quantized per row, suffix
+    * sum, per-point aggregate, top/bottom-ShapTop report. Input:
+    * (query_id, qlabel, vec_id, label, cos_exact [, ...]).
+    */
+  private def shapleyReport(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
+    val wr = Window.partitionBy($"query_id")
+      .orderBy(desc("cos_exact"), asc("vec_id"))
+    val ranked = scored
+      .withColumn("i", row_number().over(wr))
+      .withColumn("m", when($"label" === $"qlabel", 1L).otherwise(0L))
+      .withColumn("nn",
+        count(lit(1)).over(Window.partitionBy($"query_id")))
+      .withColumn("m_next", lead($"m", 1).over(wr))
+    val terms = ranked.withColumn("t_e9",
+      when($"m_next".isNull,
+        round($"m".cast("double") * 1e9
+          / greatest(lit(ShapK.toLong), $"nn").cast("double"), 0)
+          .cast("long"))
+        .otherwise(round(($"m" - $"m_next").cast("double")
+          * least(lit(ShapK.toDouble), $"i".cast("double")) * 1e9
+          / (lit(ShapK.toDouble) * $"i".cast("double")), 0).cast("long")))
+      .withColumn("shap_e9", sum($"t_e9").over(
+        Window.partitionBy($"query_id").orderBy($"i")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    val perTrain = terms.groupBy($"vec_id", $"label")
+      .agg(sum($"shap_e9").as("shap_e9_sum"))
+    def side(tag: String, ord: Seq[Column]): DataFrame =
+      perTrain.orderBy(ord: _*).limit(ShapTop)
+        .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+        .withColumn("bucket", lit(tag))
+    side("top", Seq(desc("shap_e9_sum"), asc("vec_id")))
+      .unionByName(side("bottom", Seq(asc("shap_e9_sum"), asc("vec_id"))))
+      .select($"bucket", $"rank", $"vec_id", $"label", $"shap_e9_sum",
+        round($"shap_e9_sum" / 1e9 / lit(NumQueries), 6).as("avg_value"))
+      .orderBy($"bucket", $"rank")
+  }
+
   /** ADC candidates rescored per query by IVF-ADC (FAISS's refine
     * factor). Deeper than the flat scan's 2k: 16-code subquantizers on
     * isotropic data rank coarsely, so the recall lever is the exact
@@ -356,37 +397,33 @@ object SimilarityOps {
         .select($"vec_id".as("query_id"), $"label".as("qlabel"),
           $"e".as("qe"), $"norm".as("qn"))
       val train = v.filter($"vec_id" >= NumQueries)
-      val wr = Window.partitionBy($"query_id")
-        .orderBy(desc("cos_exact"), asc("vec_id"))
-      val ranked = train.crossJoin(broadcast(q))
+      val scored = train.crossJoin(broadcast(q))
         .withColumn("cos_exact", dot($"e", $"qe") / ($"norm" * $"qn"))
-        .withColumn("i", row_number().over(wr))
-        .withColumn("m", when($"label" === $"qlabel", 1L).otherwise(0L))
-        .withColumn("nn",
-          count(lit(1)).over(Window.partitionBy($"query_id")))
-        .withColumn("m_next", lead($"m", 1).over(wr))
-      val terms = ranked.withColumn("t_e9",
-        when($"m_next".isNull,
-          round($"m".cast("double") * 1e9
-            / greatest(lit(ShapK.toLong), $"nn").cast("double"), 0)
-            .cast("long"))
-          .otherwise(round(($"m" - $"m_next").cast("double")
-            * least(lit(ShapK.toDouble), $"i".cast("double")) * 1e9
-            / (lit(ShapK.toDouble) * $"i".cast("double")), 0).cast("long")))
-        .withColumn("shap_e9", sum($"t_e9").over(
-          Window.partitionBy($"query_id").orderBy($"i")
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-      val perTrain = terms.groupBy($"vec_id", $"label")
-        .agg(sum($"shap_e9").as("shap_e9_sum"))
-      def side(tag: String, ord: Seq[Column]): DataFrame =
-        perTrain.orderBy(ord: _*).limit(ShapTop)
-          .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
-          .withColumn("bucket", lit(tag))
-      side("top", Seq(desc("shap_e9_sum"), asc("vec_id")))
-        .unionByName(side("bottom", Seq(asc("shap_e9_sum"), asc("vec_id"))))
-        .select($"bucket", $"rank", $"vec_id", $"label", $"shap_e9_sum",
-          round($"shap_e9_sum" / 1e9 / lit(NumQueries), 6).as("avg_value"))
-        .orderBy($"bucket", $"rank")
+      shapleyReport(scored)
+    }),
+
+    // The paper's own scale path, IMPLEMENTED (Jia et al. 2019 §4's
+    // LSH-approximate valuation, in this engine's bucket dialect): the
+    // Theorem-1 recurrence runs unchanged, but each probe ranks only
+    // the training points in ITS 6-bit hyperplane bucket — candidate
+    // generation drops from Q×N to Q×bucket, exactly the ann_lsh_topk
+    // restriction. A training point absent from a probe's bucket
+    // contributes zero for that probe (the sparse approximation — at
+    // 100 TB this is what makes per-point valuation affordable), and a
+    // probe with an empty candidate bucket simply abstains. Same output
+    // contract as the exact op, so the two are directly comparable;
+    // SimilaritySpec replays this variant exactly and checks the
+    // bucket-restriction semantics.
+    "ml_knn_shapley_lsh" -> ((s, d) => {
+      import s.implicits._
+      val v = prepared(s, d).withColumn("bucket", lshBucket($"e"))
+      val q = v.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+          $"e".as("qe"), $"norm".as("qn"), $"bucket".as("qbucket"))
+      val train = v.filter($"vec_id" >= NumQueries)
+      val scored = train.join(broadcast(q), $"bucket" === $"qbucket")
+        .withColumn("cos_exact", dot($"e", $"qe") / ($"norm" * $"qn"))
+      shapleyReport(scored)
     }),
 
     // Hybrid retrieval: BM25 lexical ranking ⊕ dense cosine ranking,
@@ -1251,6 +1288,54 @@ object SimilarityOps {
          |FROM cands""".stripMargin)}""".stripMargin
   }
 
+  /** Oracle tail of the KNN-Shapley pipeline (rank -> Theorem-1 terms
+    * -> suffix sum -> per-point aggregate -> top/bottom report),
+    * appended after a variant-specific `sc` CTE — shared by the
+    * exact and LSH-restricted oracles.
+    */
+  private lazy val shapleyTailSql: String =
+    s"""rk AS (
+         |  SELECT query_id, vec_id, label,
+         |    row_number() OVER w AS i,
+         |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS m,
+         |    LEAD(CASE WHEN label = qlabel THEN 1 ELSE 0 END) OVER w AS m_next,
+         |    COUNT(*) OVER (PARTITION BY query_id) AS nn
+         |  FROM sc
+         |  WINDOW w AS (PARTITION BY query_id
+         |    ORDER BY cos_exact DESC, vec_id ASC)),
+         |te AS (
+         |  SELECT query_id, vec_id, label, i,
+         |    CAST(ROUND(CASE WHEN m_next IS NULL
+         |      THEN CAST(m AS DOUBLE) * 1e9
+         |        / CAST(GREATEST($ShapK, nn) AS DOUBLE)
+         |      ELSE CAST(m - m_next AS DOUBLE)
+         |        * LEAST($ShapK.0, CAST(i AS DOUBLE)) * 1e9
+         |        / ($ShapK.0 * CAST(i AS DOUBLE)) END, 0) AS BIGINT) AS t_e9
+         |  FROM rk),
+         |sp AS (
+         |  SELECT query_id, vec_id, label,
+         |    CAST(SUM(t_e9) OVER (PARTITION BY query_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+         |      AS shap_e9
+         |  FROM te),
+         |pt AS (
+         |  SELECT vec_id, label, CAST(SUM(shap_e9) AS BIGINT) AS shap_e9_sum
+         |  FROM sp GROUP BY 1, 2),
+         |top AS (
+         |  SELECT 'top' AS bucket,
+         |    row_number() OVER (ORDER BY shap_e9_sum DESC, vec_id) AS rank,
+         |    vec_id, label, shap_e9_sum
+         |  FROM pt ORDER BY shap_e9_sum DESC, vec_id LIMIT $ShapTop),
+         |bot AS (
+         |  SELECT 'bottom' AS bucket,
+         |    row_number() OVER (ORDER BY shap_e9_sum ASC, vec_id) AS rank,
+         |    vec_id, label, shap_e9_sum
+         |  FROM pt ORDER BY shap_e9_sum ASC, vec_id LIMIT $ShapTop)
+         |SELECT bucket, rank, vec_id, label, shap_e9_sum,
+         |  ROUND(shap_e9_sum / 1e9 / $NumQueries, 6) AS avg_value
+         |FROM (SELECT * FROM top UNION ALL SELECT * FROM bot)
+         |ORDER BY bucket, rank""".stripMargin
+
   private val prepSql =
     """v AS (
       |  SELECT vec_id, label,
@@ -1386,47 +1471,22 @@ object SimilarityOps {
          |  SELECT q.query_id, q.qlabel, tr.vec_id, tr.label,
          |    ${dotSql("tr.e", "q.qe")} / (tr.norm * q.qn) AS cos_exact
          |  FROM tr CROSS JOIN q),
-         |rk AS (
-         |  SELECT query_id, vec_id, label,
-         |    row_number() OVER w AS i,
-         |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS m,
-         |    LEAD(CASE WHEN label = qlabel THEN 1 ELSE 0 END) OVER w AS m_next,
-         |    COUNT(*) OVER (PARTITION BY query_id) AS nn
-         |  FROM sc
-         |  WINDOW w AS (PARTITION BY query_id
-         |    ORDER BY cos_exact DESC, vec_id ASC)),
-         |te AS (
-         |  SELECT query_id, vec_id, label, i,
-         |    CAST(ROUND(CASE WHEN m_next IS NULL
-         |      THEN CAST(m AS DOUBLE) * 1e9
-         |        / CAST(GREATEST($ShapK, nn) AS DOUBLE)
-         |      ELSE CAST(m - m_next AS DOUBLE)
-         |        * LEAST($ShapK.0, CAST(i AS DOUBLE)) * 1e9
-         |        / ($ShapK.0 * CAST(i AS DOUBLE)) END, 0) AS BIGINT) AS t_e9
-         |  FROM rk),
-         |sp AS (
-         |  SELECT query_id, vec_id, label,
-         |    CAST(SUM(t_e9) OVER (PARTITION BY query_id ORDER BY i
-         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
-         |      AS shap_e9
-         |  FROM te),
-         |pt AS (
-         |  SELECT vec_id, label, CAST(SUM(shap_e9) AS BIGINT) AS shap_e9_sum
-         |  FROM sp GROUP BY 1, 2),
-         |top AS (
-         |  SELECT 'top' AS bucket,
-         |    row_number() OVER (ORDER BY shap_e9_sum DESC, vec_id) AS rank,
-         |    vec_id, label, shap_e9_sum
-         |  FROM pt ORDER BY shap_e9_sum DESC, vec_id LIMIT $ShapTop),
-         |bot AS (
-         |  SELECT 'bottom' AS bucket,
-         |    row_number() OVER (ORDER BY shap_e9_sum ASC, vec_id) AS rank,
-         |    vec_id, label, shap_e9_sum
-         |  FROM pt ORDER BY shap_e9_sum ASC, vec_id LIMIT $ShapTop)
-         |SELECT bucket, rank, vec_id, label, shap_e9_sum,
-         |  ROUND(shap_e9_sum / 1e9 / $NumQueries, 6) AS avg_value
-         |FROM (SELECT * FROM top UNION ALL SELECT * FROM bot)
-         |ORDER BY bucket, rank""".stripMargin,
+         |$shapleyTailSql""".stripMargin,
+    "ml_knn_shapley_lsh" ->
+      s"""WITH $prepSql,
+         |nb AS (SELECT n.*, ${bucketSql("e")} AS bucket FROM n),
+         |q AS (
+         |  SELECT vec_id AS query_id, label AS qlabel, e AS qe, norm AS qn,
+         |    bucket AS qbucket
+         |  FROM nb WHERE vec_id < $NumQueries),
+         |tr AS (
+         |  SELECT vec_id, label, e, norm, bucket FROM nb
+         |  WHERE vec_id >= $NumQueries),
+         |sc AS (
+         |  SELECT q.query_id, q.qlabel, tr.vec_id, tr.label,
+         |    ${dotSql("tr.e", "q.qe")} / (tr.norm * q.qn) AS cos_exact
+         |  FROM tr JOIN q ON tr.bucket = q.qbucket),
+         |$shapleyTailSql""".stripMargin,
     "ann_filtered_topk" ->
       s"""WITH $prepSql,
          |f AS (

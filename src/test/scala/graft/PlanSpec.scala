@@ -184,6 +184,8 @@ class PlanSpec extends SparkSpec {
       "cum-bound window over the <=|query terms| upper-bound table; rank window after .limit(K)",
     "ml_knn_shapley" ->
       "top/bottom rank windows after .limit(ShapTop) (TakeOrderedAndProject caps the frame first)",
+    "ml_knn_shapley_lsh" ->
+      "same shapleyReport tail: rank windows after .limit(ShapTop)",
     "ml_conformal_split" ->
       "cumulative window over the micro-quantized nonconformity bins (<= 1e6+1 value-range-bounded domain, corpus-independent)",
     "a_pareto_front" ->

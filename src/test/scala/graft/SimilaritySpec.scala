@@ -344,6 +344,61 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(lhs - rhs) < 1e-4, s"identity: $lhs vs $rhs")
   }
 
+  test("LSH-restricted KNN-Shapley replays with bucket-confined candidates") {
+    import graft.ops.SimilarityOps.{NumQueries, ShapK, ShapTop}
+    def rnd(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val buckets = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", graft.ops.SimilarityOps.lshBucket(
+        transform($"embedding", x => x.cast("double"))).as("b"))
+      .as[(Long, Long)].collect().toMap
+    def dotf(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val norms = raw.map(r => r._1 -> math.sqrt(dotf(r._3, r._3))).toMap
+    val probes = raw.filter(_._1 < NumQueries)
+    val train = raw.filter(_._1 >= NumQueries)
+    val acc = scala.collection.mutable.Map
+      .empty[Long, Long].withDefaultValue(0L)
+    var abstained = 0
+    probes.foreach { case (qid, qlab, qe) =>
+      val cands = train.filter(t => buckets(t._1) == buckets(qid))
+      if (cands.isEmpty) abstained += 1
+      else {
+        val ranked = cands.map { case (id, lab, e) =>
+          (id, lab, dotf(e, qe) / (norms(id) * norms(qid)))
+        }.sortBy { case (id, _, c) => (-c, id) }
+        val m = ranked.map { case (_, lab, _) => if (lab == qlab) 1L else 0L }
+        val nn = ranked.length
+        val t = Array.tabulate(nn) { j =>
+          if (j == nn - 1)
+            rnd(m(j).toDouble * 1e9 /
+              math.max(ShapK.toLong, nn.toLong).toDouble)
+          else rnd((m(j) - m(j + 1)).toDouble
+            * math.min(ShapK.toDouble, (j + 1).toDouble) * 1e9
+            / (ShapK.toDouble * (j + 1).toDouble))
+        }
+        val suffix = t.scanRight(0L)(_ + _).dropRight(1)
+        ranked.indices.foreach(j => acc(ranked(j)._1) += suffix(j))
+      }
+    }
+    // ensure the restriction is real on this corpus: buckets are narrower
+    // than the corpus, so per-probe candidate sets must be proper subsets
+    assert(probes.exists(q =>
+      train.count(t => buckets(t._1) == buckets(q._1)) < train.length))
+    val got = SparkEntry.queries("ml_knn_shapley_lsh")(spark, sf)
+      .as[(String, Int, Long, Int, Long, Double)].collect()
+    val expTop = acc.toSeq.sortBy { case (id, v) => (-v, id) }.take(ShapTop)
+    val expBot = acc.toSeq.sortBy { case (id, v) => (v, id) }.take(ShapTop)
+    def sideOf(tag: String) =
+      got.filter(_._1 == tag).sortBy(_._2).map(r => (r._3, r._5)).toSeq
+    assert(sideOf("top") == expTop, "LSH-variant top points replay")
+    assert(sideOf("bottom") == expBot, "LSH-variant bottom points replay")
+  }
+
   test("k-center coreset: local FPS replay, monotone gaps, radius bound") {
     import graft.ops.SimilarityOps.KcPicks
     def rnd(x: Double): Long =
