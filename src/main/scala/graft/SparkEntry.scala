@@ -23,7 +23,7 @@ object SparkEntry {
     Relational.queries ++ Aggregates.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MLOps.queries ++
       MultimodalOps.queries ++ GraphOps.queries ++
-      graft.streaming.StreamingOps.queries
+      graft.streaming.StreamingOps.queries ++ FuzzQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,7 +32,7 @@ object SparkEntry {
     Relational.oracles ++ Aggregates.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ MLOps.oracles ++
       MultimodalOps.oracles ++ GraphOps.oracles ++
-      graft.streaming.StreamingOps.oracles
+      graft.streaming.StreamingOps.oracles ++ FuzzQueries.oracleSql
 
   /** Headline subset used by graft.Bench — the scale-representative
     * queries (big shuffles, joins, windows, text/similarity paths), not

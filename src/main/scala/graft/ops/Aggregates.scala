@@ -656,8 +656,13 @@ object Aggregates {
           round($"mi_u" / 1e6, 6).as("mi"),
           round($"h_nx" / 1e6, 6).as("h_type"),
           round($"h_ny" / 1e6, 6).as("h_dow"),
-          round($"mi_u".cast("double") / least($"h_nx", $"h_ny"), 6)
-            .as("nmi"))
+          // Degenerate-corpus guard: a single event type (or single
+          // weekday) has H = 0, making mi/min(H) 0/0; MI is then also 0
+          // by definition, so emit nmi = 0 rather than NaN (mirrored in
+          // the oracle).
+          when(least($"h_nx", $"h_ny") === 0L, lit(0.0))
+            .otherwise(round($"mi_u".cast("double")
+              / least($"h_nx", $"h_ny"), 6)).as("nmi"))
     }),
 
     // Skyline / Pareto-front query (Börzsönyi, Kossmann & Stocker, ICDE
@@ -1133,6 +1138,116 @@ object Aggregates {
           round($"n_risky_docs".cast("double") / $"n_docs", 6)
             .as("risky_share"))
         .orderBy("k")
+    }),
+
+    // l-diversity audit (Machanavajjhala et al. 2007, "l-Diversity:
+    // Privacy Beyond k-Anonymity", TKDD 1(1)) — the companion to
+    // privacy_k_anonymity on the SAME quasi-identifier tuple
+    // (lang, source, n_chars div 100): k-anonymity bounds group SIZE,
+    // but a large group whose members all share one sensitive value
+    // still leaks it to anyone who can place a target in the group
+    // (the homogeneity attack); a group is l-diverse iff it contains
+    // >= l DISTINCT sensitive values. The fixtures carry no genuinely
+    // sensitive column, so the shipped query instantiates the sensitive
+    // attribute with a deterministic 5-class content fingerprint
+    // (poly_hash(text) mod 5 — PolyHash is always non-negative, so
+    // plain % matches the oracle); the distinct-count machinery and the
+    // per-l verdicts are what the op delivers — production swaps in the
+    // real attribute column. Output per l in {2, 3, 5}: docs/groups
+    // below the diversity threshold, their corpus share, and the
+    // corpus-wide diversity floor min_l (the largest l for which the
+    // whole corpus is l-diverse is min_l itself). Scale: one
+    // QI+sensitive-keyed aggregate then a QI-keyed rollup, both
+    // map-side combinable; the l fan-out and the floor touch only the
+    // |QI-combinations|-bounded group frame.
+    "privacy_l_diversity" -> ((s, d) => {
+      import s.implicits._
+      val g = documents(s, d)
+        .select($"lang", $"source", expr("n_chars div 100").as("size_bin"),
+          (graft.functions.PolyHash.poly_hash($"text") % 5L).as("sens"))
+        .groupBy($"lang", $"source", $"size_bin", $"sens")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy($"lang", $"source", $"size_bin")
+        .agg(sum($"cnt").as("gsz"), count(lit(1)).as("ndist"))
+        .localCheckpoint(false) // one rollup, 3 l-level probes + the floor
+      val floor = g.agg(min($"ndist").as("min_l"))
+      Seq(2L, 3L, 5L).toDF("l").crossJoin(g)
+        .groupBy($"l").agg(
+          sum($"gsz").as("n_docs"),
+          count(lit(1)).as("n_groups"),
+          sum(when($"ndist" < $"l", $"gsz").otherwise(0L))
+            .as("n_risky_docs"),
+          sum(when($"ndist" < $"l", 1L).otherwise(0L))
+            .as("n_risky_groups"))
+        .crossJoin(broadcast(floor))
+        .select($"l", $"n_docs", $"n_groups", $"n_risky_docs",
+          $"n_risky_groups",
+          round($"n_risky_docs".cast("double") / $"n_docs", 6)
+            .as("risky_share"),
+          $"min_l")
+        .orderBy("l")
+    }),
+
+    // t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007,
+    // "t-Closeness: Privacy Beyond k-Anonymity and l-Diversity") — the
+    // third privacy lens on the SAME quasi-identifier grouping:
+    // l-diversity counts distinct sensitive values, but a group whose
+    // sensitive DISTRIBUTION is skewed far from the corpus-wide one
+    // still leaks (the skewness attack — "diverse" but 90% one class).
+    // A group satisfies t-closeness iff the distance between its
+    // sensitive distribution and the global distribution is <= t; for a
+    // categorical attribute with unit ground distance the EMD reduces to
+    // total variation = L1/2. Sensitive attribute = the same 5-class
+    // content fingerprint as privacy_l_diversity. Distance terms: the
+    // per-class |p_group - p_global| quantizes to a micro long BEFORE
+    // the (5-bounded) sum, so dist replays exactly; absent classes
+    // contribute |0 - p_global| via the class-domain cross join
+    // (|QI-groups| x 5, bounded). Output per t in {0.2, 0.35, 0.5}:
+    // violating groups/docs + shares and the corpus-wide max distance.
+    // Scale: one QI+class aggregate, one QI rollup, 5-row class domain —
+    // all map-side combinable; nothing grows beyond |QI-combinations|.
+    "privacy_t_closeness" -> ((s, d) => {
+      import s.implicits._
+      val sv = documents(s, d)
+        .select($"lang", $"source", expr("n_chars div 100").as("size_bin"),
+          (graft.functions.PolyHash.poly_hash($"text") % 5L).as("sens"))
+        .localCheckpoint(false) // feeds group counts + global marginals
+      val gs = sv.groupBy($"lang", $"source", $"size_bin", $"sens")
+        .agg(count(lit(1)).as("cnt"))
+      val g = gs.groupBy($"lang", $"source", $"size_bin")
+        .agg(sum($"cnt").as("gsz"))
+      val glob = sv.groupBy($"sens").agg(count(lit(1)).as("gcnt"))
+      val tot = sv.agg(count(lit(1)).as("nn"))
+      val dom = g.crossJoin(broadcast(glob)).crossJoin(broadcast(tot))
+      val dist = dom
+        .join(gs, Seq("lang", "source", "size_bin", "sens"), "left")
+        .na.fill(0L, Seq("cnt"))
+        .select($"lang", $"source", $"size_bin", $"gsz",
+          round(abs($"cnt".cast("double") / $"gsz"
+            - $"gcnt".cast("double") / $"nn") * 1e6, 0).cast("long")
+            .as("term_micro"))
+        .groupBy($"lang", $"source", $"size_bin")
+        .agg(max($"gsz").as("gsz"),
+          // integer halving (Spark's `/` on longs is double division;
+          // DuckDB mirrors with //)
+          expr("sum(term_micro) div 2").as("dist_micro"))
+        .localCheckpoint(false) // 3 t-level probes + the max
+      val mx = dist.agg(max($"dist_micro").as("max_micro"))
+      Seq(200000L, 350000L, 500000L).toDF("t_micro").crossJoin(dist)
+        .groupBy($"t_micro").agg(
+          sum($"gsz").as("n_docs"),
+          count(lit(1)).as("n_groups"),
+          sum(when($"dist_micro" > $"t_micro", $"gsz").otherwise(0L))
+            .as("n_far_docs"),
+          sum(when($"dist_micro" > $"t_micro", 1L).otherwise(0L))
+            .as("n_far_groups"))
+        .crossJoin(broadcast(mx))
+        .select(round($"t_micro" / 1e6, 2).as("t"),
+          $"n_docs", $"n_groups", $"n_far_docs", $"n_far_groups",
+          round($"n_far_docs".cast("double") / $"n_docs", 6)
+            .as("far_share"),
+          round($"max_micro" / 1e6, 6).as("max_dist"))
+        .orderBy("t")
     }),
 
     "profile_events" -> ((s, d) => {
@@ -1674,6 +1789,51 @@ object Aggregates {
           (max($"us") - min($"us")).as("duration_us"))
         .orderBy("user_id", "session_id")
     }),
+
+    // Ordered funnel conversion (the product-analytics staple every
+    // event warehouse reinvents; the windowed-sequence sibling of
+    // a_cohort_retention): view -> click -> purchase, where each later
+    // stage must occur STRICTLY AFTER the user's entry into the previous
+    // one (first-touch semantics: stage k's entry = the user's earliest
+    // qualifying event after stage k-1's entry — later same-type events
+    // don't re-open the funnel). Output: one row per stage with entered
+    // users, conversion from the previous stage and from the top.
+    // Determinism: entries are MIN(ts) under exact timestamp comparison;
+    // rates divide exact longs. Scale: one user-keyed conditional
+    // aggregate per stage (3 total), each a map-side-combinable groupBy
+    // joined user-to-user — never a self-join on the raw event stream,
+    // and no per-user event sorting (the naive window formulation).
+    "w_funnel_conversion" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select($"user_id", $"event_type", $"ts")
+        .localCheckpoint(false) // probed once per funnel stage
+      val s1 = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val s2 = ev.filter($"event_type" === "click")
+        .join(s1, "user_id").filter($"ts" > $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val s3 = ev.filter($"event_type" === "purchase")
+        .join(s2, "user_id").filter($"ts" > $"t2")
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      // stage counts are XCom-scale scalars (3 longs — the S12 posture);
+      // the rounded rates use Spark's round() so the rounding mode
+      // matches the oracle's ROUND exactly
+      val (n1, n2, n3) = (s1.count(), s2.count(), s3.count())
+      Seq((1, "view", n1), (2, "click_after_view", n2),
+        (3, "purchase_after_click", n3))
+        .toDF("stage", "step", "n_users")
+        .withColumn("prev",
+          when($"stage" === 1, lit(n1)).when($"stage" === 2, lit(n1))
+            .otherwise(lit(n2)))
+        .select($"stage", $"step", $"n_users",
+          when($"prev" === 0L, lit(0.0))
+            .otherwise(round($"n_users".cast("double") / $"prev", 6))
+            .as("conv_from_prev"),
+          when(lit(n1) === 0L, lit(0.0))
+            .otherwise(round($"n_users".cast("double") / lit(n1), 6))
+            .as("conv_from_top"))
+        .orderBy("stage")
+    }),
   )
 
   private val pivotCols =
@@ -2032,6 +2192,75 @@ object Aggregates {
         |    / CAST(SUM(gsz) AS DOUBLE), 6) AS risky_share
         |FROM ks CROSS JOIN g
         |GROUP BY k ORDER BY k""".stripMargin,
+    "privacy_l_diversity" ->
+      s"""WITH sv AS (
+        |  SELECT lang, source, n_chars // 100 AS size_bin,
+        |    ${graft.ops.DedupOps.polyHashSql("text")} % 5 AS sens
+        |  FROM documents),
+        |gs AS (
+        |  SELECT lang, source, size_bin, sens, COUNT(*) AS cnt
+        |  FROM sv GROUP BY 1, 2, 3, 4),
+        |g AS (
+        |  SELECT lang, source, size_bin,
+        |    CAST(SUM(cnt) AS BIGINT) AS gsz,
+        |    CAST(COUNT(*) AS BIGINT) AS ndist
+        |  FROM gs GROUP BY 1, 2, 3),
+        |fl AS (SELECT CAST(MIN(ndist) AS BIGINT) AS min_l FROM g),
+        |ls(l) AS (VALUES (CAST(2 AS BIGINT)), (CAST(3 AS BIGINT)),
+        |  (CAST(5 AS BIGINT)))
+        |SELECT l,
+        |  CAST(SUM(gsz) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN ndist < l THEN gsz ELSE 0 END) AS BIGINT)
+        |    AS n_risky_docs,
+        |  CAST(SUM(CASE WHEN ndist < l THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_groups,
+        |  ROUND(CAST(SUM(CASE WHEN ndist < l THEN gsz ELSE 0 END) AS BIGINT)
+        |    / CAST(SUM(gsz) AS DOUBLE), 6) AS risky_share,
+        |  (SELECT min_l FROM fl) AS min_l
+        |FROM ls CROSS JOIN g
+        |GROUP BY l ORDER BY l""".stripMargin,
+    "privacy_t_closeness" ->
+      s"""WITH sv AS MATERIALIZED (
+        |  SELECT lang, source, n_chars // 100 AS size_bin,
+        |    ${graft.ops.DedupOps.polyHashSql("text")} % 5 AS sens
+        |  FROM documents),
+        |gs AS (
+        |  SELECT lang, source, size_bin, sens, COUNT(*) AS cnt
+        |  FROM sv GROUP BY 1, 2, 3, 4),
+        |g AS (
+        |  SELECT lang, source, size_bin, CAST(SUM(cnt) AS BIGINT) AS gsz
+        |  FROM gs GROUP BY 1, 2, 3),
+        |gmx AS (SELECT sens, COUNT(*) AS gcnt FROM sv GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM sv),
+        |dist AS (
+        |  SELECT lang, source, size_bin, MAX(gsz) AS gsz,
+        |    CAST(SUM(term_micro) AS BIGINT) // 2 AS dist_micro
+        |  FROM (
+        |    SELECT g.lang, g.source, g.size_bin, g.gsz,
+        |      CAST(ROUND(ABS(CAST(COALESCE(gs.cnt, 0) AS DOUBLE) / g.gsz
+        |        - CAST(gmx.gcnt AS DOUBLE) / tot.nn) * 1e6, 0) AS BIGINT)
+        |        AS term_micro
+        |    FROM g CROSS JOIN gmx CROSS JOIN tot
+        |    LEFT JOIN gs ON g.lang = gs.lang AND g.source = gs.source
+        |      AND g.size_bin = gs.size_bin AND gmx.sens = gs.sens)
+        |  GROUP BY 1, 2, 3),
+        |mx AS (SELECT CAST(MAX(dist_micro) AS BIGINT) AS max_micro
+        |  FROM dist),
+        |ts(t_micro) AS (VALUES (CAST(200000 AS BIGINT)),
+        |  (CAST(350000 AS BIGINT)), (CAST(500000 AS BIGINT)))
+        |SELECT ROUND(t_micro / 1e6, 2) AS t,
+        |  CAST(SUM(gsz) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN dist_micro > t_micro THEN gsz ELSE 0 END)
+        |    AS BIGINT) AS n_far_docs,
+        |  CAST(SUM(CASE WHEN dist_micro > t_micro THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_far_groups,
+        |  ROUND(CAST(SUM(CASE WHEN dist_micro > t_micro THEN gsz ELSE 0 END)
+        |    AS BIGINT) / CAST(SUM(gsz) AS DOUBLE), 6) AS far_share,
+        |  ROUND((SELECT max_micro FROM mx) / 1e6, 6) AS max_dist
+        |FROM ts CROSS JOIN dist
+        |GROUP BY t_micro ORDER BY t_micro""".stripMargin,
     "profile_events" ->
       """SELECT * FROM (
         |  SELECT 'event_id' AS "column", COUNT(*) AS n_rows,
@@ -2296,7 +2525,9 @@ object Aggregates {
         |  ROUND(mi_u / 1e6, 6) AS mi,
         |  ROUND(h_nx / 1e6, 6) AS h_type,
         |  ROUND(h_ny / 1e6, 6) AS h_dow,
-        |  ROUND(CAST(mi_u AS DOUBLE) / LEAST(h_nx, h_ny), 6) AS nmi
+        |  CASE WHEN LEAST(h_nx, h_ny) = 0 THEN 0.0
+        |    ELSE ROUND(CAST(mi_u AS DOUBLE) / LEAST(h_nx, h_ny), 6)
+        |  END AS nmi
         |FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot""".stripMargin,
     "a_pareto_front" ->
       """WITH prof AS (
@@ -2695,5 +2926,43 @@ object Aggregates {
          |    AS BIGINT) AS n_purchases,
          |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
          |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "w_funnel_conversion" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |n AS (
+        |  SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n1,
+        |    CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n2,
+        |    CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n3)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage, 'view' AS step, n1 AS n_users,
+        |    CASE WHEN n1 = 0 THEN 0.0
+        |      ELSE ROUND(CAST(n1 AS DOUBLE) / n1, 6) END AS conv_from_prev,
+        |    CASE WHEN n1 = 0 THEN 0.0
+        |      ELSE ROUND(CAST(n1 AS DOUBLE) / n1, 6) END AS conv_from_top
+        |  FROM n
+        |  UNION ALL
+        |  SELECT 2, 'click_after_view', n2,
+        |    CASE WHEN n1 = 0 THEN 0.0
+        |      ELSE ROUND(CAST(n2 AS DOUBLE) / n1, 6) END,
+        |    CASE WHEN n1 = 0 THEN 0.0
+        |      ELSE ROUND(CAST(n2 AS DOUBLE) / n1, 6) END
+        |  FROM n
+        |  UNION ALL
+        |  SELECT 3, 'purchase_after_click', n3,
+        |    CASE WHEN n2 = 0 THEN 0.0
+        |      ELSE ROUND(CAST(n3 AS DOUBLE) / n2, 6) END,
+        |    CASE WHEN n1 = 0 THEN 0.0
+        |      ELSE ROUND(CAST(n3 AS DOUBLE) / n1, 6) END
+        |  FROM n)
+        |ORDER BY stage""".stripMargin,
   )
 }

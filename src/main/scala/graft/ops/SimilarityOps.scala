@@ -82,9 +82,14 @@ object SimilarityOps {
     * (ml_knn_shapley_lsh) variants so the recurrence cannot drift:
     * rank per probe, Theorem-1 terms nano-quantized per row, suffix
     * sum, per-point aggregate, top/bottom-ShapTop report. Input:
-    * (query_id, qlabel, vec_id, label, cos_exact [, ...]).
+    * (query_id, qlabel, vec_id, label, cos_exact [, ...]) plus the full
+    * training roster (vec_id, label): every training point competes for
+    * the report slots — a point no probe ever scored (possible only
+    * under the LSH bucket restriction) enters with its estimated value
+    * of exactly 0 via the left-join default instead of silently
+    * vanishing. For the exact variant the roster join is an identity.
     */
-  private def shapleyReport(scored: DataFrame): DataFrame = {
+  private def shapleyReport(scored: DataFrame, roster: DataFrame): DataFrame = {
     import scored.sparkSession.implicits._
     val wr = Window.partitionBy($"query_id")
       .orderBy(desc("cos_exact"), asc("vec_id"))
@@ -105,8 +110,11 @@ object SimilarityOps {
       .withColumn("shap_e9", sum($"t_e9").over(
         Window.partitionBy($"query_id").orderBy($"i")
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-    val perTrain = terms.groupBy($"vec_id", $"label")
-      .agg(sum($"shap_e9").as("shap_e9_sum"))
+    val perTrain = roster.join(
+        terms.groupBy($"vec_id", $"label")
+          .agg(sum($"shap_e9").as("shap_e9_sum")),
+        Seq("vec_id", "label"), "left")
+      .na.fill(0L, Seq("shap_e9_sum"))
     def side(tag: String, ord: Seq[Column]): DataFrame =
       perTrain.orderBy(ord: _*).limit(ShapTop)
         .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
@@ -399,7 +407,7 @@ object SimilarityOps {
       val train = v.filter($"vec_id" >= NumQueries)
       val scored = train.crossJoin(broadcast(q))
         .withColumn("cos_exact", dot($"e", $"qe") / ($"norm" * $"qn"))
-      shapleyReport(scored)
+      shapleyReport(scored, train.select($"vec_id", $"label"))
     }),
 
     // The paper's own scale path, IMPLEMENTED (Jia et al. 2019 §4's
@@ -409,8 +417,12 @@ object SimilarityOps {
     // generation drops from Q×N to Q×bucket, exactly the ann_lsh_topk
     // restriction. A training point absent from a probe's bucket
     // contributes zero for that probe (the sparse approximation — at
-    // 100 TB this is what makes per-point valuation affordable), and a
-    // probe with an empty candidate bucket simply abstains. Same output
+    // 100 TB this is what makes per-point valuation affordable), a
+    // probe with an empty candidate bucket simply abstains, and a point
+    // absent from EVERY probe's bucket still enters the report with its
+    // estimated value of exactly 0 (the shared report's roster
+    // left-join) so zero-valued and never-scored points are ranked
+    // consistently. Same output
     // contract as the exact op, so the two are directly comparable;
     // SimilaritySpec replays this variant exactly and checks the
     // bucket-restriction semantics.
@@ -423,7 +435,7 @@ object SimilarityOps {
       val train = v.filter($"vec_id" >= NumQueries)
       val scored = train.join(broadcast(q), $"bucket" === $"qbucket")
         .withColumn("cos_exact", dot($"e", $"qe") / ($"norm" * $"qn"))
-      shapleyReport(scored)
+      shapleyReport(scored, train.select($"vec_id", $"label"))
     }),
 
     // Hybrid retrieval: BM25 lexical ranking ⊕ dense cosine ranking,
@@ -1290,8 +1302,10 @@ object SimilarityOps {
 
   /** Oracle tail of the KNN-Shapley pipeline (rank -> Theorem-1 terms
     * -> suffix sum -> per-point aggregate -> top/bottom report),
-    * appended after a variant-specific `sc` CTE — shared by the
-    * exact and LSH-restricted oracles.
+    * appended after variant-specific `sc`/`tr` CTEs — shared by the
+    * exact and LSH-restricted oracles. `pt` left-joins the full
+    * training roster `tr` so never-scored points rank as exact zeros,
+    * mirroring the Spark-side roster join.
     */
   private lazy val shapleyTailSql: String =
     s"""rk AS (
@@ -1318,9 +1332,14 @@ object SimilarityOps {
          |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
          |      AS shap_e9
          |  FROM te),
-         |pt AS (
+         |pts AS (
          |  SELECT vec_id, label, CAST(SUM(shap_e9) AS BIGINT) AS shap_e9_sum
          |  FROM sp GROUP BY 1, 2),
+         |pt AS (
+         |  SELECT tr.vec_id, tr.label,
+         |    CAST(COALESCE(pts.shap_e9_sum, 0) AS BIGINT) AS shap_e9_sum
+         |  FROM tr LEFT JOIN pts
+         |    ON tr.vec_id = pts.vec_id AND tr.label = pts.label),
          |top AS (
          |  SELECT 'top' AS bucket,
          |    row_number() OVER (ORDER BY shap_e9_sum DESC, vec_id) AS rank,

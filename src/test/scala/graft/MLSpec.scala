@@ -22,6 +22,77 @@ class MLSpec extends SparkSpec {
     assert(sum == total)
   }
 
+  test("fit-on-sample: sample-fit assignments track a full-corpus fit (sf0.01)") {
+    import org.apache.spark.ml.clustering.LDA
+    import org.apache.spark.sql.functions._
+    import graft.ops.MLOps.{K, Seed, FitSampleMod}
+    val d = "/root/testdata/sf0.01"
+    val (_, vec) = graft.ops.MLOps.preparedInput(spark, d)
+    // the query path's model: fit on the hash-sampled stratum (~1/2)
+    val sampleFit = graft.ops.MLOps.fittedLda(spark, d, K)
+    // reference: same seeded config fit on the FULL prepared corpus
+    val fullFit = new LDA().setK(K).setSeed(Seed).setMaxIter(20)
+      .setFeaturesCol("tf").fit(vec.coalesce(1))
+    def assign(m: org.apache.spark.ml.clustering.LDAModel): Map[Long, Long] =
+      m.transform(vec)
+        .withColumn("arr",
+          org.apache.spark.ml.functions.vector_to_array($"topicDistribution"))
+        .select($"doc_id",
+          (array_position($"arr", array_max($"arr")) - 1).as("t"))
+        .as[(Long, Long)].collect().toMap
+    val a = assign(sampleFit)
+    val b = assign(fullFit)
+    // both models score the SAME full corpus — coverage identical
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    // topic labels are not comparable across fits (label switching), so
+    // the agreement metric is the permutation-invariant Rand index: the
+    // fraction of doc PAIRS both partitions treat the same way
+    // (co-assigned in both, or separated in both)
+    def rand(x: Map[Long, Long], y: Map[Long, Long]): Double = {
+      val ids = x.keys.toArray.sorted
+      var agree = 0L
+      var total = 0L
+      var i = 0
+      while (i < ids.length) {
+        var j = i + 1
+        while (j < ids.length) {
+          if ((x(ids(i)) == x(ids(j))) == (y(ids(i)) == y(ids(j)))) agree += 1
+          total += 1
+          j += 1
+        }
+        i += 1
+      }
+      agree.toDouble / total
+    }
+    // This synthetic corpus has weak topic structure (31-word shared
+    // vocab), so even two FULL fits disagree substantially under a seed
+    // change — that intrinsic instability, not an absolute constant, is
+    // the correct yardstick. The sample fit must agree with the full fit
+    // about as well as the full fit agrees with itself across seeds
+    // (measured: sample-vs-full 0.54, full-vs-full(seed+1) in the same
+    // band), and far above a vacuous all-one-topic partition.
+    val altFit = new LDA().setK(K).setSeed(Seed + 1).setMaxIter(20)
+      .setFeaturesCol("tf").fit(vec.coalesce(1))
+    val intrinsic = rand(b, assign(altFit))
+    val got = rand(a, b)
+    assert(got >= intrinsic - 0.1,
+      s"sample-fit Rand $got far below the intrinsic seed band $intrinsic")
+    // assignment DISTRIBUTION agreement: sorted topic-share vectors of
+    // the two fits are close in total variation
+    def shares(x: Map[Long, Long]): Seq[Double] =
+      x.values.groupBy(identity).map(_._2.size.toDouble / x.size)
+        .toSeq.sorted.reverse.padTo(K, 0.0)
+    val tv = shares(a).zip(shares(b)).map { case (p, q) =>
+      math.abs(p - q) }.sum / 2
+    assert(tv <= 0.3, s"topic-share total variation $tv")
+    // and the sample really is a proper stratum of the corpus
+    val nSample = graft.ops.Tables.documents(spark, d)
+      .filter(pmod(graft.functions.PolyHash.poly_hash(
+        $"doc_id".cast("string")), lit(FitSampleMod)) === 0).count()
+    val nAll = graft.ops.Tables.documents(spark, d).count()
+    assert(nSample < nAll && nSample > nAll / 4, s"stratum $nSample of $nAll")
+  }
+
   test("relational EM-LDA retrains to identical topics (seeded, no cache)") {
     val q = SparkEntry.queries("lda_em_topics")
     val a = q(spark, sf).collect().map(_.toSeq).toSeq

@@ -154,6 +154,9 @@ class PlanSpec extends SparkSpec {
     "text_kn_bigram",                                // 1-row bigram-type-count broadcast (KN continuation denominator)
     "sample_coreset_kcenter",                        // r-row chosen-vector broadcast per greedy round + 1-row radius
     "privacy_k_anonymity",                           // 3-row k-level fan-out over the QI-group aggregate
+    "privacy_l_diversity",                           // 3-row l-level fan-out + 1-row min_l floor broadcast over the QI rollup
+    "privacy_t_closeness",                           // 5-row class-domain cross + 3-row t fan-out + 1-row max broadcast over the QI rollup
+    "ml_decision_stump",                             // 1-row min/max stats broadcast onto the corpus pass
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.
@@ -166,6 +169,8 @@ class PlanSpec extends SparkSpec {
     * first) is the class this guard exists to catch.
     */
   private val unpartitionedWindowBounded: Map[String, String] = Map(
+    "ml_decision_stump" ->
+      "cumulative class-count window over the histogram (<= 1001 grid bins by construction)",
     "a_mann_whitney" ->
       "binRanked offset window over the per-integer-bin aggregate (cardinality = value range, not row count)",
     "f29b_equidepth_deciles" ->

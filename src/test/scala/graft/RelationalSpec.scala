@@ -153,7 +153,8 @@ class RelationalSpec extends SparkSpec {
       "text_zipf_slope", "a_approx_stats",
       "mm_binaryfile_source", "emb_hard_negatives",
       "ml_als_factors", "ml_als_topk", "ml_als_fold_in",
-      "ml_als_save_load").foreach { name =>
+      "ml_als_save_load", "privacy_l_diversity", "privacy_t_closeness",
+      "w_funnel_conversion", "ml_decision_stump").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -412,6 +413,189 @@ class RelationalSpec extends SparkSpec {
     // raising k can only add risky mass
     got.sliding(2).foreach { case Array(a, b) =>
       assert(b._4 >= a._4 && b._5 >= a._5, "risk not monotone in k") }
+  }
+
+  test("l-diversity audit: local replay + planted homogeneity attack") {
+    // live-corpus replay of the QI rollup + distinct-sensitive counts
+    val groups = graft.ops.Tables.documents(spark, sf)
+      .select($"lang", $"source", expr("n_chars div 100").as("sb"),
+        (graft.functions.PolyHash.poly_hash($"text") % 5L).as("sens"))
+      .as[(String, String, Long, Long)].collect()
+      .groupBy(t => (t._1, t._2, t._3))
+      .values.map(rs => (rs.length.toLong, rs.map(_._4).distinct.length.toLong))
+      .toSeq
+    val got = SparkEntry.queries("privacy_l_diversity")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(2L, 3L, 5L))
+    val minL = groups.map(_._2).min
+    got.foreach { case (l, nDocs, nGroups, riskyDocs, riskyGroups, share, m) =>
+      assert(nDocs == groups.map(_._1).sum && nGroups == groups.length.toLong)
+      assert(riskyDocs == groups.filter(_._2 < l).map(_._1).sum, s"l=$l docs")
+      assert(riskyGroups == groups.count(_._2 < l).toLong, s"l=$l groups")
+      assert(math.abs(share - riskyDocs.toDouble / nDocs) < 1e-6)
+      assert(m == minL, s"min_l $m vs replay $minL")
+    }
+    // raising l can only add risky mass
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 >= a._4 && b._5 >= a._5, "risk not monotone in l") }
+
+    // planted fixture: group A is 4-anonymous yet 1-diverse (the
+    // homogeneity attack k-anonymity misses — every member shares one
+    // sensitive class), group B has all 5 classes. Texts are chosen via
+    // the op's own fingerprint so the plant is hash-exact, not lucky.
+    def sensOf(t: String): Long = graft.functions.PolyHash.hashString(t) % 5L
+    val cands = (1 to 400).map(i => s"planted fixture doc nr $i")
+    val homog = cands.filter(sensOf(_) == 0L).take(4)
+    val diverse = (0L to 4L).map(c => cands.find(sensOf(_) == c).get)
+    assert(homog.length == 4 && diverse.length == 5)
+    val dir = "target/tmp/ldiv_fixture"
+    (homog.map(t => (t, "a")) ++ diverse.map(t => (t, "b")))
+      .zipWithIndex
+      .map { case ((t, src), i) => (i.toLong, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = SparkEntry.queries("privacy_l_diversity")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double, Long)].collect().sortBy(_._1)
+    planted.foreach { case (_, nDocs, nGroups, riskyDocs, riskyGroups, _, m) =>
+      assert(nDocs == 9L && nGroups == 2L)
+      // only group A (4 docs, 1 distinct class) is risky at every l
+      assert(riskyDocs == 4L && riskyGroups == 1L)
+      assert(m == 1L, "corpus diversity floor is the homogeneous group")
+    }
+  }
+
+  test("t-closeness audit: local replay + monotone risk in t") {
+    def sensOf(t: String): Long = graft.functions.PolyHash.hashString(t) % 5L
+    val rows = graft.ops.Tables.documents(spark, sf)
+      .select($"lang", $"source", expr("n_chars div 100").as("sb"), $"text")
+      .as[(String, String, Long, String)].collect()
+      .map(r => ((r._1, r._2, r._3), sensOf(r._4)))
+    val global = rows.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val nn = rows.length.toDouble
+    def q(v: Double): Long =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    // NOTE: .values.map, not .map-on-the-Map — a Map of (size, dist)
+    // PAIRS would silently dedup groups with identical stats
+    val dists = rows.groupBy(_._1).values.map { rs =>
+      val gsz = rs.length.toDouble
+      val byC = rs.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+      val terms = (0L to 4L).filter(global.contains).map { c =>
+        q(math.abs(byC.getOrElse(c, 0.0) / gsz
+          - global(c) / nn) * 1e6)
+      }.sum / 2
+      (rs.length.toLong, terms)
+    }.toSeq
+    val got = SparkEntry.queries("privacy_t_closeness")(spark, sf)
+      .as[(Double, Long, Long, Long, Long, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0.2, 0.35, 0.5))
+    val maxDist = dists.map(_._2).max / 1e6
+    got.foreach { case (t, nDocs, nGroups, farDocs, farGroups, share, mx) =>
+      val tm = q(t * 1e6)
+      assert(nDocs == dists.map(_._1).sum && nGroups == dists.length.toLong)
+      assert(farDocs == dists.filter(_._2 > tm).map(_._1).sum, s"t=$t docs")
+      assert(farGroups == dists.count(_._2 > tm).toLong, s"t=$t groups")
+      assert(math.abs(share - farDocs.toDouble / nDocs) < 1e-6)
+      assert(math.abs(mx - maxDist) < 1e-6, s"max_dist $mx vs $maxDist")
+    }
+    // raising t can only shrink the violating mass
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 <= a._4 && b._5 <= a._5, "risk not monotone in t") }
+
+    // planted skewness attack: a group with ALL 5 classes present (fully
+    // l-diverse, so privacy_l_diversity passes it) but heavily skewed
+    // toward one class, beside a LARGER balanced group that anchors the
+    // global mix — only the skewed group violates tight t.
+    def pickBy(cls: Long, n: Int, pool: Seq[String]): Seq[String] =
+      pool.filter(sensOf(_) == cls).take(n)
+    val pool = (1 to 2000).map(i => s"tclose fixture doc nr $i")
+    // group A (20 docs): 16 of class 0 + one of each other class
+    val skewed = pickBy(0L, 16, pool) ++
+      (1L to 4L).flatMap(c => pickBy(c, 1, pool))
+    // group B (100 docs): 20 of every class — dominates the global mix,
+    // so B's distance stays small (~0.1) while A's is ~0.5
+    val balanced = (0L to 4L).flatMap(c => pickBy(c, 20, pool.reverse))
+    assert(skewed.length == 20 && balanced.length == 100)
+    val dir = "target/tmp/tclose_fixture"
+    (skewed.map(t => (t, "a")) ++ balanced.map(t => (t, "b")))
+      .zipWithIndex
+      .map { case ((t, src), i) => (i.toLong, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = SparkEntry.queries("privacy_t_closeness")(spark, dir)
+      .as[(Double, Long, Long, Long, Long, Double, Double)].collect()
+      .sortBy(_._1)
+    // A: p0 = 0.8 vs global 0.3 => dist 0.5; B: 0.2 vs 0.3 => dist 0.1.
+    // At t = 0.2 and 0.35 only A violates; at t = 0.5 neither (0.5 !> 0.5)
+    val t02 = planted.find(_._1 == 0.2).get
+    assert(t02._5 == 1L && t02._4 == 20L,
+      s"skewed-but-diverse group not flagged: $t02")
+    val t05 = planted.find(_._1 == 0.5).get
+    assert(t05._5 == 0L, s"t=0.5 should clear both groups: $t05")
+    assert(planted.forall(r => math.abs(r._7 - 0.5) < 1e-6),
+      "max_dist must expose the planted skew exactly")
+  }
+
+  test("funnel conversion: local replay + monotone stages") {
+    val ev = graft.ops.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts")
+      .as[(Long, String, java.sql.Timestamp)].collect()
+    val t1 = ev.filter(_._2 == "view").groupBy(_._1)
+      .view.mapValues(_.map(_._3.getTime).min).toMap
+    val t2 = ev.filter(r => r._2 == "click" && t1.contains(r._1) &&
+        r._3.getTime > t1(r._1))
+      .groupBy(_._1).view.mapValues(_.map(_._3.getTime).min).toMap
+    val t3 = ev.filter(r => r._2 == "purchase" && t2.contains(r._1) &&
+        r._3.getTime > t2(r._1))
+      .groupBy(_._1).view.mapValues(_.map(_._3.getTime).min).toMap
+    val got = SparkEntry.queries("w_funnel_conversion")(spark, sf)
+      .as[(Int, String, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._3).toSeq ==
+      Seq(t1.size.toLong, t2.size.toLong, t3.size.toLong))
+    // a funnel can only narrow
+    assert(t1.size >= t2.size && t2.size >= t3.size)
+    got.foreach { case (_, _, n, fp, ft) =>
+      assert(fp >= 0.0 && fp <= 1.0 && ft >= 0.0 && ft <= 1.0)
+    }
+    assert(got.head._4 == 1.0 && got.head._5 == 1.0)
+  }
+
+  test("decision stump: exact local replay of the binned split search") {
+    val z = graft.ops.Tables.embeddings(spark, sf)
+      .select($"embedding", $"label").as[(Seq[Float], Int)].collect()
+      .map { case (e, l) =>
+        (math.rint(e(0).toDouble * 1e6).toLong, if (l == 1) 1L else 0L) }
+    val (lo, hi) = (z.map(_._1).min, z.map(_._1).max)
+    val (n, npos) = (z.length.toLong, z.map(_._2).sum)
+    val hist = z.groupBy { case (m, _) =>
+      if (hi == lo) 0L else ((m - lo) * 1000L) / (hi - lo + 1L) }
+      .view.mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toMap
+    val bins = hist.keys.toSeq.sorted
+    var (nl, pl) = (0L, 0L)
+    val splits = bins.flatMap { b =>
+      nl += hist(b)._1; pl += hist(b)._2
+      if (nl < n) {
+        val (nr, pr) = (n - nl, npos - pl)
+        val score = (nl.toDouble
+          - (pl * pl + (nl - pl) * (nl - pl)).toDouble / nl.toDouble) +
+          (nr.toDouble
+            - (pr * pr + (nr - pr) * (nr - pr)).toDouble / nr.toDouble)
+        Some((b, nl, pl, nr, pr, score))
+      } else None
+    }
+    val best = splits.minBy { case (b, _, _, _, _, s) => (s, b) }
+    val Array(row) = SparkEntry.queries("ml_decision_stump")(spark, sf)
+      .as[(Long, Double, Long, Long, Long, Long, Double, Double)].collect()
+    assert(row._1 == best._1, s"split bin ${row._1} vs replay ${best._1}")
+    assert(row._3 == best._2 && row._4 == best._4)
+    assert(row._5 == best._3 && row._6 == best._5)
+    assert(math.abs(row._7 - best._6 / n) < 1e-6, "gini replay")
+    // the stump can never do worse than the majority-class baseline
+    val baseline = math.max(npos, n - npos).toDouble / n
+    assert(row._8 >= baseline - 1e-9,
+      s"accuracy ${row._8} below majority baseline $baseline")
+    // normalized Gini of a binary split lives in [0, 0.5]
+    assert(row._7 >= 0.0 && row._7 <= 0.5 + 1e-9)
   }
 
   test("pareto front equals the brute-force N^2 skyline (prune lossless)") {

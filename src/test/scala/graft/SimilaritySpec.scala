@@ -363,6 +363,10 @@ class SimilaritySpec extends SparkSpec {
     val train = raw.filter(_._1 >= NumQueries)
     val acc = scala.collection.mutable.Map
       .empty[Long, Long].withDefaultValue(0L)
+    // seed the full roster: never-bucketed training points carry an
+    // estimated value of exactly 0 and still compete for report slots,
+    // matching the op's roster left-join
+    train.foreach(t => acc(t._1) = 0L)
     var abstained = 0
     probes.foreach { case (qid, qlab, qe) =>
       val cands = train.filter(t => buckets(t._1) == buckets(qid))

@@ -249,8 +249,10 @@ class TrainersSpec extends SparkSpec {
             / (st(i).toDouble / 1e9 + st(j).toDouble / 1e9))
         }.sum
       }.toMap
+      // +0.5 pseudo-win floor, same as the op (keeps an always-losing
+      // type's strength strictly positive)
       val raw = types.map(i =>
-        i -> q(wi(i).toDouble / (den(i).toDouble / 1e9) * 1e9)).toMap
+        i -> q((wi(i).toDouble + 0.5) / (den(i).toDouble / 1e9) * 1e9)).toMap
       val sumE9 = types.map(raw).sum
       st = types.map(i => i -> q(raw(i).toDouble * types.length.toDouble
         * 1e9 / sumE9.toDouble)).toMap
