@@ -29,9 +29,10 @@ import org.apache.spark.sql.functions._
   */
 object FuzzQueries {
 
-  /** Number of generated aggregate / window shapes. */
+  /** Number of generated aggregate / window / star-join shapes. */
   val NumAgg = 100
   val NumWin = 20
+  val NumJoin = 30
 
   // ---- AST ----------------------------------------------------------
 
@@ -63,6 +64,48 @@ object FuzzQueries {
   private case class AggShape(preds: Seq[Pred], keys: Seq[Key],
                               aggs: Seq[Agg], havingMinN: Option[Long])
 
+  // ---- star-join family (lineitem ⋈ orders [⋈ customer]) -------------
+
+  private sealed trait JPred
+  private case class QtyGt(c: Double) extends JPred
+  private case class DiscLe(c: Double) extends JPred
+  private case class FlagIn(vs: Seq[String]) extends JPred
+  private case class StatusIn(vs: Seq[String]) extends JPred
+  private case class SegIn(vs: Seq[String]) extends JPred // needs customer
+
+  private sealed trait JKey { def name: String; def needsCust: Boolean }
+  private case object JkFlag extends JKey {
+    val name = "l_returnflag"; val needsCust = false
+  }
+  private case object JkLineStatus extends JKey {
+    val name = "l_linestatus"; val needsCust = false
+  }
+  private case object JkStatus extends JKey {
+    val name = "o_orderstatus"; val needsCust = false
+  }
+  private case object JkPriority extends JKey {
+    val name = "o_orderpriority"; val needsCust = false
+  }
+  private case object JkMonth extends JKey {
+    val name = "omonth"; val needsCust = false
+  }
+  private case object JkSegment extends JKey {
+    val name = "c_mktsegment"; val needsCust = true
+  }
+
+  private sealed trait JAgg { def name: String }
+  private case object JCount extends JAgg { val name = "n" }
+  private case object JSumQty extends JAgg { val name = "sum_qty_micro" }
+  private case object JRevenue extends JAgg { val name = "revenue_micro" }
+  private case object JMaxPrice extends JAgg { val name = "max_price_micro" }
+  private case object JNCust extends JAgg { val name = "n_cust" }
+
+  private case class JoinShape(preds: Seq[JPred], keys: Seq[JKey],
+                               aggs: Seq[JAgg]) {
+    def needsCust: Boolean =
+      keys.exists(_.needsCust) || preds.exists(_.isInstanceOf[SegIn])
+  }
+
   /** Per-outer-key top-k by count of an inner key (rank fully
     * tie-broken: count desc, inner key asc).
     */
@@ -73,7 +116,13 @@ object FuzzQueries {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
-  private def genShapes(): (Seq[AggShape], Seq[WinShape]) = {
+  private val Flags = Seq("A", "N", "R")
+  private val LineStatuses = Seq("F", "O")
+  private val Statuses = Seq("F", "O", "P")
+  private val Segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+    "HOUSEHOLD", "MACHINERY")
+
+  private def genShapes(): (Seq[AggShape], Seq[WinShape], Seq[JoinShape]) = {
     val rnd = new scala.util.Random(0xF0221405L)
     def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
     def genPred(): Pred = rnd.nextInt(5) match {
@@ -115,10 +164,33 @@ object FuzzQueries {
       val ks = distinctKeys(2)
       WinShape(preds, ks.head, ks(1), 1 + rnd.nextInt(3))
     }
-    (aggShapes, winShapes)
+    def genJPred(): JPred = rnd.nextInt(5) match {
+      case 0 => QtyGt(pick(Seq(10.0, 20.0, 30.0, 40.0)))
+      case 1 => DiscLe(pick(Seq(0.02, 0.05, 0.08)))
+      case 2 => FlagIn(rnd.shuffle(Flags).take(1 + rnd.nextInt(2)).sorted)
+      case 3 => StatusIn(rnd.shuffle(Statuses).take(1 + rnd.nextInt(2)).sorted)
+      case _ => SegIn(rnd.shuffle(Segments).take(1 + rnd.nextInt(3)).sorted)
+    }
+    def genJKey(): JKey = rnd.nextInt(6) match {
+      case 0 => JkFlag
+      case 1 => JkLineStatus
+      case 2 => JkStatus
+      case 3 => JkPriority
+      case 4 => JkMonth
+      case _ => JkSegment
+    }
+    val joinShapes = (0 until NumJoin).map { _ =>
+      val preds = Seq.fill(rnd.nextInt(3))(genJPred()).distinct
+      val ks = scala.collection.mutable.LinkedHashSet.empty[JKey]
+      while (ks.size < 1 + rnd.nextInt(2)) ks += genJKey()
+      val extra = rnd.shuffle(Seq[JAgg](JSumQty, JRevenue, JMaxPrice, JNCust))
+        .take(rnd.nextInt(4))
+      JoinShape(preds, ks.toSeq, JCount +: extra)
+    }
+    (aggShapes, winShapes, joinShapes)
   }
 
-  private lazy val (aggShapes, winShapes) = genShapes()
+  private lazy val (aggShapes, winShapes, joinShapes) = genShapes()
 
   // ---- Spark rendering ------------------------------------------------
 
@@ -176,6 +248,49 @@ object FuzzQueries {
     cnt.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= sh.k)
       .orderBy(col(sh.outer.name), col("rk"))
+  }
+
+  private def sparkJPred(p: JPred): Column = p match {
+    case QtyGt(c)     => col("l_quantity") > lit(c)
+    case DiscLe(c)    => col("l_discount") <= lit(c)
+    case FlagIn(vs)   => col("l_returnflag").isin(vs: _*)
+    case StatusIn(vs) => col("o_orderstatus").isin(vs: _*)
+    case SegIn(vs)    => col("c_mktsegment").isin(vs: _*)
+  }
+
+  private def sparkJKey(k: JKey): Column = (k match {
+    case JkMonth => month(col("o_orderdate"))
+    case other   => col(other.name)
+  }).as(k.name)
+
+  private def sparkJAgg(a: JAgg): Column = a match {
+    case JCount => count(lit(1)).as("n")
+    case JSumQty =>
+      sum(expr("cast(round(l_quantity * 1e6, 0) as bigint)"))
+        .as("sum_qty_micro")
+    case JRevenue =>
+      sum(expr(
+        "cast(round(l_extendedprice * (1.0 - l_discount) * 1e6, 0) as bigint)"))
+        .as("revenue_micro")
+    case JMaxPrice =>
+      max(expr("cast(round(o_totalprice * 1e6, 0) as bigint)"))
+        .as("max_price_micro")
+    case JNCust => countDistinct(col("o_custkey")).as("n_cust")
+  }
+
+  private def sparkJoinQuery(sh: JoinShape)(s: SparkSession,
+                                            d: String): DataFrame = {
+    var f = graft.ops.Tables.lineitem(s, d)
+      .join(graft.ops.Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+    if (sh.needsCust)
+      f = f.join(broadcast(graft.ops.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    sh.preds.foreach(p => f = f.filter(sparkJPred(p)))
+    f.groupBy(sh.keys.map(sparkJKey): _*)
+      .agg(sparkJAgg(sh.aggs.head), sh.aggs.tail.map(sparkJAgg): _*)
+      .orderBy(sh.keys.map(k => col(k.name)): _*)
   }
 
   // ---- DuckDB rendering -----------------------------------------------
@@ -240,6 +355,46 @@ object FuzzQueries {
        |ORDER BY ${sh.outer.name}, rk""".stripMargin
   }
 
+  private def sqlJPred(p: JPred): String = p match {
+    case QtyGt(c)     => s"l_quantity > $c"
+    case DiscLe(c)    => s"l_discount <= $c"
+    case FlagIn(vs)   => vs.mkString("l_returnflag IN ('", "', '", "')")
+    case StatusIn(vs) => vs.mkString("o_orderstatus IN ('", "', '", "')")
+    case SegIn(vs)    => vs.mkString("c_mktsegment IN ('", "', '", "')")
+  }
+
+  private def sqlJKeyExpr(k: JKey): String = k match {
+    case JkMonth => "CAST(month(o_orderdate) AS INTEGER)"
+    case other   => other.name
+  }
+
+  private def sqlJAgg(a: JAgg): String = a match {
+    case JCount => "COUNT(*) AS n"
+    case JSumQty =>
+      "CAST(SUM(CAST(ROUND(l_quantity * 1e6, 0) AS BIGINT)) AS BIGINT)" +
+        " AS sum_qty_micro"
+    case JRevenue =>
+      "CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 1e6, 0)" +
+        " AS BIGINT)) AS BIGINT) AS revenue_micro"
+    case JMaxPrice =>
+      "MAX(CAST(ROUND(o_totalprice * 1e6, 0) AS BIGINT)) AS max_price_micro"
+    case JNCust => "COUNT(DISTINCT o_custkey) AS n_cust"
+  }
+
+  private def sqlJoinQuery(sh: JoinShape): String = {
+    val cust =
+      if (sh.needsCust) "\n  JOIN customer ON o_custkey = c_custkey" else ""
+    val where =
+      if (sh.preds.isEmpty) ""
+      else sh.preds.map(sqlJPred).mkString("\nWHERE ", "\n  AND ", "")
+    val keys = sh.keys.map(k => s"${sqlJKeyExpr(k)} AS ${k.name}")
+    val groupRefs = (1 to sh.keys.length).mkString(", ")
+    s"""SELECT ${(keys ++ sh.aggs.map(sqlJAgg)).mkString(",\n  ")}
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey$cust$where
+       |GROUP BY $groupRefs
+       |ORDER BY $groupRefs""".stripMargin
+  }
+
   // ---- registration ---------------------------------------------------
 
   private def nm(prefix: String, i: Int): String = f"${prefix}_$i%03d"
@@ -252,6 +407,10 @@ object FuzzQueries {
       winShapes.zipWithIndex.map { case (sh, i) =>
         nm("fuzz_win", i) -> ((s: SparkSession, d: String) =>
           sparkWinQuery(sh)(s, d))
+      }.toMap ++
+      joinShapes.zipWithIndex.map { case (sh, i) =>
+        nm("fuzz_join", i) -> ((s: SparkSession, d: String) =>
+          sparkJoinQuery(sh)(s, d))
       }.toMap
 
   lazy val oracleSql: Map[String, String] =
@@ -260,6 +419,9 @@ object FuzzQueries {
     }.toMap ++
       winShapes.zipWithIndex.map { case (sh, i) =>
         nm("fuzz_win", i) -> sqlWinQuery(sh)
+      }.toMap ++
+      joinShapes.zipWithIndex.map { case (sh, i) =>
+        nm("fuzz_join", i) -> sqlJoinQuery(sh)
       }.toMap
 
   /** Human-readable shape descriptions, for failure minimization. */
@@ -269,5 +431,8 @@ object FuzzQueries {
     }.toMap ++
       winShapes.zipWithIndex.map { case (sh, i) =>
         nm("fuzz_win", i) -> sh.toString
+      }.toMap ++
+      joinShapes.zipWithIndex.map { case (sh, i) =>
+        nm("fuzz_join", i) -> sh.toString
       }.toMap
 }

@@ -1790,6 +1790,94 @@ object Aggregates {
         .orderBy("user_id", "session_id")
     }),
 
+    // Kaplan-Meier survival estimator (Kaplan & Meier 1958) over user
+    // lifetimes — the retention curve every product/churn stack ships,
+    // with CORRECT censoring (naive "average lifetime" is biased low
+    // because still-active users haven't finished living): a user's
+    // lifetime is last-event day minus first-event day; users whose
+    // last event falls in the corpus's final 3 days are right-censored
+    // (they were still active when observation ended — they leave the
+    // risk set without counting as churn). S(t) = prod_{u<=t}
+    // (1 - d_u/n_u) over the day-valued duration domain, which is
+    // bounded by the CALENDAR span of the corpus, not its row count.
+    // Determinism: d/n/censor counts are exact longs; each factor's
+    // ln quantizes to a nano long BEFORE the cumulative sum (the GMM
+    // exp/ln precedent — identical IEEE inputs both engines) and the
+    // 1e-300 clamp makes an extinct cohort read survival 0 exactly.
+    // Scale: one user-keyed aggregate, a 1-row max-ts broadcast, then
+    // everything lives on the <= |corpus days| duration frame.
+    "a_survival_km" -> ((s, d) => {
+      import s.implicits._
+      val life = events(s, d).groupBy($"user_id")
+        .agg(min(to_date($"ts")).as("first_day"),
+          max(to_date($"ts")).as("last_day"))
+      val horizon = events(s, d).agg(max(to_date($"ts")).as("end_day"))
+      val durs = life.crossJoin(broadcast(horizon))
+        .select(datediff($"last_day", $"first_day").cast("long").as("dur"),
+          when(datediff($"end_day", $"last_day") < 3, 1L).otherwise(0L)
+            .as("censored"))
+      val byDur = durs.groupBy($"dur")
+        .agg(count(lit(1)).as("n_ending"),
+          sum(lit(1L) - $"censored").as("n_events"),
+          sum($"censored").as("n_censored"))
+        .localCheckpoint(false) // bounded frame: risk-set + product scans
+      val wPrev = Window.orderBy($"dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy($"dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = byDur.agg(sum($"n_ending").as("n_total"))
+      byDur.crossJoin(broadcast(tot))
+        .withColumn("n_at_risk",
+          $"n_total" - coalesce(sum($"n_ending").over(wPrev), lit(0L)))
+        .withColumn("ln_nano",
+          round(log(greatest(($"n_at_risk" - $"n_events").cast("double")
+            / $"n_at_risk".cast("double"), lit(1e-300))) * 1e9, 0)
+            .cast("long"))
+        .withColumn("survival",
+          round(exp(sum($"ln_nano").over(wCum).cast("double") / 1e9), 6))
+        .select($"dur".as("dur_days"), $"n_at_risk", $"n_events",
+          $"n_censored", $"survival")
+        .orderBy("dur_days")
+    }),
+
+    // Gini concentration of per-user total event value (Lorenz-curve
+    // trapezoid on GROUPED data — Gastwirth 1972): "what share of the
+    // corpus's engagement mass sits with the heaviest users", the
+    // concentration audit behind every data-mixture decision. The exact
+    // per-item formula needs a corpus-wide sort; the scale-safe
+    // estimator bins user totals into <= 1001 equi-width grid cells
+    // (a_pareto_front's 1-row min/max broadcast device) and takes the
+    // Lorenz trapezoid over bin aggregates — exact given the grouping,
+    // under-shooting true Gini by at most the within-bin dispersion
+    // (RelationalSpec pins the gap against the exact local replay).
+    // Every term (n_b/n)·(L_{b-1}+L_b) quantizes to a nano long before
+    // the bounded sum, so gini replays bit-for-bit in DuckDB. Scale:
+    // one user-keyed aggregate; everything after is <= 1001 rows.
+    "a_gini_concentration" -> ((s, d) => {
+      import s.implicits._
+      val prof = events(s, d).groupBy($"user_id")
+        .agg(sum(round($"value" * 1e6, 0).cast("long")).as("tv"))
+      val st = prof.agg(min($"tv").as("lo"), max($"tv").as("hi"),
+        count(lit(1)).as("n"), sum($"tv").as("v"))
+      val binned = prof.crossJoin(broadcast(st))
+        .withColumn("bkt", when($"hi" === $"lo", lit(0L))
+          .otherwise(expr("((tv - lo) * 1000) div (hi - lo + 1)")))
+        .groupBy($"bkt").agg(count(lit(1)).as("nb"), sum($"tv").as("vb"),
+          max($"n").as("n"), max($"v").as("v"))
+      val wCum = Window.orderBy($"bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val terms = binned
+        .withColumn("cv", sum($"vb").over(wCum))
+        .withColumn("t_nano",
+          round(($"nb".cast("double") / $"n".cast("double"))
+            * ((($"cv" - $"vb") + $"cv").cast("double")
+              / $"v".cast("double")) * 1e9, 0).cast("long"))
+      terms.agg(max($"n").as("n_users"),
+          round(max($"v").cast("double") / 1e6, 6).as("total_value"),
+          round(lit(1.0) - sum($"t_nano").cast("double") / 1e9, 6)
+            .as("gini"))
+    }),
+
     // Ordered funnel conversion (the product-analytics staple every
     // event warehouse reinvents; the windowed-sequence sibling of
     // a_cohort_retention): view -> click -> purchase, where each later
@@ -2926,6 +3014,73 @@ object Aggregates {
          |    AS BIGINT) AS n_purchases,
          |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
          |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a_survival_km" ->
+      """WITH life AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+        |    MAX(CAST(ts AS DATE)) AS ld
+        |  FROM events GROUP BY 1),
+        |hz AS (SELECT MAX(CAST(ts AS DATE)) AS ed FROM events),
+        |durs AS (
+        |  SELECT CAST(datediff('day', fd, ld) AS BIGINT) AS dur,
+        |    CASE WHEN datediff('day', ld, ed) < 3 THEN 1 ELSE 0 END
+        |      AS censored
+        |  FROM life CROSS JOIN hz),
+        |bd AS (
+        |  SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_ending,
+        |    CAST(SUM(1 - censored) AS BIGINT) AS n_events,
+        |    CAST(SUM(censored) AS BIGINT) AS n_censored
+        |  FROM durs GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_ending) AS BIGINT) AS n_total FROM bd),
+        |rk AS (
+        |  SELECT bd.*, n_total - COALESCE(CAST(SUM(n_ending) OVER (
+        |    ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS BIGINT), 0) AS n_at_risk
+        |  FROM bd CROSS JOIN tt),
+        |lnf AS (
+        |  SELECT *, CAST(ROUND(ln(GREATEST(
+        |    CAST(n_at_risk - n_events AS DOUBLE)
+        |      / CAST(n_at_risk AS DOUBLE), 1e-300)) * 1e9, 0) AS BIGINT)
+        |    AS ln_nano
+        |  FROM rk)
+        |SELECT dur AS dur_days, n_at_risk, n_events, n_censored,
+        |  ROUND(exp(CAST(SUM(ln_nano) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 1e9), 6) AS survival
+        |FROM lnf ORDER BY dur""".stripMargin,
+    "a_gini_concentration" ->
+      """WITH prof AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |      AS tv
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(MIN(tv) AS BIGINT) AS lo, CAST(MAX(tv) AS BIGINT)
+        |      AS hi,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(tv) AS BIGINT) AS v
+        |  FROM prof),
+        |b AS (
+        |  SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE ((tv - lo) * 1000) // (hi - lo + 1) END AS bkt,
+        |    tv, n, v
+        |  FROM prof CROSS JOIN st),
+        |g AS (
+        |  SELECT bkt, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(tv) AS BIGINT) AS vb, MAX(n) AS n, MAX(v) AS v
+        |  FROM b GROUP BY 1),
+        |c AS (
+        |  SELECT *, CAST(SUM(vb) OVER (ORDER BY bkt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cv
+        |  FROM g),
+        |t AS (
+        |  SELECT *, CAST(ROUND((CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST((cv - vb) + cv AS DOUBLE) / CAST(v AS DOUBLE))
+        |    * 1e9, 0) AS BIGINT) AS t_nano
+        |  FROM c)
+        |SELECT MAX(n) AS n_users,
+        |  ROUND(CAST(MAX(v) AS DOUBLE) / 1e6, 6) AS total_value,
+        |  ROUND(1.0 - CAST(SUM(t_nano) AS DOUBLE) / 1e9, 6) AS gini
+        |FROM t""".stripMargin,
     "w_funnel_conversion" ->
       """WITH s1 AS (
         |  SELECT user_id, MIN(ts) AS t1 FROM events

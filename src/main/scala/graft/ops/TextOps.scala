@@ -202,6 +202,38 @@ object TextOps {
        |  LEFT JOIN dc ON dom.doc_id = dc.doc_id
        |    AND dom.pred_cand = dc.pred_cand)""".stripMargin
 
+  /** The 10-bin confidence/accuracy table behind ml_calibration_bins
+    * and ml_isotonic_calibration: softmax the NB scores per doc (the
+    * max-shift nano-integer device), take the top prediction's
+    * confidence, bucket into 10 equal-width bins, and aggregate
+    * (bin, n_docs, sconf, n_correct). Factored so the two consumers
+    * cannot drift (the round-13 gdSteps/scd2Hist pattern).
+    */
+  private def calibBins(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sc = nbScored(s, d)
+    val mx = sc.groupBy($"doc_id").agg(max($"score").as("smax"))
+    val soft = sc.join(mx, "doc_id")
+      .withColumn("nano",
+        round(exp(($"score" - $"smax").cast("double") / 1e6) * 1e9, 0)
+          .cast("long"))
+    val den = soft.groupBy($"doc_id").agg(sum($"nano").as("dn"))
+    val wp = Window.partitionBy($"doc_id")
+      .orderBy(desc("score"), asc("pred_cand"))
+    val pred = soft.withColumn("rn", row_number().over(wp))
+      .filter($"rn" === 1)
+      .join(den, "doc_id")
+      .withColumn("conf", lit(1e9) / $"dn")
+      .select(
+        when($"true_lang" === $"pred_cand", 1L).otherwise(0L).as("ok"),
+        least(floor($"conf" * 10).cast("long") + 1L, lit(10L)).as("bin"),
+        round($"conf" * 1e6, 0).cast("long").as("confm"))
+    pred.groupBy($"bin").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"confm").as("sconf"),
+      sum($"ok").as("n_correct"))
+  }
+
   private def nbScored(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val bucket = pmod(graft.functions.PolyHash.poly_hash(
@@ -1772,27 +1804,7 @@ object TextOps {
     // test-doc scoring is |bins|-row arithmetic.
     "ml_calibration_bins" -> ((s, d) => {
       import s.implicits._
-      val sc = nbScored(s, d)
-      val mx = sc.groupBy($"doc_id").agg(max($"score").as("smax"))
-      val soft = sc.join(mx, "doc_id")
-        .withColumn("nano",
-          round(exp(($"score" - $"smax").cast("double") / 1e6) * 1e9, 0)
-            .cast("long"))
-      val den = soft.groupBy($"doc_id").agg(sum($"nano").as("dn"))
-      val wp = Window.partitionBy($"doc_id")
-        .orderBy(desc("score"), asc("pred_cand"))
-      val pred = soft.withColumn("rn", row_number().over(wp))
-        .filter($"rn" === 1)
-        .join(den, "doc_id")
-        .withColumn("conf", lit(1e9) / $"dn")
-        .select(
-          when($"true_lang" === $"pred_cand", 1L).otherwise(0L).as("ok"),
-          least(floor($"conf" * 10).cast("long") + 1L, lit(10L)).as("bin"),
-          round($"conf" * 1e6, 0).cast("long").as("confm"))
-      val bins = pred.groupBy($"bin").agg(
-        count(lit(1)).as("n_docs"),
-        sum($"confm").as("sconf"),
-        sum($"ok").as("n_correct"))
+      val bins = calibBins(s, d)
       val ece = bins.agg(
           (sum(abs($"n_correct" * lit(1000000L) - $"sconf")) /
             (lit(1e6) * sum($"n_docs"))).as("e"))
@@ -1804,6 +1816,48 @@ object TextOps {
           round($"n_correct".cast("double") / $"n_docs", 6))
         .select($"bin", $"n_docs", $"avg_conf", $"accuracy", $"n_correct")
         .crossJoin(broadcast(ece))
+        .orderBy("bin")
+    }),
+
+    // Isotonic calibration (Zadrozny & Elkan, KDD 2002, "Transforming
+    // classifier scores into accurate multiclass probability
+    // estimates") over the SAME 10-bin confidence table as
+    // ml_calibration_bins — the standard post-hoc recalibration map:
+    // the monotone step function closest (weighted L2) to the per-bin
+    // accuracies. Instead of the sequential pool-adjacent-violators
+    // scan, this uses PAV's MINIMAX characterization — iso(i) =
+    // max_{j<=i} min_{k>=i} weightedMean(correct, j..k) — which is pure
+    // bounded relational algebra: prefix sums over the <= 10 bins, a
+    // <= 55-row (j, k) interval frame from a self-join, two bounded
+    // group-bys. RelationalSpec proves it equal to the classic stack
+    // PAV and pins monotonicity + PAV's mass-preservation invariant.
+    // Determinism: every interval mean is an exact-long ratio evaluated
+    // as one double division — identical in DuckDB; min/max over
+    // identical doubles. Scale: everything after calibBins' one corpus
+    // pass lives on the fixed 10-bin frame.
+    "ml_isotonic_calibration" -> ((s, d) => {
+      import s.implicits._
+      val bins = calibBins(s, d).localCheckpoint(false) // 3 bounded probes
+      val wc = Window.orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = bins
+        .withColumn("cn", sum($"n_docs").over(wc))
+        .withColumn("cc", sum($"n_correct").over(wc))
+      val right = pre.select($"bin".as("k"), $"cn".as("cnk"), $"cc".as("cck"))
+      val left = pre.select($"bin".as("j"),
+        ($"cn" - $"n_docs").as("cnj0"), ($"cc" - $"n_correct").as("ccj0"))
+      val iv = left.join(right, $"j" <= $"k")
+        .select($"j", $"k", (($"cck" - $"ccj0").cast("double")
+          / ($"cnk" - $"cnj0").cast("double")).as("m"))
+      bins.select($"bin".as("i"), $"n_docs", $"n_correct")
+        .join(iv, $"j" <= $"i" && $"k" >= $"i")
+        .groupBy($"i", $"n_docs", $"n_correct", $"j")
+        .agg(min($"m").as("mn"))
+        .groupBy($"i", $"n_docs", $"n_correct")
+        .agg(max($"mn").as("iso"))
+        .select($"i".as("bin"), $"n_docs",
+          round($"n_correct".cast("double") / $"n_docs", 6).as("acc_raw"),
+          round($"iso", 6).as("iso_prob"))
         .orderBy("bin")
     }),
 
@@ -2751,6 +2805,56 @@ object TextOps {
          |  ROUND(CAST(n_correct AS DOUBLE) / n_docs, 6) AS accuracy,
          |  n_correct, ece
          |FROM bins CROSS JOIN ec ORDER BY bin""".stripMargin,
+    // Same bins CTEs as ml_calibration_bins; the minimax PAV tail runs
+    // on the fixed 10-bin frame.
+    "ml_isotonic_calibration" ->
+      s"""WITH $nbScoredCtes,
+         |mx AS (SELECT doc_id, MAX(score) AS smax FROM sc GROUP BY 1),
+         |soft AS (
+         |  SELECT sc.doc_id, sc.true_lang, sc.pred_cand, sc.score,
+         |    CAST(ROUND(exp(CAST(sc.score - mx.smax AS DOUBLE) / 1e6)
+         |      * 1e9, 0) AS BIGINT) AS nano
+         |  FROM sc JOIN mx ON sc.doc_id = mx.doc_id),
+         |den AS (
+         |  SELECT doc_id, CAST(SUM(nano) AS BIGINT) AS dn
+         |  FROM soft GROUP BY 1),
+         |pr AS (
+         |  SELECT doc_id, true_lang, pred_cand,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, pred_cand ASC) AS rn
+         |  FROM soft),
+         |pz AS (
+         |  SELECT CASE WHEN pr.true_lang = pr.pred_cand THEN 1 ELSE 0 END
+         |      AS ok,
+         |    LEAST(CAST(FLOOR((1e9 / dn) * 10) AS BIGINT) + 1, 10) AS bin
+         |  FROM pr JOIN den ON pr.doc_id = den.doc_id
+         |  WHERE pr.rn = 1),
+         |bins AS (
+         |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(ok) AS BIGINT) AS n_correct
+         |  FROM pz GROUP BY 1),
+         |pre AS (
+         |  SELECT *,
+         |    CAST(SUM(n_docs) OVER w AS BIGINT) AS cn,
+         |    CAST(SUM(n_correct) OVER w AS BIGINT) AS cc
+         |  FROM bins
+         |  WINDOW w AS (ORDER BY bin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |iv AS (
+         |  SELECT l.bin AS j, r.bin AS k,
+         |    CAST(r.cc - (l.cc - l.n_correct) AS DOUBLE)
+         |      / CAST(r.cn - (l.cn - l.n_docs) AS DOUBLE) AS m
+         |  FROM pre l JOIN pre r ON l.bin <= r.bin),
+         |mn AS (
+         |  SELECT b.bin AS i, b.n_docs, b.n_correct, iv.j,
+         |    MIN(iv.m) AS mn
+         |  FROM bins b JOIN iv ON iv.j <= b.bin AND iv.k >= b.bin
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT i AS bin, n_docs,
+         |  ROUND(CAST(n_correct AS DOUBLE) / n_docs, 6) AS acc_raw,
+         |  ROUND(MAX(mn), 6) AS iso_prob
+         |FROM mn GROUP BY i, n_docs, n_correct
+         |ORDER BY bin""".stripMargin,
     "ml_conformal_split" ->
       s"""WITH $nbScoredCtes,
          |mx AS (SELECT doc_id, MAX(score) AS smax FROM sc GROUP BY 1),

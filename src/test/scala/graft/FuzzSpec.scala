@@ -9,15 +9,16 @@ package graft
   * oracle — these tests guard the machinery, not the answers.
   */
 class FuzzSpec extends SparkSpec {
-  import graft.FuzzQueries.{NumAgg, NumWin}
+  import graft.FuzzQueries.{NumAgg, NumWin, NumJoin}
 
   test("fuzz surface: every generated query has an oracle and vice versa") {
     val q = FuzzQueries.queries.keySet
     val o = FuzzQueries.oracleSql.keySet
     assert(q == o, s"query/oracle key drift: ${(q diff o) ++ (o diff q)}")
-    assert(q.size == NumAgg + NumWin)
+    assert(q.size == NumAgg + NumWin + NumJoin)
     assert(q.count(_.startsWith("fuzz_agg_")) == NumAgg)
     assert(q.count(_.startsWith("fuzz_win_")) == NumWin)
+    assert(q.count(_.startsWith("fuzz_join_")) == NumJoin)
     // names must not collide with any hand-written query
     val hand = SparkEntry.queries.keySet diff q
     assert(hand.forall(!_.startsWith("fuzz_")), "reserved prefix collision")
@@ -28,7 +29,8 @@ class FuzzSpec extends SparkSpec {
     // the rendered chains — the same property the relational meta-test
     // pins for hand-written queries)
     Seq("fuzz_agg_000", "fuzz_agg_037", "fuzz_agg_099",
-      "fuzz_win_000", "fuzz_win_019").foreach { name =>
+      "fuzz_win_000", "fuzz_win_019", "fuzz_join_000",
+      "fuzz_join_029").foreach { name =>
       val fn = FuzzQueries.queries(name)
       val a = fn(spark, sf).collect().map(_.toSeq).toSeq
       val b = fn(spark, sf).collect().map(_.toSeq).toSeq

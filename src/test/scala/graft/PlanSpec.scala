@@ -157,6 +157,9 @@ class PlanSpec extends SparkSpec {
     "privacy_l_diversity",                           // 3-row l-level fan-out + 1-row min_l floor broadcast over the QI rollup
     "privacy_t_closeness",                           // 5-row class-domain cross + 3-row t fan-out + 1-row max broadcast over the QI rollup
     "ml_decision_stump",                             // 1-row min/max stats broadcast onto the corpus pass
+    "ml_isotonic_calibration",                       // <=55-row interval self-join on the fixed 10-bin frame (PAV minimax)
+    "a_survival_km",                                 // 1-row horizon + total broadcasts onto the duration frame
+    "a_gini_concentration",                          // 1-row min/max grid broadcast onto the user aggregate
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.
@@ -171,6 +174,12 @@ class PlanSpec extends SparkSpec {
   private val unpartitionedWindowBounded: Map[String, String] = Map(
     "ml_decision_stump" ->
       "cumulative class-count window over the histogram (<= 1001 grid bins by construction)",
+    "ml_isotonic_calibration" ->
+      "prefix-sum window over the fixed 10-bin calibration table",
+    "a_survival_km" ->
+      "risk-set/product windows over the duration frame (bounded by the corpus CALENDAR span, not row count)",
+    "a_gini_concentration" ->
+      "Lorenz cumulative window over the <= 1001 grid bins",
     "a_mann_whitney" ->
       "binRanked offset window over the per-integer-bin aggregate (cardinality = value range, not row count)",
     "f29b_equidepth_deciles" ->

@@ -154,7 +154,9 @@ class RelationalSpec extends SparkSpec {
       "mm_binaryfile_source", "emb_hard_negatives",
       "ml_als_factors", "ml_als_topk", "ml_als_fold_in",
       "ml_als_save_load", "privacy_l_diversity", "privacy_t_closeness",
-      "w_funnel_conversion", "ml_decision_stump").foreach { name =>
+      "w_funnel_conversion", "ml_decision_stump",
+      "ml_isotonic_calibration", "a_survival_km",
+      "a_gini_concentration").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -534,6 +536,111 @@ class RelationalSpec extends SparkSpec {
     assert(t05._5 == 0L, s"t=0.5 should clear both groups: $t05")
     assert(planted.forall(r => math.abs(r._7 - 0.5) < 1e-6),
       "max_dist must expose the planted skew exactly")
+  }
+
+  test("isotonic calibration equals classic stack PAV; monotone; mass-preserving") {
+    val got = SparkEntry.queries("ml_isotonic_calibration")(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    // raw bins straight off the sibling query (same factored builder)
+    val bins = SparkEntry.queries("ml_calibration_bins")(spark, sf)
+      .select($"bin", $"n_docs", $"n_correct")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // classic pool-adjacent-violators: a GENUINELY different algorithm
+    // from the op's minimax formulation — agreement is the proof
+    case class Block(n: Long, c: Long, size: Int) {
+      def mean: Double = c.toDouble / n
+    }
+    var stack = List.empty[Block]
+    bins.foreach { case (_, n, c) =>
+      var b = Block(n, c, 1)
+      while (stack.nonEmpty && stack.head.mean >= b.mean) {
+        val t = stack.head
+        stack = stack.tail
+        b = Block(t.n + b.n, t.c + b.c, t.size + b.size)
+      }
+      stack = b :: stack
+    }
+    val pav = stack.reverse.flatMap(b => Seq.fill(b.size)(b.mean))
+    assert(pav.length == got.length)
+    got.map(_._4).zip(pav).zipWithIndex.foreach { case ((g, p), i) =>
+      assert(math.abs(g - p) < 1e-6, s"bin $i: minimax $g vs stack PAV $p")
+    }
+    // monotone non-decreasing fit
+    got.map(_._4).sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a - 1e-9, s"isotonic fit decreased: $a -> $b") }
+    // PAV preserves total mass: sum(n_i * iso_i) = sum(correct_i)
+    val mass = got.map(r => r._2 * r._4).sum
+    val correct = bins.map(_._3).sum.toDouble
+    assert(math.abs(mass - correct) < correct * 1e-4 + 1e-6,
+      s"mass $mass vs correct $correct")
+  }
+
+  test("Kaplan-Meier: exact local replay, censoring honored, monotone S") {
+    val ev = graft.ops.Tables.events(spark, sf)
+      .select($"user_id", to_date($"ts").as("day"))
+      .as[(Long, java.sql.Date)].collect()
+    val end = ev.map(_._2.toLocalDate).max
+    val life = ev.groupBy(_._1).values.map { rs =>
+      val ds = rs.map(_._2.toLocalDate)
+      val (fd, ld) = (ds.min, ds.max)
+      val dur = java.time.temporal.ChronoUnit.DAYS.between(fd, ld)
+      val cen = java.time.temporal.ChronoUnit.DAYS.between(ld, end) < 3
+      (dur, cen)
+    }.toSeq
+    val byDur = life.groupBy(_._1).view.mapValues { rs =>
+      (rs.size.toLong, rs.count(!_._2).toLong, rs.count(_._2).toLong)
+    }.toMap
+    def rnd(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    val total = life.size.toLong
+    var before = 0L
+    var lnCum = 0L
+    val exp = byDur.keys.toSeq.sorted.map { t =>
+      val (ne, de, ce) = byDur(t)
+      val risk = total - before
+      before += ne
+      lnCum += rnd(math.log(math.max(
+        (risk - de).toDouble / risk.toDouble, 1e-300)) * 1e9)
+      (t, risk, de, ce,
+        math.rint(math.exp(lnCum.toDouble / 1e9) * 1e6) / 1e6)
+    }
+    val got = SparkEntry.queries("a_survival_km")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == exp.length)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 && g._4 == e._4,
+        s"km counts: $g vs $e")
+      assert(math.abs(g._5 - e._5) < 1e-6, s"km survival: $g vs $e")
+    }
+    // a survival curve can only fall, and the risk set only shrinks
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._5 <= a._5 + 1e-9 && b._2 <= a._2)
+    }
+    // censored users never count as churn events
+    assert(got.map(r => r._3 + r._4).sum == total)
+  }
+
+  test("gini concentration: grouped Lorenz tracks the exact per-user Gini") {
+    val tv = graft.ops.Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(sum(round($"value" * 1e6, 0).cast("long")).as("tv"))
+      .as[(Long, Long)].collect().map(_._2).sorted
+    val n = tv.length.toDouble
+    val v = tv.map(BigInt(_)).sum.toDouble
+    // exact Gini via the sorted-rank identity
+    val exact = tv.zipWithIndex.map { case (x, i) =>
+      (2.0 * (i + 1) - n - 1) * x }.sum / (n * v)
+    val Array((nUsers, totalValue, gini)) =
+      SparkEntry.queries("a_gini_concentration")(spark, sf)
+        .as[(Long, Double, Double)].collect()
+    assert(nUsers == tv.length.toLong)
+    assert(math.abs(totalValue - v / 1e6) < 1e-3)
+    assert(gini >= 0.0 && gini < 1.0)
+    // the trapezoid on 1001 grid bins under-shoots by at most the
+    // within-bin dispersion — tight here (bins are narrow vs the range)
+    assert(gini <= exact + 1e-6, s"grouped $gini above exact $exact")
+    assert(math.abs(gini - exact) < 0.02, s"grouped $gini vs exact $exact")
   }
 
   test("funnel conversion: local replay + monotone stages") {
