@@ -1790,6 +1790,37 @@ object Aggregates {
         .orderBy("user_id", "session_id")
     }),
 
+    // Differentially-private counts via the discrete Laplace (two-sided
+    // geometric) mechanism (Ghosh, Roughgarden & Sundararajan 2009,
+    // "Universally utility-maximizing privacy mechanisms") — the
+    // release gate that completes the privacy family: k-anonymity /
+    // l-diversity / t-closeness AUDIT a table, this op shows the
+    // publish path for aggregate statistics. Per event type, count +
+    // noise where noise = X - Y, X,Y iid Geometric sampled by inverse
+    // CDF (floor(ln(u)/ln(alpha)), alpha = e^-eps, eps = 1). The noise
+    // is SEEDED — u comes from poly_hash(type#i), so the mechanism is
+    // replayable in DuckDB and testable; a production release swaps in
+    // true randomness (documented — determinism is for the differential
+    // harness, not a privacy claim; n_true ships here for the same
+    // reason and would obviously not be published). ln on identical
+    // IEEE inputs is the KM/GMM precedent. Scale: one count aggregate;
+    // noise is per-GROUP map arithmetic.
+    "privacy_dp_counts" -> ((s, d) => {
+      import s.implicits._
+      val alpha = math.exp(-1.0) // eps = 1
+      def u(tag: String): Column = // hash in [0, 1e9+6] -> u in (0, 1]
+        (graft.functions.PolyHash.poly_hash(
+          concat($"event_type", lit(tag))) + 1L).cast("double") /
+          lit(1000000008.0)
+      events(s, d).groupBy($"event_type").agg(count(lit(1)).as("n_true"))
+        .withColumn("noise",
+          (floor(log(u("#1")) / log(lit(alpha)))
+            - floor(log(u("#2")) / log(lit(alpha)))).cast("long"))
+        .select($"event_type", $"n_true", $"noise",
+          ($"n_true" + $"noise").as("n_dp"))
+        .orderBy("event_type")
+    }),
+
     // Kaplan-Meier survival estimator (Kaplan & Meier 1958) over user
     // lifetimes — the retention curve every product/churn stack ships,
     // with CORRECT censoring (naive "average lifetime" is biased low
@@ -3014,6 +3045,25 @@ object Aggregates {
          |    AS BIGINT) AS n_purchases,
          |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
          |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "privacy_dp_counts" -> {
+      val p = graft.ops.DedupOps.polyHashSql("event_type || '#1'")
+      val q = graft.ops.DedupOps.polyHashSql("event_type || '#2'")
+      // alpha is injected as the JVM double's exact decimal rendering —
+      // DuckDB's own exp(-1.0) could differ by an ulp and flip a FLOOR
+      val a = math.exp(-1.0).toString
+      s"""WITH c AS (
+         |  SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY 1),
+         |z AS (
+         |  SELECT event_type, n_true,
+         |    CAST(FLOOR(ln(CAST($p + 1 AS DOUBLE) / 1000000008.0)
+         |        / ln($a))
+         |      - FLOOR(ln(CAST($q + 1 AS DOUBLE) / 1000000008.0)
+         |        / ln($a)) AS BIGINT) AS noise
+         |  FROM c)
+         |SELECT event_type, n_true, noise,
+         |  CAST(n_true + noise AS BIGINT) AS n_dp
+         |FROM z ORDER BY event_type""".stripMargin
+    },
     "a_survival_km" ->
       """WITH life AS (
         |  SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,

@@ -156,7 +156,7 @@ class RelationalSpec extends SparkSpec {
       "ml_als_save_load", "privacy_l_diversity", "privacy_t_closeness",
       "w_funnel_conversion", "ml_decision_stump",
       "ml_isotonic_calibration", "a_survival_km",
-      "a_gini_concentration").foreach { name =>
+      "a_gini_concentration", "privacy_dp_counts").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -574,6 +574,27 @@ class RelationalSpec extends SparkSpec {
     val correct = bins.map(_._3).sum.toDouble
     assert(math.abs(mass - correct) < correct * 1e-4 + 1e-6,
       s"mass $mass vs correct $correct")
+  }
+
+  test("DP counts: seeded discrete-Laplace noise replays; counts add up") {
+    val alpha = math.exp(-1.0)
+    def geo(tag: String, t: String): Long = {
+      val u = (graft.functions.PolyHash.hashString(t + tag) + 1L).toDouble /
+        1000000008.0
+      math.floor(math.log(u) / math.log(alpha)).toLong
+    }
+    val got = SparkEntry.queries("privacy_dp_counts")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val trueCounts = graft.ops.Tables.events(spark, sf)
+      .groupBy($"event_type").count().as[(String, Long)].collect().toMap
+    got.foreach { case (t, n, noise, dp) =>
+      assert(n == trueCounts(t))
+      assert(noise == geo("#1", t) - geo("#2", t), s"$t noise replay")
+      assert(dp == n + noise)
+      // eps = 1 two-sided geometric: |noise| > 20 has probability ~2e-9
+      assert(math.abs(noise) <= 20, s"$t implausible noise $noise")
+    }
   }
 
   test("Kaplan-Meier: exact local replay, censoring honored, monotone S") {
