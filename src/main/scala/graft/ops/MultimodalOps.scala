@@ -37,6 +37,14 @@ object MultimodalOps {
   val PhashBandBits = 16
   val PhashHamMax = 12
 
+  /** L1 histogram-distance threshold above which two consecutive frames
+    * are a scene cut (mm_scene_cuts). Max possible distance between two
+    * full 32-byte frames' 16-bin histograms is 64; 20 separates genuine
+    * content shifts from word-boundary jitter on the text-as-payload
+    * fixtures.
+    */
+  val SceneCutThresh = 20L
+
   val InferClasses = Seq("negative", "neutral", "positive")
   val InferBatch = 64
   val ClassSalt = 2654435761L // Knuth multiplicative constant, decorrelates classes
@@ -288,6 +296,68 @@ object MultimodalOps {
           }
         }(enc)
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Scene-cut (shot-boundary) detection over the frame stream — the
+    // video-curation segmentation primitive (caption/dedup units are
+    // SCENES, not frames; cf. the frame-difference detectors every
+    // PySceneDetect-style stack ships): per payload, every consecutive
+    // 32-byte frame pair is compared by the L1 distance between their
+    // 16-bin byte histograms; a distance above SceneCutThresh is a cut.
+    // All counts/distances are exact integers, so the per-doc summary
+    // (frames, cuts, scenes = cuts+1, max distance) replays in DuckDB.
+    // Scale: ONE map-only pass — each payload's frames, histograms, and
+    // consecutive-pair distances are computed locally inside the batched
+    // mapPartitions decode shape (frames of one video never cross a
+    // partition boundary because the payload is one row), so there is
+    // no per-frame shuffle at any corpus size; output is one row per
+    // document.
+    "mm_scene_cuts" -> ((s, d) => {
+      import s.implicits._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_frames", IntegerType, nullable = false),
+        StructField("n_cuts", IntegerType, nullable = false),
+        StructField("n_scenes", IntegerType, nullable = false),
+        StructField("max_dist", LongType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      withPayload(s, d).select($"doc_id", $"payload")
+        .mapPartitions { it =>
+          it.grouped(InferBatch).flatMap { batch =>
+            batch.iterator.map { r =>
+              val id = r.getLong(0)
+              val bytes = r.getAs[Array[Byte]](1)
+              val nFrames = (bytes.length + FrameBytes - 1) / FrameBytes
+              var prev: Array[Long] = null
+              var cuts = 0
+              var maxD = 0L
+              var f = 0
+              while (f < nFrames) {
+                val hist = new Array[Long](16)
+                var i = f * FrameBytes
+                val until = math.min(i + FrameBytes, bytes.length)
+                while (i < until) {
+                  hist((bytes(i) & 0xff) / 16) += 1
+                  i += 1
+                }
+                if (prev != null) {
+                  var dist = 0L
+                  var b = 0
+                  while (b < 16) {
+                    dist += math.abs(hist(b) - prev(b))
+                    b += 1
+                  }
+                  if (dist > SceneCutThresh) cuts += 1
+                  if (dist > maxD) maxD = dist
+                }
+                prev = hist
+                f += 1
+              }
+              Row(id, nFrames, cuts, cuts + 1, maxD)
+            }
+          }
+        }(enc)
+        .orderBy("doc_id")
     }),
 
     // Perceptual-hash near-dup detection over the BINARY payloads — the
@@ -542,6 +612,45 @@ object MultimodalOps {
         |        c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, c) -> (acc * 131 + c) % 1000000007) AS frame_hash
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_scene_cuts" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, i // 32 AS f,
+         |    ascii(substr(text, CAST(i + 1 AS BIGINT), 1)) // 16 AS b
+         |  FROM (SELECT doc_id, text, unnest(range(strlen(text))) AS i
+         |        FROM documents)),
+         |hist AS (
+         |  SELECT doc_id, f, b, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM ch GROUP BY 1, 2, 3),
+         |frames AS (SELECT DISTINCT doc_id, f FROM ch),
+         |grid AS (
+         |  SELECT frames.doc_id, frames.f, bb.b
+         |  FROM frames CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |hfull AS (
+         |  SELECT g.doc_id, g.f, g.b, COALESCE(h.c, 0) AS c
+         |  FROM grid g LEFT JOIN hist h
+         |    ON g.doc_id = h.doc_id AND g.f = h.f AND g.b = h.b),
+         |dd AS (
+         |  SELECT doc_id, f, CAST(SUM(ABS(c - prev)) AS BIGINT) AS dist
+         |  FROM (
+         |    SELECT doc_id, b, f, c,
+         |      lag(c) OVER (PARTITION BY doc_id, b ORDER BY f) AS prev
+         |    FROM hfull)
+         |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |fc AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_frames
+         |  FROM frames GROUP BY 1),
+         |agg AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN dist > $SceneCutThresh THEN 1 ELSE 0 END)
+         |      AS INT) AS n_cuts,
+         |    CAST(MAX(dist) AS BIGINT) AS max_dist
+         |  FROM dd GROUP BY 1)
+         |SELECT fc.doc_id, fc.n_frames,
+         |  COALESCE(agg.n_cuts, 0) AS n_cuts,
+         |  CAST(COALESCE(agg.n_cuts, 0) + 1 AS INT) AS n_scenes,
+         |  COALESCE(agg.max_dist, 0) AS max_dist
+         |FROM fc LEFT JOIN agg ON fc.doc_id = agg.doc_id
+         |ORDER BY fc.doc_id""".stripMargin,
     "mm_phash_dedup" ->
       s"""WITH ch AS (
          |  SELECT doc_id, (i * 64) // n AS s,

@@ -156,7 +156,8 @@ class RelationalSpec extends SparkSpec {
       "ml_als_save_load", "privacy_l_diversity", "privacy_t_closeness",
       "w_funnel_conversion", "ml_decision_stump",
       "ml_isotonic_calibration", "a_survival_km",
-      "a_gini_concentration", "privacy_dp_counts").foreach { name =>
+      "a_gini_concentration", "privacy_dp_counts",
+      "mm_scene_cuts").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -397,6 +398,54 @@ class RelationalSpec extends SparkSpec {
     got.foreach { case (a, b, _, _) =>
       assert(a <= 2L && b <= 2L, s"spurious pair ($a, $b)")
     }
+  }
+
+  test("scene cuts: local replay + a planted hard shot boundary") {
+    import graft.ops.MultimodalOps.{FrameBytes, SceneCutThresh}
+    // exact local replay over the live corpus payloads (UTF-8 text bytes)
+    def summarize(text: String): (Int, Int, Int, Long) = {
+      val bytes = text.getBytes("UTF-8")
+      val nFrames = (bytes.length + FrameBytes - 1) / FrameBytes
+      var prev: Array[Long] = null
+      var cuts = 0
+      var maxD = 0L
+      (0 until nFrames).foreach { f =>
+        val hist = new Array[Long](16)
+        var i = f * FrameBytes
+        val until = math.min(i + FrameBytes, bytes.length)
+        while (i < until) { hist((bytes(i) & 0xff) / 16) += 1; i += 1 }
+        if (prev != null) {
+          val dist = (0 until 16).map(b => math.abs(hist(b) - prev(b))).sum
+          if (dist > SceneCutThresh) cuts += 1
+          if (dist > maxD) maxD = dist
+        }
+        prev = hist
+      }
+      (nFrames, cuts, cuts + 1, maxD)
+    }
+    val texts = graft.ops.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val got = SparkEntry.queries("mm_scene_cuts")(spark, sf)
+      .as[(Long, Int, Int, Int, Long)].collect()
+    assert(got.length == texts.size)
+    got.foreach { case (id, nf, nc, ns, md) =>
+      val (enf, enc2, ens, emd) = summarize(texts(id))
+      assert((nf, nc, ns, md) == (enf, enc2, ens, emd), s"doc $id replay")
+    }
+    // planted boundary: 2 frames of '!' (bin 2) then 2 frames of 'p'
+    // (bin 7) — one cut of maximal distance 64, three identical-frame
+    // transitions at distance 0
+    val dir = "target/tmp/scenecut_fixture"
+    val planted = "!" * (2 * FrameBytes) + "p" * (2 * FrameBytes)
+    val steady = "m" * (4 * FrameBytes)
+    Seq((0L, planted), (1L, steady))
+      .map { case (i, t) => (i, t, "en", "fixture", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fx = SparkEntry.queries("mm_scene_cuts")(spark, dir)
+      .as[(Long, Int, Int, Int, Long)].collect().sortBy(_._1)
+    assert(fx(0) == ((0L, 4, 1, 2, 2L * FrameBytes)), s"planted: ${fx(0)}")
+    assert(fx(1) == ((1L, 4, 0, 1, 0L)), s"steady: ${fx(1)}")
   }
 
   test("k-anonymity audit: local replay + monotone risk in k") {
