@@ -1803,8 +1803,13 @@ object Aggregates {
     // true randomness (documented — determinism is for the differential
     // harness, not a privacy claim; n_true ships here for the same
     // reason and would obviously not be published). ln on identical
-    // IEEE inputs is the KM/GMM precedent. Scale: one count aggregate;
-    // noise is per-GROUP map arithmetic.
+    // IEEE inputs is the KM/GMM precedent, and the ln-quotient is
+    // quantized to a NANO LONG before the floor division (the repo's
+    // quantize-before-discretize discipline — a 1-ulp ln divergence
+    // near an integer quotient can no longer flip the geometric draw).
+    // The quotient is always >= 0 (ln u <= 0, ln alpha < 0), so long
+    // floor-division == truncation on both engines. Scale: one count
+    // aggregate; noise is per-GROUP map arithmetic.
     "privacy_dp_counts" -> ((s, d) => {
       import s.implicits._
       val alpha = math.exp(-1.0) // eps = 1
@@ -1812,10 +1817,12 @@ object Aggregates {
         (graft.functions.PolyHash.poly_hash(
           concat($"event_type", lit(tag))) + 1L).cast("double") /
           lit(1000000008.0)
+      def qNano(tag: String): Column = // nano-quantized ln u / ln alpha
+        round(log(u(tag)) / log(lit(alpha)) * 1e9, 0).cast("long")
       events(s, d).groupBy($"event_type").agg(count(lit(1)).as("n_true"))
+        .withColumn("q1n", qNano("#1")).withColumn("q2n", qNano("#2"))
         .withColumn("noise",
-          (floor(log(u("#1")) / log(lit(alpha)))
-            - floor(log(u("#2")) / log(lit(alpha)))).cast("long"))
+          expr("(q1n div 1000000000) - (q2n div 1000000000)"))
         .select($"event_type", $"n_true", $"noise",
           ($"n_true" + $"noise").as("n_dp"))
         .orderBy("event_type")
@@ -1897,15 +1904,22 @@ object Aggregates {
           max($"n").as("n"), max($"v").as("v"))
       val wCum = Window.orderBy($"bkt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // v = 0 guard (the 0/0 discipline of a_mutual_info's NMI): an
+      // all-zero (or net-zero) value corpus has no Lorenz curve — every
+      // trapezoid term divides by total mass v, so gini is defined as
+      // 0.0 (perfect equality of nothing) instead of NaN-poisoning the
+      // release. Mirrored in the oracle.
       val terms = binned
         .withColumn("cv", sum($"vb").over(wCum))
         .withColumn("t_nano",
-          round(($"nb".cast("double") / $"n".cast("double"))
-            * ((($"cv" - $"vb") + $"cv").cast("double")
-              / $"v".cast("double")) * 1e9, 0).cast("long"))
+          when($"v" === 0L, lit(0L)).otherwise(
+            round(($"nb".cast("double") / $"n".cast("double"))
+              * ((($"cv" - $"vb") + $"cv").cast("double")
+                / $"v".cast("double")) * 1e9, 0).cast("long")))
       terms.agg(max($"n").as("n_users"),
           round(max($"v").cast("double") / 1e6, 6).as("total_value"),
-          round(lit(1.0) - sum($"t_nano").cast("double") / 1e9, 6)
+          when(max($"v") === 0L, lit(0.0)).otherwise(
+            round(lit(1.0) - sum($"t_nano").cast("double") / 1e9, 6))
             .as("gini"))
     }),
 
@@ -1934,22 +1948,31 @@ object Aggregates {
       val s3 = ev.filter($"event_type" === "purchase")
         .join(s2, "user_id").filter($"ts" > $"t2")
         .groupBy($"user_id").agg(min($"ts").as("t3"))
-      // stage counts are XCom-scale scalars (3 longs — the S12 posture);
-      // the rounded rates use Spark's round() so the rounding mode
-      // matches the oracle's ROUND exactly
-      val (n1, n2, n3) = (s1.count(), s2.count(), s3.count())
-      Seq((1, "view", n1), (2, "click_after_view", n2),
-        (3, "purchase_after_click", n3))
-        .toDF("stage", "step", "n_users")
-        .withColumn("prev",
-          when($"stage" === 1, lit(n1)).when($"stage" === 2, lit(n1))
-            .otherwise(lit(n2)))
-        .select($"stage", $"step", $"n_users",
-          when($"prev" === 0L, lit(0.0))
-            .otherwise(round($"n_users".cast("double") / $"prev", 6))
+      // stage counts stay XCom-scale scalars (3 longs — the S12
+      // posture) but are computed as ONE lazy plan: the three 1-row
+      // count aggregates cross-join into a single row, which explodes
+      // into the 3-stage report. No driver .count() actions — the query
+      // is as lazy as every other registered entry and runs as one job
+      // when consumed (the round-14 ADVICE/VERDICT item)
+      val n = s1.agg(count(lit(1)).as("n1"))
+        .crossJoin(s2.agg(count(lit(1)).as("n2")))
+        .crossJoin(s3.agg(count(lit(1)).as("n3")))
+      n.select(explode(array(
+          struct(lit(1).as("stage"), lit("view").as("step"),
+            $"n1".as("n_users"), $"n1".as("prev"), $"n1".as("top")),
+          struct(lit(2).as("stage"), lit("click_after_view").as("step"),
+            $"n2".as("n_users"), $"n1".as("prev"), $"n1".as("top")),
+          struct(lit(3).as("stage"),
+            lit("purchase_after_click").as("step"),
+            $"n3".as("n_users"), $"n2".as("prev"), $"n1".as("top"))))
+          .as("r"))
+        .select($"r.stage".as("stage"), $"r.step".as("step"),
+          $"r.n_users".as("n_users"),
+          when($"r.prev" === 0L, lit(0.0))
+            .otherwise(round($"r.n_users".cast("double") / $"r.prev", 6))
             .as("conv_from_prev"),
-          when(lit(n1) === 0L, lit(0.0))
-            .otherwise(round($"n_users".cast("double") / lit(n1), 6))
+          when($"r.top" === 0L, lit(0.0))
+            .otherwise(round($"r.n_users".cast("double") / $"r.top", 6))
             .as("conv_from_top"))
         .orderBy("stage")
     }),
@@ -3053,13 +3076,18 @@ object Aggregates {
       val a = math.exp(-1.0).toString
       s"""WITH c AS (
          |  SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY 1),
+         |qn AS (
+         |  SELECT event_type, n_true,
+         |    CAST(ROUND(ln(CAST($p + 1 AS DOUBLE) / 1000000008.0)
+         |      / ln($a) * 1e9, 0) AS BIGINT) AS q1n,
+         |    CAST(ROUND(ln(CAST($q + 1 AS DOUBLE) / 1000000008.0)
+         |      / ln($a) * 1e9, 0) AS BIGINT) AS q2n
+         |  FROM c),
          |z AS (
          |  SELECT event_type, n_true,
-         |    CAST(FLOOR(ln(CAST($p + 1 AS DOUBLE) / 1000000008.0)
-         |        / ln($a))
-         |      - FLOOR(ln(CAST($q + 1 AS DOUBLE) / 1000000008.0)
-         |        / ln($a)) AS BIGINT) AS noise
-         |  FROM c)
+         |    CAST((q1n // 1000000000) - (q2n // 1000000000) AS BIGINT)
+         |      AS noise
+         |  FROM qn)
          |SELECT event_type, n_true, noise,
          |  CAST(n_true + noise AS BIGINT) AS n_dp
          |FROM z ORDER BY event_type""".stripMargin
@@ -3123,13 +3151,16 @@ object Aggregates {
         |    AS cv
         |  FROM g),
         |t AS (
-        |  SELECT *, CAST(ROUND((CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
-        |    * (CAST((cv - vb) + cv AS DOUBLE) / CAST(v AS DOUBLE))
-        |    * 1e9, 0) AS BIGINT) AS t_nano
+        |  SELECT *, CASE WHEN v = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(ROUND((CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST((cv - vb) + cv AS DOUBLE) / CAST(v AS DOUBLE))
+        |      * 1e9, 0) AS BIGINT) END AS t_nano
         |  FROM c)
         |SELECT MAX(n) AS n_users,
         |  ROUND(CAST(MAX(v) AS DOUBLE) / 1e6, 6) AS total_value,
-        |  ROUND(1.0 - CAST(SUM(t_nano) AS DOUBLE) / 1e9, 6) AS gini
+        |  CASE WHEN MAX(v) = 0 THEN 0.0
+        |    ELSE ROUND(1.0 - CAST(SUM(t_nano) AS DOUBLE) / 1e9, 6) END
+        |    AS gini
         |FROM t""".stripMargin,
     "w_funnel_conversion" ->
       """WITH s1 AS (

@@ -1324,19 +1324,8 @@ object MLOps {
             - ($"sx".cast("double") / 1e6 / $"n")
             * ($"sx".cast("double") / 1e6 / $"n"), lit(GmmVarFloor)).as("v2"))
         .localCheckpoint(false)
-      def mstep(a: Column, b: Column, c: Column): Seq[Column] = {
-        // Collapse guard: if every responsibility for a component rounds
-        // to 0 (total tail-loss of one mixture mode), the raw mass a = 0
-        // would make this M-step 0/0 and poison every later round with
-        // NaN — the 1e-300 clamp above only protects the per-row
-        // denominator, not this aggregate. Floor the nano-mass at 1
-        // (mirrored in the oracle) so a collapsed component degrades to
-        // a finite, replayable near-zero weight instead.
-        val r = greatest(a, lit(1L)).cast("double") / 1e9
-        val m = (b.cast("double") / 1e6) / r
-        Seq(r, m, greatest((c.cast("double") / 1e6) / r - m * m,
-          lit(GmmVarFloor)))
-      }
+      def mstep(a: Column, b: Column, c: Column): Seq[Column] =
+        gmmMStep(a, b, c)
       val steps = (1 to GmmSteps).map { k =>
         val sc = z.crossJoin(broadcast(w))
           .withColumn("l1", $"w1" * exp(-(($"x" - $"m1") * ($"x" - $"m1"))
@@ -1420,7 +1409,7 @@ object MLOps {
             + ($"nr".cast("double")
               - ($"pr" * $"pr" + ($"nr" - $"pr") * ($"nr" - $"pr"))
                 .cast("double") / $"nr".cast("double")))
-      splits.orderBy($"score".asc, $"bin".asc).limit(1)
+      val best = splits.orderBy($"score".asc, $"bin".asc).limit(1)
         .select($"bin".as("split_bin"),
           round(($"lo" + expr("(((bin + 1) * (hi - lo + 1)) div 1000)"))
             .cast("double") / 1e6, 6).as("threshold"),
@@ -1430,6 +1419,25 @@ object MLOps {
           round((greatest($"pl", $"nl" - $"pl")
             + greatest($"pr", $"nr" - $"pr")).cast("double")
             / $"n".cast("double"), 6).as("accuracy"))
+      // Degenerate single-bin case (constant feature, hi == lo): no
+      // valid split exists, so instead of a silent empty result emit
+      // the MAJORITY-CLASS stump as a sentinel — split_bin -1, the
+      // constant value as threshold, everything routed left, gini =
+      // the unsplit node's impurity, accuracy = majority share (the
+      // round-14 ADVICE item). Exactly one branch is non-empty, the
+      // union is lazy, and the sentinel replays in DuckDB.
+      val sentinel = st.filter($"hi" === $"lo" && $"n" > 0L)
+        .select(lit(-1L).as("split_bin"),
+          round($"lo".cast("double") / 1e6, 6).as("threshold"),
+          $"n".as("n_left"), lit(0L).as("n_right"),
+          $"npos".as("pos_left"), lit(0L).as("pos_right"),
+          round(($"n".cast("double")
+            - ($"npos" * $"npos" + ($"n" - $"npos") * ($"n" - $"npos"))
+              .cast("double") / $"n".cast("double"))
+            / $"n".cast("double"), 6).as("gini"),
+          round(greatest($"npos", $"n" - $"npos").cast("double")
+            / $"n".cast("double"), 6).as("accuracy"))
+      best.unionByName(sentinel)
     }),
 
     // Bradley-Terry preference strengths via Hunter's MM algorithm
@@ -1739,6 +1747,26 @@ object MLOps {
   /** EM rounds / variance floor for the Gaussian mixture (ml_gmm_em). */
   val GmmSteps = 3
   val GmmVarFloor = 1e-6
+
+  /** One GMM M-step from the nano/micro-quantized sufficient statistics
+    * (a = Σ round(r·1e9), b = Σ round(r·x·1e6), c = Σ round(r·x²·1e6))
+    * → Seq(weight-mass r, mean m, variance v). Collapse guard: if every
+    * responsibility for a component rounds to 0 (total tail-loss of one
+    * mixture mode), the raw mass a = 0 would make this 0/0 and poison
+    * every later EM round with NaN — the per-row 1e-300 denominator
+    * clamp cannot protect this aggregate. Floor the nano-mass at 1
+    * (mirrored in the oracle) so a collapsed component degrades to a
+    * finite, replayable near-zero weight instead. Factored out of the
+    * ml_gmm_em closure so TrainersSpec can drive the zero-mass branch
+    * directly — it is unreachable from static corpus fixtures (the
+    * min/max data points always back their nearer component).
+    */
+  private[graft] def gmmMStep(a: Column, b: Column, c: Column): Seq[Column] = {
+    val r = greatest(a, lit(1L)).cast("double") / 1e9
+    val m = (b.cast("double") / 1e6) / r
+    Seq(r, m, greatest((c.cast("double") / 1e6) / r - m * m,
+      lit(GmmVarFloor)))
+  }
 
   /** The ml_logreg_gd training loop, factored so ml_cartography replays
     * the SAME trajectory (one source of truth for the arithmetic): one
@@ -2507,14 +2535,24 @@ object MLOps {
         |          + ((n - nl) - (npos - pl)) * ((n - nl) - (npos - pl))
         |        AS DOUBLE) / CAST(n - nl AS DOUBLE)) AS score
         |  FROM cum WHERE nl < n)
-        |SELECT bin AS split_bin,
-        |  ROUND(CAST(lo + (((bin + 1) * (hi - lo + 1)) // 1000) AS DOUBLE)
-        |    / 1e6, 6) AS threshold,
-        |  nl AS n_left, nr AS n_right, pl AS pos_left, pr AS pos_right,
-        |  ROUND(score / CAST(n AS DOUBLE), 6) AS gini,
-        |  ROUND(CAST(GREATEST(pl, nl - pl) + GREATEST(pr, nr - pr)
-        |    AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy
-        |FROM sp ORDER BY score ASC, bin ASC LIMIT 1""".stripMargin,
+        |SELECT * FROM (
+        |  SELECT bin AS split_bin,
+        |    ROUND(CAST(lo + (((bin + 1) * (hi - lo + 1)) // 1000)
+        |      AS DOUBLE) / 1e6, 6) AS threshold,
+        |    nl AS n_left, nr AS n_right, pl AS pos_left, pr AS pos_right,
+        |    ROUND(score / CAST(n AS DOUBLE), 6) AS gini,
+        |    ROUND(CAST(GREATEST(pl, nl - pl) + GREATEST(pr, nr - pr)
+        |      AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy
+        |  FROM sp ORDER BY score ASC, bin ASC LIMIT 1)
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), ROUND(CAST(lo AS DOUBLE) / 1e6, 6),
+        |  n, CAST(0 AS BIGINT), npos, CAST(0 AS BIGINT),
+        |  ROUND((CAST(n AS DOUBLE)
+        |    - CAST(npos * npos + (n - npos) * (n - npos) AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6),
+        |  ROUND(CAST(GREATEST(npos, n - npos) AS DOUBLE)
+        |    / CAST(n AS DOUBLE), 6)
+        |FROM st WHERE hi = lo AND n > 0""".stripMargin,
     "ml_gmm_em" -> {
       val steps = (1 to GmmSteps).map { k =>
         val prev = if (k == 1) "gw0" else s"gw${k - 1}"

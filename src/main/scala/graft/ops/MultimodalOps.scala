@@ -306,6 +306,12 @@ object MultimodalOps {
     // 16-bin byte histograms; a distance above SceneCutThresh is a cut.
     // All counts/distances are exact integers, so the per-doc summary
     // (frames, cuts, scenes = cuts+1, max distance) replays in DuckDB.
+    // Zero-byte payloads are EXCLUDED (a 0-frame stream has no scenes;
+    // the oracle's unnest(range(strlen)) drops such docs naturally and
+    // the Spark side filters n_frames > 0 to match — round-14 ADVICE).
+    // Like mm_phash_dedup, the oracle relies on the ASCII-corpus
+    // invariant (withPayload): DuckDB indexes CODEPOINTS over `text`
+    // while Spark walks UTF-8 BYTES, identical only for ASCII.
     // Scale: ONE map-only pass — each payload's frames, histograms, and
     // consecutive-pair distances are computed locally inside the batched
     // mapPartitions decode shape (frames of one video never cross a
@@ -357,6 +363,7 @@ object MultimodalOps {
             }
           }
         }(enc)
+        .filter($"n_frames" > 0)
         .orderBy("doc_id")
     }),
 

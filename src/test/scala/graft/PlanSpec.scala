@@ -160,6 +160,7 @@ class PlanSpec extends SparkSpec {
     "ml_isotonic_calibration",                       // <=55-row interval self-join on the fixed 10-bin frame (PAV minimax)
     "a_survival_km",                                 // 1-row horizon + total broadcasts onto the duration frame
     "a_gini_concentration",                          // 1-row min/max grid broadcast onto the user aggregate
+    "w_funnel_conversion",                           // three 1-row stage-count aggregates crossed into the lazy 3-row report
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.

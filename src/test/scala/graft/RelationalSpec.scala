@@ -344,6 +344,26 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(nmi - miU.toDouble / math.min(hxU, hyU)) < 1e-4)
   }
 
+  test("mutual info: single-type corpus reads nmi 0.0, not NaN (0/0 guard)") {
+    // Planted degenerate fixture forcing the min(H) = 0 branch: one
+    // event type spread over several weekdays has H_type = 0, so
+    // mi/min(H) is 0/0 — the guard defines nmi = 0 (MI is 0 too by
+    // definition). Reverting the guard makes this NaN and fails here.
+    val dir = "target/tmp/nmi_single_type_fixture"
+    val base = java.sql.Timestamp.valueOf("2024-03-04 12:00:00") // a Monday
+    val rows = (0 until 12).map(i => (i.toLong, new java.sql.Timestamp(
+      base.getTime + i.toLong * 86400000L), i.toLong % 3, "view", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val Array((n, mi, hType, hDow, nmi)) =
+      SparkEntry.queries("a_mutual_info")(spark, dir)
+        .as[(Long, Double, Double, Double, Double)].collect()
+    assert(n == 12L && hType == 0.0)
+    assert(hDow > 0.0, "fixture must span multiple weekdays")
+    assert(mi == 0.0, s"single-type MI must be 0, got $mi")
+    assert(!nmi.isNaN && nmi == 0.0, s"degenerate nmi should be 0.0, got $nmi")
+  }
+
   test("PIT lookup: every probe hits exactly its containing SCD2 version") {
     val hist = SparkEntry.queries("scd2_status_history")(spark, sf)
       .select($"o_custkey", $"status", $"version",
@@ -438,12 +458,16 @@ class RelationalSpec extends SparkSpec {
     val dir = "target/tmp/scenecut_fixture"
     val planted = "!" * (2 * FrameBytes) + "p" * (2 * FrameBytes)
     val steady = "m" * (4 * FrameBytes)
-    Seq((0L, planted), (1L, steady))
+    // doc 2 is a ZERO-BYTE payload: a 0-frame stream has no scenes, so
+    // the op must drop it (matching the oracle, whose unnest(range(
+    // strlen)) never produces rows for it) — the round-15 guard fix
+    Seq((0L, planted), (1L, steady), (2L, ""))
       .map { case (i, t) => (i, t, "en", "fixture", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val fx = SparkEntry.queries("mm_scene_cuts")(spark, dir)
       .as[(Long, Int, Int, Int, Long)].collect().sortBy(_._1)
+    assert(fx.length == 2, s"zero-byte payload not excluded: ${fx.toSeq}")
     assert(fx(0) == ((0L, 4, 1, 2, 2L * FrameBytes)), s"planted: ${fx(0)}")
     assert(fx(1) == ((1L, 4, 0, 1, 0L)), s"steady: ${fx(1)}")
   }
@@ -630,7 +654,12 @@ class RelationalSpec extends SparkSpec {
     def geo(tag: String, t: String): Long = {
       val u = (graft.functions.PolyHash.hashString(t + tag) + 1L).toDouble /
         1000000008.0
-      math.floor(math.log(u) / math.log(alpha)).toLong
+      // nano-quantize the ln-quotient BEFORE the floor division — the
+      // round-15 quantize-before-discretize fix; quotient >= 0 so long
+      // division == floor
+      val qn = math.floor(
+        math.log(u) / math.log(alpha) * 1e9 + 0.5).toLong
+      qn / 1000000000L
     }
     val got = SparkEntry.queries("privacy_dp_counts")(spark, sf)
       .as[(String, Long, Long, Long)].collect()
@@ -794,6 +823,52 @@ class RelationalSpec extends SparkSpec {
     prof.filterNot(p => got(p._1)).foreach { p =>
       assert(frontRows.exists(q => dom(q, p)), s"uncovered point $p")
     }
+  }
+
+  test("decision stump: constant feature yields the majority-class sentinel") {
+    // hi == lo degenerate case (round-15 ADVICE fix): 10 rows with a
+    // CONSTANT first dimension, 7 positive — no valid split exists, so
+    // the op must emit the -1 sentinel carrying the unsplit node's
+    // stats instead of a silent empty result
+    val dir = "target/tmp/stump_const_fixture"
+    (0L until 10L).map(i => (i, Seq(0.5f, i.toFloat), if (i < 7) 1 else 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val Array(row) = SparkEntry.queries("ml_decision_stump")(spark, dir)
+      .as[(Long, Double, Long, Long, Long, Long, Double, Double)].collect()
+    assert(row._1 == -1L, s"expected sentinel split_bin -1, got ${row._1}")
+    assert(row._2 == 0.5, "threshold = the constant value")
+    assert((row._3, row._4, row._5, row._6) == ((10L, 0L, 7L, 0L)),
+      s"everything routed left: $row")
+    // unsplit-node Gini: (10 - (49 + 9)/10)/10 = 0.42; majority 7/10
+    assert(math.abs(row._7 - 0.42) < 1e-9, s"node gini ${row._7}")
+    assert(math.abs(row._8 - 0.7) < 1e-9, s"majority accuracy ${row._8}")
+  }
+
+  test("gini concentration: all-zero value corpus reads 0.0, not NaN") {
+    // v == 0 guard (round-15 ADVICE fix, the NMI 0/0 discipline): with
+    // no value mass there is no Lorenz curve — gini is defined as 0.0
+    val dir = "target/tmp/gini_zero_fixture"
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (1L to 6L).map(i => (i, base, i % 3, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val Array((nUsers, totalValue, gini)) =
+      SparkEntry.queries("a_gini_concentration")(spark, dir)
+        .as[(Long, Double, Double)].collect()
+    assert(nUsers == 3L && totalValue == 0.0)
+    assert(gini == 0.0, s"zero-mass gini should be 0.0, got $gini")
+  }
+
+  test("funnel conversion is a lazy plan over the events source") {
+    // round-15 ADVICE fix: no driver .count() actions inside the query
+    // closure — the returned frame's leaves must include the parquet
+    // events relation, not a pre-computed LocalRelation of 3 rows
+    val df = SparkEntry.queries("w_funnel_conversion")(spark, sf)
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    assert(leaves.nonEmpty &&
+      !leaves.forall(_.getClass.getSimpleName.contains("LocalRelation")),
+      s"funnel plan has no source leaves: ${leaves.map(_.nodeName)}")
   }
 
   test("incremental aggregate merge equals the direct one-pass aggregate") {

@@ -489,4 +489,40 @@ class SimilaritySpec extends SparkSpec {
     // value on this corpus (labels are ~uniform -> plenty of bad neighbors)
     assert(expBot.head._2 < 0L, "most harmful point should have negative value")
   }
+
+  test("LSH shapley: a planted never-bucketed point enters the report at 0") {
+    // Guard-pinning fixture (round-14 ADVICE #3 / round-15 VERDICT #2):
+    // all query vectors share one direction, every trained point but
+    // one sits in that same sign-bucket, and the last one is the exact
+    // NEGATION — every hyperplane dot flips sign, so it shares no
+    // probe's bucket and is never scored. The roster left-join must
+    // still surface it with value exactly 0; reverting the roster join
+    // to the scored-only aggregate drops it and fails here.
+    import graft.ops.SimilarityOps.{NumQueries, Dim}
+    val dir = "target/tmp/shapley_unbucketed_fixture"
+    // base direction; positive scalings keep EVERY hyperplane dot's
+    // sign, so scaled copies provably share the query bucket, while the
+    // negation flips every nonzero dot and provably does not
+    def vec(scale: Float): Seq[Float] =
+      (0 until Dim).map(i => (0.3f + 0.01f * ((i * 7) % 11)) * scale)
+    val outcastId = NumQueries + 8L
+    val rows = (0L until NumQueries.toLong).map(i => (i, vec(1.0f), 1)) ++
+      (0 until 8).map(j =>
+        (NumQueries + j.toLong, vec(1.0f + 0.05f * (j + 1)), (j % 2))) :+
+      ((outcastId, vec(-1.0f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("ml_knn_shapley_lsh")(spark, dir)
+      .as[(String, Int, Long, Int, Long, Double)].collect()
+    // sanity: the bucket restriction actually scored the in-bucket points
+    assert(got.exists(r => r._5 != 0L),
+      "fixture vacuous: no in-bucket point got a nonzero value")
+    val outcast = got.filter(_._3 == outcastId)
+    assert(outcast.nonEmpty,
+      s"never-bucketed point $outcastId missing from the report")
+    outcast.foreach { r =>
+      assert(r._5 == 0L && r._6 == 0.0,
+        s"never-bucketed point must carry exactly 0, got $r")
+    }
+  }
 }

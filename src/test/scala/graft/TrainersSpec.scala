@@ -396,4 +396,62 @@ class TrainersSpec extends SparkSpec {
     assert(fanConc == fanSeq, "MLlib fan-out diverged under concurrent warm-up")
   }
 
+  test("gmm M-step: zero-mass component degrades finitely (collapse guard)") {
+    // The collapse branch is unreachable from static corpus fixtures
+    // (the min/max data points always back their nearer component), so
+    // the guard is pinned at the factored M-step directly: a component
+    // whose responsibilities ALL rounded to zero (a = b = c = 0) must
+    // come back as a finite near-zero weight with variance at the
+    // floor — not NaN. Reverting greatest(a, 1) to raw a fails this.
+    import graft.ops.MLOps
+    val Seq(w, m, v) = MLOps.gmmMStep(lit(0L), lit(0L), lit(0L))
+    val row = spark.range(1)
+      .select(w.as("w"), m.as("m"), v.as("v"))
+      .as[(Double, Double, Double)].head()
+    assert(!row._1.isNaN && !row._2.isNaN && !row._3.isNaN,
+      s"zero-mass M-step produced NaN: $row")
+    assert(row._1 == 1e-9, s"collapsed weight mass ${row._1}")
+    assert(row._2 == 0.0, s"collapsed mean ${row._2}")
+    assert(row._3 == MLOps.GmmVarFloor, s"collapsed variance ${row._3}")
+    // and a healthy component is untouched by the guard
+    val Seq(w2, m2, v2) =
+      MLOps.gmmMStep(lit(2000000000L), lit(6000000L), lit(20000000L))
+    val ok = spark.range(1).select(w2.as("w"), m2.as("m"), v2.as("v"))
+      .as[(Double, Double, Double)].head()
+    assert(ok == ((2.0, 3.0, 1.0)), s"healthy M-step drifted: $ok")
+  }
+
+  test("ml_bt_strength: an always-losing type keeps strictly positive strength") {
+    // Planted fixture forcing the +0.5 pseudo-win branch: every user
+    // has view > click > purchase counts, so "purchase" never wins a
+    // decisive comparison (wi = 0). Without the pseudo-win floor its
+    // strength pins at exactly 0 from round 1 — the guard keeps it
+    // strictly positive and the trajectory ordered view > click >
+    // purchase at every step.
+    val dir = "target/tmp/bt_loser_fixture"
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val rows = for {
+      u <- 1L to 4L
+      (t, n) <- Seq(("view", 3), ("click", 2), ("purchase", 1))
+      i <- 1 to n
+    } yield (u * 100 + i, new java.sql.Timestamp(
+      base.getTime + u * 3600000L + i * 60000L), u, t, 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("ml_bt_strength")(spark, dir)
+      .as[(Int, String, Long, Double)].collect()
+    import graft.ops.MLOps.BtRounds
+    assert(got.map(_._1).distinct.sorted.toSeq == (1 to BtRounds).toSeq)
+    got.groupBy(_._1).foreach { case (k, rs) =>
+      val byType = rs.map(r => r._2 -> r._3).toMap
+      assert(byType.keySet == Set("view", "click", "purchase"),
+        s"step $k lost a type: ${byType.keySet}")
+      assert(byType("purchase") > 0L,
+        s"step $k: always-losing type pinned at ${byType("purchase")}")
+      assert(byType("view") > byType("click") &&
+        byType("click") > byType("purchase"),
+        s"step $k strength order broken: $byType")
+    }
+  }
+
 }
