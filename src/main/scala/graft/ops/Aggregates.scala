@@ -1808,24 +1808,120 @@ object Aggregates {
     // quantize-before-discretize discipline — a 1-ulp ln divergence
     // near an integer quotient can no longer flip the geometric draw).
     // The quotient is always >= 0 (ln u <= 0, ln alpha < 0), so long
-    // floor-division == truncation on both engines. Scale: one count
-    // aggregate; noise is per-GROUP map arithmetic.
+    // floor-division == truncation on both engines. The two draws are
+    // seeded by PREFIX tags: a suffix-only tag pair ("…#1" vs "…#2")
+    // differs in the final code point, so the polynomial hashes differ
+    // by exactly 1 and u1 == u2 to within 1e-9 — X and Y then cancel
+    // and the "noise" is identically 0 (zero privacy; the round-15
+    // moments spec caught this live). A prefix difference is multiplied
+    // by 131^len(key) and wraps mod p, fully decorrelating the draws.
+    // Scale: one count aggregate; noise is per-GROUP map arithmetic.
     "privacy_dp_counts" -> ((s, d) => {
       import s.implicits._
       val alpha = math.exp(-1.0) // eps = 1
       def u(tag: String): Column = // hash in [0, 1e9+6] -> u in (0, 1]
         (graft.functions.PolyHash.poly_hash(
-          concat($"event_type", lit(tag))) + 1L).cast("double") /
+          concat(lit(tag), $"event_type")) + 1L).cast("double") /
           lit(1000000008.0)
       def qNano(tag: String): Column = // nano-quantized ln u / ln alpha
         round(log(u(tag)) / log(lit(alpha)) * 1e9, 0).cast("long")
       events(s, d).groupBy($"event_type").agg(count(lit(1)).as("n_true"))
-        .withColumn("q1n", qNano("#1")).withColumn("q2n", qNano("#2"))
+        .withColumn("q1n", qNano("dp1#")).withColumn("q2n", qNano("dp2#"))
         .withColumn("noise",
           expr("(q1n div 1000000000) - (q2n div 1000000000)"))
         .select($"event_type", $"n_true", $"noise",
           ($"n_true" + $"noise").as("n_dp"))
         .orderBy("event_type")
+    }),
+
+    // Continuous-Laplace sibling of privacy_dp_counts (Dwork, McSherry,
+    // Nissim & Smith 2006, "Calibrating noise to sensitivity") — the
+    // textbook eps-DP release for real-valued statistics: noise =
+    // -b * sign(u - 1/2) * ln(1 - 2|u - 1/2|), b = sensitivity/eps = 1.
+    // Same seeded-inverse-CDF discipline as the discrete mechanism
+    // (u from poly_hash, so the draw replays in DuckDB; production
+    // swaps true randomness — determinism is for the differential
+    // harness, not a privacy claim). The ln argument 1 - 2|u - 1/2| is
+    // reached by EXACT IEEE ops from an integer hash (one division by
+    // a literal, abs, subtract, multiply) so both engines feed ln the
+    // identical double; the noise nano-quantizes to a long before the
+    // final 6-dp release rounding (quantize-before-discretize — a
+    // 1-ulp ln divergence cannot flip the published value). u = 1/2
+    // exactly gives sign 0 -> noise 0 on both engines. Scale: one
+    // count aggregate; noise is per-GROUP map arithmetic.
+    "privacy_dp_laplace" -> ((s, d) => {
+      import s.implicits._
+      val u = (graft.functions.PolyHash.poly_hash(
+        concat(lit("dpL#"), $"event_type")) + 1L).cast("double") /
+        lit(1000000008.0)
+      // the 1e-12 floor removes the measure-zero u = 1 pole (ln 0) and
+      // caps |noise| at b*ln(1e12) ~ 27.6 — far beyond any plausible draw
+      val nNano = round(-signum(u - 0.5) *
+        log(greatest(lit(1.0) - lit(2.0) * abs(u - 0.5), lit(1e-12))) *
+        1e9, 0).cast("long")
+      events(s, d).groupBy($"event_type").agg(count(lit(1)).as("n_true"))
+        .withColumn("noise", round(nNano.cast("double") / 1e9, 6))
+        .select($"event_type", $"n_true", $"noise",
+          round($"n_true" + $"noise", 6).as("n_dp"))
+        .orderBy("event_type")
+    }),
+
+    // Gaussian-mechanism sibling (zCDP — Bun & Steinke 2016): noise ~
+    // N(0, sigma^2) with sigma = sensitivity/sqrt(2*rho) = 1 at
+    // rho = 1/2. The draw is Box-Muller on two seeded uniforms:
+    // z = sqrt(-2 ln u1) * cos(2*pi*u2) — sqrt is correctly rounded by
+    // IEEE-754, ln is the KM/GMM precedent, and cos (not IEEE-exact in
+    // principle) feeds the identical double on both engines with the
+    // nano quantization immediately after z absorbing any final-ulp
+    // divergence (a flip needs z*1e9 within ~1e-7 of a rounding
+    // boundary — measure-zero for the hash-derived inputs, and the
+    // differential harness would catch it tri-SF). Same seeded-replay
+    // caveat as the Laplace mechanisms. Scale: per-GROUP map math.
+    "privacy_dp_gaussian" -> ((s, d) => {
+      import s.implicits._
+      def u(tag: String): Column =
+        (graft.functions.PolyHash.poly_hash(
+          concat(lit(tag), $"event_type")) + 1L).cast("double") /
+          lit(1000000008.0)
+      val zNano = round(sqrt(log(u("dpg1#")) * -2.0) *
+        cos(u("dpg2#") * (2.0 * math.Pi)) * 1e9, 0).cast("long")
+      events(s, d).groupBy($"event_type").agg(count(lit(1)).as("n_true"))
+        .withColumn("noise", round(zNano.cast("double") / 1e9, 6))
+        .select($"event_type", $"n_true", $"noise",
+          round($"n_true" + $"noise", 6).as("n_dp"))
+        .orderBy("event_type")
+    }),
+
+    // Epsilon sweep over the discrete-Laplace release — the
+    // privacy/utility frontier in one relational pass (the nprobe_sweep
+    // device applied to DP): for eps in {1/4, 1/2, 1, 2, 4} the per-type
+    // counts are released with alpha = e^-eps geometric noise, each eps
+    // seeded independently (tag carries the eps label). Alphas are
+    // computed ONCE in the JVM and injected into both renderings as the
+    // double's exact decimal string — DuckDB's own exp(-eps) could
+    // differ by an ulp and flip a floor. abs_err ships so the utility
+    // curve (noise shrinking as eps grows) is directly queryable.
+    // Scale: one count aggregate broadcast-crossed with a 5-row literal.
+    "privacy_dp_sweep" -> ((s, d) => {
+      import s.implicits._
+      val eps = Seq(0.25, 0.5, 1.0, 2.0, 4.0)
+      val grid = eps.map(e => (e, e.toString, math.exp(-e)))
+        .toDF("eps", "lbl", "alpha")
+      def u(tag: String): Column =
+        (graft.functions.PolyHash.poly_hash(concat(
+          lit("dpe"), $"lbl", lit(tag), $"event_type")) + 1L)
+          .cast("double") / lit(1000000008.0)
+      def qNano(tag: String): Column =
+        round(log(u(tag)) / log($"alpha") * 1e9, 0).cast("long")
+      events(s, d).groupBy($"event_type").agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(grid))
+        .withColumn("q1n", qNano("#1#")).withColumn("q2n", qNano("#2#"))
+        .withColumn("noise",
+          expr("(q1n div 1000000000) - (q2n div 1000000000)"))
+        .select($"eps", $"event_type", $"n_true", $"noise",
+          ($"n_true" + $"noise").as("n_dp"),
+          abs($"noise").as("abs_err"))
+        .orderBy("eps", "event_type")
     }),
 
     // Kaplan-Meier survival estimator (Kaplan & Meier 1958) over user
@@ -3069,8 +3165,8 @@ object Aggregates {
          |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
          |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "privacy_dp_counts" -> {
-      val p = graft.ops.DedupOps.polyHashSql("event_type || '#1'")
-      val q = graft.ops.DedupOps.polyHashSql("event_type || '#2'")
+      val p = graft.ops.DedupOps.polyHashSql("'dp1#' || event_type")
+      val q = graft.ops.DedupOps.polyHashSql("'dp2#' || event_type")
       // alpha is injected as the JVM double's exact decimal rendering —
       // DuckDB's own exp(-1.0) could differ by an ulp and flip a FLOOR
       val a = math.exp(-1.0).toString
@@ -3091,6 +3187,89 @@ object Aggregates {
          |SELECT event_type, n_true, noise,
          |  CAST(n_true + noise AS BIGINT) AS n_dp
          |FROM z ORDER BY event_type""".stripMargin
+    },
+    "privacy_dp_laplace" -> {
+      val p = graft.ops.DedupOps.polyHashSql("'dpL#' || event_type")
+      s"""WITH c AS (
+         |  SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY 1),
+         |un AS (
+         |  SELECT event_type, n_true,
+         |    CAST($p + 1 AS DOUBLE) / 1000000008.0 AS u
+         |  FROM c),
+         |nn AS (
+         |  SELECT event_type, n_true,
+         |    CAST(ROUND(-sign(u - 0.5)
+         |      * ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-12))
+         |      * 1e9, 0) AS BIGINT) AS n_nano
+         |  FROM un),
+         |r AS (
+         |  SELECT event_type, n_true,
+         |    ROUND(CAST(n_nano AS DOUBLE) / 1e9, 6) AS noise
+         |  FROM nn)
+         |SELECT event_type, n_true, noise,
+         |  ROUND(n_true + noise, 6) AS n_dp
+         |FROM r ORDER BY event_type""".stripMargin
+    },
+    "privacy_dp_gaussian" -> {
+      val p = graft.ops.DedupOps.polyHashSql("'dpg1#' || event_type")
+      val q = graft.ops.DedupOps.polyHashSql("'dpg2#' || event_type")
+      // 2*pi is the JVM double, injected — DuckDB's 2 * pi() could
+      // round differently and shift the cos input by an ulp
+      val twoPi = (2.0 * math.Pi).toString
+      s"""WITH c AS (
+         |  SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY 1),
+         |un AS (
+         |  SELECT event_type, n_true,
+         |    CAST($p + 1 AS DOUBLE) / 1000000008.0 AS u1,
+         |    CAST($q + 1 AS DOUBLE) / 1000000008.0 AS u2
+         |  FROM c),
+         |nn AS (
+         |  SELECT event_type, n_true,
+         |    CAST(ROUND(sqrt(ln(u1) * -2.0)
+         |      * cos(u2 * CAST('$twoPi' AS DOUBLE)) * 1e9, 0) AS BIGINT)
+         |      AS z_nano
+         |  FROM un),
+         |r AS (
+         |  SELECT event_type, n_true,
+         |    ROUND(CAST(z_nano AS DOUBLE) / 1e9, 6) AS noise
+         |  FROM nn)
+         |SELECT event_type, n_true, noise,
+         |  ROUND(n_true + noise, 6) AS n_dp
+         |FROM r ORDER BY event_type""".stripMargin
+    },
+    "privacy_dp_sweep" -> {
+      // eps grid + alphas rendered ONCE in the JVM (exact decimal
+      // round-trip strings) — shared verbatim with the Spark literal
+      // DataFrame so both engines seed and scale identically
+      val grid = Seq(0.25, 0.5, 1.0, 2.0, 4.0).map { e =>
+        s"(CAST(${e.toString} AS DOUBLE), '${e.toString}', " +
+          s"CAST('${math.exp(-e).toString}' AS DOUBLE))"
+      }.mkString(",\n         |    ")
+      val p = graft.ops.DedupOps
+        .polyHashSql("'dpe' || lbl || '#1#' || event_type")
+      val q = graft.ops.DedupOps
+        .polyHashSql("'dpe' || lbl || '#2#' || event_type")
+      s"""WITH grid(eps, lbl, alpha) AS (VALUES
+         |    $grid),
+         |c AS (
+         |  SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY 1),
+         |j AS (SELECT * FROM c CROSS JOIN grid),
+         |qn AS (
+         |  SELECT eps, event_type, n_true,
+         |    CAST(ROUND(ln(CAST($p + 1 AS DOUBLE) / 1000000008.0)
+         |      / ln(alpha) * 1e9, 0) AS BIGINT) AS q1n,
+         |    CAST(ROUND(ln(CAST($q + 1 AS DOUBLE) / 1000000008.0)
+         |      / ln(alpha) * 1e9, 0) AS BIGINT) AS q2n
+         |  FROM j),
+         |z AS (
+         |  SELECT eps, event_type, n_true,
+         |    CAST((q1n // 1000000000) - (q2n // 1000000000) AS BIGINT)
+         |      AS noise
+         |  FROM qn)
+         |SELECT eps, event_type, n_true, noise,
+         |  CAST(n_true + noise AS BIGINT) AS n_dp,
+         |  CAST(abs(noise) AS BIGINT) AS abs_err
+         |FROM z ORDER BY eps, event_type""".stripMargin
     },
     "a_survival_km" ->
       """WITH life AS (

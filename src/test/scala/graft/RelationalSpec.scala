@@ -157,6 +157,7 @@ class RelationalSpec extends SparkSpec {
       "w_funnel_conversion", "ml_decision_stump",
       "ml_isotonic_calibration", "a_survival_km",
       "a_gini_concentration", "privacy_dp_counts",
+      "privacy_dp_laplace", "privacy_dp_gaussian", "privacy_dp_sweep",
       "mm_scene_cuts").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -652,7 +653,7 @@ class RelationalSpec extends SparkSpec {
   test("DP counts: seeded discrete-Laplace noise replays; counts add up") {
     val alpha = math.exp(-1.0)
     def geo(tag: String, t: String): Long = {
-      val u = (graft.functions.PolyHash.hashString(t + tag) + 1L).toDouble /
+      val u = (graft.functions.PolyHash.hashString(tag + t) + 1L).toDouble /
         1000000008.0
       // nano-quantize the ln-quotient BEFORE the floor division — the
       // round-15 quantize-before-discretize fix; quotient >= 0 so long
@@ -668,11 +669,95 @@ class RelationalSpec extends SparkSpec {
       .groupBy($"event_type").count().as[(String, Long)].collect().toMap
     got.foreach { case (t, n, noise, dp) =>
       assert(n == trueCounts(t))
-      assert(noise == geo("#1", t) - geo("#2", t), s"$t noise replay")
+      assert(noise == geo("dp1#", t) - geo("dp2#", t), s"$t noise replay")
       assert(dp == n + noise)
       // eps = 1 two-sided geometric: |noise| > 20 has probability ~2e-9
       assert(math.abs(noise) <= 20, s"$t implausible noise $noise")
     }
+  }
+
+  // Spark round(x, 0) is HALF_UP on the magnitude (away from zero)
+  private def rndHalf(x: Double): Long =
+    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+
+  test("DP mechanism moments: Laplace var 2, Gaussian var 1 on a planted fixture") {
+    // Planted fixture: 4000 synthetic keys through the SAME seeded
+    // inverse-CDF formulas the queries apply per event type — pins the
+    // noise DISTRIBUTION, not just pointwise replay. CLT tolerances:
+    // sd(mean) = sqrt(var/4000) ~ 0.022 (Laplace) / 0.016 (Gaussian).
+    def u(key: String, tag: String): Double =
+      (graft.functions.PolyHash.hashString(tag + key) + 1L).toDouble /
+        1000000008.0
+    val keys = (0 until 4000)
+      .map(i => f"fixture_${(i.toLong * 2654435761L) % 999999937L}%09d")
+    val lap = keys.map { k =>
+      val uu = u(k, "dpL#")
+      val x = -math.signum(uu - 0.5) *
+        math.log(math.max(1.0 - 2.0 * math.abs(uu - 0.5), 1e-12)) * 1e9
+      rndHalf(x) / 1e9
+    }
+    val gau = keys.map { k =>
+      val z = math.sqrt(math.log(u(k, "dpg1#")) * -2.0) *
+        math.cos(u(k, "dpg2#") * (2.0 * math.Pi))
+      rndHalf(z * 1e9) / 1e9
+    }
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    def variance(xs: Seq[Double]) = {
+      val m = mean(xs); xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    assert(math.abs(mean(lap)) < 0.1, s"Laplace mean ${mean(lap)}")
+    assert(math.abs(variance(lap) - 2.0) < 0.3,
+      s"Laplace variance ${variance(lap)} (expect 2b^2 = 2)")
+    assert(math.abs(mean(gau)) < 0.1, s"Gaussian mean ${mean(gau)}")
+    assert(math.abs(variance(gau) - 1.0) < 0.2,
+      s"Gaussian variance ${variance(gau)} (expect sigma^2 = 1)")
+    // Box-Muller support bound: u1 >= 1/1000000008 => |z| <= 6.45
+    assert(gau.forall(z => math.abs(z) <= 6.45))
+  }
+
+  test("DP variants: noise replays exactly; sweep utility curve monotone") {
+    def u(key: String, tag: String): Double =
+      (graft.functions.PolyHash.hashString(tag + key) + 1L).toDouble /
+        1000000008.0
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lapGot = SparkEntry.queries("privacy_dp_laplace")(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+    assert(lapGot.nonEmpty)
+    lapGot.foreach { case (t, n, noise, dp) =>
+      val uu = u(t, "dpL#")
+      val nano = rndHalf(-math.signum(uu - 0.5) *
+        math.log(math.max(1.0 - 2.0 * math.abs(uu - 0.5), 1e-12)) * 1e9)
+      assert(noise == round6(nano / 1e9), s"$t laplace noise replay")
+      assert(dp == round6(n + noise))
+    }
+    val gauGot = SparkEntry.queries("privacy_dp_gaussian")(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+    gauGot.foreach { case (t, n, noise, dp) =>
+      val z = math.sqrt(math.log(u(t, "dpg1#")) * -2.0) *
+        math.cos(u(t, "dpg2#") * (2.0 * math.Pi))
+      val nano = rndHalf(z * 1e9)
+      assert(noise == round6(nano / 1e9), s"$t gaussian noise replay")
+      assert(dp == round6(n + noise))
+    }
+    // sweep: per-eps mean |noise| must fall as eps grows (the
+    // privacy/utility frontier the op exists to expose) — compare the
+    // extremes, which differ by 16x in scale (E|X| ~ 2a/(1-a^2))
+    val sw = SparkEntry.queries("privacy_dp_sweep")(spark, sf)
+      .as[(Double, String, Long, Long, Long, Long)].collect()
+    assert(sw.length == lapGot.length * 5)
+    val byEps = sw.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._6.toDouble).sum / rs.size).toMap
+    assert(byEps(0.25) >= byEps(4.0),
+      s"mean |noise| at eps=0.25 (${byEps(0.25)}) should exceed eps=4 " +
+        s"(${byEps(4.0)})")
+    // eps = 1 draws differ from privacy_dp_counts (independent seeds by
+    // design: the tag carries the eps label)
+    val dp1 = sw.filter(_._1 == 1.0).map(r => r._2 -> r._4).toMap
+    val base = SparkEntry.queries("privacy_dp_counts")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._3)
+    assert(base.exists { case (t, n) => dp1(t) != n },
+      "sweep eps=1 draws should be independent of privacy_dp_counts")
   }
 
   test("Kaplan-Meier: exact local replay, censoring honored, monotone S") {
