@@ -302,7 +302,7 @@ object TextOps {
       |     WHEN t LIKE '%ed' AND len(t) > 4 THEN substr(t, 1, len(t) - 2)
       |     ELSE t END""".stripMargin
 
-  private[ops] val tokensSql =
+  private[graft] val tokensSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
   // ---- Unigram-LM (SentencePiece-style) tokenizer trainer ----
@@ -578,7 +578,7 @@ object TextOps {
         round(avg($"logp"), 6).as("avg_logprob"))
   }
 
-  private[ops] val stopwordArray: Column =
+  private[graft] val stopwordArray: Column =
     array(Lexicons.stopwordsEn.map(lit): _*)
 
   val queries: Map[String, Q] = Map(

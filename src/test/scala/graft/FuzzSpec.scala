@@ -9,16 +9,18 @@ package graft
   * oracle — these tests guard the machinery, not the answers.
   */
 class FuzzSpec extends SparkSpec {
-  import graft.FuzzQueries.{NumAgg, NumWin, NumJoin}
+  import graft.FuzzQueries.{NumAgg, NumWin, NumJoin, NumTok, NumFrame}
 
   test("fuzz surface: every generated query has an oracle and vice versa") {
     val q = FuzzQueries.queries.keySet
     val o = FuzzQueries.oracleSql.keySet
     assert(q == o, s"query/oracle key drift: ${(q diff o) ++ (o diff q)}")
-    assert(q.size == NumAgg + NumWin + NumJoin)
+    assert(q.size == NumAgg + NumWin + NumJoin + NumTok + NumFrame)
     assert(q.count(_.startsWith("fuzz_agg_")) == NumAgg)
     assert(q.count(_.startsWith("fuzz_win_")) == NumWin)
     assert(q.count(_.startsWith("fuzz_join_")) == NumJoin)
+    assert(q.count(_.startsWith("fuzz_tok_")) == NumTok)
+    assert(q.count(_.startsWith("fuzz_frame_")) == NumFrame)
     // names must not collide with any hand-written query
     val hand = SparkEntry.queries.keySet diff q
     assert(hand.forall(!_.startsWith("fuzz_")), "reserved prefix collision")
@@ -30,7 +32,8 @@ class FuzzSpec extends SparkSpec {
     // pins for hand-written queries)
     Seq("fuzz_agg_000", "fuzz_agg_037", "fuzz_agg_099",
       "fuzz_win_000", "fuzz_win_019", "fuzz_join_000",
-      "fuzz_join_029").foreach { name =>
+      "fuzz_join_029", "fuzz_tok_000", "fuzz_tok_019",
+      "fuzz_frame_000", "fuzz_frame_019").foreach { name =>
       val fn = FuzzQueries.queries(name)
       val a = fn(spark, sf).collect().map(_.toSeq).toSeq
       val b = fn(spark, sf).collect().map(_.toSeq).toSeq
@@ -51,7 +54,9 @@ class FuzzSpec extends SparkSpec {
     // spot-guard against a drifted double-render: the SQL string for a
     // shape must mention the same aggregate aliases its DataFrame
     // rendering produces, column for column
-    FuzzQueries.queries.keys.toSeq.sorted.take(30).foreach { name =>
+    (FuzzQueries.queries.keys.toSeq.sorted.take(30) ++
+      (0 until NumTok).map(i => f"fuzz_tok_$i%03d") ++
+      (0 until NumFrame).map(i => f"fuzz_frame_$i%03d")).foreach { name =>
       val cols = FuzzQueries.queries(name)(spark, sf).columns.toSet
       val sql = FuzzQueries.oracleSql(name)
       cols.foreach(c => assert(sql.contains(c),

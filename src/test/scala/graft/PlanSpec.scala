@@ -161,6 +161,7 @@ class PlanSpec extends SparkSpec {
     "a_survival_km",                                 // 1-row horizon + total broadcasts onto the duration frame
     "a_gini_concentration",                          // 1-row min/max grid broadcast onto the user aggregate
     "w_funnel_conversion",                           // three 1-row stage-count aggregates crossed into the lazy 3-row report
+    "privacy_dp_sweep",                              // 5-row eps-grid broadcast crossed with per-type counts
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.
