@@ -1924,6 +1924,135 @@ object Aggregates {
         .orderBy("eps", "event_type")
     }),
 
+    // DAU/WAU stickiness — the engagement ratio every growth stack
+    // tracks daily. The sliding 7-day distinct-user window is computed
+    // by BOUNDED FAN-OUT, not a range join: each (user, active-day) row
+    // is exploded to the 7 window-target days it covers (a constant
+    // 7x map-side multiplier), then one exact countDistinct per target
+    // day. At 100 TB that is linear with constant 7 and shuffles on
+    // `day` — the alternative (per-day range join against a 7-day
+    // event span) rescans the corpus per day. Window targets are inner-
+    // joined to observed activity days, so partial-coverage days before
+    // the corpus start never appear and the output domain equals the
+    // calendar span. dau/wau are exact longs; the ratio is one double
+    // division of exact longs, 6dp-rounded.
+    "a_dau_wau_stickiness" -> ((s, d) => {
+      import s.implicits._
+      val ud = events(s, d)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select($"user_id", explode(sequence(lit(0), lit(6))).as("o"), $"day")
+        .select($"user_id", date_add($"day", $"o").as("day"))
+        .groupBy($"day").agg(countDistinct($"user_id").as("wau"))
+      dau.join(wau, "day")
+        .select($"day", $"dau", $"wau",
+          round($"dau".cast("double") / $"wau", 6).as("stickiness"))
+        .orderBy("day")
+    }),
+
+    // Population Stability Index (the standard model-monitoring drift
+    // metric; see e.g. Siddiqi, "Credit Risk Scorecards" 2006) between
+    // the corpus's first and second 15-day halves, per event type:
+    // PSI = sum_b (p_b - q_b) * ln(p_b / q_b) over 10 equi-width value
+    // bins on the GLOBAL range (one 1-row min/max/start broadcast — the
+    // gini/pareto device — so both halves share one grid). Shares are
+    // double divisions of exact long counts, clamped at 1e-6 (the
+    // standard empty-bin guard, mirrored in the oracle) so an empty
+    // bin contributes a finite term; each term nano-quantizes before
+    // the <= 10-element sum. Complements text_drift_kl (token-space
+    // drift) with the value-space drift lens. Scale: one count
+    // aggregate keyed by (type, half, bin); everything after is
+    // <= |types| * 20 rows.
+    "a_psi_drift" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select($"event_type", to_date($"ts").as("day"),
+        round($"value" * 1e6, 0).cast("long").as("v"))
+      val st = ev.agg(min($"day").as("d0"), min($"v").as("lo"),
+        max($"v").as("hi"))
+      val binned = ev.crossJoin(broadcast(st))
+        .withColumn("half",
+          when($"day" < date_add($"d0", 15), lit("first"))
+            .otherwise(lit("second")))
+        .withColumn("bin", // long div: (v-lo)*10 <= 5.6e9, far from 2^63
+          expr("least((v - lo) * 10 div (hi - lo + 1), 9L)"))
+      val counts = binned.groupBy($"event_type", $"bin").agg(
+        sum(when($"half" === "first", 1L).otherwise(0L)).as("c1"),
+        sum(when($"half" === "second", 1L).otherwise(0L)).as("c2"))
+      val tot = Window.partitionBy($"event_type")
+      counts
+        .withColumn("n1", sum($"c1").over(tot))
+        .withColumn("n2", sum($"c2").over(tot))
+        .withColumn("p", greatest($"c1".cast("double") / $"n1", lit(1e-6)))
+        .withColumn("q", greatest($"c2".cast("double") / $"n2", lit(1e-6)))
+        .withColumn("term_nano",
+          round(($"p" - $"q") * log($"p" / $"q") * 1e9, 0).cast("long"))
+        .groupBy($"event_type")
+        .agg(max($"n1").as("n_first"), max($"n2").as("n_second"),
+          round(sum($"term_nano").cast("double") / 1e9, 6).as("psi"))
+        .orderBy("event_type")
+    }),
+
+    // CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    // Walker 2013, "Improving the sensitivity of online controlled
+    // experiments") — the pre-period covariate adjustment every large
+    // experimentation platform applies before the t-test. Per user:
+    // x = pre-period (first 15 days) total value, y = outcome-period
+    // total value, arm = user_id % 2 (the deterministic assignment
+    // stand-in). theta = cov(x, y)/var(x) over ALL users; the adjusted
+    // arm mean is computed on AGGREGATES (mean_y - theta*(mean_x -
+    // mean_x_all)) rather than per-row adjusted values, so the whole
+    // readout is one user-keyed aggregate + a <= 2-row reduction.
+    // var_reduction_pct = rho^2 * 100 (the CUPED guarantee: relative
+    // variance drop of the adjusted metric). Determinism: per-user
+    // totals are MILLI-quantized longs (value <= ~560, <= ~30 events/
+    // user at sf0.1 -> |x_milli| < 2^24, and the sf0.1 moment sums
+    // sum(x*y) stay ~8x under Long.MaxValue — headroom documented, the
+    // ALS micro-sum precedent); moments are exact long sums, so theta/
+    // rho/means are identical double arithmetic on both engines.
+    "a_cuped_adjusted" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select($"user_id", to_date($"ts").as("day"),
+        round($"value" * 1e3, 0).cast("long").as("vm"))
+      val d0 = ev.agg(min($"day").as("d0"))
+      val usr = ev.crossJoin(broadcast(d0))
+        .groupBy($"user_id")
+        .agg(sum(when($"day" < date_add($"d0", 15), $"vm").otherwise(0L))
+          .as("x"),
+          sum(when($"day" >= date_add($"d0", 15), $"vm").otherwise(0L))
+            .as("y"))
+        .withColumn("arm", pmod($"user_id", lit(2L)))
+      // moments leave long space here: sx*sy would overflow 2^63 (ANSI
+      // would throw); sums themselves are exact longs, so casting each
+      // ONCE and running identical double expression trees on both
+      // engines keeps theta/rho2 bit-deterministic
+      val gm = usr.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+        sum($"x" * $"y").as("sxy"), sum($"y" * $"y").as("syy"))
+        .select($"n".as("nu"),
+          ($"sx".cast("double") / $"n").as("mx"),
+          (($"sxy".cast("double") - $"sx".cast("double") * $"sy" / $"n")
+            / ($"sxx".cast("double") - $"sx".cast("double") * $"sx" / $"n"))
+            .as("theta"),
+          (($"sxy".cast("double") - $"sx".cast("double") * $"sy" / $"n")
+            * ($"sxy".cast("double") - $"sx".cast("double") * $"sy" / $"n")
+            / (($"sxx".cast("double") - $"sx".cast("double") * $"sx" / $"n")
+              * ($"syy".cast("double") - $"sy".cast("double") * $"sy"
+                / $"n"))).as("rho2"))
+      usr.groupBy($"arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"x").as("ax"), sum($"y").as("ay"))
+        .crossJoin(broadcast(gm))
+        .select($"arm", $"n_users",
+          round($"ay".cast("double") / $"n_users" / 1e3, 6).as("mean_y"),
+          round(($"ay".cast("double") / $"n_users"
+            - $"theta" * ($"ax".cast("double") / $"n_users" - $"mx")) / 1e3,
+            6).as("mean_y_cuped"),
+          round($"theta", 6).as("theta"),
+          round($"rho2" * 100.0, 4).as("var_reduction_pct"))
+        .orderBy("arm")
+    }),
+
     // Kaplan-Meier survival estimator (Kaplan & Meier 1958) over user
     // lifetimes — the retention curve every product/churn stack ships,
     // with CORRECT censoring (naive "average lifetime" is biased low
@@ -3271,6 +3400,98 @@ object Aggregates {
          |  CAST(abs(noise) AS BIGINT) AS abs_err
          |FROM z ORDER BY eps, event_type""".stripMargin
     },
+    "a_dau_wau_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+        |cover AS (
+        |  SELECT user_id, day + CAST(o AS INTEGER) AS day
+        |  FROM ud CROSS JOIN (SELECT unnest(range(7)) AS o)),
+        |wau AS (
+        |  SELECT day, COUNT(DISTINCT user_id) AS wau FROM cover GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau,
+        |  ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+        |FROM dau d JOIN wau w ON d.day = w.day
+        |ORDER BY 1""".stripMargin,
+    "a_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(ROUND(value * 1e6, 0) AS BIGINT) AS v
+        |  FROM events),
+        |st AS (SELECT MIN(day) AS d0, MIN(v) AS lo, MAX(v) AS hi FROM ev),
+        |b AS (
+        |  SELECT event_type,
+        |    CASE WHEN day < d0 + 15 THEN 'first' ELSE 'second' END AS half,
+        |    LEAST((v - lo) * 10 // (hi - lo + 1), 9) AS bin
+        |  FROM ev CROSS JOIN st),
+        |c AS (
+        |  SELECT event_type, bin,
+        |    CAST(SUM(CASE WHEN half = 'first' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(SUM(CASE WHEN half = 'second' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c2
+        |  FROM b GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *,
+        |    CAST(SUM(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+        |  FROM c),
+        |p AS (
+        |  SELECT event_type, n1, n2,
+        |    GREATEST(CAST(c1 AS DOUBLE) / n1, 1e-6) AS p,
+        |    GREATEST(CAST(c2 AS DOUBLE) / n2, 1e-6) AS q
+        |  FROM t),
+        |terms AS (
+        |  SELECT event_type, n1, n2,
+        |    CAST(ROUND((p - q) * ln(p / q) * 1e9, 0) AS BIGINT) AS tn
+        |  FROM p)
+        |SELECT event_type, MAX(n1) AS n_first, MAX(n2) AS n_second,
+        |  ROUND(CAST(SUM(tn) AS DOUBLE) / 1e9, 6) AS psi
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_cuped_adjusted" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(ROUND(value * 1e3, 0) AS BIGINT) AS vm
+        |  FROM events),
+        |d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        |usr AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN day < d0 + 15 THEN vm ELSE 0 END) AS BIGINT)
+        |      AS x,
+        |    CAST(SUM(CASE WHEN day >= d0 + 15 THEN vm ELSE 0 END) AS BIGINT)
+        |      AS y,
+        |    user_id % 2 AS arm
+        |  FROM ev CROSS JOIN d0 GROUP BY user_id),
+        |gm AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM usr),
+        |g2 AS (
+        |  SELECT n AS nu, CAST(sx AS DOUBLE) / n AS mx,
+        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+        |      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+        |      AS theta,
+        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+        |      * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+        |      / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+        |        * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n))
+        |      AS rho2
+        |  FROM gm),
+        |arms AS (
+        |  SELECT arm, COUNT(*) AS n_users, CAST(SUM(x) AS BIGINT) AS ax,
+        |    CAST(SUM(y) AS BIGINT) AS ay
+        |  FROM usr GROUP BY 1)
+        |SELECT arm, n_users,
+        |  ROUND(CAST(ay AS DOUBLE) / n_users / 1e3, 6) AS mean_y,
+        |  ROUND((CAST(ay AS DOUBLE) / n_users
+        |    - theta * (CAST(ax AS DOUBLE) / n_users - mx)) / 1e3, 6)
+        |    AS mean_y_cuped,
+        |  ROUND(theta, 6) AS theta,
+        |  ROUND(rho2 * 100.0, 4) AS var_reduction_pct
+        |FROM arms CROSS JOIN g2
+        |ORDER BY arm""".stripMargin,
     "a_survival_km" ->
       """WITH life AS (
         |  SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,

@@ -25,7 +25,15 @@ import org.apache.spark.sql.functions._
   * at this absolute scale) confirms the documented posture; a ratio far
   * above predicts a super-linear term the plan reading missed.
   *
-  * Usage: runMain graft.tools.ScaleLaw [baseDir] [fixtureDir]
+  * Usage: runMain graft.tools.ScaleLaw [baseDir] [fixtureDir] [factor]
+  *
+  * Round-15 second point: factor 30 on the lightest families (whose 10×
+  * ratios sat closest to the constants floor, so a 30× step actually
+  * moves their data term) plus the two most burst-sensitive bench
+  * queries the 10× run omitted — retrieval_prf_expansion (two BM25
+  * corpus passes) and graph_assortativity (the 4-table undCore edge
+  * aggregate feeding a BOUNDED 25-node graph — the aggregate input
+  * scales, the graph does not, which is precisely its 100 TB posture).
   */
 object ScaleLaw {
 
@@ -45,9 +53,23 @@ object ScaleLaw {
     "stream_dedup_within_watermark" // per-key state machine: ~linear
   )
 
+  /** The 30× set: light families where 10× was mostly constants, plus
+    * the two burst-sensitive bench queries absent from the 10× run.
+    */
+  val Families30: Seq[String] = Seq(
+    "dedup_exact",                   // 10x ratio 1.06 — constants-dominated; 30x moves the data term
+    "text_quality",                  // 10x ratio 1.29 — scan-bound
+    "u7_tfidf_top_terms",            // 10x ratio 1.26 — token pass
+    "stream_dedup_within_watermark", // 10x ratio 1.21 — keyed state machines
+    "retrieval_prf_expansion",       // two BM25 corpus passes: ~linear in tokens
+    "graph_assortativity"            // undCore 4-table edge aggregate: linear scan into a bounded graph
+  )
+
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val fx = if (args.length > 1) args(1) else "target/tmp/scale10x"
+    val factor = if (args.length > 2) args(2).toInt else Factor
+    val fx = if (args.length > 1) args(1) else s"target/tmp/scale${factor}x"
+    val families = if (factor == Factor) Families else Families30
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,7 +80,7 @@ object ScaleLaw {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    generateIfAbsent(spark, base, fx)
+    generateIfAbsent(spark, base, fx, factor)
 
     def clearState(): Unit = {
       graft.ops.DedupOps.clear()
@@ -86,16 +108,16 @@ object ScaleLaw {
       if (a < 0 || b < 0) -1.0 else math.min(a, b)
     }
 
-    val rows = Families.map { name =>
+    val rows = families.map { name =>
       val t1 = minOf2(name, base)
       val t10 = minOf2(name, fx)
       val ratio = if (t1 > 0 && t10 > 0) t10 / t1 else -1.0
-      println(f"[scalelaw] $name%-32s t1=$t1%7.2f  t10=$t10%7.2f  ratio=$ratio%6.2f")
+      println(f"[scalelaw] $name%-32s t1=$t1%7.2f  tN=$t10%7.2f  ratio=$ratio%6.2f")
       (name, t1, t10, ratio)
     }
     val json = rows.map { case (n, t1, t10, r) =>
-      f""""$n":{"t1":$t1%.3f,"t10":$t10%.3f,"ratio":$r%.2f}"""
-    }.mkString("{\"metric\":\"scalelaw\",\"factor\":" + Factor + ",\"queries\":{",
+      f""""$n":{"t1":$t1%.3f,"tN":$t10%.3f,"ratio":$r%.2f}"""
+    }.mkString("{\"metric\":\"scalelaw\",\"factor\":" + factor + ",\"queries\":{",
       ",", "}}")
     println(json)
     spark.stop()
@@ -108,13 +130,13 @@ object ScaleLaw {
     * the joined dimension is unscaled).
     */
   private def generateIfAbsent(spark: SparkSession, base: String,
-                               fx: String): Unit = {
+                               fx: String, factor: Int): Unit = {
     val marker = new java.io.File(s"$fx/_SCALELAW_OK")
     if (marker.exists()) return
     val off = 100000000L // above every sf0.1 key range
 
     def reps(df: DataFrame)(f: (DataFrame, Long) => DataFrame): DataFrame =
-      (0 until Factor).map(r => f(df, r.toLong * off)).reduce(_ unionByName _)
+      (0 until factor).map(r => f(df, r.toLong * off)).reduce(_ unionByName _)
 
     // documents: id offset + per-replica token suffix — within-replica
     // near-dup pairs stay near-dups (same suffix both sides), replicas

@@ -162,6 +162,8 @@ class PlanSpec extends SparkSpec {
     "a_gini_concentration",                          // 1-row min/max grid broadcast onto the user aggregate
     "w_funnel_conversion",                           // three 1-row stage-count aggregates crossed into the lazy 3-row report
     "privacy_dp_sweep",                              // 5-row eps-grid broadcast crossed with per-type counts
+    "a_psi_drift",                                   // 1-row global min/max/start-grid broadcast (gini device)
+    "a_cuped_adjusted",                              // 1-row split-day + 1-row global-moments broadcasts
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.

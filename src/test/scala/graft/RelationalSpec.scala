@@ -158,6 +158,7 @@ class RelationalSpec extends SparkSpec {
       "ml_isotonic_calibration", "a_survival_km",
       "a_gini_concentration", "privacy_dp_counts",
       "privacy_dp_laplace", "privacy_dp_gaussian", "privacy_dp_sweep",
+      "a_dau_wau_stickiness", "a_psi_drift", "a_cuped_adjusted",
       "mm_scene_cuts").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -758,6 +759,103 @@ class RelationalSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._3)
     assert(base.exists { case (t, n) => dp1(t) != n },
       "sweep eps=1 draws should be independent of privacy_dp_counts")
+  }
+
+  test("DAU/WAU stickiness: exact local replay; DAU <= WAU; ratio in (0,1]") {
+    val ud = graft.ops.Tables.events(spark, sf)
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct().as[(Long, java.sql.Date)].collect()
+      .map { case (u, d) => (u, d.toLocalDate) }
+    val byDay = ud.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val got = SparkEntry.queries("a_dau_wau_stickiness")(spark, sf)
+      .as[(java.sql.Date, Long, Long, Double)].collect()
+    assert(got.length == byDay.size)
+    got.foreach { case (d, dau, wau, st) =>
+      val day = d.toLocalDate
+      val expDau = byDay(day).size.toLong
+      val expWau = (0 to 6).flatMap(o =>
+        byDay.getOrElse(day.minusDays(o.toLong), Set.empty[Long])).toSet.size
+      assert(dau == expDau, s"$day dau")
+      assert(wau == expWau.toLong, s"$day wau")
+      assert(dau <= wau && st > 0.0 && st <= 1.0, s"$day stickiness $st")
+      assert(math.abs(st - BigDecimal(dau.toDouble / wau)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) == 0.0)
+    }
+  }
+
+  test("PSI drift: non-negative, exact local replay of the binned terms") {
+    val rows = graft.ops.Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").as("day"),
+        round($"value" * 1e6, 0).cast("long").as("v"))
+      .as[(String, java.sql.Date, Long)].collect()
+    val d0 = rows.map(_._2.toLocalDate).min
+    val (lo, hi) = (rows.map(_._3).min, rows.map(_._3).max)
+    val binned = rows.map { case (t, d, v) =>
+      (t, d.toLocalDate.isBefore(d0.plusDays(15)),
+        math.min((v - lo) * 10 / (hi - lo + 1), 9L))
+    }
+    val got = SparkEntry.queries("a_psi_drift")(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    got.foreach { case (t, n1, n2, psi) =>
+      val mine = binned.filter(_._1 == t)
+      val c1 = mine.filter(_._2).groupBy(_._3).view.mapValues(_.size).toMap
+      val c2 = mine.filterNot(_._2).groupBy(_._3).view.mapValues(_.size).toMap
+      val (tn1, tn2) = (c1.values.sum.toLong, c2.values.sum.toLong)
+      assert(n1 == tn1 && n2 == tn2, s"$t half sizes")
+      val bins = (c1.keySet ++ c2.keySet).toSeq.sorted
+      val sumNano = bins.map { b =>
+        val p = math.max(c1.getOrElse(b, 0).toDouble / tn1, 1e-6)
+        val q = math.max(c2.getOrElse(b, 0).toDouble / tn2, 1e-6)
+        rndHalf((p - q) * math.log(p / q) * 1e9)
+      }.sum
+      val exp = BigDecimal(sumNano / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(psi == exp, s"$t psi $psi vs $exp")
+      assert(psi >= 0.0, s"$t psi negative") // (p-q) and ln(p/q) share sign
+    }
+  }
+
+  test("CUPED: theta is the OLS slope; adjusted means replay; rho2 bound") {
+    val rows = graft.ops.Tables.events(spark, sf)
+      .select($"user_id", to_date($"ts").as("day"),
+        round($"value" * 1e3, 0).cast("long").as("vm"))
+      .as[(Long, java.sql.Date, Long)].collect()
+    val d0 = rows.map(_._2.toLocalDate).min
+    val split = d0.plusDays(15)
+    val usr = rows.groupBy(_._1).map { case (u, rs) =>
+      val x = rs.filter(_._2.toLocalDate.isBefore(split)).map(_._3).sum
+      val y = rs.filterNot(_._2.toLocalDate.isBefore(split)).map(_._3).sum
+      (u, x, y)
+    }.toSeq
+    val n = usr.size.toDouble
+    val (sx, sy) = (usr.map(_._2).sum, usr.map(_._3).sum)
+    val (sxx, sxy, syy) = (usr.map(r => r._2 * r._2).sum,
+      usr.map(r => r._2 * r._3).sum, usr.map(r => r._3 * r._3).sum)
+    val cov = sxy.toDouble - sx.toDouble * sy / n
+    val theta = cov / (sxx.toDouble - sx.toDouble * sx / n)
+    val rho2 = cov * cov / ((sxx.toDouble - sx.toDouble * sx / n)
+      * (syy.toDouble - sy.toDouble * sy / n))
+    val mx = sx.toDouble / n
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("a_cuped_adjusted")(spark, sf)
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(0L, 1L))
+    assert(got.map(_._2).sum == usr.size.toLong)
+    got.foreach { case (arm, nu, my, myc, th, vr) =>
+      val mine = usr.filter(r => r._1 % 2 == arm)
+      val (ax, ay) = (mine.map(_._2).sum, mine.map(_._3).sum)
+      assert(my == r6(ay.toDouble / nu / 1e3), s"arm $arm mean_y")
+      assert(myc == r6((ay.toDouble / nu
+        - theta * (ax.toDouble / nu - mx)) / 1e3), s"arm $arm cuped mean")
+      assert(th == r6(theta))
+      assert(vr >= 0.0 && vr <= 100.0, s"rho2 pct $vr")
+    }
+    // CUPED preserves the overall mean: user-weighted arm means match
+    val my0 = got.map(r => r._4 * r._2).sum / usr.size
+    val myRaw = got.map(r => r._3 * r._2).sum / usr.size
+    assert(math.abs(my0 - myRaw) < 1e-3,
+      s"adjustment shifted the pooled mean: $my0 vs $myRaw")
   }
 
   test("Kaplan-Meier: exact local replay, censoring honored, monotone S") {
