@@ -1924,6 +1924,59 @@ object Aggregates {
         .orderBy("eps", "event_type")
     }),
 
+    // Local-DP randomized response (Warner 1965; k-RR per Kairouz,
+    // Oh & Viswanath 2016) over event_type — the LOCAL model completing
+    // the central privacy_dp_* releases: each EVENT perturbs its own
+    // report before aggregation (no trusted curator). With k = 5 types
+    // and eps = 1: report the true type w.p. p = e^eps/(e^eps+k-1), else
+    // one of the k-1 others uniformly (the second draw derives from the
+    // same uniform: v = (u-p)/(1-p), j = min(floor(v*(k-1)), k-2) indexes
+    // the SORTED other-type list — one seeded draw per row, prefix-tag
+    // seeded per the round-15 discipline). The unbiased frequency
+    // estimator inverts the channel: n_est = (c_t - m*q)/(p - q),
+    // q = 1/(e^eps+k-1). p and q are injected into both renderings as
+    // the JVM doubles' exact decimal strings. n_true ships for the
+    // differential harness only (a real deployment never sees it).
+    // Seed discipline: event_id is SEQUENTIAL, and a polynomial hash of
+    // strings differing only in trailing digits is locally linear — raw
+    // u would sweep a ~1e-5 sliver of [0,1] (the whole corpus making
+    // one collective coin flip; caught live when sf0.001 lost a type).
+    // The odd-multiplier scatter (h * 2654435761 mod p — the
+    // Relational.scala epoch-salt device, a Weyl sequence) restores
+    // distribution-level uniformity (measured: var 0.0833, stay
+    // fraction 0.402 vs p = 0.4046). The mod-10 round-robin id splits
+    // elsewhere (split_train_test etc.) are UNAFFECTED by this
+    // property: they need proportion-exact partitioning, which locally
+    // linear hashes deliver; RR needs DISTRIBUTIONAL randomness.
+    // Scale: pure map-side perturbation + one count aggregate — the
+    // local model's whole point is that this parallelizes trivially.
+    "privacy_rr_frequency" -> ((s, d) => {
+      import s.implicits._
+      val k = EventTypes.length
+      val p = math.exp(1.0) / (math.exp(1.0) + (k - 1))
+      val q = 1.0 / (math.exp(1.0) + (k - 1))
+      val domain = array(EventTypes.sorted.map(lit): _*)
+      val u = ((graft.functions.PolyHash.poly_hash(
+        concat(lit("rr#"), $"event_id".cast("string"))) * 2654435761L)
+        % 1000000007L + 1L).cast("double") / lit(1000000008.0)
+      val j = least(floor((u - lit(p)) / (lit(1.0) - lit(p)) * (k - 1))
+        .cast("long"), lit((k - 2).toLong))
+      val reported = events(s, d)
+        .withColumn("report", when(u < lit(p), $"event_type")
+          .otherwise(element_at(
+            filter(domain, t => t =!= $"event_type"), (j + 1L).cast("int"))))
+      val m = reported.agg(count(lit(1)).as("m"))
+      val cTrue = reported.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_true"))
+      val cRep = reported.groupBy($"report".as("event_type"))
+        .agg(count(lit(1)).as("n_reported"))
+      cTrue.join(cRep, "event_type").crossJoin(broadcast(m))
+        .select($"event_type", $"n_true", $"n_reported",
+          round(($"n_reported".cast("double") - $"m" * lit(q))
+            / (lit(p) - lit(q)), 6).as("n_est"))
+        .orderBy("event_type")
+    }),
+
     // DAU/WAU stickiness — the engagement ratio every growth stack
     // tracks daily. The sliding 7-day distinct-user window is computed
     // by BOUNDED FAN-OUT, not a range join: each (user, active-day) row
@@ -3399,6 +3452,40 @@ object Aggregates {
          |  CAST(n_true + noise AS BIGINT) AS n_dp,
          |  CAST(abs(noise) AS BIGINT) AS abs_err
          |FROM z ORDER BY eps, event_type""".stripMargin
+    },
+    "privacy_rr_frequency" -> {
+      val k = EventTypes.length
+      val p = (math.exp(1.0) / (math.exp(1.0) + (k - 1))).toString
+      val q = (1.0 / (math.exp(1.0) + (k - 1))).toString
+      val dom = EventTypes.sorted.mkString("['", "', '", "']")
+      val h = graft.ops.DedupOps
+        .polyHashSql("'rr#' || CAST(event_id AS VARCHAR)")
+      s"""WITH pq AS (
+         |  SELECT CAST('$p' AS DOUBLE) AS p, CAST('$q' AS DOUBLE) AS q),
+         |rep AS (
+         |  SELECT event_type,
+         |    CASE WHEN u < p THEN event_type
+         |    ELSE list_extract(
+         |      list_filter($dom, t -> t <> event_type),
+         |      CAST(LEAST(FLOOR((u - p) / (1.0 - p) * ${k - 1}),
+         |        ${k - 2}) AS BIGINT) + 1)
+         |    END AS report
+         |  FROM (
+         |    SELECT event_type,
+         |      CAST(($h * 2654435761) % 1000000007 + 1 AS DOUBLE)
+         |        / 1000000008.0 AS u
+         |    FROM events) CROSS JOIN pq),
+         |m AS (SELECT COUNT(*) AS m FROM rep),
+         |ct AS (SELECT event_type, COUNT(*) AS n_true FROM rep GROUP BY 1),
+         |cr AS (
+         |  SELECT report AS event_type, COUNT(*) AS n_reported
+         |  FROM rep GROUP BY 1)
+         |SELECT ct.event_type, ct.n_true, cr.n_reported,
+         |  ROUND((CAST(cr.n_reported AS DOUBLE) - m.m * q) / (p - q), 6)
+         |    AS n_est
+         |FROM ct JOIN cr ON ct.event_type = cr.event_type
+         |CROSS JOIN m CROSS JOIN pq
+         |ORDER BY ct.event_type""".stripMargin
     },
     "a_dau_wau_stickiness" ->
       """WITH ud AS (

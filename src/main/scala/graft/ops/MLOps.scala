@@ -1440,6 +1440,116 @@ object MLOps {
       best.unionByName(sentinel)
     }),
 
+    // AdaBoost over histogram stumps (Freund & Schapire 1997), 3 rounds
+    // × 3 features — the ensemble trainer the single CART stump above is
+    // the weak learner for. Fully relational with an EXACT INTEGER
+    // weight trajectory so every round replays bit-for-bit in DuckDB:
+    // row weights are nano longs (w0 = 1e9 div n, NEVER renormalized —
+    // unnormalized AdaBoost weights can only shrink in total, so longs
+    // never overflow and ε is always taken as a ratio against the
+    // round's live Σw); each round one map-combinable weighted histogram
+    // per feature (LightGBM-style 1000 bins on a FIXED per-feature
+    // global grid — the weights change, the grid does not), cumulative
+    // sums over the ≤ 3·1000-row bounded histogram price every
+    // (feature, threshold, polarity) stump at once, and the argmin
+    // tie-breaks (ε, feature, bin, polarity) via TakeOrdered. ε is
+    // clamped at Σw/1000 before α = ½ln((Σw−ε)/ε) (bounds e^α ≤ ~31.6,
+    // keeping the integer weight update w·round(e^±α·1e6) div 1e6 far
+    // from 2^63); ln/exp on identical exact-long-derived doubles is the
+    // GMM/KM precedent. Per round the data pays one histogram aggregate
+    // + one broadcast-stump map join; weights localCheckpoint per round
+    // (the driver-loop lineage discipline). Degenerate all-constant
+    // features ⇒ no candidates ⇒ empty output by design — the
+    // single-stump sentinel path (ml_decision_stump) is the documented
+    // fallback for that corpus. Output: per round the chosen stump
+    // (feature, split_bin, polarity), its raw weighted error rate, α,
+    // and the final ensemble's training accuracy (sign(Σα_t·h_t),
+    // s = 0 ⇒ +1, replayed identically in the oracle).
+    "ml_adaboost_stumps" -> ((s, d) => {
+      import s.implicits._
+      val T = 3
+      val base = embeddings(s, d).select(
+        $"vec_id",
+        round(element_at($"embedding", 1).cast("double") * 1e6, 0)
+          .cast("long").as("f1"),
+        round(element_at($"embedding", 2).cast("double") * 1e6, 0)
+          .cast("long").as("f2"),
+        round(element_at($"embedding", 3).cast("double") * 1e6, 0)
+          .cast("long").as("f3"),
+        when($"label" === 1, 1L).otherwise(-1L).as("y"))
+      val feat = base.select($"vec_id", $"y",
+        explode(map(lit(1L), $"f1", lit(2L), $"f2", lit(3L), $"f3"))
+          .as(Seq("j", "micro")))
+      val grid = feat.groupBy($"j")
+        .agg(min($"micro").as("lo"), max($"micro").as("hi"))
+      val binned = feat.join(broadcast(grid), "j")
+        .filter($"hi" =!= $"lo") // constant features carry no split
+        .withColumn("bin", expr("((micro - lo) * 1000) div (hi - lo + 1)"))
+        .select($"vec_id", $"j", $"bin", $"y")
+        .localCheckpoint(false) // re-read every round: bins are fixed
+      val nDf = base.agg(count(lit(1)).as("n"))
+      var w = base.select($"vec_id", $"y").crossJoin(broadcast(nDf))
+        .select($"vec_id", $"y", expr("1000000000L div n").as("w"))
+        .localCheckpoint(false)
+      val wc = Window.partitionBy($"j").orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      var reports = Seq.empty[org.apache.spark.sql.DataFrame]
+      var contribs = Seq.empty[org.apache.spark.sql.DataFrame]
+      for (t <- 1 to T) {
+        val wb = binned.join(w.select($"vec_id", $"w"), "vec_id")
+          .groupBy($"j", $"bin").agg(
+            sum(when($"y" === 1L, $"w").otherwise(0L)).as("wpos"),
+            sum(when($"y" === -1L, $"w").otherwise(0L)).as("wneg"),
+            count(lit(1)).as("nb"))
+        val tot = wb.groupBy($"j").agg(sum($"wpos").as("tpos"),
+          sum($"wneg").as("tneg"), sum($"nb").as("ntot"))
+        val cum = wb.join(broadcast(tot), "j")
+          .withColumn("cpos", sum($"wpos").over(wc))
+          .withColumn("cneg", sum($"wneg").over(wc))
+          .withColumn("cn", sum($"nb").over(wc))
+          .filter($"cn" < $"ntot") // right side must be non-empty
+        val cand = cum.select($"j", $"bin", ($"tpos" + $"tneg").as("sw"),
+          explode(map(
+            lit(1L), $"cneg" + ($"tpos" - $"cpos"),
+            lit(-1L), $"cpos" + ($"tneg" - $"cneg"))).as(Seq("pol", "eps")))
+        val best = cand
+          .orderBy($"eps".asc, $"j".asc, $"bin".asc, $"pol".asc).limit(1)
+          .withColumn("epsc", greatest($"eps", expr("sw div 1000")))
+          .withColumn("alpha",
+            log(($"sw" - $"epsc").cast("double") / $"epsc") * 0.5)
+          .withColumn("alpha_nano", round($"alpha" * 1e9, 0).cast("long"))
+          .withColumn("fup", round(exp($"alpha") * 1e6, 0).cast("long"))
+          .withColumn("fdn", round(exp(-$"alpha") * 1e6, 0).cast("long"))
+          .localCheckpoint(false) // 1 row; ends the round's lineage
+        val pred = binned.join(broadcast(best.select($"j",
+            $"bin".as("tb"), $"pol", $"fup", $"fdn", $"alpha_nano")), "j")
+          .select($"vec_id",
+            when($"bin" <= $"tb", $"pol").otherwise(-$"pol").as("h"),
+            $"fup", $"fdn", $"alpha_nano")
+        w = w.join(pred.select($"vec_id", $"h", $"fup", $"fdn"), "vec_id")
+          .select($"vec_id", $"y",
+            expr("(w * (case when h = y then fdn else fup end))" +
+              " div 1000000").as("w"))
+          .localCheckpoint(false)
+        contribs = contribs :+
+          pred.select($"vec_id", ($"alpha_nano" * $"h").as("c"))
+        reports = reports :+ best.select(lit(t.toLong).as("round"),
+          $"j".as("feature"), $"bin".as("split_bin"), $"pol".as("polarity"),
+          round($"eps".cast("double") / $"sw", 6).as("eps_rate"),
+          round($"alpha", 6).as("alpha"))
+      }
+      val scores = contribs.reduce(_ unionByName _)
+        .groupBy($"vec_id").agg(sum($"c").as("sc"))
+      val acc = base.select($"vec_id", $"y")
+        .join(scores, Seq("vec_id"), "left")
+        .select(when(coalesce($"sc", lit(0L)) >= 0L, 1L).otherwise(-1L)
+          .as("pred"), $"y")
+        .agg(round(sum(when($"pred" === $"y", 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("ens_train_acc"))
+      reports.reduce(_ unionByName _).crossJoin(broadcast(acc))
+        .orderBy("round")
+    }),
+
     // Bradley-Terry preference strengths via Hunter's MM algorithm
     // (Hunter 2004, "MM algorithms for generalized Bradley-Terry
     // models", Ann. Statist. 32(1)) — the preference-aggregation op of
@@ -2553,6 +2663,116 @@ object MLOps {
         |  ROUND(CAST(GREATEST(npos, n - npos) AS DOUBLE)
         |    / CAST(n AS DOUBLE), 6)
         |FROM st WHERE hi = lo AND n > 0""".stripMargin,
+    "ml_adaboost_stumps" -> {
+      // the three boosting rounds are one generated CTE template so the
+      // oracle stays mechanically identical round to round
+      val rounds = (1 to 3).map { t =>
+        s"""wb$t AS (
+           |  SELECT b.j, b.bin,
+           |    CAST(SUM(CASE WHEN b.y = 1 THEN w.w ELSE 0 END) AS BIGINT)
+           |      AS wpos,
+           |    CAST(SUM(CASE WHEN b.y = -1 THEN w.w ELSE 0 END) AS BIGINT)
+           |      AS wneg,
+           |    CAST(COUNT(*) AS BIGINT) AS nb
+           |  FROM binned b JOIN w$t w ON b.vec_id = w.vec_id
+           |  GROUP BY 1, 2),
+           |tot$t AS (
+           |  SELECT j, CAST(SUM(wpos) AS BIGINT) AS tpos,
+           |    CAST(SUM(wneg) AS BIGINT) AS tneg,
+           |    CAST(SUM(nb) AS BIGINT) AS ntot
+           |  FROM wb$t GROUP BY 1),
+           |cum$t AS (
+           |  SELECT wb.j, wb.bin, tpos, tneg, ntot,
+           |    CAST(SUM(wpos) OVER win AS BIGINT) AS cpos,
+           |    CAST(SUM(wneg) OVER win AS BIGINT) AS cneg,
+           |    CAST(SUM(nb) OVER win AS BIGINT) AS cn
+           |  FROM wb$t wb JOIN tot$t USING (j)
+           |  WINDOW win AS (PARTITION BY wb.j ORDER BY wb.bin
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |cand$t AS (
+           |  SELECT j, bin, tpos + tneg AS sw, CAST(1 AS BIGINT) AS pol,
+           |    cneg + (tpos - cpos) AS eps
+           |  FROM cum$t WHERE cn < ntot
+           |  UNION ALL
+           |  SELECT j, bin, tpos + tneg, CAST(-1 AS BIGINT),
+           |    cpos + (tneg - cneg)
+           |  FROM cum$t WHERE cn < ntot),
+           |pick$t AS (
+           |  SELECT j, bin, sw, pol, eps, GREATEST(eps, sw // 1000) AS epsc
+           |  FROM cand$t ORDER BY eps, j, bin, pol LIMIT 1),
+           |al$t AS (
+           |  SELECT *, ln(CAST(sw - epsc AS DOUBLE) / epsc) * 0.5 AS alpha
+           |  FROM pick$t),
+           |bf$t AS (
+           |  SELECT *, CAST(ROUND(alpha * 1e9, 0) AS BIGINT) AS alpha_nano,
+           |    CAST(ROUND(exp(alpha) * 1e6, 0) AS BIGINT) AS fup,
+           |    CAST(ROUND(exp(-alpha) * 1e6, 0) AS BIGINT) AS fdn
+           |  FROM al$t),
+           |pred$t AS (
+           |  SELECT b.vec_id,
+           |    CASE WHEN b.bin <= s.bin THEN s.pol ELSE -s.pol END AS h,
+           |    s.fup, s.fdn, s.alpha_nano
+           |  FROM binned b JOIN bf$t s ON b.j = s.j),
+           |w${t + 1} AS (
+           |  SELECT w.vec_id, w.y,
+           |    CAST((w.w * (CASE WHEN p.h = w.y THEN p.fdn ELSE p.fup END))
+           |      // 1000000 AS BIGINT) AS w
+           |  FROM w$t w JOIN pred$t p ON w.vec_id = p.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val reports = (1 to 3).map { t =>
+        s"""SELECT CAST($t AS BIGINT) AS round, j AS feature,
+           |  bin AS split_bin, pol AS polarity,
+           |  ROUND(CAST(eps AS DOUBLE) / sw, 6) AS eps_rate,
+           |  ROUND(alpha, 6) AS alpha, ens_train_acc
+           |FROM bf$t CROSS JOIN acc""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS (
+         |  SELECT vec_id,
+         |    CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1e6, 0) AS BIGINT)
+         |      AS f1,
+         |    CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1e6, 0) AS BIGINT)
+         |      AS f2,
+         |    CAST(ROUND(CAST(embedding[3] AS DOUBLE) * 1e6, 0) AS BIGINT)
+         |      AS f3,
+         |    CASE WHEN label = 1 THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(-1 AS BIGINT) END AS y
+         |  FROM embeddings),
+         |feat AS (
+         |  SELECT vec_id, y, CAST(1 AS BIGINT) AS j, f1 AS micro FROM base
+         |  UNION ALL
+         |  SELECT vec_id, y, CAST(2 AS BIGINT), f2 FROM base
+         |  UNION ALL
+         |  SELECT vec_id, y, CAST(3 AS BIGINT), f3 FROM base),
+         |grid AS (
+         |  SELECT j, CAST(MIN(micro) AS BIGINT) AS lo,
+         |    CAST(MAX(micro) AS BIGINT) AS hi
+         |  FROM feat GROUP BY 1),
+         |binned AS (
+         |  SELECT vec_id, f.j, ((micro - lo) * 1000) // (hi - lo + 1) AS bin,
+         |    y
+         |  FROM feat f JOIN grid g ON f.j = g.j
+         |  WHERE hi <> lo),
+         |w1 AS (
+         |  SELECT vec_id, y,
+         |    1000000000 // (SELECT COUNT(*) FROM base) AS w
+         |  FROM base),
+         |$rounds,
+         |sc AS (
+         |  SELECT vec_id, CAST(SUM(alpha_nano * h) AS BIGINT) AS sc
+         |  FROM (
+         |    SELECT vec_id, h, alpha_nano FROM pred1
+         |    UNION ALL SELECT vec_id, h, alpha_nano FROM pred2
+         |    UNION ALL SELECT vec_id, h, alpha_nano FROM pred3)
+         |  GROUP BY 1),
+         |acc AS (
+         |  SELECT ROUND(CAST(SUM(CASE WHEN
+         |      (CASE WHEN COALESCE(s.sc, 0) >= 0 THEN 1 ELSE -1 END) = b.y
+         |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         |      AS ens_train_acc
+         |  FROM base b LEFT JOIN sc s ON b.vec_id = s.vec_id)
+         |$reports
+         |ORDER BY round""".stripMargin
+    },
     "ml_gmm_em" -> {
       val steps = (1 to GmmSteps).map { k =>
         val prev = if (k == 1) "gw0" else s"gw${k - 1}"

@@ -164,6 +164,8 @@ class PlanSpec extends SparkSpec {
     "privacy_dp_sweep",                              // 5-row eps-grid broadcast crossed with per-type counts
     "a_psi_drift",                                   // 1-row global min/max/start-grid broadcast (gini device)
     "a_cuped_adjusted",                              // 1-row split-day + 1-row global-moments broadcasts
+    "ml_adaboost_stumps",                            // 1-row n / per-round stump / final-accuracy broadcasts
+    "privacy_rr_frequency",                          // 1-row total-report-count broadcast (estimator inversion)
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.

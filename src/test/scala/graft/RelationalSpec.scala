@@ -159,6 +159,7 @@ class RelationalSpec extends SparkSpec {
       "a_gini_concentration", "privacy_dp_counts",
       "privacy_dp_laplace", "privacy_dp_gaussian", "privacy_dp_sweep",
       "a_dau_wau_stickiness", "a_psi_drift", "a_cuped_adjusted",
+      "ml_adaboost_stumps", "privacy_rr_frequency",
       "mm_scene_cuts").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -759,6 +760,46 @@ class RelationalSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._3)
     assert(base.exists { case (t, n) => dp1(t) != n },
       "sweep eps=1 draws should be independent of privacy_dp_counts")
+  }
+
+  test("randomized response: exact channel replay; estimator within 5 sd") {
+    val k = graft.ops.Aggregates.EventTypes.length
+    val p = math.exp(1.0) / (math.exp(1.0) + (k - 1))
+    val q = 1.0 / (math.exp(1.0) + (k - 1))
+    val dom = graft.ops.Aggregates.EventTypes.sorted
+    val evs = graft.ops.Tables.events(spark, sf)
+      .select($"event_id".cast("string"), $"event_type")
+      .as[(String, String)].collect()
+    def report(id: String, t: String): String = {
+      val u = ((graft.functions.PolyHash.hashString("rr#" + id)
+        * 2654435761L) % 1000000007L + 1L).toDouble / 1000000008.0
+      if (u < p) t
+      else {
+        val j = math.min(math.floor((u - p) / (1.0 - p) * (k - 1)).toLong,
+          (k - 2).toLong)
+        dom.filter(_ != t)(j.toInt)
+      }
+    }
+    val reports = evs.map { case (id, t) => (t, report(id, t)) }
+    val m = reports.length.toLong
+    val got = SparkEntry.queries("privacy_rr_frequency")(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.length == k, s"a type vanished from the release: ${got.length}")
+    val sd = math.sqrt(m * q * (1 - q)) / (p - q)
+    got.foreach { case (t, nTrue, nRep, nEst) =>
+      assert(nTrue == reports.count(_._1 == t).toLong, s"$t n_true")
+      assert(nRep == reports.count(_._2 == t).toLong, s"$t report replay")
+      val exp = (nRep.toDouble - m * q) / (p - q)
+      assert(math.abs(nEst - BigDecimal(exp)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) == 0.0)
+      // unbiased estimator: a 5-sd miss means the channel draw is broken
+      // (the degenerate locally-linear-u failure mode this op's Weyl
+      // scatter exists to prevent)
+      assert(math.abs(nEst - nTrue) <= 5.0 * sd,
+        s"$t estimate $nEst vs true $nTrue (sd $sd)")
+    }
+    // perturbation actually happens: some reports differ from the truth
+    assert(reports.exists(r => r._1 != r._2), "channel never flipped")
   }
 
   test("DAU/WAU stickiness: exact local replay; DAU <= WAU; ratio in (0,1]") {

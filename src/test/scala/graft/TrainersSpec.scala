@@ -454,4 +454,105 @@ class TrainersSpec extends SparkSpec {
     }
   }
 
+  test("ml_adaboost_stumps: exact 3-round integer-trajectory replay") {
+    // Mirror of the relational recurrence: nano-long weights, weighted
+    // 1000-bin histograms on the fixed per-feature grid, (eps, j, bin,
+    // pol) argmin, eps clamp at sw/1000, micro-quantized exp factors,
+    // truncating integer weight update. Any divergence between this
+    // replay and the query is a changed trajectory, not noise.
+    val base = graft.ops.Tables.embeddings(spark, sf)
+      .select($"vec_id",
+        round(element_at($"embedding", 1).cast("double") * 1e6, 0)
+          .cast("long"),
+        round(element_at($"embedding", 2).cast("double") * 1e6, 0)
+          .cast("long"),
+        round(element_at($"embedding", 3).cast("double") * 1e6, 0)
+          .cast("long"),
+        when($"label" === 1, 1L).otherwise(-1L))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val feats: Map[Long, Array[(Long, Long)]] = Map(
+      1L -> base.map(r => r._1 -> r._2), 2L -> base.map(r => r._1 -> r._3),
+      3L -> base.map(r => r._1 -> r._4))
+    val y = base.map(r => r._1 -> r._5).toMap
+    val n = base.length.toLong
+    // fixed grid + bins, constant features dropped
+    val bins: Map[Long, Map[Long, Long]] = feats.flatMap { case (j, xs) =>
+      val (lo, hi) = (xs.map(_._2).min, xs.map(_._2).max)
+      if (hi == lo) None
+      else Some(j -> xs.map { case (id, v) =>
+        id -> (v - lo) * 1000 / (hi - lo + 1) }.toMap)
+    }
+    var w: Map[Long, Long] = base.map(r => r._1 -> 1000000000L / n).toMap
+    def rnd(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    case class Pick(j: Long, bin: Long, pol: Long, eps: Long, sw: Long,
+                    alpha: Double, alphaNano: Long, fup: Long, fdn: Long)
+    val picks = (1 to 3).map { _ =>
+      val cands = bins.keys.toSeq.sorted.flatMap { j =>
+        val bj = bins(j)
+        val hist = bj.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+        val sortedBins = hist.keys.toSeq.sorted
+        // NB: bj.keys is a Set — map through w BEFORE summing would
+        // dedup equal weights; iterate instead
+        val (tpos, tneg) = (
+          bj.keys.iterator.filter(y(_) == 1L).map(w).sum,
+          bj.keys.iterator.filter(y(_) == -1L).map(w).sum)
+        var (cpos, cneg, cn) = (0L, 0L, 0L)
+        sortedBins.flatMap { b =>
+          val ids = hist(b)
+          cpos += ids.filter(y(_) == 1L).map(w).sum
+          cneg += ids.filter(y(_) == -1L).map(w).sum
+          cn += ids.size
+          if (cn < bj.size)
+            Seq((j, b, 1L, cneg + (tpos - cpos), tpos + tneg),
+              (j, b, -1L, cpos + (tneg - cneg), tpos + tneg))
+          else Seq.empty
+        }
+      }
+      val (j, b, pol, eps, sw) =
+        cands.minBy(c => (c._4, c._1, c._2, c._3))
+      val epsc = math.max(eps, sw / 1000)
+      val alpha = math.log((sw - epsc).toDouble / epsc) * 0.5
+      val pk = Pick(j, b, pol, eps, sw, alpha, rnd(alpha * 1e9),
+        rnd(math.exp(alpha) * 1e6), rnd(math.exp(-alpha) * 1e6))
+      w = w.map { case (id, wi) =>
+        val h = bins(pk.j).get(id)
+          .map(bb => if (bb <= pk.bin) pk.pol else -pk.pol).getOrElse(0L)
+        id -> (if (h == y(id)) wi * pk.fdn / 1000000L
+               else wi * pk.fup / 1000000L)
+      }
+      pk
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("ml_adaboost_stumps")(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(got.length == 3)
+    got.zip(picks).zipWithIndex.foreach { case (((t, j, b, pol, er, al, _),
+        pk), i) =>
+      assert(t == i + 1)
+      assert((j, b, pol) == ((pk.j, pk.bin, pk.pol)),
+        s"round $t stump ($j,$b,$pol) vs replay (${pk.j},${pk.bin},${pk.pol})")
+      assert(er == r6(pk.eps.toDouble / pk.sw), s"round $t eps_rate")
+      assert(al == r6(pk.alpha), s"round $t alpha")
+      assert(al >= 0.0 && er <= 0.5 + 1e-9,
+        s"round $t polarity argmin violated: eps_rate $er alpha $al")
+    }
+    // ensemble accuracy replay (sign with s = 0 -> +1)
+    val score = base.map { r =>
+      val s0 = picks.map { pk =>
+        bins(pk.j).get(r._1)
+          .map(bb => if (bb <= pk.bin) pk.pol else -pk.pol).getOrElse(0L)
+          .*(pk.alphaNano)
+      }.sum
+      (if (s0 >= 0L) 1L else -1L) == r._5
+    }
+    val exp = r6(score.count(identity).toDouble / n)
+    assert(got.head._7 == exp, s"ens_train_acc ${got.head._7} vs $exp")
+    // AdaBoost invariant: the unnormalized weight total never grows
+    assert(w.values.sum <= 1000000000L,
+      s"weight mass grew: ${w.values.sum}")
+  }
+
 }
