@@ -2046,6 +2046,46 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // Difference-in-differences readout (Card & Krueger 1994 is the
+    // canonical study; the panel estimator every experimentation /
+    // policy stack reports next to the raw lift): effect =
+    // (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) over the same
+    // deterministic arm assignment (user_id % 2) and 15-day period
+    // split as a_cuped_adjusted — the two readouts compose into one
+    // experimentation suite on identical cells. One corpus pass
+    // aggregates the four (arm, period) cells as exact micro-long sums;
+    // every mean is one double division, the effect is a fixed
+    // parenthesization over the four cell means, both 6dp-rounded.
+    // Output: the 4 cells + the effect column (same value each row, the
+    // funnel-report convention). Scale: one groupBy of 4 groups.
+    "a_did_estimator" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select($"user_id", to_date($"ts").as("day"),
+        round($"value" * 1e6, 0).cast("long").as("vm"))
+      val d0 = ev.agg(min($"day").as("d0"))
+      val cells = ev.crossJoin(broadcast(d0))
+        .select(pmod($"user_id", lit(2L)).as("arm"),
+          when($"day" < date_add($"d0", 15), lit("pre"))
+            .otherwise(lit("post")).as("period"), $"vm")
+        .groupBy($"arm", $"period")
+        .agg(count(lit(1)).as("n_events"), sum($"vm").as("sv"))
+        .withColumn("mean_value",
+          round($"sv".cast("double") / $"n_events" / 1e6, 6))
+      val eff = cells.agg(round(
+        (sum(when($"arm" === 1L && $"period" === "post",
+          $"sv".cast("double") / $"n_events" / 1e6).otherwise(0.0))
+          - sum(when($"arm" === 1L && $"period" === "pre",
+            $"sv".cast("double") / $"n_events" / 1e6).otherwise(0.0)))
+          - (sum(when($"arm" === 0L && $"period" === "post",
+            $"sv".cast("double") / $"n_events" / 1e6).otherwise(0.0))
+            - sum(when($"arm" === 0L && $"period" === "pre",
+              $"sv".cast("double") / $"n_events" / 1e6).otherwise(0.0))), 6)
+        .as("did_effect"))
+      cells.select($"arm", $"period", $"n_events", $"mean_value")
+        .crossJoin(broadcast(eff))
+        .orderBy("arm", "period")
+    }),
+
     // CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
     // Walker 2013, "Improving the sensitivity of online controlled
     // experiments") — the pre-period covariate adjustment every large
@@ -3535,6 +3575,35 @@ object Aggregates {
         |SELECT event_type, MAX(n1) AS n_first, MAX(n2) AS n_second,
         |  ROUND(CAST(SUM(tn) AS DOUBLE) / 1e9, 6) AS psi
         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_did_estimator" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vm
+        |  FROM events),
+        |d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        |cells AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CASE WHEN day < d0 + 15 THEN 'pre' ELSE 'post' END AS period,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(vm) AS BIGINT) AS sv
+        |  FROM ev CROSS JOIN d0 GROUP BY 1, 2),
+        |eff AS (
+        |  SELECT ROUND(
+        |    (SUM(CASE WHEN arm = 1 AND period = 'post'
+        |        THEN CAST(sv AS DOUBLE) / n_events / 1e6 ELSE 0.0 END)
+        |     - SUM(CASE WHEN arm = 1 AND period = 'pre'
+        |        THEN CAST(sv AS DOUBLE) / n_events / 1e6 ELSE 0.0 END))
+        |    - (SUM(CASE WHEN arm = 0 AND period = 'post'
+        |        THEN CAST(sv AS DOUBLE) / n_events / 1e6 ELSE 0.0 END)
+        |       - SUM(CASE WHEN arm = 0 AND period = 'pre'
+        |        THEN CAST(sv AS DOUBLE) / n_events / 1e6 ELSE 0.0 END)), 6)
+        |      AS did_effect
+        |  FROM cells)
+        |SELECT arm, period, n_events,
+        |  ROUND(CAST(sv AS DOUBLE) / n_events / 1e6, 6) AS mean_value,
+        |  did_effect
+        |FROM cells CROSS JOIN eff
+        |ORDER BY arm, period""".stripMargin,
     "a_cuped_adjusted" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -166,6 +166,7 @@ class PlanSpec extends SparkSpec {
     "a_cuped_adjusted",                              // 1-row split-day + 1-row global-moments broadcasts
     "ml_adaboost_stumps",                            // 1-row n / per-round stump / final-accuracy broadcasts
     "privacy_rr_frequency",                          // 1-row total-report-count broadcast (estimator inversion)
+    "a_did_estimator",                               // 1-row split-day + 1-row effect broadcasts over 4 cells
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.

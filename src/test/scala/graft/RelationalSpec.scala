@@ -159,7 +159,7 @@ class RelationalSpec extends SparkSpec {
       "a_gini_concentration", "privacy_dp_counts",
       "privacy_dp_laplace", "privacy_dp_gaussian", "privacy_dp_sweep",
       "a_dau_wau_stickiness", "a_psi_drift", "a_cuped_adjusted",
-      "ml_adaboost_stumps", "privacy_rr_frequency",
+      "ml_adaboost_stumps", "privacy_rr_frequency", "a_did_estimator",
       "mm_scene_cuts").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -854,6 +854,35 @@ class RelationalSpec extends SparkSpec {
       assert(psi == exp, s"$t psi $psi vs $exp")
       assert(psi >= 0.0, s"$t psi negative") // (p-q) and ln(p/q) share sign
     }
+  }
+
+  test("DiD: four cells replay exactly and the effect is their combination") {
+    val rows = graft.ops.Tables.events(spark, sf)
+      .select($"user_id", to_date($"ts").as("day"),
+        round($"value" * 1e6, 0).cast("long").as("vm"))
+      .as[(Long, java.sql.Date, Long)].collect()
+    val d0 = rows.map(_._2.toLocalDate).min
+    val split = d0.plusDays(15)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cells = rows.groupBy(r => (r._1 % 2,
+      if (r._2.toLocalDate.isBefore(split)) "pre" else "post"))
+      .view.mapValues(rs => (rs.size.toLong, rs.map(_._3).sum)).toMap
+    val got = SparkEntry.queries("a_did_estimator")(spark, sf)
+      .as[(Long, String, Long, Double, Double)].collect()
+    assert(got.length == 4)
+    got.foreach { case (arm, per, n, m, _) =>
+      val (en, sv) = cells((arm, per))
+      assert(n == en, s"($arm,$per) n")
+      assert(m == r6(sv.toDouble / n / 1e6), s"($arm,$per) mean")
+    }
+    def mean(a: Long, p: String) = {
+      val (n, sv) = cells((a, p)); sv.toDouble / n / 1e6
+    }
+    val eff = r6((mean(1, "post") - mean(1, "pre"))
+      - (mean(0, "post") - mean(0, "pre")))
+    assert(got.map(_._5).distinct.toSeq == Seq(eff),
+      s"did_effect ${got.head._5} vs replay $eff")
   }
 
   test("CUPED: theta is the OLS slope; adjusted means replay; rho2 bound") {
