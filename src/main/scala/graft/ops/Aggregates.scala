@@ -2046,6 +2046,46 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // Wald SPRT sequential monitor (Wald 1945) — the always-on peeking
+    // companion to the fixed-horizon readouts (t-test / CUPED / DiD):
+    // watch the treatment arm's purchase conversion day by day and stop
+    // the moment the evidence crosses a boundary, with error rates
+    // controlled DESPITE continuous monitoring (the problem naive
+    // daily t-tests famously fail). H0: p = 0.2 vs H1: p = 0.25,
+    // alpha = beta = 0.05 ⇒ log boundaries ±ln(19). The binomial LLR
+    // is CLOSED FORM in the cumulative counts — llr_t = cum_purchases·
+    // ln(p1/p0) + (cum_n − cum_purchases)·ln((1−p1)/(1−p0)) — so no
+    // per-event float accumulation exists at all: exact long counts ×
+    // two injected JVM constants, rounded 6dp, decision thresholds
+    // compared on the rounded value in both engines. The cumulative
+    // window runs over the calendar-bounded daily aggregate. Scale:
+    // one filtered count aggregate keyed by day.
+    "a_sprt_monitor" -> ((s, d) => {
+      import s.implicits._
+      val (p0, p1) = (0.2, 0.25)
+      val c1 = math.log(p1 / p0)
+      val c2 = math.log((1 - p1) / (1 - p0))
+      val aThr = math.log(0.95 / 0.05) // ln((1-beta)/alpha)
+      val bThr = math.log(0.05 / 0.95) // ln(beta/(1-alpha))
+      val daily = events(s, d).filter(pmod($"user_id", lit(2L)) === 1L)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("np"))
+      val w = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("cum_n", sum($"n").over(w))
+        .withColumn("cum_purchases", sum($"np").over(w))
+        .withColumn("llr", round($"cum_purchases" * lit(c1)
+          + ($"cum_n" - $"cum_purchases") * lit(c2), 6))
+        .withColumn("decision",
+          when($"llr" >= lit(aThr), lit("accept_h1"))
+            .when($"llr" <= lit(bThr), lit("accept_h0"))
+            .otherwise(lit("continue")))
+        .select($"day", $"cum_n", $"cum_purchases", $"llr", $"decision")
+        .orderBy("day")
+    }),
+
     // Difference-in-differences readout (Card & Krueger 1994 is the
     // canonical study; the panel estimator every experimentation /
     // policy stack reports next to the raw lift): effect =
@@ -3575,6 +3615,34 @@ object Aggregates {
         |SELECT event_type, MAX(n1) AS n_first, MAX(n2) AS n_second,
         |  ROUND(CAST(SUM(tn) AS DOUBLE) / 1e9, 6) AS psi
         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_sprt_monitor" -> {
+      val c1 = math.log(0.25 / 0.2).toString
+      val c2 = math.log(0.75 / 0.8).toString
+      val aT = math.log(0.95 / 0.05).toString
+      val bT = math.log(0.05 / 0.95).toString
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS np
+         |  FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+         |cum AS (
+         |  SELECT day, CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+         |    CAST(SUM(np) OVER w AS BIGINT) AS cum_purchases
+         |  FROM daily
+         |  WINDOW w AS (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |l AS (
+         |  SELECT day, cum_n, cum_purchases,
+         |    ROUND(cum_purchases * CAST('$c1' AS DOUBLE)
+         |      + (cum_n - cum_purchases) * CAST('$c2' AS DOUBLE), 6)
+         |      AS llr
+         |  FROM cum)
+         |SELECT day, cum_n, cum_purchases, llr,
+         |  CASE WHEN llr >= CAST('$aT' AS DOUBLE) THEN 'accept_h1'
+         |    WHEN llr <= CAST('$bT' AS DOUBLE) THEN 'accept_h0'
+         |    ELSE 'continue' END AS decision
+         |FROM l ORDER BY day""".stripMargin
+    },
     "a_did_estimator" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

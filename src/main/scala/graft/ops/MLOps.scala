@@ -1550,6 +1550,101 @@ object MLOps {
         .orderBy("round")
     }),
 
+    // Squared-loss gradient boosting over histogram stumps (Friedman
+    // 2001) — the REGRESSION sibling of ml_adaboost_stumps, and
+    // together with it the two halves of the boosted-tree story every
+    // tabular stack ships. Target: embedding dim 4 regressed on dims
+    // 1-3 (micro-quantized). 3 rounds, shrinkage 1/2: F0 = the rounded
+    // global mean; each round fits the SSE-optimal stump on the current
+    // residuals by the LightGBM histogram device — per (feature, bin)
+    // residual sums over the FIXED 1000-bin grid, cumulative pricing of
+    // every threshold via gain = S_l²/n_l + S_r²/n_r (equivalent to
+    // minimizing SSE; computed as one fixed double expression over
+    // exact longs, argmax tie-broken gain desc, feature, bin). Leaf
+    // contributions fold the shrinkage INTO the half-up rounding
+    // (round(mean·0.5) as a micro long) so residuals stay EXACT LONGS
+    // round to round — no truncating-vs-flooring divergence on
+    // negatives, the whole trajectory replays bit-for-bit in DuckDB.
+    // Per round: one histogram aggregate + one broadcast-stump map
+    // join; residual frame localCheckpoints (driver-loop discipline).
+    // Output per round: the stump, both leaf contributions, and the
+    // post-round train MSE (monotone non-increasing — pinned in
+    // TrainersSpec with a full local replay).
+    "ml_gbm_stumps" -> ((s, d) => {
+      import s.implicits._
+      val T = 3
+      val base0 = embeddings(s, d).select(
+        $"vec_id",
+        round(element_at($"embedding", 1).cast("double") * 1e6, 0)
+          .cast("long").as("f1"),
+        round(element_at($"embedding", 2).cast("double") * 1e6, 0)
+          .cast("long").as("f2"),
+        round(element_at($"embedding", 3).cast("double") * 1e6, 0)
+          .cast("long").as("f3"),
+        round(element_at($"embedding", 4).cast("double") * 1e6, 0)
+          .cast("long").as("y"))
+      val feat = base0.select($"vec_id",
+        explode(map(lit(1L), $"f1", lit(2L), $"f2", lit(3L), $"f3"))
+          .as(Seq("j", "micro")))
+      val grid = feat.groupBy($"j")
+        .agg(min($"micro").as("lo"), max($"micro").as("hi"))
+      val binned = feat.join(broadcast(grid), "j")
+        .filter($"hi" =!= $"lo")
+        .withColumn("bin", expr("((micro - lo) * 1000) div (hi - lo + 1)"))
+        .select($"vec_id", $"j", $"bin")
+        .localCheckpoint(false)
+      val f0 = base0.agg(
+        round(sum($"y").cast("double") / count(lit(1)), 0).cast("long")
+          .as("f0"))
+      var res = base0.select($"vec_id", $"y").crossJoin(broadcast(f0))
+        .select($"vec_id", ($"y" - $"f0").as("r"))
+        .localCheckpoint(false)
+      val wc = Window.partitionBy($"j").orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      var reports = Seq.empty[org.apache.spark.sql.DataFrame]
+      for (t <- 1 to T) {
+        val hb = binned.join(res, "vec_id")
+          .groupBy($"j", $"bin")
+          .agg(sum($"r").as("sb"), count(lit(1)).as("nb"))
+        val tot = hb.groupBy($"j")
+          .agg(sum($"sb").as("st"), sum($"nb").as("nt"))
+        val cum = hb.join(broadcast(tot), "j")
+          .withColumn("sl", sum($"sb").over(wc))
+          .withColumn("nl", sum($"nb").over(wc))
+          .filter($"nl" < $"nt")
+          .withColumn("sr", $"st" - $"sl")
+          .withColumn("nr", $"nt" - $"nl")
+          .withColumn("gain",
+            $"sl".cast("double") * $"sl" / $"nl"
+              + $"sr".cast("double") * $"sr" / $"nr")
+        val best = cum
+          .orderBy($"gain".desc, $"j".asc, $"bin".asc).limit(1)
+          .select($"j", $"bin".as("tb"),
+            round($"sl".cast("double") / $"nl" * 0.5, 0).cast("long")
+              .as("cl"),
+            round($"sr".cast("double") / $"nr" * 0.5, 0).cast("long")
+              .as("cr"))
+          .localCheckpoint(false)
+        res = res.join(
+          binned.join(broadcast(best), "j")
+            .select($"vec_id",
+              when($"bin" <= $"tb", $"cl").otherwise($"cr").as("c")),
+          "vec_id")
+          .select($"vec_id", ($"r" - $"c").as("r"))
+          .localCheckpoint(false)
+        // r² sums stay exact longs (≤ ~2e17); one cast before the ratio
+        val mse = res.agg(round(
+          sum($"r" * $"r").cast("double")
+            / count(lit(1)) / 1e12, 6).as("train_mse"))
+        reports = reports :+ best.select(lit(t.toLong).as("round"),
+          $"j".as("feature"), $"tb".as("split_bin"),
+          round($"cl".cast("double") / 1e6, 6).as("leaf_left"),
+          round($"cr".cast("double") / 1e6, 6).as("leaf_right"))
+          .crossJoin(broadcast(mse))
+      }
+      reports.reduce(_ unionByName _).orderBy("round")
+    }),
+
     // Bradley-Terry preference strengths via Hunter's MM algorithm
     // (Hunter 2004, "MM algorithms for generalized Bradley-Terry
     // models", Ann. Statist. 32(1)) — the preference-aggregation op of
@@ -2770,6 +2865,90 @@ object MLOps {
          |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
          |      AS ens_train_acc
          |  FROM base b LEFT JOIN sc s ON b.vec_id = s.vec_id)
+         |$reports
+         |ORDER BY round""".stripMargin
+    },
+    "ml_gbm_stumps" -> {
+      val rounds = (1 to 3).map { t =>
+        s"""hb$t AS (
+           |  SELECT b.j, b.bin, CAST(SUM(r.r) AS BIGINT) AS sb,
+           |    CAST(COUNT(*) AS BIGINT) AS nb
+           |  FROM binned b JOIN res$t r ON b.vec_id = r.vec_id
+           |  GROUP BY 1, 2),
+           |tot$t AS (
+           |  SELECT j, CAST(SUM(sb) AS BIGINT) AS st,
+           |    CAST(SUM(nb) AS BIGINT) AS nt
+           |  FROM hb$t GROUP BY 1),
+           |cum$t AS (
+           |  SELECT hb.j, hb.bin, st, nt,
+           |    CAST(SUM(sb) OVER win AS BIGINT) AS sl,
+           |    CAST(SUM(nb) OVER win AS BIGINT) AS nl
+           |  FROM hb$t hb JOIN tot$t USING (j)
+           |  WINDOW win AS (PARTITION BY hb.j ORDER BY hb.bin
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |gain$t AS (
+           |  SELECT j, bin, sl, nl, st - sl AS sr, nt - nl AS nr,
+           |    CAST(sl AS DOUBLE) * sl / nl
+           |      + CAST(st - sl AS DOUBLE) * (st - sl) / (nt - nl) AS gain
+           |  FROM cum$t WHERE nl < nt),
+           |best$t AS (
+           |  SELECT j, bin AS tb,
+           |    CAST(ROUND(CAST(sl AS DOUBLE) / nl * 0.5, 0) AS BIGINT)
+           |      AS cl,
+           |    CAST(ROUND(CAST(sr AS DOUBLE) / nr * 0.5, 0) AS BIGINT)
+           |      AS cr
+           |  FROM gain$t ORDER BY gain DESC, j, bin LIMIT 1),
+           |res${t + 1} AS (
+           |  SELECT r.vec_id,
+           |    r.r - (CASE WHEN b.bin <= s.tb THEN s.cl ELSE s.cr END) AS r
+           |  FROM res$t r
+           |  JOIN binned b ON r.vec_id = b.vec_id
+           |  JOIN best$t s ON b.j = s.j),
+           |mse$t AS (
+           |  SELECT ROUND(CAST(SUM(r * r) AS DOUBLE) / COUNT(*) / 1e12, 6)
+           |    AS train_mse
+           |  FROM res${t + 1})""".stripMargin
+      }.mkString(",\n")
+      val reports = (1 to 3).map { t =>
+        s"""SELECT CAST($t AS BIGINT) AS round, j AS feature,
+           |  tb AS split_bin,
+           |  ROUND(CAST(cl AS DOUBLE) / 1e6, 6) AS leaf_left,
+           |  ROUND(CAST(cr AS DOUBLE) / 1e6, 6) AS leaf_right,
+           |  train_mse
+           |FROM best$t CROSS JOIN mse$t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS (
+         |  SELECT vec_id,
+         |    CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1e6, 0) AS BIGINT)
+         |      AS f1,
+         |    CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1e6, 0) AS BIGINT)
+         |      AS f2,
+         |    CAST(ROUND(CAST(embedding[3] AS DOUBLE) * 1e6, 0) AS BIGINT)
+         |      AS f3,
+         |    CAST(ROUND(CAST(embedding[4] AS DOUBLE) * 1e6, 0) AS BIGINT)
+         |      AS y
+         |  FROM embeddings),
+         |feat AS (
+         |  SELECT vec_id, CAST(1 AS BIGINT) AS j, f1 AS micro FROM base
+         |  UNION ALL
+         |  SELECT vec_id, CAST(2 AS BIGINT), f2 FROM base
+         |  UNION ALL
+         |  SELECT vec_id, CAST(3 AS BIGINT), f3 FROM base),
+         |grid AS (
+         |  SELECT j, CAST(MIN(micro) AS BIGINT) AS lo,
+         |    CAST(MAX(micro) AS BIGINT) AS hi
+         |  FROM feat GROUP BY 1),
+         |binned AS (
+         |  SELECT vec_id, f.j, ((micro - lo) * 1000) // (hi - lo + 1) AS bin
+         |  FROM feat f JOIN grid g ON f.j = g.j
+         |  WHERE hi <> lo),
+         |f0 AS (
+         |  SELECT CAST(ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 0)
+         |    AS BIGINT) AS f0
+         |  FROM base),
+         |res1 AS (
+         |  SELECT vec_id, y - f0 AS r FROM base CROSS JOIN f0),
+         |$rounds
          |$reports
          |ORDER BY round""".stripMargin
     },

@@ -165,6 +165,7 @@ class PlanSpec extends SparkSpec {
     "a_psi_drift",                                   // 1-row global min/max/start-grid broadcast (gini device)
     "a_cuped_adjusted",                              // 1-row split-day + 1-row global-moments broadcasts
     "ml_adaboost_stumps",                            // 1-row n / per-round stump / final-accuracy broadcasts
+    "ml_gbm_stumps",                                 // 1-row F0 / per-round stump / per-round MSE broadcasts
     "privacy_rr_frequency",                          // 1-row total-report-count broadcast (estimator inversion)
     "a_did_estimator",                               // 1-row split-day + 1-row effect broadcasts over 4 cells
   )
@@ -223,6 +224,8 @@ class PlanSpec extends SparkSpec {
       "lag over the calendar-bounded daily aggregate",
     "w_running_daily_purchases" ->
       "running sum over the calendar-bounded daily aggregate",
+    "a_sprt_monitor" ->
+      "cumulative LLR window over the calendar-bounded daily aggregate",
   )
 
   test("unpartitioned windows only over provably bounded frames") {

@@ -159,7 +159,8 @@ class RelationalSpec extends SparkSpec {
       "a_gini_concentration", "privacy_dp_counts",
       "privacy_dp_laplace", "privacy_dp_gaussian", "privacy_dp_sweep",
       "a_dau_wau_stickiness", "a_psi_drift", "a_cuped_adjusted",
-      "ml_adaboost_stumps", "privacy_rr_frequency", "a_did_estimator",
+      "ml_adaboost_stumps", "ml_gbm_stumps", "privacy_rr_frequency",
+      "a_did_estimator", "a_sprt_monitor",
       "mm_scene_cuts").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -854,6 +855,36 @@ class RelationalSpec extends SparkSpec {
       assert(psi == exp, s"$t psi $psi vs $exp")
       assert(psi >= 0.0, s"$t psi negative") // (p-q) and ln(p/q) share sign
     }
+  }
+
+  test("SPRT: closed-form LLR replay; decisions consistent with boundaries") {
+    val (c1, c2) = (math.log(0.25 / 0.2), math.log(0.75 / 0.8))
+    val (aT, bT) = (math.log(0.95 / 0.05), math.log(0.05 / 0.95))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = SparkEntry.queries("a_sprt_monitor")(spark, sf)
+      .as[(java.sql.Date, Long, Long, Double, String)].collect()
+    assert(rows.nonEmpty)
+    // cumulative counts strictly increase; llr replays from the counts
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 > a._2 && b._3 >= a._3, "cumulative counts not monotone")
+    case _ => () }
+    rows.foreach { case (_, n, np, llr, dec) =>
+      assert(llr == r6(np * c1 + (n - np) * c2), "llr closed form")
+      val exp = if (llr >= aT) "accept_h1"
+        else if (llr <= bT) "accept_h0" else "continue"
+      assert(dec == exp, s"decision $dec vs $exp at llr $llr")
+    }
+    // the synthetic corpus's purchase share is ~0.2 (= H0): the walk
+    // must never END on the accept-H1 side; with >= sf0.01's ~5000
+    // observations (expected drift ~ -0.007/obs) it must have crossed
+    // the H0 boundary outright (at sf0.001's ~500 obs the walk can
+    // legitimately still be inside the boundaries)
+    assert(rows.last._5 != "accept_h1",
+      s"final decision ${rows.last._5} at llr ${rows.last._4}")
+    if (rows.last._2 >= 3000L)
+      assert(rows.last._5 == "accept_h0",
+        s"final decision ${rows.last._5} at llr ${rows.last._4}")
   }
 
   test("DiD: four cells replay exactly and the effect is their combination") {

@@ -791,6 +791,60 @@ class StreamingSpec extends SparkSpec {
     assert(s0 == t(12) && e0 == t(12, 50) && n0 == 3L,
       s"merged session wrong: start $s0 end $e0 n $n0")
   }
+
+  test("streaming SPRT monitor replays the batch decision path per day") {
+    // The a_sprt_monitor experimentation op as an ALWAYS-ON stream: one
+    // mapGroupsWithState monitor (single key) accumulates (cum_n,
+    // cum_purchases) and emits the closed-form LLR + decision per
+    // micro-batch. Fed day-aligned batches, every emitted snapshot must
+    // equal the batch query's row for that day — the sequential test's
+    // whole point is that the decision path, not just the endpoint, is
+    // well-defined under incremental arrival.
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val (c1, c2) = (math.log(0.25 / 0.2), math.log(0.75 / 0.8))
+    val (aT, bT) = (math.log(0.95 / 0.05), math.log(0.05 / 0.95))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val monitored = stream.toDS()
+      .filter(e => e._3 % 2 == 1) // treatment arm, as in the batch op
+      .groupByKey(_ => 0)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(Long, Timestamp, Long, String, Double)],
+         state: GroupState[(Long, Long)]) =>
+          val (n0, p0) = state.getOption.getOrElse((0L, 0L))
+          var (dn, dp) = (0L, 0L)
+          rows.foreach { e => dn += 1; if (e._4 == "purchase") dp += 1 }
+          val (n, p) = (n0 + dn, p0 + dp)
+          state.update((n, p))
+          val llr = r6(p * c1 + (n - p) * c2)
+          val dec = if (llr >= aT) "accept_h1"
+            else if (llr <= bT) "accept_h0" else "continue"
+          (n, p, llr, dec)
+      }
+      .toDF("cum_n", "cum_purchases", "llr", "decision")
+    val q = monitored.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("t_sprt").start()
+    try {
+      val byDay = batchEvents.groupBy(_._2.toLocalDateTime.toLocalDate)
+        .toSeq.sortBy(_._1.toString)
+      val snapshots = scala.collection.mutable.ListBuffer
+        .empty[(Long, Long, Double, String)]
+      byDay.foreach { case (_, evs) =>
+        stream.addData(evs.toSeq)
+        q.processAllAvailable()
+        val r = spark.table("t_sprt").orderBy($"cum_n".desc).limit(1)
+          .as[(Long, Long, Double, String)].head()
+        snapshots += r
+      }
+      val batch = SparkEntry.queries("a_sprt_monitor")(spark, sf)
+        .as[(java.sql.Date, Long, Long, Double, String)].collect()
+        .map(r => (r._2, r._3, r._4, r._5)).toSeq
+      assert(snapshots.toSeq == batch,
+        s"streaming decision path diverged from the batch monitor")
+    } finally q.stop()
+  }
 }
 
 /** transformWithState processor for the Spark-4 arbitrary-state test:

@@ -454,6 +454,79 @@ class TrainersSpec extends SparkSpec {
     }
   }
 
+  test("ml_gbm_stumps: exact residual-trajectory replay; MSE monotone") {
+    val base = graft.ops.Tables.embeddings(spark, sf)
+      .select($"vec_id",
+        round(element_at($"embedding", 1).cast("double") * 1e6, 0)
+          .cast("long"),
+        round(element_at($"embedding", 2).cast("double") * 1e6, 0)
+          .cast("long"),
+        round(element_at($"embedding", 3).cast("double") * 1e6, 0)
+          .cast("long"),
+        round(element_at($"embedding", 4).cast("double") * 1e6, 0)
+          .cast("long"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val feats: Map[Long, Array[(Long, Long)]] = Map(
+      1L -> base.map(r => r._1 -> r._2), 2L -> base.map(r => r._1 -> r._3),
+      3L -> base.map(r => r._1 -> r._4))
+    val bins: Map[Long, Map[Long, Long]] = feats.flatMap { case (j, xs) =>
+      val (lo, hi) = (xs.map(_._2).min, xs.map(_._2).max)
+      if (hi == lo) None
+      else Some(j -> xs.map { case (id, v) =>
+        id -> (v - lo) * 1000 / (hi - lo + 1) }.toMap)
+    }
+    def rnd(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    val n = base.length.toLong
+    val f0 = rnd(base.iterator.map(_._5).sum.toDouble / n)
+    var res: Map[Long, Long] = base.map(r => r._1 -> (r._5 - f0)).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rounds = (1 to 3).map { _ =>
+      val cands = bins.keys.toSeq.sorted.flatMap { j =>
+        val bj = bins(j)
+        val hist = bj.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+        val st = bj.keys.iterator.map(res).sum
+        val nt = bj.size.toLong
+        var (sl, nl) = (0L, 0L)
+        hist.keys.toSeq.sorted.flatMap { b =>
+          sl += hist(b).map(res).sum
+          nl += hist(b).size
+          if (nl < nt) {
+            val (sr, nr) = (st - sl, nt - nl)
+            Seq((j, b, sl, nl, sr, nr,
+              sl.toDouble * sl / nl + sr.toDouble * sr / nr))
+          } else Seq.empty
+        }
+      }
+      // argmax gain with (gain desc, j, bin) tie-break
+      val (j, b, sl, nl, sr, nr, _) =
+        cands.minBy(c => (-c._7, c._1, c._2))
+      val cl = rnd(sl.toDouble / nl * 0.5)
+      val cr = rnd(sr.toDouble / nr * 0.5)
+      res = res.map { case (id, r) =>
+        val c = bins(j).get(id)
+          .map(bb => if (bb <= b) cl else cr).getOrElse(0L)
+        id -> (r - c)
+      }
+      val mse = r6(res.values.iterator.map(r => r * r).sum.toDouble
+        / n / 1e12)
+      (j, b, r6(cl.toDouble / 1e6), r6(cr.toDouble / 1e6), mse)
+    }
+    val got = SparkEntry.queries("ml_gbm_stumps")(spark, sf)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == 3)
+    got.zip(rounds).foreach { case ((t, j, b, ll, lr, mse), rp) =>
+      assert((j, b) == ((rp._1, rp._2)), s"round $t stump")
+      assert(ll == rp._3 && lr == rp._4, s"round $t leaves")
+      assert(mse == rp._5, s"round $t mse $mse vs ${rp._5}")
+    }
+    // squared-loss boosting with per-leaf shrinkage can't increase MSE
+    // beyond rounding dust
+    got.map(_._6).sliding(2).foreach { case Array(a, b2) =>
+      assert(b2 <= a + 1e-9, s"train MSE rose: $a -> $b2") }
+  }
+
   test("ml_adaboost_stumps: exact 3-round integer-trajectory replay") {
     // Mirror of the relational recurrence: nano-long weights, weighted
     // 1000-bin histograms on the fixed per-feature grid, (eps, j, bin,
