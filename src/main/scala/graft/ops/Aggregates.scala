@@ -2046,6 +2046,48 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // A/B power analysis (the standard two-sample normal-approximation
+    // design formula, e.g. Kohavi/Tang/Xu "Trustworthy Online
+    // Controlled Experiments" ch. 17): per event type, the per-arm
+    // sample size needed to detect a 5%-of-mean lift at alpha = 0.05
+    // (two-sided), power = 0.8 — n = ceil(2·(z_{0.975}+z_{0.8})²·σ²/δ²).
+    // This is the DESIGN step in front of the monitor (a_sprt_monitor)
+    // and the readouts (a_ttest_welch / a_cuped_adjusted /
+    // a_did_estimator): the suite now covers design → sequential
+    // monitoring → fixed-horizon analysis. σ² comes from exact
+    // micro-long moment sums (one cast each, the CUPED discipline);
+    // z-quantiles are JVM constants injected into both renderings.
+    // days_needed contextualizes n against the type's observed daily
+    // volume. Scale: one count/sum/sumsq aggregate per type.
+    "a_power_analysis" -> ((s, d) => {
+      import s.implicits._
+      val z = 1.959963984540054 + 0.8416212335729143 // z_.975 + z_.80
+      // MILLI quantization: vm^2 sums must stay inside 2^63 under ANSI
+      // (the a_cuped_adjusted headroom discipline)
+      val ev = events(s, d).select($"event_type", to_date($"ts").as("day"),
+        round($"value" * 1e3, 0).cast("long").as("vm"))
+      ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_obs"),
+          countDistinct($"day").as("n_days"),
+          sum($"vm").as("sv"), sum($"vm" * $"vm").as("svv"))
+        .withColumn("mean", $"sv".cast("double") / $"n_obs" / 1e3)
+        .withColumn("variance",
+          ($"svv".cast("double") - $"sv".cast("double") * $"sv" / $"n_obs")
+            / ($"n_obs" - 1L) / 1e6)
+        .withColumn("mde", $"mean" * 0.05)
+        .withColumn("n_required",
+          ceil(lit(2.0 * z * z) * $"variance" / ($"mde" * $"mde"))
+            .cast("long"))
+        .withColumn("days_needed",
+          ceil($"n_required".cast("double")
+            / ($"n_obs".cast("double") / $"n_days" / 2.0)).cast("long"))
+        .select($"event_type", $"n_obs",
+          round($"mean", 6).as("mean"),
+          round($"variance", 6).as("variance"),
+          round($"mde", 6).as("mde"), $"n_required", $"days_needed")
+        .orderBy("event_type")
+    }),
+
     // Wald SPRT sequential monitor (Wald 1945) — the always-on peeking
     // companion to the fixed-horizon readouts (t-test / CUPED / DiD):
     // watch the treatment arm's purchase conversion day by day and stop
@@ -3615,6 +3657,40 @@ object Aggregates {
         |SELECT event_type, MAX(n1) AS n_first, MAX(n2) AS n_second,
         |  ROUND(CAST(SUM(tn) AS DOUBLE) / 1e9, 6) AS psi
         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a_power_analysis" -> {
+      val z2 = {
+        val z = 1.959963984540054 + 0.8416212335729143
+        (2.0 * z * z).toString
+      }
+      s"""WITH ev AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(ROUND(value * 1e3, 0) AS BIGINT) AS vm
+         |  FROM events),
+         |g AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         |    CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+         |    CAST(SUM(vm) AS BIGINT) AS sv,
+         |    CAST(SUM(vm * vm) AS BIGINT) AS svv
+         |  FROM ev GROUP BY 1),
+         |m AS (
+         |  SELECT event_type, n_obs, n_days,
+         |    CAST(sv AS DOUBLE) / n_obs / 1e3 AS mean,
+         |    (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n_obs)
+         |      / (n_obs - 1) / 1e6 AS variance
+         |  FROM g),
+         |p AS (
+         |  SELECT *, mean * 0.05 AS mde,
+         |    CAST(CEIL(CAST('$z2' AS DOUBLE) * variance
+         |      / ((mean * 0.05) * (mean * 0.05))) AS BIGINT) AS n_required
+         |  FROM m)
+         |SELECT event_type, n_obs, ROUND(mean, 6) AS mean,
+         |  ROUND(variance, 6) AS variance, ROUND(mde, 6) AS mde,
+         |  n_required,
+         |  CAST(CEIL(CAST(n_required AS DOUBLE)
+         |    / (CAST(n_obs AS DOUBLE) / n_days / 2.0)) AS BIGINT)
+         |    AS days_needed
+         |FROM p ORDER BY event_type""".stripMargin
+    },
     "a_sprt_monitor" -> {
       val c1 = math.log(0.25 / 0.2).toString
       val c2 = math.log(0.75 / 0.8).toString

@@ -160,7 +160,7 @@ class RelationalSpec extends SparkSpec {
       "privacy_dp_laplace", "privacy_dp_gaussian", "privacy_dp_sweep",
       "a_dau_wau_stickiness", "a_psi_drift", "a_cuped_adjusted",
       "ml_adaboost_stumps", "ml_gbm_stumps", "privacy_rr_frequency",
-      "a_did_estimator", "a_sprt_monitor",
+      "a_did_estimator", "a_sprt_monitor", "a_power_analysis",
       "mm_scene_cuts").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -854,6 +854,36 @@ class RelationalSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(psi == exp, s"$t psi $psi vs $exp")
       assert(psi >= 0.0, s"$t psi negative") // (p-q) and ln(p/q) share sign
+    }
+  }
+
+  test("power analysis: exact moment replay; n grows as variance/mde^2") {
+    val z = 1.959963984540054 + 0.8416212335729143
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.ops.Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").as("day"),
+        round($"value" * 1e3, 0).cast("long").as("vm"))
+      .as[(String, java.sql.Date, Long)].collect()
+    val got = SparkEntry.queries("a_power_analysis")(spark, sf)
+      .as[(String, Long, Double, Double, Double, Long, Long)].collect()
+    assert(got.length == 5)
+    got.foreach { case (t, n, mean, varr, mde, nReq, daysNeeded) =>
+      val mine = rows.filter(_._1 == t)
+      assert(n == mine.length.toLong)
+      val (sv, svv) = (mine.map(_._3).sum, mine.map(r => r._3 * r._3).sum)
+      val m = sv.toDouble / n / 1e3
+      val v = (svv.toDouble - sv.toDouble * sv / n) / (n - 1) / 1e6
+      assert(mean == r6(m), s"$t mean")
+      assert(varr == r6(v), s"$t variance")
+      assert(mde == r6(m * 0.05), s"$t mde")
+      val expReq = math.ceil(2.0 * z * z * v / ((m * 0.05) * (m * 0.05)))
+        .toLong
+      assert(nReq == expReq, s"$t n_required $nReq vs $expReq")
+      val nDays = mine.map(_._2).distinct.length.toLong
+      assert(daysNeeded == math.ceil(nReq.toDouble
+        / (n.toDouble / nDays / 2.0)).toLong, s"$t days_needed")
+      assert(nReq > 0 && daysNeeded > 0)
     }
   }
 
