@@ -1924,6 +1924,40 @@ object Aggregates {
         .orderBy("eps", "event_type")
     }),
 
+    // k-anonymity GENERALIZATION (a single-dimension Incognito-style
+    // lattice walk — LeFevre et al. 2005): privacy_k_anonymity AUDITS a
+    // table, this op picks the publishable generalization — the finest
+    // user-bucket granularity whose every (user bucket, epoch-week)
+    // quasi-identifier group still holds >= K = 5 rows. The ladder
+    // g ∈ {1,4,16,64,256,1024} (user_id div g) is swept in ONE pass:
+    // a 6-row level table fans the events out map-side, one aggregate
+    // keyed (g, bucket, week) then a 6-row min/count reduction —
+    // monotonicity of the lattice (coarser never lowers min group
+    // size) is what makes the single sweep sound, and the spec asserts
+    // it. Week is epoch-day div 7 (exact integer both engines; calendar
+    // ISO weeks differ in year-boundary conventions). chosen marks the
+    // finest satisfying level; if none satisfies, all rows read false
+    // (COALESCE over the empty min — mirrored in the oracle).
+    // Scale: one shuffle keyed by (g, bucket, week); 6x map fan-out.
+    "privacy_k_generalize" -> ((s, d) => {
+      import s.implicits._
+      val K = 5L
+      val lv = Seq(1L, 4L, 16L, 64L, 256L, 1024L).toDF("g")
+      val ev = events(s, d).select($"user_id",
+        expr("datediff(to_date(ts), date '1970-01-01') div 7").as("wk"))
+      val stats = ev.crossJoin(broadcast(lv))
+        .groupBy($"g", expr("user_id div g").as("qb"), $"wk")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"g").agg(count(lit(1)).as("n_groups"),
+          min($"c").as("min_group_size"))
+        .withColumn("k_satisfied", $"min_group_size" >= K)
+      val chosen = stats.filter($"k_satisfied").agg(min($"g").as("gc"))
+      stats.crossJoin(broadcast(chosen))
+        .select($"g", $"n_groups", $"min_group_size", $"k_satisfied",
+          coalesce($"g" === $"gc", lit(false)).as("chosen"))
+        .orderBy("g")
+    }),
+
     // Local-DP randomized response (Warner 1965; k-RR per Kairouz,
     // Oh & Viswanath 2016) over event_type — the LOCAL model completing
     // the central privacy_dp_* releases: each EVENT perturbs its own
@@ -3575,6 +3609,25 @@ object Aggregates {
          |  CAST(abs(noise) AS BIGINT) AS abs_err
          |FROM z ORDER BY eps, event_type""".stripMargin
     },
+    "privacy_k_generalize" ->
+      """WITH lv(g) AS (VALUES (CAST(1 AS BIGINT)), (4), (16), (64),
+        |    (256), (1024)),
+        |ev AS (
+        |  SELECT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+        |  FROM events),
+        |grp AS (
+        |  SELECT g, user_id // g AS qb, wk, COUNT(*) AS c
+        |  FROM ev CROSS JOIN lv GROUP BY 1, 2, 3),
+        |st AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(MIN(c) AS BIGINT) AS min_group_size
+        |  FROM grp GROUP BY 1),
+        |sat AS (SELECT *, min_group_size >= 5 AS k_satisfied FROM st),
+        |ch AS (SELECT MIN(g) AS gc FROM sat WHERE k_satisfied)
+        |SELECT g, n_groups, min_group_size, k_satisfied,
+        |  COALESCE(g = gc, FALSE) AS chosen
+        |FROM sat CROSS JOIN ch ORDER BY g""".stripMargin,
     "privacy_rr_frequency" -> {
       val k = EventTypes.length
       val p = (math.exp(1.0) / (math.exp(1.0) + (k - 1))).toString

@@ -167,6 +167,7 @@ class PlanSpec extends SparkSpec {
     "ml_adaboost_stumps",                            // 1-row n / per-round stump / final-accuracy broadcasts
     "ml_gbm_stumps",                                 // 1-row F0 / per-round stump / per-round MSE broadcasts
     "privacy_rr_frequency",                          // 1-row total-report-count broadcast (estimator inversion)
+    "privacy_k_generalize",                          // 6-row lattice-level + 1-row chosen-level broadcasts
     "a_did_estimator",                               // 1-row split-day + 1-row effect broadcasts over 4 cells
   )
 

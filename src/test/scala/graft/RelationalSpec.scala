@@ -161,6 +161,7 @@ class RelationalSpec extends SparkSpec {
       "a_dau_wau_stickiness", "a_psi_drift", "a_cuped_adjusted",
       "ml_adaboost_stumps", "ml_gbm_stumps", "privacy_rr_frequency",
       "a_did_estimator", "a_sprt_monitor", "a_power_analysis",
+      "privacy_k_generalize",
       "mm_scene_cuts").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -855,6 +856,31 @@ class RelationalSpec extends SparkSpec {
       assert(psi == exp, s"$t psi $psi vs $exp")
       assert(psi >= 0.0, s"$t psi negative") // (p-q) and ln(p/q) share sign
     }
+  }
+
+  test("k-generalize: exact lattice replay, monotone, finest level chosen") {
+    val rows = graft.ops.Tables.events(spark, sf)
+      .select($"user_id",
+        expr("datediff(to_date(ts), date '1970-01-01') div 7").as("wk"))
+      .as[(Long, Long)].collect()
+    val got = SparkEntry.queries("privacy_k_generalize")(spark, sf)
+      .as[(Long, Long, Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 4L, 16L, 64L, 256L, 1024L))
+    got.foreach { case (g, nG, minSz, sat, _) =>
+      val groups = rows.groupBy(r => (r._1 / g, r._2)).values.map(_.size)
+      assert(nG == groups.size.toLong, s"g=$g n_groups")
+      assert(minSz == groups.min.toLong, s"g=$g min size")
+      assert(sat == (minSz >= 5L))
+    }
+    // lattice monotonicity: coarsening never shrinks the min group
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3, s"min size fell ${a._1}->${b._1}")
+    case _ => () }
+    // chosen = the FINEST satisfying level, and only that one
+    val satLevels = got.filter(_._4).map(_._1)
+    if (satLevels.nonEmpty) {
+      assert(got.filter(_._5).map(_._1).toSeq == Seq(satLevels.min))
+    } else assert(!got.exists(_._5))
   }
 
   test("power analysis: exact moment replay; n grows as variance/mde^2") {
