@@ -2004,10 +2004,16 @@ object Aggregates {
         .agg(count(lit(1)).as("n_true"))
       val cRep = reported.groupBy($"report".as("event_type"))
         .agg(count(lit(1)).as("n_reported"))
-      cTrue.join(cRep, "event_type").crossJoin(broadcast(m))
-        .select($"event_type", $"n_true", $"n_reported",
-          round(($"n_reported".cast("double") - $"m" * lit(q))
-            / (lit(p) - lit(q)), 6).as("n_est"))
+      // LEFT join from the true-count side (round-15 advisor): a type the
+      // perturbation happens to never report must still appear in the
+      // release with n_reported = 0 and a small/negative n_est — an inner
+      // join would silently drop it from BOTH renderings, which is exactly
+      // the divergence class the differential harness cannot see.
+      cTrue.join(cRep, Seq("event_type"), "left").crossJoin(broadcast(m))
+        .select($"event_type", $"n_true",
+          coalesce($"n_reported", lit(0L)).as("n_reported"),
+          round((coalesce($"n_reported", lit(0L)).cast("double")
+            - $"m" * lit(q)) / (lit(p) - lit(q)), 6).as("n_est"))
         .orderBy("event_type")
     }),
 
@@ -2070,8 +2076,15 @@ object Aggregates {
       counts
         .withColumn("n1", sum($"c1").over(tot))
         .withColumn("n2", sum($"c2").over(tot))
-        .withColumn("p", greatest($"c1".cast("double") / $"n1", lit(1e-6)))
-        .withColumn("q", greatest($"c2".cast("double") / $"n2", lit(1e-6)))
+        // half totals clamped at 1 (round-15 advisor): a corpus shorter
+        // than the 15-day split puts every row in one half, and 0/0 is
+        // NULL in Spark but an error-or-NULL divergence risk in DuckDB —
+        // with the clamp the empty half's shares read 0 → 1e-6 and PSI
+        // stays finite in both renderings instead of going NULL.
+        .withColumn("p", greatest($"c1".cast("double")
+          / greatest($"n1", lit(1L)), lit(1e-6)))
+        .withColumn("q", greatest($"c2".cast("double")
+          / greatest($"n2", lit(1L)), lit(1e-6)))
         .withColumn("term_nano",
           round(($"p" - $"q") * log($"p" / $"q") * 1e9, 0).cast("long"))
         .groupBy($"event_type")
@@ -2104,6 +2117,12 @@ object Aggregates {
         .agg(count(lit(1)).as("n_obs"),
           countDistinct($"day").as("n_days"),
           sum($"vm").as("sv"), sum($"vm" * $"vm").as("svv"))
+        // degenerate-design guard (round-15 advisor): n_obs = 1 divides by
+        // (n_obs - 1) = 0 in the variance, and a zero mean makes mde = 0 so
+        // n_required divides by zero — NULL/Inf→BIGINT casts diverge per
+        // engine. Such types have no estimable design, so drop them in
+        // BOTH renderings (sv = 0 ⟺ mean = 0 exactly, on long sums).
+        .filter($"n_obs" > 1L && $"sv" =!= 0L)
         .withColumn("mean", $"sv".cast("double") / $"n_obs" / 1e3)
         .withColumn("variance",
           ($"svv".cast("double") - $"sv".cast("double") * $"sv" / $"n_obs")
@@ -3655,10 +3674,11 @@ object Aggregates {
          |cr AS (
          |  SELECT report AS event_type, COUNT(*) AS n_reported
          |  FROM rep GROUP BY 1)
-         |SELECT ct.event_type, ct.n_true, cr.n_reported,
-         |  ROUND((CAST(cr.n_reported AS DOUBLE) - m.m * q) / (p - q), 6)
-         |    AS n_est
-         |FROM ct JOIN cr ON ct.event_type = cr.event_type
+         |SELECT ct.event_type, ct.n_true,
+         |  COALESCE(cr.n_reported, 0) AS n_reported,
+         |  ROUND((CAST(COALESCE(cr.n_reported, 0) AS DOUBLE) - m.m * q)
+         |    / (p - q), 6) AS n_est
+         |FROM ct LEFT JOIN cr ON ct.event_type = cr.event_type
          |CROSS JOIN m CROSS JOIN pq
          |ORDER BY ct.event_type""".stripMargin
     },
@@ -3700,8 +3720,8 @@ object Aggregates {
         |  FROM c),
         |p AS (
         |  SELECT event_type, n1, n2,
-        |    GREATEST(CAST(c1 AS DOUBLE) / n1, 1e-6) AS p,
-        |    GREATEST(CAST(c2 AS DOUBLE) / n2, 1e-6) AS q
+        |    GREATEST(CAST(c1 AS DOUBLE) / GREATEST(n1, 1), 1e-6) AS p,
+        |    GREATEST(CAST(c2 AS DOUBLE) / GREATEST(n2, 1), 1e-6) AS q
         |  FROM t),
         |terms AS (
         |  SELECT event_type, n1, n2,
@@ -3724,7 +3744,8 @@ object Aggregates {
          |    CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
          |    CAST(SUM(vm) AS BIGINT) AS sv,
          |    CAST(SUM(vm * vm) AS BIGINT) AS svv
-         |  FROM ev GROUP BY 1),
+         |  FROM ev GROUP BY 1
+         |  HAVING COUNT(*) > 1 AND SUM(vm) <> 0),
          |m AS (
          |  SELECT event_type, n_obs, n_days,
          |    CAST(sv AS DOUBLE) / n_obs / 1e3 AS mean,

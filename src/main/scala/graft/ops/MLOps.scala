@@ -1488,6 +1488,13 @@ object MLOps {
         .select($"vec_id", $"j", $"bin", $"y")
         .localCheckpoint(false) // re-read every round: bins are fixed
       val nDf = base.agg(count(lit(1)).as("n"))
+      // Weight base 1e9 bounds the trainer to n < 1e9 rows (round-15
+      // advisor): at n >= 1e9 the integer seed 1e9 div n is 0, every sw
+      // collapses to 0 and alpha's ln(sw/se) divides by zero. Same
+      // posture as the a_cuped_adjusted headroom notes — boosting runs on
+      // a LABELED training set (here the embeddings table), which a real
+      // pipeline samples to well under 1e9 rows; raise the base and the
+      // sw·alpha_micro products hit the 2^63 ANSI ceiling instead.
       var w = base.select($"vec_id", $"y").crossJoin(broadcast(nDf))
         .select($"vec_id", $"y", expr("1000000000L div n").as("w"))
         .localCheckpoint(false)

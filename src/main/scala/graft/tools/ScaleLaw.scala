@@ -65,11 +65,40 @@ object ScaleLaw {
     "graph_assortativity"            // undCore 4-table edge aggregate: linear scan into a bounded graph
   )
 
+  /** The 100× set (round-15 VERDICT item #3): the two families whose DATA
+    * term is largest — 100× of sf0.1 is ≈ sf10-equivalent row counts, the
+    * closest a 128 GiB sandbox gets to exercising the 100 TB posture —
+    * plus the heaviest dedup-family shuffle, never scale-lawed before.
+    * Three measured points (1×/10-or-30×/100×) pin each family's exponent
+    * far better than two.
+    */
+  val Families100: Seq[String] = Seq(
+    "dedup_minhash_lsh",    // map-only signatures + banded join: candidate count ∝ dup density × N
+    "ml_als_factors",       // rating-pair build + 2 alternations: linear in pairs per half-step
+    "dedup_substring_spans" // rolling 20-token window hashes: the token-firehose shuffle
+  )
+
+  /** Named family sets — selected EXPLICITLY by the 4th CLI argument
+    * (round-15 advisor: keying the set off `factor == 10` meant the core
+    * families could never be re-measured at another factor, and a typo'd
+    * factor silently changed which queries ran). Unknown names fail loudly.
+    */
+  val FamilySets: Map[String, Seq[String]] = Map(
+    "core" -> Families,
+    "r15" -> Families30,
+    "r16" -> Families100)
+
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 2) args(2).toInt else Factor
     val fx = if (args.length > 1) args(1) else s"target/tmp/scale${factor}x"
-    val families = if (factor == Factor) Families else Families30
+    val setName =
+      if (args.length > 3) args(3)
+      else if (factor == Factor) "core"
+      else if (factor == 30) "r15"
+      else "r16"
+    val families = FamilySets.getOrElse(setName, sys.error(
+      s"unknown family set '$setName' (valid: ${FamilySets.keys.mkString(", ")})"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
