@@ -756,6 +756,29 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
+    // The PRODUCTION end-to-end corpus-dedup composition (round-15
+    // VERDICT #1): star-CC + survivor pick consuming the BANDED-LSH
+    // verified pairs (dedup_minhash_lsh) instead of the exact shared-
+    // shingle verifier's. The two cluster_reps twins above prove the CC
+    // algorithms; THIS entry is the query a real 100 TB dedup runs —
+    // candidates from band collisions (∝ dup density, never all-pairs),
+    // exact-Jaccard verification on candidates only, components over the
+    // verified pairs, keep the min-id survivor. Oracle: the DuckDB
+    // MinHash/band CTE chain (shared with the dedup_minhash_lsh oracle)
+    // feeding the recursive-CTE transitive closure. On this corpus the
+    // planted near-dups are exact (j = 1 collides in every band, recall
+    // exactly 1), so DedupSpec additionally asserts bit-equality with the
+    // exact-pair clustering — at lower gates the LSH S-curve makes the
+    // pair sets differ by design (dedup_lsh_pr_eval prices that).
+    "dedup_cluster_reps_lsh" -> ((s, d) => {
+      import s.implicits._
+      val pairs = queries("dedup_minhash_lsh")(s, d).select($"d1", $"d2")
+      ccStars(s, pairs)
+        .toDF("doc_id", "cluster_rep")
+        .withColumn("is_survivor", $"doc_id" === $"cluster_rep")
+        .orderBy("doc_id")
+    }),
+
     // Train/val/test LEAKAGE audit: near-duplicate pairs whose members
     // land in different splits under the deterministic hash split
     // (split_train_test's assignment) leak training data into eval.
@@ -1231,6 +1254,42 @@ object DedupOps {
        |  (a = MIN(b)) AS is_survivor
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  /** Shared DuckDB CTE chain for the MinHash/banded-LSH verified-pair
+    * generator (assumes shingleCte's `e`/`sz` are in scope upstream):
+    * xs → seeds → sig → bands → cands → inter → lshverified(d1, d2,
+    * jaccard ≥ 0.8). Used by the dedup_minhash_lsh oracle and the
+    * LSH-fed cluster oracle below; dedup_lsh_pr_eval keeps its own copy
+    * because it interleaves the lowered-threshold truth CTEs.
+    */
+  private lazy val minhashPairCtes =
+    s"""xs AS (SELECT doc_id, sh AS x FROM e),
+       |seeds(i, a, b) AS (VALUES ${permSeeds.zipWithIndex
+      .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")}),
+       |sig AS (
+       |  SELECT doc_id, i, MIN((a * (x % $P_PERM) + b) % $P_PERM) AS h
+       |  FROM xs CROSS JOIN seeds
+       |  GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // $RowsPerBand AS band,
+       |    string_agg(CAST(h AS VARCHAR), '_' ORDER BY i) AS key
+       |  FROM sig GROUP BY doc_id, i // $RowsPerBand),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT d1, d2, COUNT(*) AS inter
+       |  FROM cands JOIN e e1 ON e1.doc_id = d1
+       |             JOIN e e2 ON e2.doc_id = d2 AND e1.sh = e2.sh
+       |  GROUP BY d1, d2),
+       |lshverified AS (
+       |  SELECT d1, d2,
+       |    ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sz sa ON d1 = sa.doc_id
+       |  JOIN sz sb ON d2 = sb.doc_id
+       |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH all_docs AS (
@@ -1278,33 +1337,23 @@ object DedupOps {
          |ORDER BY d1, d2""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCte,
-         |xs AS (SELECT doc_id, sh AS x FROM e),
-         |seeds(i, a, b) AS (VALUES ${permSeeds.zipWithIndex
-        .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")}),
-         |sig AS (
-         |  SELECT doc_id, i, MIN((a * (x % $P_PERM) + b) % $P_PERM) AS h
-         |  FROM xs CROSS JOIN seeds
-         |  GROUP BY doc_id, i),
-         |bands AS (
-         |  SELECT doc_id, i // $RowsPerBand AS band,
-         |    string_agg(CAST(h AS VARCHAR), '_' ORDER BY i) AS key
-         |  FROM sig GROUP BY doc_id, i // $RowsPerBand),
-         |cands AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |inter AS (
-         |  SELECT d1, d2, COUNT(*) AS inter
-         |  FROM cands JOIN e e1 ON e1.doc_id = d1
-         |             JOIN e e2 ON e2.doc_id = d2 AND e1.sh = e2.sh
-         |  GROUP BY d1, d2)
-         |SELECT d1, d2,
-         |  ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
-         |FROM inter
-         |JOIN sz sa ON d1 = sa.doc_id
-         |JOIN sz sb ON d2 = sb.doc_id
-         |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
-         |ORDER BY d1, d2""".stripMargin,
+         |$minhashPairCtes
+         |SELECT d1, d2, jaccard FROM lshverified ORDER BY d1, d2""".stripMargin,
+    // Star-CC over the banded-LSH verified pairs: the same recursive
+    // transitive closure as clusterRepsSql, but seeded from the MinHash
+    // CTE chain above instead of the exact shared-shingle verifier.
+    "dedup_cluster_reps_lsh" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |$minhashPairCtes,
+         |ed AS (SELECT d1 AS a, d2 AS b FROM lshverified
+         |       UNION SELECT d2, d1 FROM lshverified),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM ed UNION SELECT a, a FROM ed
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a)
+         |SELECT a AS doc_id, MIN(b) AS cluster_rep,
+         |  (a = MIN(b)) AS is_survivor
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     // Same signature/band CTEs as the minhash oracle; truth at the
     // lowered 0.5 threshold, filtered on the ROUNDED jaccard to match
     // the engine exactly.

@@ -299,6 +299,28 @@ class DedupSpec extends SparkSpec {
     assert(survivors == want.map(_._2).toSet)
   }
 
+  test("LSH-fed cluster reps equal the exact-pair clustering at the 0.8 gate") {
+    // the round-16 composition closure: the production dedup query
+    // (banded-LSH candidates → exact verify → star-CC → survivor) must
+    // agree bit-for-bit with the exact-verifier-fed clustering on this
+    // corpus, where every planted near-dup is exact (j = 1 collides in
+    // every band, so LSH recall is exactly 1 at the 0.8 gate)
+    val viaLsh = SparkEntry.queries("dedup_cluster_reps_lsh")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val viaExact = SparkEntry.queries("dedup_cluster_reps")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaLsh == viaExact && viaLsh.nonEmpty)
+    // and the pair sources themselves agree here (the premise above):
+    // if the corpus ever gains organic partial-overlap pairs below the
+    // always-caught j=1 region, this assert localizes the divergence to
+    // the pair source rather than the clustering
+    val lshPairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val exactPairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(lshPairs == exactPairs)
+  }
+
   test("contamination report excludes benchmark docs and bounds ratios") {
     val rows = SparkEntry.queries("dedup_contamination")(spark, sf)
       .as[(Long, Long, Int, Double)].collect()

@@ -112,7 +112,8 @@ class RelationalSpec extends SparkSpec {
       "text_lm_backoff", "text_bpe_encode", "graph_harmonic",
       "ann_pq_topk", "ann_matryoshka_recall", "lda_em_topics",
       "lda_em_doc_topics", "dedup_substring_exact",
-      "dedup_cluster_reps_star", "a_quantile_sketch",
+      "dedup_cluster_reps_star", "dedup_cluster_reps_lsh",
+      "a_quantile_sketch",
       "sample_weighted_ares", "a_hll_shard_merge",
       "dedup_bloom_contamination", "lda_em_coherence",
       "dedup_prefix_filter", "lda_em_fanout",
