@@ -1924,6 +1924,54 @@ object Aggregates {
         .orderBy("eps", "event_type")
     }),
 
+    // Exponential mechanism (McSherry & Talwar 2007, "Mechanism Design
+    // via Differential Privacy") — the standard DP SELECTION release,
+    // completing the mechanism family (laplace/gaussian/geometric
+    // release NUMBERS; this releases an ARGMAX): publish the most
+    // frequent event type, choosing candidate r with probability
+    // ∝ exp(eps·u(r)/(2Δu)), u(r) = count(r), Δu = 1, eps = 1. The
+    // sampling uses the GUMBEL-MAX identity (argmax of score/2 + Gumbel
+    // noise ~ the softmax distribution — Gumbel 1954; the standard
+    // relational rendering since it needs no normalizing-sum draw):
+    // g = -ln(-ln u) with u seeded per candidate (prefix tag, the
+    // round-15 discipline), score_nano = n·5e8 exactly (n/2 in nano
+    // units, a long product — no float in the utility term), key =
+    // score_nano + g_nano, selected = key == max(key). ln-of-identical-
+    // IEEE-input is the KM/GMM precedent and the noisy key nano-
+    // quantizes BEFORE the max comparison (quantize-before-discretize).
+    // p_select ships the analytic softmax for the utility audit:
+    // exp((n-nmax)/2) per candidate nano-quantized to a long BEFORE the
+    // ≤5-element sum (order-safe), then one 6dp division. Same seeded-
+    // replay caveat as the other mechanisms (production swaps true
+    // randomness; determinism is for the differential harness, not a
+    // privacy claim — n_true obviously unpublished). Scale: one count
+    // aggregate; selection is ≤|domain| rows of window math.
+    "privacy_dp_expmech" -> ((s, d) => {
+      import s.implicits._
+      val u = (graft.functions.PolyHash.poly_hash(
+        concat(lit("dpx#"), $"event_type")) + 1L).cast("double") /
+        lit(1000000008.0)
+      // u = 1 gives -ln u = 0 (Gumbel +inf pole); the 1e-12 floor caps
+      // g at ln(1e12) ~ 27.6 — measure-zero and far beyond any draw
+      val gNano = round(-log(greatest(-log(u), lit(1e-12))) * 1e9, 0)
+        .cast("long")
+      val counts = events(s, d).groupBy($"event_type")
+        .agg(count(lit(1)).as("n_true"))
+      val wAll = Window.partitionBy()
+      counts
+        .withColumn("key_nano", $"n_true" * 500000000L + gNano)
+        .withColumn("nmax", max($"n_true").over(wAll))
+        .withColumn("w_nano",
+          round(exp(($"n_true" - $"nmax").cast("double") / 2.0) * 1e9, 0)
+            .cast("long"))
+        .select($"event_type", $"n_true",
+          round($"key_nano".cast("double") / 1e9, 6).as("noisy_score"),
+          round($"w_nano".cast("double")
+            / sum($"w_nano").over(wAll).cast("double"), 6).as("p_select"),
+          ($"key_nano" === max($"key_nano").over(wAll)).as("selected"))
+        .orderBy("event_type")
+    }),
+
     // k-anonymity GENERALIZATION (a single-dimension Incognito-style
     // lattice walk — LeFevre et al. 2005): privacy_k_anonymity AUDITS a
     // table, this op picks the publishable generalization — the finest
@@ -3627,6 +3675,35 @@ object Aggregates {
          |  CAST(n_true + noise AS BIGINT) AS n_dp,
          |  CAST(abs(noise) AS BIGINT) AS abs_err
          |FROM z ORDER BY eps, event_type""".stripMargin
+    },
+    "privacy_dp_expmech" -> {
+      val h = graft.ops.DedupOps.polyHashSql("'dpx#' || event_type")
+      s"""WITH c AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+         |  FROM events GROUP BY 1),
+         |g AS (
+         |  SELECT event_type, n_true,
+         |    CAST(ROUND(-ln(GREATEST(
+         |      -ln(CAST($h + 1 AS DOUBLE) / 1000000008.0), 1e-12))
+         |      * 1e9, 0) AS BIGINT) AS gn
+         |  FROM c),
+         |k AS (
+         |  SELECT event_type, n_true,
+         |    CAST(n_true * 500000000 + gn AS BIGINT) AS key_nano,
+         |    CAST(MAX(n_true) OVER () AS BIGINT) AS nmax
+         |  FROM g),
+         |w AS (
+         |  SELECT event_type, n_true, key_nano,
+         |    CAST(ROUND(exp(CAST(n_true - nmax AS DOUBLE) / 2.0) * 1e9, 0)
+         |      AS BIGINT) AS wn,
+         |    CAST(MAX(key_nano) OVER () AS BIGINT) AS kmax
+         |  FROM k)
+         |SELECT event_type, n_true,
+         |  ROUND(CAST(key_nano AS DOUBLE) / 1e9, 6) AS noisy_score,
+         |  ROUND(CAST(wn AS DOUBLE) / CAST(SUM(wn) OVER () AS DOUBLE), 6)
+         |    AS p_select,
+         |  (key_nano = kmax) AS selected
+         |FROM w ORDER BY event_type""".stripMargin
     },
     "privacy_k_generalize" ->
       """WITH lv(g) AS (VALUES (CAST(1 AS BIGINT)), (4), (16), (64),

@@ -227,6 +227,8 @@ class PlanSpec extends SparkSpec {
       "running sum over the calendar-bounded daily aggregate",
     "a_sprt_monitor" ->
       "cumulative LLR window over the calendar-bounded daily aggregate",
+    "privacy_dp_expmech" ->
+      "max/sum selection windows over the per-event-type aggregate (fixed <= 5-type domain)",
   )
 
   test("unpartitioned windows only over provably bounded frames") {

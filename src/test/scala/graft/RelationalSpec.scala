@@ -159,6 +159,7 @@ class RelationalSpec extends SparkSpec {
       "ml_isotonic_calibration", "a_survival_km",
       "a_gini_concentration", "privacy_dp_counts",
       "privacy_dp_laplace", "privacy_dp_gaussian", "privacy_dp_sweep",
+      "privacy_dp_expmech",
       "a_dau_wau_stickiness", "a_psi_drift", "a_cuped_adjusted",
       "ml_adaboost_stumps", "ml_gbm_stumps", "privacy_rr_frequency",
       "a_did_estimator", "a_sprt_monitor", "a_power_analysis",
@@ -763,6 +764,52 @@ class RelationalSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._3)
     assert(base.exists { case (t, n) => dp1(t) != n },
       "sweep eps=1 draws should be independent of privacy_dp_counts")
+  }
+
+  test("exponential mechanism: Gumbel moments on a planted fixture; exact replay") {
+    // moments fixture (the round-15 discipline that caught two live
+    // seeded-randomness degeneracies): 4000 synthetic keys through the
+    // SAME seeded Gumbel formula — mean must approach the Euler-
+    // Mascheroni constant 0.5772, variance pi^2/6 = 1.6449 (sd(mean)
+    // ~ 0.020, sd(var) ~ 0.055 at n = 4000)
+    def u(key: String, tag: String): Double =
+      (graft.functions.PolyHash.hashString(tag + key) + 1L).toDouble /
+        1000000008.0
+    val keys = (0 until 4000)
+      .map(i => f"fixture_${(i.toLong * 2654435761L) % 999999937L}%09d")
+    val gum = keys.map { k =>
+      rndHalf(-math.log(math.max(-math.log(u(k, "dpx#")), 1e-12)) * 1e9) / 1e9
+    }
+    val gm = gum.sum / gum.size
+    val gv = gum.map(x => (x - gm) * (x - gm)).sum / (gum.size - 1)
+    assert(math.abs(gm - 0.5772156649) < 0.1, s"Gumbel mean $gm")
+    assert(math.abs(gv - 1.6449340668) < 0.3, s"Gumbel variance $gv")
+
+    // exact replay of the release itself: noisy keys, softmax weights,
+    // selected = argmax of the replayed nano keys; exactly one winner
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("privacy_dp_expmech")(spark, sf)
+      .as[(String, Long, Double, Double, Boolean)].collect()
+    assert(got.nonEmpty)
+    val keyNano = got.map { case (t, n, _, _, _) =>
+      t -> (n * 500000000L +
+        rndHalf(-math.log(math.max(-math.log(u(t, "dpx#")), 1e-12)) * 1e9))
+    }.toMap
+    val nmax = got.map(_._2).max
+    val wn = got.map { case (t, n, _, _, _) =>
+      t -> rndHalf(math.exp((n - nmax).toDouble / 2.0) * 1e9)
+    }.toMap
+    val wSum = wn.values.sum.toDouble
+    val kmax = keyNano.values.max
+    got.foreach { case (t, _, score, p, sel) =>
+      assert(score == round6(keyNano(t) / 1e9), s"$t noisy_score replay")
+      assert(p == round6(wn(t) / wSum), s"$t p_select replay")
+      assert(sel == (keyNano(t) == kmax), s"$t selected replay")
+    }
+    assert(got.count(_._5) == 1, "exactly one selected candidate")
+    // analytic probabilities form a distribution (sum to 1 within 6dp)
+    assert(math.abs(got.map(_._4).sum - 1.0) < 5e-6)
   }
 
   test("randomized response: exact channel replay; estimator within 5 sd") {
