@@ -2252,21 +2252,7 @@ object Aggregates {
             .otherwise(lit("post")).as("period"), $"vm")
         .groupBy($"arm", $"period")
         .agg(count(lit(1)).as("n_events"), sum($"vm").as("sv"))
-        .withColumn("mean_value",
-          round($"sv".cast("double") / $"n_events" / 1e6, 6))
-      val eff = cells.agg(round(
-        (sum(when($"arm" === 1L && $"period" === "post",
-          $"sv".cast("double") / $"n_events" / 1e6).otherwise(0.0))
-          - sum(when($"arm" === 1L && $"period" === "pre",
-            $"sv".cast("double") / $"n_events" / 1e6).otherwise(0.0)))
-          - (sum(when($"arm" === 0L && $"period" === "post",
-            $"sv".cast("double") / $"n_events" / 1e6).otherwise(0.0))
-            - sum(when($"arm" === 0L && $"period" === "pre",
-              $"sv".cast("double") / $"n_events" / 1e6).otherwise(0.0))), 6)
-        .as("did_effect"))
-      cells.select($"arm", $"period", $"n_events", $"mean_value")
-        .crossJoin(broadcast(eff))
-        .orderBy("arm", "period")
+      didReadout(s, cells)
     }),
 
     // CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
@@ -2302,31 +2288,7 @@ object Aggregates {
       // would throw); sums themselves are exact longs, so casting each
       // ONCE and running identical double expression trees on both
       // engines keeps theta/rho2 bit-deterministic
-      val gm = usr.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
-        sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
-        sum($"x" * $"y").as("sxy"), sum($"y" * $"y").as("syy"))
-        .select($"n".as("nu"),
-          ($"sx".cast("double") / $"n").as("mx"),
-          (($"sxy".cast("double") - $"sx".cast("double") * $"sy" / $"n")
-            / ($"sxx".cast("double") - $"sx".cast("double") * $"sx" / $"n"))
-            .as("theta"),
-          (($"sxy".cast("double") - $"sx".cast("double") * $"sy" / $"n")
-            * ($"sxy".cast("double") - $"sx".cast("double") * $"sy" / $"n")
-            / (($"sxx".cast("double") - $"sx".cast("double") * $"sx" / $"n")
-              * ($"syy".cast("double") - $"sy".cast("double") * $"sy"
-                / $"n"))).as("rho2"))
-      usr.groupBy($"arm")
-        .agg(count(lit(1)).as("n_users"),
-          sum($"x").as("ax"), sum($"y").as("ay"))
-        .crossJoin(broadcast(gm))
-        .select($"arm", $"n_users",
-          round($"ay".cast("double") / $"n_users" / 1e3, 6).as("mean_y"),
-          round(($"ay".cast("double") / $"n_users"
-            - $"theta" * ($"ax".cast("double") / $"n_users" - $"mx")) / 1e3,
-            6).as("mean_y_cuped"),
-          round($"theta", 6).as("theta"),
-          round($"rho2" * 100.0, 4).as("var_reduction_pct"))
-        .orderBy("arm")
+      cupedReadout(s, usr)
     }),
 
     // Kaplan-Meier survival estimator (Kaplan & Meier 1958) over user
@@ -2478,6 +2440,72 @@ object Aggregates {
         .orderBy("stage")
     }),
   )
+
+  /** DiD readout over the (arm, period, n_events, sv) cell frame — the
+    * four exact micro-long sufficient-statistic cells. Factored out of
+    * a_did_estimator so StreamingSpec's foreachBatch twin shares the
+    * readout arithmetic: counts and micro-long sums merge ADDITIVELY
+    * across micro-batches, so the twin maintains the same four cells as
+    * incrementally-merged state and the readout is exactly recomputable
+    * after every batch (the streaming posture the reference's 30-min
+    * cadence implies, SURVEY §2.9).
+    */
+  def didReadout(s: SparkSession, cells0: DataFrame): DataFrame = {
+    import s.implicits._
+    val cells = cells0.withColumn("mean_value",
+      round($"sv".cast("double") / $"n_events" / 1e6, 6))
+    val eff = cells.agg(round(
+      (sum(when($"arm" === 1L && $"period" === "post",
+        $"sv".cast("double") / $"n_events" / 1e6).otherwise(0.0))
+        - sum(when($"arm" === 1L && $"period" === "pre",
+          $"sv".cast("double") / $"n_events" / 1e6).otherwise(0.0)))
+        - (sum(when($"arm" === 0L && $"period" === "post",
+          $"sv".cast("double") / $"n_events" / 1e6).otherwise(0.0))
+          - sum(when($"arm" === 0L && $"period" === "pre",
+            $"sv".cast("double") / $"n_events" / 1e6).otherwise(0.0))), 6)
+      .as("did_effect"))
+    cells.select($"arm", $"period", $"n_events", $"mean_value")
+      .crossJoin(broadcast(eff))
+      .orderBy("arm", "period")
+  }
+
+  /** CUPED readout over the per-user covariate frame (arm, x, y) with
+    * milli-long pre/outcome totals. Factored out of a_cuped_adjusted for
+    * the same reason as didReadout: per-user totals merge ADDITIVELY
+    * across micro-batches, so StreamingSpec's foreachBatch twin keeps a
+    * user-keyed (x, y) state table and feeds the identical readout. The
+    * quadratic moments (sxx/sxy/syy) are computed HERE, from the final
+    * state, never incrementally — they are not additive in the deltas,
+    * which is exactly why the streaming posture keys state by user.
+    */
+  def cupedReadout(s: SparkSession, usr: DataFrame): DataFrame = {
+    import s.implicits._
+    val gm = usr.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+      sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+      sum($"x" * $"y").as("sxy"), sum($"y" * $"y").as("syy"))
+      .select($"n".as("nu"),
+        ($"sx".cast("double") / $"n").as("mx"),
+        (($"sxy".cast("double") - $"sx".cast("double") * $"sy" / $"n")
+          / ($"sxx".cast("double") - $"sx".cast("double") * $"sx" / $"n"))
+          .as("theta"),
+        (($"sxy".cast("double") - $"sx".cast("double") * $"sy" / $"n")
+          * ($"sxy".cast("double") - $"sx".cast("double") * $"sy" / $"n")
+          / (($"sxx".cast("double") - $"sx".cast("double") * $"sx" / $"n")
+            * ($"syy".cast("double") - $"sy".cast("double") * $"sy"
+              / $"n"))).as("rho2"))
+    usr.groupBy($"arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"x").as("ax"), sum($"y").as("ay"))
+      .crossJoin(broadcast(gm))
+      .select($"arm", $"n_users",
+        round($"ay".cast("double") / $"n_users" / 1e3, 6).as("mean_y"),
+        round(($"ay".cast("double") / $"n_users"
+          - $"theta" * ($"ax".cast("double") / $"n_users" - $"mx")) / 1e3,
+          6).as("mean_y_cuped"),
+        round($"theta", 6).as("theta"),
+        round($"rho2" * 100.0, 4).as("var_reduction_pct"))
+      .orderBy("arm")
+  }
 
   private val pivotCols =
     EventTypes.map(t =>
