@@ -9,18 +9,21 @@ package graft
   * oracle — these tests guard the machinery, not the answers.
   */
 class FuzzSpec extends SparkSpec {
-  import graft.FuzzQueries.{NumAgg, NumWin, NumJoin, NumTok, NumFrame}
+  import graft.FuzzQueries.{NumAgg, NumWin, NumJoin, NumTok, NumFrame,
+    NumStream}
 
   test("fuzz surface: every generated query has an oracle and vice versa") {
     val q = FuzzQueries.queries.keySet
     val o = FuzzQueries.oracleSql.keySet
     assert(q == o, s"query/oracle key drift: ${(q diff o) ++ (o diff q)}")
-    assert(q.size == NumAgg + NumWin + NumJoin + NumTok + NumFrame)
+    assert(q.size == NumAgg + NumWin + NumJoin + NumTok + NumFrame
+      + NumStream)
     assert(q.count(_.startsWith("fuzz_agg_")) == NumAgg)
     assert(q.count(_.startsWith("fuzz_win_")) == NumWin)
     assert(q.count(_.startsWith("fuzz_join_")) == NumJoin)
     assert(q.count(_.startsWith("fuzz_tok_")) == NumTok)
     assert(q.count(_.startsWith("fuzz_frame_")) == NumFrame)
+    assert(q.count(_.startsWith("fuzz_stream_")) == NumStream)
     // names must not collide with any hand-written query
     val hand = SparkEntry.queries.keySet diff q
     assert(hand.forall(!_.startsWith("fuzz_")), "reserved prefix collision")
@@ -48,6 +51,59 @@ class FuzzSpec extends SparkSpec {
     val nonEmpty = counts.count(_ > 0L)
     assert(nonEmpty >= (NumAgg * 8) / 10,
       s"only $nonEmpty/$NumAgg fuzz shapes returned rows")
+  }
+
+  test("fuzz stream shapes: MemoryStream replay equals the batch twin") {
+    // The watermark/state-machine divergence class (round-15 VERDICT
+    // #6): every generated streaming shape runs TWICE — the batch twin
+    // (oracle-checked by Verify/check.py like every other pair) and the
+    // genuine Structured Streaming plan built by the SAME streamPlan
+    // function over a MemoryStream, with the shape's watermark declared.
+    // Windowed aggs replay in COMPLETE mode fed two unordered halves
+    // (late rows must still merge — complete mode never evicts);
+    // session shapes replay in APPEND mode fed three CHRONOLOGICAL
+    // batches plus a far-future sentinel that pushes the watermark past
+    // every real session's end (the sentinel's own session never
+    // finalizes, so it cannot pollute the output).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchEvents = graft.ops.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[(Long, Timestamp, Long, String, Double)].collect()
+    val maxTs = batchEvents.map(_._2.getTime).max
+    (0 until FuzzQueries.NumStream).foreach { i =>
+      val sentinel = FuzzQueries.streamSentinel(i, maxTs + 86400000L * 40)
+      val name = f"fuzz_stream_$i%03d"
+      val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val plan = FuzzQueries.streamPlan(i)(stream.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withWatermark("ts", FuzzQueries.streamWatermarkDelay(i)))
+      val session = FuzzQueries.streamIsSession(i)
+      val mode = if (session) "append" else "complete"
+      val q = plan.writeStream.outputMode(mode)
+        .format("memory").queryName(s"t_fz_stream_$i").start()
+      try {
+        val feed =
+          if (session) batchEvents.sortBy(r => (r._2.getTime, r._1))
+          else batchEvents
+        val batches =
+          feed.grouped((feed.length + 2) / 3).map(_.toSeq).toSeq ++
+            (if (session) Seq(Seq(sentinel)) else Nil)
+        batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+        val cols = plan.columns.map(col)
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.select(cols: _*).collect().map(_.toSeq).toSeq
+            .sortBy(_.mkString("|"))
+        val got = canon(spark.table(s"t_fz_stream_$i"))
+        val want = canon(SparkEntry.queries(name)(spark, sf))
+        assert(got == want,
+          s"$name diverged: ${FuzzQueries.describe(name)}")
+        assert(want.nonEmpty, s"$name batch twin is empty — degenerate shape")
+      } finally q.stop()
+    }
   }
 
   test("fuzz shapes share one AST: SQL text embeds the Spark constants") {
