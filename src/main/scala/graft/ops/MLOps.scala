@@ -97,6 +97,13 @@ object MLOps {
   private val inputCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (CountVectorizerModel, DataFrame)]
 
+  // The coalesce(1) below is the engine's ONLY single-partition compute:
+  // seeded online-VB's trajectory depends on the input partitioning, and
+  // one partition is the only partition-count-invariant layout (the u5
+  // seeded-stability contract). It is a BOUNDED constant — the fit reads
+  // the FitSampleMod hash stratum, never the corpus — with the size
+  // bound, failure mode, and the tree-reduced fixed-partition fallback
+  // documented in SCALE.md §"The single-partition LDA fit input".
   def preparedInput(s: SparkSession, d: String): (CountVectorizerModel, DataFrame) =
     inputCache.getOrElseUpdate((s, d), {
       val toks = docTokens(s, d)
