@@ -1972,6 +1972,82 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // Sample-ratio-mismatch check (the standard experimentation
+    // GUARDRAIL — Fabijan et al. 2019, "Diagnosing sample ratio
+    // mismatch"; run BEFORE reading any experiment result): chi-square
+    // test that the randomization-unit counts match the designed 50/50
+    // split. Units are USERS (the assignment unit), not events — an
+    // event-level check would just measure activity skew. For a 2-arm
+    // 50/50 design the statistic collapses to (n0 - n1)^2 / n — an
+    // exact integer numerator over one double division, 6dp-rounded;
+    // the decision compares the ROUNDED statistic against the
+    // chi2(1df) 0.95 critical value injected as a JVM constant into
+    // both renderings. Completes the suite: SRM gate → power design →
+    // SPRT monitor → t-test/CUPED/DiD readout. Scale: one distinct +
+    // one global aggregate.
+    "a_srm_check" -> ((s, d) => {
+      import s.implicits._
+      val crit = 3.841458820694124 // chi2(1df) 0.95 quantile
+      events(s, d).select($"user_id").distinct()
+        .select(pmod($"user_id", lit(2L)).as("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n_arm0"),
+          sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n_arm1"))
+        .withColumn("chi2", round(
+          (($"n_arm0" - $"n_arm1") * ($"n_arm0" - $"n_arm1"))
+            .cast("double") / $"n_users", 6))
+        .select($"n_users", $"n_arm0", $"n_arm1", $"chi2",
+          ($"chi2" > lit(crit)).as("srm_detected"))
+    }),
+
+    // DP QUANTILE release (exponential mechanism over the value grid —
+    // the numeric-domain sibling of privacy_dp_expmech; Smith 2011's
+    // private-median shape): release the corpus median of `value`
+    // without exposing exact ranks. Candidates are the 1000 equi-width
+    // bins over the global micro-long range (the a_psi_drift grid
+    // device, full domain materialized so EMPTY bins stay candidates);
+    // utility u(bin) = -|rank(bin) - n/2| with rank sensitivity 1, so
+    // score = u/2 at eps = 1 — computed EXACTLY as score_nano =
+    // -|2·cum - n| · 2.5e8 (half-ranks in nano units, pure long
+    // arithmetic; no float touches the utility). Selection is the same
+    // Gumbel-max rendering as expmech: seeded per-bin Gumbel nano-noise
+    // added to the score, TakeOrderedAndProject picks the max key, and
+    // the released value is the winning bin's midpoint. The mechanism's
+    // utility theorem (selection within O(ln|domain|/eps) ranks of the
+    // true median) is spec-asserted as a percentile-band check. Same
+    // seeded-replay caveat as the rest of the DP family. Scale: one
+    // count aggregate + 1000-row bounded grid math.
+    "privacy_dp_quantile" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select(round($"value" * 1e6, 0).cast("long").as("v"))
+      val st = ev.agg(min($"v").as("lo"), max($"v").as("hi"),
+        count(lit(1)).as("n"))
+      val binned = ev.crossJoin(broadcast(st))
+        .withColumn("bin",
+          expr("least((v - lo) * 1000 div (hi - lo + 1), 999L)"))
+        .groupBy($"bin").agg(count(lit(1)).as("c"))
+      val dom = st.select(explode(sequence(lit(0L), lit(999L))).as("bin"),
+        $"lo", $"hi", $"n")
+      val w = Window.orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val u = (graft.functions.PolyHash.poly_hash(
+        concat(lit("dpq#"), $"bin".cast("string"))) + 1L).cast("double") /
+        lit(1000000008.0)
+      val gNano = round(-log(greatest(-log(u), lit(1e-12))) * 1e9, 0)
+        .cast("long")
+      dom.join(binned, Seq("bin"), "left").na.fill(0L, Seq("c"))
+        .withColumn("cum", sum($"c").over(w))
+        .withColumn("key_nano",
+          -abs($"cum" * 2L - $"n") * 250000000L + gNano)
+        .orderBy($"key_nano".desc, $"bin".asc)
+        .limit(1)
+        .select($"bin", $"n".as("n_total"),
+          round(($"lo" + (($"bin" * 2L + 1L) * ($"hi" - $"lo" + 1L))
+            / lit(2000.0)).cast("double") / 1e6, 6).as("released_value"),
+          round($"key_nano".cast("double") / 1e9, 6).as("noisy_score"))
+    }),
+
     // k-anonymity GENERALIZATION (a single-dimension Incognito-style
     // lattice walk — LeFevre et al. 2005): privacy_k_anonymity AUDITS a
     // table, this op picks the publishable generalization — the finest
@@ -3732,6 +3808,58 @@ object Aggregates {
          |    AS p_select,
          |  (key_nano = kmax) AS selected
          |FROM w ORDER BY event_type""".stripMargin
+    },
+    "a_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_arm0,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_arm1
+        |  FROM u),
+        |c AS (
+        |  SELECT *, ROUND(CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1)
+        |    AS DOUBLE) / n_users, 6) AS chi2
+        |  FROM a)
+        |SELECT n_users, n_arm0, n_arm1, chi2,
+        |  chi2 > CAST('3.841458820694124' AS DOUBLE) AS srm_detected
+        |FROM c""".stripMargin,
+    "privacy_dp_quantile" -> {
+      val h = graft.ops.DedupOps.polyHashSql("'dpq#' || CAST(bin AS VARCHAR)")
+      s"""WITH ev AS (
+         |  SELECT CAST(ROUND(value * 1e6, 0) AS BIGINT) AS v FROM events),
+         |st AS (
+         |  SELECT MIN(v) AS lo, MAX(v) AS hi,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM ev),
+         |b AS (
+         |  SELECT LEAST((v - lo) * 1000 // (hi - lo + 1), 999) AS bin
+         |  FROM ev CROSS JOIN st),
+         |c AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+         |dom AS (SELECT unnest(range(1000)) AS bin),
+         |j AS (
+         |  SELECT dom.bin, COALESCE(c.c, 0) AS c
+         |  FROM dom LEFT JOIN c ON dom.bin = c.bin),
+         |cum AS (
+         |  SELECT bin, CAST(SUM(c) OVER (ORDER BY bin
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM j),
+         |g AS (
+         |  SELECT bin, cum,
+         |    CAST(ROUND(-ln(GREATEST(
+         |      -ln(CAST($h + 1 AS DOUBLE) / 1000000008.0), 1e-12))
+         |      * 1e9, 0) AS BIGINT) AS gn
+         |  FROM cum),
+         |k AS (
+         |  SELECT bin, n, lo, hi,
+         |    CAST(-abs(cum * 2 - n) * 250000000 + gn AS BIGINT) AS key_nano
+         |  FROM g CROSS JOIN st)
+         |SELECT bin, n AS n_total,
+         |  ROUND(CAST(lo + ((bin * 2 + 1) * (hi - lo + 1)) / 2000.0
+         |    AS DOUBLE) / 1e6, 6) AS released_value,
+         |  ROUND(CAST(key_nano AS DOUBLE) / 1e9, 6) AS noisy_score
+         |FROM k ORDER BY key_nano DESC, bin ASC LIMIT 1""".stripMargin
     },
     "privacy_k_generalize" ->
       """WITH lv(g) AS (VALUES (CAST(1 AS BIGINT)), (4), (16), (64),

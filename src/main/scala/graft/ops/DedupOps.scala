@@ -779,6 +779,33 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
+    // The END-TO-END production dedup REPORT — what "dedup this corpus"
+    // actually returns to a user: per source, how many docs survive the
+    // full banded-LSH pipeline (signatures → band-collision candidates →
+    // exact verify → star-CC → min-id survivor) and how many are removed
+    // as non-survivor cluster members. Docs in no verified pair are kept
+    // by definition (LEFT join against the cluster labels). Composes the
+    // round-16 dedup_cluster_reps_lsh path, so every stage is the scale
+    // path — candidates ∝ dup density, never all-pairs. One extra
+    // doc-keyed join + a |sources|-row aggregate on top of the cluster
+    // query. Oracle: the shared MinHash CTE chain + recursive closure +
+    // the same left join, per source.
+    "pipeline_dedup_corpus" -> ((s, d) => {
+      import s.implicits._
+      val cc = queries("dedup_cluster_reps_lsh")(s, d)
+        .select($"doc_id", $"is_survivor")
+      documents(s, d).select($"doc_id", $"source")
+        .join(cc, Seq("doc_id"), "left")
+        .withColumn("kept", coalesce($"is_survivor", lit(true)))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!$"kept", 1L).otherwise(0L)).as("n_removed"))
+        .withColumn("pct_removed",
+          round($"n_removed".cast("double") / $"n_docs" * 100.0, 4))
+        .orderBy("source")
+    }),
+
     // Train/val/test LEAKAGE audit: near-duplicate pairs whose members
     // land in different splits under the deterministic hash split
     // (split_train_test's assignment) leak training data into eval.
@@ -1339,6 +1366,32 @@ object DedupOps {
       s"""WITH $shingleCte,
          |$minhashPairCtes
          |SELECT d1, d2, jaccard FROM lshverified ORDER BY d1, d2""".stripMargin,
+    // Per-source survivor report over the same LSH-fed clustering: the
+    // cluster CTEs below + a left join from documents + a per-source
+    // rollup. 4-dp percentage mirrors the engine's round(x, 4).
+    "pipeline_dedup_corpus" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |$minhashPairCtes,
+         |ed AS (SELECT d1 AS a, d2 AS b FROM lshverified
+         |       UNION SELECT d2, d1 FROM lshverified),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM ed UNION SELECT a, a FROM ed
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a),
+         |cc AS (
+         |  SELECT a AS doc_id, (a = MIN(b)) AS is_survivor
+         |  FROM reach GROUP BY a),
+         |k AS (
+         |  SELECT d.source,
+         |    COALESCE(cc.is_survivor, TRUE) AS kept
+         |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_removed,
+         |  ROUND(CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS DOUBLE)
+         |    / COUNT(*) * 100.0, 4) AS pct_removed
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     // Star-CC over the banded-LSH verified pairs: the same recursive
     // transitive closure as clusterRepsSql, but seeded from the MinHash
     // CTE chain above instead of the exact shared-shingle verifier.

@@ -169,6 +169,7 @@ class PlanSpec extends SparkSpec {
     "privacy_rr_frequency",                          // 1-row total-report-count broadcast (estimator inversion)
     "privacy_k_generalize",                          // 6-row lattice-level + 1-row chosen-level broadcasts
     "a_did_estimator",                               // 1-row split-day + 1-row effect broadcasts over 4 cells
+    "privacy_dp_quantile",                           // 1-row lo/hi/n stats broadcast (psi-drift grid device)
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.
@@ -229,6 +230,8 @@ class PlanSpec extends SparkSpec {
       "cumulative LLR window over the calendar-bounded daily aggregate",
     "privacy_dp_expmech" ->
       "max/sum selection windows over the per-event-type aggregate (fixed <= 5-type domain)",
+    "privacy_dp_quantile" ->
+      "cumulative-rank window over the 1000-bin bounded value grid (corpus-independent domain)",
   )
 
   test("unpartitioned windows only over provably bounded frames") {

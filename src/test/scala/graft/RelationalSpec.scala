@@ -159,7 +159,8 @@ class RelationalSpec extends SparkSpec {
       "ml_isotonic_calibration", "a_survival_km",
       "a_gini_concentration", "privacy_dp_counts",
       "privacy_dp_laplace", "privacy_dp_gaussian", "privacy_dp_sweep",
-      "privacy_dp_expmech",
+      "privacy_dp_expmech", "privacy_dp_quantile", "a_srm_check",
+      "pipeline_dedup_corpus",
       "a_dau_wau_stickiness", "a_psi_drift", "a_cuped_adjusted",
       "ml_adaboost_stumps", "ml_gbm_stumps", "privacy_rr_frequency",
       "a_did_estimator", "a_sprt_monitor", "a_power_analysis",
@@ -810,6 +811,43 @@ class RelationalSpec extends SparkSpec {
     assert(got.count(_._5) == 1, "exactly one selected candidate")
     // analytic probabilities form a distribution (sum to 1 within 6dp)
     assert(math.abs(got.map(_._4).sum - 1.0) < 5e-6)
+  }
+
+  test("DP quantile: exact Gumbel-max replay; release lands near the true median") {
+    def u(key: String): Double =
+      (graft.functions.PolyHash.hashString("dpq#" + key) + 1L).toDouble /
+        1000000008.0
+    val got = SparkEntry.queries("privacy_dp_quantile")(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length == 1)
+    val (selBin, n, released, _) = got.head
+    // replay: rebuild the 1000-bin cumulative ranks and noisy keys
+    // locally; the released bin must be the replayed argmax
+    import org.apache.spark.sql.functions.{round => rnd, col}
+    val vs = graft.ops.Tables.events(spark, sf)
+      .select(rnd(col("value") * 1e6, 0).cast("long").as("v"))
+      .as[Long].collect().sorted
+    val (lo, hi) = (vs.head, vs.last)
+    val counts = new Array[Long](1000)
+    vs.foreach { v =>
+      counts(math.min((v - lo) * 1000L / (hi - lo + 1), 999L).toInt) += 1
+    }
+    var cum = 0L
+    val keys = (0 until 1000).map { b =>
+      cum += counts(b)
+      val g = rndHalf(-math.log(math.max(-math.log(u(b.toString)), 1e-12)) * 1e9)
+      b.toLong -> (-math.abs(cum * 2 - vs.length) * 250000000L + g)
+    }
+    val wantBin = keys.maxBy { case (b, k) => (k, -b) }._1
+    assert(selBin == wantBin, s"selected bin $selBin != replayed $wantBin")
+    assert(n == vs.length)
+    // utility theorem check: the exponential mechanism at eps = 1 over
+    // 1000 candidates lands within ~123 ranks of the true median
+    // (Gumbel spread 30.7e9 nano / 2.5e8 per half-rank), i.e. the
+    // released value's percentile sits in a tight band around 0.5
+    val rank = vs.count(_ <= math.round(released * 1e6)).toDouble / vs.length
+    assert(rank > 0.40 && rank < 0.60,
+      s"released value at percentile $rank — not a median release")
   }
 
   test("randomized response: exact channel replay; estimator within 5 sd") {
