@@ -119,6 +119,10 @@ object SparkEntry {
     "ml_logreg_gd",
     "graph_assortativity",
     "ml_als_factors", // round 13: full ALS fit per pass (clearState wipes alsCache)
+    // round 16: the production dedup composition (banded-LSH candidates →
+    // verify → star-CC). Timing it guards the whole LSH-fed cluster path;
+    // first Bench-context anchor recorded in BASELINE.md this round.
+    "dedup_cluster_reps_lsh",
   ).filter(queries.contains)
 
   /** Retired from group-2 TIMING at round 12 (they remain in `queries`

@@ -751,6 +751,50 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // The Gopher quality-rule set (Rae et al. 2021 §A1.1 — the
+    // doc-level filter battery MassiveText popularized and most
+    // open-data pipelines reuse): word-count bounds, mean-word-length
+    // band, symbol-to-word ratio (# and ellipsis), alphabetic-word
+    // share, and the required-stopword floor (≥ 2 of the canonical
+    // 8-word list), with one `passes` verdict. Complements
+    // text_quality's continuous score with the named rule battery a
+    // user can cite. Determinism: every ratio rounds to 6dp BEFORE the
+    // threshold comparisons, so the verdict is computed on identical
+    // doubles in both engines; symbol counts are exact length
+    // differences. Pure per-doc column algebra — map-only at any scale.
+    "text_gopher_rules" -> ((s, d) => {
+      import s.implicits._
+      val req = array(Seq("the", "be", "to", "of", "and", "that", "have",
+        "with").map(lit): _*)
+      documents(s, d).select($"doc_id", $"text", tokens($"text").as("t"))
+        .filter(size($"t") >= 1)
+        .withColumn("n_words", size($"t").cast("long"))
+        .withColumn("mean_word_len",
+          round(aggregate($"t", lit(0L), (a, x) => a + length(x))
+            .cast("double") / $"n_words", 6))
+        .withColumn("alpha_ratio",
+          round(size(filter($"t", x => x.rlike("[a-z]"))).cast("double")
+            / $"n_words", 6))
+        .withColumn("n_symbols",
+          (length($"text") - length(replace($"text", lit("#"), lit(""))))
+            .cast("long")
+            + ((length($"text")
+              - length(replace($"text", lit("..."), lit("")))) / 3)
+              .cast("long"))
+        .withColumn("symbol_ratio",
+          round($"n_symbols".cast("double") / $"n_words", 6))
+        .withColumn("n_req_stops",
+          size(filter(req, w => array_contains($"t", w))).cast("long"))
+        .withColumn("passes",
+          $"n_words" >= 50L && $"n_words" <= 100000L &&
+            $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
+            $"symbol_ratio" <= 0.1 && $"alpha_ratio" >= 0.8 &&
+            $"n_req_stops" >= 2L)
+        .select($"doc_id", $"n_words", $"mean_word_len", $"alpha_ratio",
+          $"symbol_ratio", $"n_req_stops", $"passes")
+        .orderBy("doc_id")
+    }),
+
     // Token counting (training-data pipeline op): whitespace tokens vs a
     // BPE-ish regex segmentation (\d / word pieces / punctuation).
     "text_token_count" -> ((s, d) => {
@@ -1971,6 +2015,48 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // UniMax sampling weights (Chung et al. 2023, "UniMax: Fairer and
+    // More Effective Language Sampling") — the budget allocator beside
+    // temperature/DoReMi: distribute a total sampling budget as
+    // UNIFORMLY as possible across sources subject to a per-source
+    // epoch cap C (here 4; budget = half the total capacity so the
+    // threshold bites). The sequential greedy (ascending capacity,
+    // alloc = min(cap, remaining/remaining_sources)) collapses to
+    // closed-form waterfilling because capacities are sorted: a source
+    // is CAP-BOUND iff cap·(k − rn + 1) ≤ budget − cum_before — an
+    // EXACT long inequality (no float touches the decision) — and every
+    // non-cap-bound source gets the identical share
+    // (budget − Σ capbound caps)/(k − p). Budget = tcap div 2 < tcap
+    // guarantees k − p ≥ 1. All windows live on the ≤ |sources| frame.
+    "corpus_unimax_weights" -> ((s, d) => {
+      import s.implicits._
+      val C = 4L
+      val bySrc = documents(s, d).groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("cap", $"n_docs" * C)
+      val tot = bySrc.agg(sum($"cap").as("tcap"),
+        count(lit(1)).as("k"))
+      val wAsc = Window.orderBy($"cap".asc, $"source".asc)
+      val r = bySrc.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("tcap div 2"))
+        .withColumn("rn", row_number().over(wAsc))
+        .withColumn("cum_before", coalesce(sum($"cap").over(
+          wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("capbound",
+          $"cap" * ($"k" - $"rn" + 1L) <= $"budget" - $"cum_before")
+      val pStats = r.filter($"capbound")
+        .agg(count(lit(1)).as("p"),
+          coalesce(sum($"cap"), lit(0L)).as("cumcap"))
+      r.crossJoin(broadcast(pStats))
+        .withColumn("alloc", round(when($"capbound", $"cap".cast("double"))
+          .otherwise(($"budget" - $"cumcap").cast("double")
+            / ($"k" - $"p")), 6))
+        .withColumn("epochs", round($"alloc" / $"n_docs", 6))
+        .select($"source", $"n_docs", $"cap", $"capbound", $"alloc",
+          $"epochs")
+        .orderBy("source")
+    }),
+
     // N-gram novelty (the Gopher/PaLM-family memorization metric): what
     // fraction of a held-out doc's 8-grams never occurs in the training
     // split? Low novelty = the eval doc is effectively memorized train
@@ -2532,6 +2618,69 @@ object TextOps {
          |SELECT doc_id, n_tok, ROUND(avg_len, 6) AS avg_len,
          |  ROUND(stop_ratio, 6) AS stop_ratio, ROUND(ttr, 6) AS ttr, quality
          |FROM qq ORDER BY doc_id""".stripMargin,
+    "text_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $tokensSql AS toks FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    ROUND(CAST(list_sum(list_transform(toks, x -> len(x)))
+         |      AS DOUBLE) / len(toks), 6) AS mean_word_len,
+         |    ROUND(CAST(len(list_filter(toks,
+         |      x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks), 6)
+         |      AS alpha_ratio,
+         |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+         |      + CAST((len(text) - len(replace(text, '...', ''))) / 3
+         |        AS BIGINT) AS n_symbols,
+         |    CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that',
+         |      'have', 'with'], w -> list_contains(toks, w))) AS BIGINT)
+         |      AS n_req_stops
+         |  FROM t WHERE len(toks) >= 1),
+         |c AS (
+         |  SELECT *, ROUND(CAST(n_symbols AS DOUBLE) / n_words, 6)
+         |    AS symbol_ratio
+         |  FROM b)
+         |SELECT doc_id, n_words, mean_word_len, alpha_ratio, symbol_ratio,
+         |  n_req_stops,
+         |  (n_words >= 50 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+         |    AND n_req_stops >= 2) AS passes
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "corpus_unimax_weights" ->
+      """WITH s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) * 4 AS BIGINT) AS cap
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(cap) AS BIGINT) AS tcap,
+        |    CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM s),
+        |r AS (
+        |  SELECT s.source, s.n_docs, s.cap, k, tcap // 2 AS budget,
+        |    CAST(row_number() OVER (ORDER BY cap ASC, source ASC)
+        |      AS BIGINT) AS rn,
+        |    CAST(COALESCE(SUM(cap) OVER (ORDER BY cap ASC, source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM s CROSS JOIN tot),
+        |c AS (
+        |  SELECT *,
+        |    cap * (k - rn + 1) <= budget - cum_before AS capbound
+        |  FROM r),
+        |p AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS p,
+        |    CAST(COALESCE(SUM(cap), 0) AS BIGINT) AS cumcap
+        |  FROM c WHERE capbound),
+        |a AS (
+        |  SELECT source, n_docs, cap, capbound,
+        |    ROUND(CASE WHEN capbound THEN CAST(cap AS DOUBLE)
+        |      ELSE CAST(budget - cumcap AS DOUBLE) / (k - p) END, 6)
+        |      AS alloc
+        |  FROM c CROSS JOIN p)
+        |SELECT source, n_docs, cap, capbound, alloc,
+        |  ROUND(alloc / n_docs, 6) AS epochs
+        |FROM a ORDER BY source""".stripMargin,
     "text_token_count" ->
       s"""SELECT doc_id, len($tokensSql) AS ws_tokens,
          |  len(regexp_extract_all(text, '[a-zA-Z]+|\\d|[^\\sa-zA-Z\\d]')) AS bpe_tokens

@@ -170,6 +170,7 @@ class PlanSpec extends SparkSpec {
     "privacy_k_generalize",                          // 6-row lattice-level + 1-row chosen-level broadcasts
     "a_did_estimator",                               // 1-row split-day + 1-row effect broadcasts over 4 cells
     "privacy_dp_quantile",                           // 1-row lo/hi/n stats broadcast (psi-drift grid device)
+    "corpus_unimax_weights",                         // 1-row capacity-total + 1-row waterfill-threshold broadcasts
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.
@@ -232,6 +233,8 @@ class PlanSpec extends SparkSpec {
       "max/sum selection windows over the per-event-type aggregate (fixed <= 5-type domain)",
     "privacy_dp_quantile" ->
       "cumulative-rank window over the 1000-bin bounded value grid (corpus-independent domain)",
+    "corpus_unimax_weights" ->
+      "waterfilling rank/prefix windows over the per-SOURCE aggregate (fixed source domain)",
   )
 
   test("unpartitioned windows only over provably bounded frames") {

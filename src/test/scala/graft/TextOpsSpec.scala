@@ -870,4 +870,74 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+  test("gopher rules: verdict consistent with its reported signals; planted fixture separates") {
+    val rows = SparkEntry.queries("text_gopher_rules")(spark, sf)
+      .as[(Long, Long, Double, Double, Double, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, mwl, ar, sr, ns, p) =>
+      val want = n >= 50L && n <= 100000L && mwl >= 3.0 && mwl <= 10.0 &&
+        sr <= 0.1 && ar >= 0.8 && ns >= 2L
+      assert(p == want, s"doc $id verdict $p vs recomputed $want")
+    }
+    // the synthetic corpus legitimately fails the battery (its 31-word
+    // vocab carries only 'the' from the required-stopword list and docs
+    // top out at 99 words) — non-vacuity of BOTH verdicts is proven on a
+    // planted fixture instead: one doc engineered to pass every rule,
+    // one too short
+    val dir = "target/tmp/gopher_fixture"
+    val passTxt = (Seq("the", "and", "that") ++ Seq.fill(57)("word"))
+      .mkString(" ")
+    Seq((1L, passTxt, "en", "src0", passTxt.length.toLong),
+      (2L, "tiny doc", "en", "src0", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fx = SparkEntry.queries("text_gopher_rules")(spark, dir)
+      .as[(Long, Long, Double, Double, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> r._7).toMap
+    assert(fx(1L) && !fx(2L), s"fixture verdicts $fx")
+  }
+
+  test("unimax allocation equals the sequential greedy; budget conserved") {
+    def check(dir: String, wantBothRegimes: Boolean): Unit = {
+      val rows = SparkEntry.queries("corpus_unimax_weights")(spark, dir)
+        .as[(String, Long, Long, Boolean, Double, Double)].collect()
+      assert(rows.nonEmpty)
+      val caps = rows.map(r => r._1 -> r._3).sortBy(r => (r._2, r._1))
+      val budget = caps.map(_._2).sum / 2
+      var remaining = budget.toDouble
+      val k = caps.length
+      val greedy = caps.zipWithIndex.map { case ((src, cap), i) =>
+        val a = math.min(cap.toDouble, remaining / (k - i))
+        remaining -= a
+        src -> a
+      }.toMap
+      rows.foreach { case (src, _, _, _, alloc, _) =>
+        assert(math.abs(alloc - greedy(src)) < 1e-4,
+          s"$dir: $src alloc $alloc vs greedy ${greedy(src)}")
+      }
+      // waterfilling exhausts the budget exactly
+      assert(math.abs(rows.map(_._5).sum - budget) < 1e-2, s"$dir budget")
+      if (wantBothRegimes)
+        assert(rows.exists(_._4) && rows.exists(!_._4),
+          s"$dir should exercise both cap-bound and equal-share regimes")
+    }
+    // the real corpus (uniform sources => typically all equal-share)
+    check(sf, wantBothRegimes = false)
+    // skewed planted fixture: caps (4, 8, 16, 400), budget 214 => the
+    // three small sources cap-bound, the big one equal-share at 186
+    val dir = "target/tmp/unimax_fixture"
+    val rows = Seq.tabulate(1)(i => (100L + i, "a b", "en", "s_a", 3L)) ++
+      Seq.tabulate(2)(i => (200L + i, "a b", "en", "s_b", 3L)) ++
+      Seq.tabulate(4)(i => (300L + i, "a b", "en", "s_c", 3L)) ++
+      Seq.tabulate(100)(i => (400L + i, "a b", "en", "s_d", 3L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    check(dir, wantBothRegimes = true)
+    val fx = SparkEntry.queries("corpus_unimax_weights")(spark, dir)
+      .as[(String, Long, Long, Boolean, Double, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(fx("s_a") == 4.0 && fx("s_b") == 8.0 && fx("s_c") == 16.0 &&
+      fx("s_d") == 186.0, s"fixture allocations $fx")
+  }
+
 }
