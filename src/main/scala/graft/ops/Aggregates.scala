@@ -815,6 +815,52 @@ object Aggregates {
     // expands to exact-integer pair sums plus the global (sy, syy, n)
     // moments, so the doubles are fixed expressions over exact inputs.
     // Everything after the first daily aggregate is calendar-bounded.
+    // Holt's linear (double-exponential) smoothing over the daily value
+    // series (Holt 1957 — the level+trend forecaster beside w_ewma_daily's
+    // level-only filter): l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}),
+    // b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, α = 0.5, β = 0.3, l_1 = y_1,
+    // b_1 = 0; forecast_next = l_t + b_t. An IIR recurrence has no
+    // window-function form, so it runs as ONE ordered fold over the
+    // calendar-bounded daily array (collect_list of ≤ |corpus days|
+    // structs — the same bounded-frame posture as every daily-series op):
+    // the engine's only sequential compute is a ≤ tens-of-rows driver-free
+    // HOF. Determinism: y is an exact micro long; the level/trend state
+    // RE-QUANTIZES TO MICRO LONGS AFTER EVERY STEP, so each step's double
+    // arithmetic reads identical long inputs in both engines and the
+    // whole trajectory replays bit-for-bit in the oracle's recursive CTE
+    // (the GBM residual discipline applied to a time-series filter).
+    "a_holt_linear" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d).groupBy(to_date($"ts").as("day"))
+        .agg(sum(round($"value" * 1e6, 0).cast("long")).as("ym"))
+      val arr = daily.agg(sort_array(collect_list(struct($"day", $"ym")))
+        .as("ys"))
+      val lNew = "CAST(round(0.5 * y.ym + 0.5 * (acc.l + acc.b), 0) AS BIGINT)"
+      val bNew = s"CAST(round(0.3 * ($lNew - acc.l) + 0.7 * acc.b, 0) AS BIGINT)"
+      arr.select(explode(expr(
+        s"""aggregate(
+           |  ys,
+           |  named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+           |    'out', CAST(array() AS
+           |      ARRAY<STRUCT<day: DATE, ym: BIGINT, ln: BIGINT, bn: BIGINT>>)),
+           |  (acc, y) -> CASE WHEN size(acc.out) = 0 THEN
+           |      named_struct('l', y.ym, 'b', CAST(0 AS BIGINT),
+           |        'out', array(named_struct('day', y.day, 'ym', y.ym,
+           |          'ln', y.ym, 'bn', CAST(0 AS BIGINT))))
+           |    ELSE named_struct('l', $lNew, 'b', $bNew,
+           |      'out', concat(acc.out, array(named_struct('day', y.day,
+           |        'ym', y.ym, 'ln', $lNew, 'bn', $bNew))))
+           |    END,
+           |  acc -> acc.out)""".stripMargin)).as("r"))
+        .select($"r.day".as("day"),
+          round($"r.ym".cast("double") / 1e6, 6).as("y"),
+          round($"r.ln".cast("double") / 1e6, 6).as("level"),
+          round($"r.bn".cast("double") / 1e6, 6).as("trend"),
+          round(($"r.ln" + $"r.bn").cast("double") / 1e6, 6)
+            .as("forecast_next"))
+        .orderBy("day")
+    }),
+
     "a_acf_daily" -> ((s, d) => {
       import s.implicits._
       val daily = events(s, d)
@@ -2653,6 +2699,30 @@ object Aggregates {
     // expression mirror the Spark column algebra term for term, so the
     // 6dp-rounded acf matches bit-for-bit. lag_k (not "lag": LAG is a
     // reserved word here).
+    // Recursive-CTE replay of the micro-quantized Holt recurrence: the
+    // walk advances one day (rn) at a time carrying (ln, bn); every
+    // double expression reads the same exact longs the engine's fold
+    // re-quantized, so the trajectories are identical pre-rounding.
+    "a_holt_linear" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |      AS ym,
+        |    row_number() OVER (ORDER BY CAST(ts AS DATE)) AS rn
+        |  FROM events GROUP BY 1),
+        |hw(day, ym, rn, ln, bn) AS (
+        |  SELECT day, ym, rn, ym, CAST(0 AS BIGINT) FROM daily WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.day, d.ym, d.rn,
+        |    CAST(ROUND(0.5 * d.ym + 0.5 * (h.ln + h.bn), 0) AS BIGINT),
+        |    CAST(ROUND(0.3 * (CAST(ROUND(0.5 * d.ym + 0.5 * (h.ln + h.bn),
+        |      0) AS BIGINT) - h.ln) + 0.7 * h.bn, 0) AS BIGINT)
+        |  FROM hw h JOIN daily d ON d.rn = h.rn + 1)
+        |SELECT day, ROUND(CAST(ym AS DOUBLE) / 1e6, 6) AS y,
+        |  ROUND(CAST(ln AS DOUBLE) / 1e6, 6) AS level,
+        |  ROUND(CAST(bn AS DOUBLE) / 1e6, 6) AS trend,
+        |  ROUND(CAST(ln + bn AS DOUBLE) / 1e6, 6) AS forecast_next
+        |FROM hw ORDER BY day""".stripMargin,
     "a_acf_daily" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
