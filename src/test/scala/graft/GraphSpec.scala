@@ -114,6 +114,56 @@ class GraphSpec extends SparkSpec {
     assert(out.values.exists(_._1 > 0), "no node reaches anything — vacuous")
   }
 
+  test("betweenness matches the local pair-dependency identity over the same core") {
+    import graft.ops.Tables
+    val out = graft.ops.GraphOps.queries("graph_betweenness")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val nations = Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_name").collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getString(1)).toMap
+    val adj = coreEdges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = nations.keys.toSeq.sorted
+    // capped BFS with path counting: (s, v) -> (dist, sigma), same
+    // 4-round convention as the engine query
+    val ds = scala.collection.mutable.Map.empty[(Long, Long), (Int, Long)]
+    nodes.foreach { s =>
+      ds((s, s)) = (0, 1L)
+      var frontier = Set(s)
+      for (d <- 1 to 4) {
+        val cand = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        frontier.foreach { u =>
+          val su = ds((s, u))._2
+          adj.getOrElse(u, Set.empty).foreach { v =>
+            if (!ds.contains((s, v))) cand(v) += su
+          }
+        }
+        cand.foreach { case (v, sig) => ds((s, v)) = (d, sig) }
+        frontier = cand.keySet.toSet
+      }
+    }
+    def rh(x: Double): Long = math.floor(x + 0.5).toLong // terms are >= 0
+    val tnano = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for {
+      s <- nodes; v <- nodes; t <- nodes
+      if s != t && v != s && v != t
+      (dsv, ssv) <- ds.get((s, v))
+      (dvt, svt) <- ds.get((v, t))
+      (dst, sst) <- ds.get((s, t))
+      if dsv + dvt == dst
+    } tnano(v) += rh(ssv * svt * 1e9 / sst)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    nodes.foreach { v =>
+      val want = r6(tnano(v).toDouble / 2e9)
+      assert(out(nations(v)) == want,
+        s"node $v: betweenness ${out(nations(v))} vs local $want")
+    }
+    assert(out.values.exists(_ > 0), "no interior node — vacuous threshold")
+  }
+
   test("HyperBall estimate tracks exact harmonic within HLL error") {
     val exact = graft.ops.GraphOps.queries("graph_harmonic")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -201,6 +201,8 @@ class PlanSpec extends SparkSpec {
       "sum/max windows over the per-SOURCE aggregate (fixed source domain)",
     "graph_assortativity" ->
       "undCore mean-weight threshold window over the |V|^2-bounded nation-level edge aggregate",
+    "graph_betweenness" ->
+      "same undCore edge-aggregate window (BFS + |V|^3 term join all on the bounded graph)",
     "graph_lpa_communities" ->
       "same undCore edge-aggregate window",
     "graph_triangles" ->
