@@ -10,14 +10,15 @@ package graft
   */
 class FuzzSpec extends SparkSpec {
   import graft.FuzzQueries.{NumAgg, NumWin, NumJoin, NumTok, NumFrame,
-    NumStream}
+    NumStream, NumSJoin}
 
   test("fuzz surface: every generated query has an oracle and vice versa") {
     val q = FuzzQueries.queries.keySet
     val o = FuzzQueries.oracleSql.keySet
     assert(q == o, s"query/oracle key drift: ${(q diff o) ++ (o diff q)}")
     assert(q.size == NumAgg + NumWin + NumJoin + NumTok + NumFrame
-      + NumStream)
+      + NumStream + NumSJoin)
+    assert(q.count(_.startsWith("fuzz_sjoin_")) == NumSJoin)
     assert(q.count(_.startsWith("fuzz_agg_")) == NumAgg)
     assert(q.count(_.startsWith("fuzz_win_")) == NumWin)
     assert(q.count(_.startsWith("fuzz_join_")) == NumJoin)
@@ -102,6 +103,50 @@ class FuzzSpec extends SparkSpec {
         assert(got == want,
           s"$name diverged: ${FuzzQueries.describe(name)}")
         assert(want.nonEmpty, s"$name batch twin is empty — degenerate shape")
+      } finally q.stop()
+    }
+  }
+
+  test("fuzz sjoin shapes: two-MemoryStream replay equals the batch twin") {
+    // the interval-join streaming fuzz kind: inner joins emit a match
+    // SET (no ordering ambiguity), so each shape's match plan — built by
+    // the SAME function as the batch twin — replays through two
+    // watermarked MemoryStreams fed chronological halves, and the
+    // emitted matches' per-anchor aggregate must equal the batch twin.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ordered = graft.ops.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[(Long, Timestamp, Long, String, Double)].collect()
+      .sortBy(e => (e._2.getTime, e._1))
+    val (b1, b2) = ordered.splitAt(ordered.length / 2)
+    (0 until FuzzQueries.NumSJoin).foreach { i =>
+      val name = f"fuzz_sjoin_$i%03d"
+      val lStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val aStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      def side(st: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+        st.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+          .withWatermark("ts", FuzzQueries.sjoinWatermarkDelay(i))
+      val plan = FuzzQueries.sjoinPlan(i)(side(lStream), side(aStream))
+      val q = plan.writeStream.outputMode("append")
+        .format("memory").queryName(s"t_fz_sjoin_$i").start()
+      try {
+        Seq(b1, b2).foreach { b =>
+          lStream.addData(b.toSeq); aStream.addData(b.toSeq)
+          q.processAllAvailable()
+        }
+        val got = spark.table(s"t_fz_sjoin_$i")
+          .groupBy(col("anchor_id"), col("user_id"), col("anchor_ts"))
+          .agg(count(lit(1)).as("n_left"), max(col("l_ts")).as("last_left_ts"))
+          .collect().map(_.toSeq).toSet
+        val want = SparkEntry.queries(name)(spark, sf)
+          .collect().map(_.toSeq).toSet
+        assert(got == want,
+          s"$name diverged: ${FuzzQueries.describe(name)}")
+        assert(want.nonEmpty, s"$name batch twin empty — degenerate shape")
       } finally q.stop()
     }
   }
