@@ -2311,6 +2311,51 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // Neyman allocation (Neyman 1934 — the OPTIMAL stratified-sampling
+    // design beside the corpus samplers: minimize estimator variance for
+    // a fixed budget by sampling stratum h proportionally to N_h·S_h,
+    // size × standard deviation, vs proportional allocation's N_h):
+    // strata = event type, budget = 10% of the corpus (integer div).
+    // Determinism: variance from exact milli-long moment sums (the
+    // power-analysis discipline), sd via IEEE-correctly-rounded sqrt,
+    // each N_h·sd weight NANO-QUANTIZED to a long before the ≤5-element
+    // sum (order-safe); allocations are one double product of the long
+    // ratio, HALF_UP-rounded in both engines. design_effect ships the
+    // payoff audit: (Σ N_h S_h / N)² / (Σ N_h S_h² / N) ≤ 1, the
+    // Neyman-vs-proportional variance ratio. Scale: one moment
+    // aggregate per stratum + ≤|strata|-row arithmetic.
+    "a_neyman_alloc" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select($"event_type",
+        round($"value" * 1e3, 0).cast("long").as("vm"))
+      val g = ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_h"), sum($"vm").as("sv"),
+          sum($"vm" * $"vm").as("svv"))
+        .filter($"n_h" > 1L)
+        .withColumn("sd", sqrt(
+          ($"svv".cast("double") - $"sv".cast("double") * $"sv" / $"n_h")
+            / ($"n_h" - 1L)) / 1e3)
+        .withColumn("w_nano", round($"n_h" * $"sd" * 1e9, 0).cast("long"))
+      val tot = g.agg(sum($"n_h").as("n_total"),
+        sum($"w_nano").as("tw_nano"),
+        // Σ N_h·S_h² in nano (for the design effect), exact per-element
+        sum(round($"n_h" * $"sd" * $"sd" * 1e9, 0).cast("long"))
+          .as("twv_nano"))
+        .withColumn("budget", expr("n_total div 10"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("neyman_n", round($"budget" *
+          ($"w_nano".cast("double") / $"tw_nano"), 0).cast("long"))
+        .withColumn("proportional_n", round($"budget" *
+          ($"n_h".cast("double") / $"n_total"), 0).cast("long"))
+        // explicit square, not pow(x, 2): libm pow is not ulp-portable
+        .withColumn("mwbar", $"tw_nano".cast("double") / 1e9 / $"n_total")
+        .withColumn("design_effect", round($"mwbar" * $"mwbar"
+          / ($"twv_nano".cast("double") / 1e9 / $"n_total"), 6))
+        .select($"event_type", $"n_h", round($"sd", 6).as("sd"),
+          $"neyman_n", $"proportional_n", $"design_effect")
+        .orderBy("event_type")
+    }),
+
     // Wald SPRT sequential monitor (Wald 1945) — the always-on peeking
     // companion to the fixed-horizon readouts (t-test / CUPED / DiD):
     // watch the treatment arm's purchase conversion day by day and stop
@@ -4068,6 +4113,43 @@ object Aggregates {
          |    AS days_needed
          |FROM p ORDER BY event_type""".stripMargin
     },
+    "a_neyman_alloc" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ROUND(value * 1e3, 0) AS BIGINT) AS vm
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_h,
+        |    CAST(SUM(vm) AS BIGINT) AS sv,
+        |    CAST(SUM(vm * vm) AS BIGINT) AS svv
+        |  FROM ev GROUP BY 1
+        |  HAVING COUNT(*) > 1),
+        |w AS (
+        |  SELECT event_type, n_h,
+        |    sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n_h)
+        |      / (n_h - 1)) / 1e3 AS sd
+        |  FROM g),
+        |wn AS (
+        |  SELECT *, CAST(ROUND(n_h * sd * 1e9, 0) AS BIGINT) AS w_nano,
+        |    CAST(ROUND(n_h * sd * sd * 1e9, 0) AS BIGINT) AS wv_nano
+        |  FROM w),
+        |tot AS (
+        |  SELECT CAST(SUM(n_h) AS BIGINT) AS n_total,
+        |    CAST(SUM(w_nano) AS BIGINT) AS tw_nano,
+        |    CAST(SUM(wv_nano) AS BIGINT) AS twv_nano,
+        |    CAST(SUM(n_h) AS BIGINT) // 10 AS budget
+        |  FROM wn),
+        |f AS (
+        |  SELECT event_type, n_h, sd,
+        |    CAST(ROUND(budget * (CAST(w_nano AS DOUBLE) / tw_nano), 0)
+        |      AS BIGINT) AS neyman_n,
+        |    CAST(ROUND(budget * (CAST(n_h AS DOUBLE) / n_total), 0)
+        |      AS BIGINT) AS proportional_n,
+        |    CAST(tw_nano AS DOUBLE) / 1e9 / n_total AS mwbar,
+        |    CAST(twv_nano AS DOUBLE) / 1e9 / n_total AS mwv
+        |  FROM wn CROSS JOIN tot)
+        |SELECT event_type, n_h, ROUND(sd, 6) AS sd, neyman_n,
+        |  proportional_n, ROUND(mwbar * mwbar / mwv, 6) AS design_effect
+        |FROM f ORDER BY event_type""".stripMargin,
     "a_sprt_monitor" -> {
       val c1 = math.log(0.25 / 0.2).toString
       val c2 = math.log(0.75 / 0.8).toString

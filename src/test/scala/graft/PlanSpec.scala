@@ -171,6 +171,7 @@ class PlanSpec extends SparkSpec {
     "a_did_estimator",                               // 1-row split-day + 1-row effect broadcasts over 4 cells
     "privacy_dp_quantile",                           // 1-row lo/hi/n stats broadcast (psi-drift grid device)
     "corpus_unimax_weights",                         // 1-row capacity-total + 1-row waterfill-threshold broadcasts
+    "a_neyman_alloc",                                // 1-row budget/weight-total broadcast over the per-stratum table
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.

@@ -161,7 +161,7 @@ class RelationalSpec extends SparkSpec {
       "privacy_dp_laplace", "privacy_dp_gaussian", "privacy_dp_sweep",
       "privacy_dp_expmech", "privacy_dp_quantile", "a_srm_check",
       "pipeline_dedup_corpus", "text_gopher_rules", "corpus_unimax_weights",
-      "a_holt_linear", "graph_betweenness",
+      "a_holt_linear", "graph_betweenness", "a_neyman_alloc",
       "a_dau_wau_stickiness", "a_psi_drift", "a_cuped_adjusted",
       "ml_adaboost_stumps", "ml_gbm_stumps", "privacy_rr_frequency",
       "a_did_estimator", "a_sprt_monitor", "a_power_analysis",
