@@ -113,6 +113,35 @@ object StreamingOps {
         .orderBy("purchase_id")
     }),
 
+    // Stream-stream LEFT OUTER interval join — the watermark-driven
+    // null-emission semantics (the hardest streaming join Spark offers,
+    // and the reference's "anchor with no qualifying predecessor"
+    // readout: a purchase with NO click in the preceding hour must still
+    // appear, with a null match — reference cadence SURVEY §2.9,
+    // bbc_news_dag.py:251-258 late-data tolerance). In streaming, the
+    // unmatched-anchor row can only emit once the watermark proves no
+    // in-range click can still arrive (state eviction), which is why the
+    // inner variant above couldn't express it; StreamingSpec replays
+    // this exact join through two watermarked MemoryStreams and asserts
+    // the null row emits ONLY after the watermark passes. Batch twin:
+    // plain left-outer + count of the NON-NULL side (0 for unmatched).
+    // Same scale shape as the inner join: one shuffle on user_id, state
+    // bounded by lookback + watermark on both sides.
+    "stream_interval_join_outer" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("click_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"),
+          $"ts".as("purchase_ts"))
+      intervalJoinOuterPlan(clicks, purchases)
+        .groupBy($"purchase_id", $"user_id", $"purchase_ts")
+        .agg(count($"click_ts").as("n_clicks_1h"),
+          max($"click_ts").as("last_click_ts"))
+        .orderBy("purchase_id")
+    }),
+
     // Session windows: 30-minute inactivity gap per user.
     "stream_session_windows" -> ((s, d) => {
       import s.implicits._
@@ -237,7 +266,41 @@ object StreamingOps {
     }),
   )
 
+  /** The raw LEFT OUTER interval-join plan over a clicks frame
+    * (`c_user`, `click_ts`) and a purchases frame (`user_id`,
+    * `purchase_id`, `purchase_ts`) — ONE function builds both the batch
+    * twin above and StreamingSpec's two-MemoryStream replay, so the two
+    * sides cannot drift. Purchases are the OUTER (preserved) side: every
+    * purchase emits, with null click_ts when no click landed in the
+    * preceding hour. In the streaming rendering both inputs carry
+    * watermarks and the interval condition bounds both event times, so
+    * Spark can evict join state and emit the unmatched row at watermark
+    * passage — exactly the semantics the spec pins.
+    */
+  def intervalJoinOuterPlan(clicks: DataFrame,
+                            purchases: DataFrame): DataFrame =
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") <= col("purchase_ts"),
+        "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_ts"))
+
   val oracles: Map[String, String] = Map(
+    "stream_interval_join_outer" ->
+      """WITH c AS (
+        |  SELECT user_id AS c_user, ts AS click_ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.purchase_ts,
+        |  COUNT(c.click_ts) AS n_clicks_1h, MAX(c.click_ts) AS last_click_ts
+        |FROM p LEFT JOIN c ON p.user_id = c.c_user
+        |  AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+        |  AND c.click_ts <= p.purchase_ts
+        |GROUP BY 1, 2, 3 ORDER BY purchase_id""".stripMargin,
     // Spark windows align to the 1970 epoch; 6h/12h/1d buckets from
     // epoch-aligned arithmetic match.
     "stream_tumbling_daily" ->

@@ -10,15 +10,16 @@ package graft
   */
 class FuzzSpec extends SparkSpec {
   import graft.FuzzQueries.{NumAgg, NumWin, NumJoin, NumTok, NumFrame,
-    NumStream, NumSJoin}
+    NumStream, NumSJoin, NumSJoinOuter}
 
   test("fuzz surface: every generated query has an oracle and vice versa") {
     val q = FuzzQueries.queries.keySet
     val o = FuzzQueries.oracleSql.keySet
     assert(q == o, s"query/oracle key drift: ${(q diff o) ++ (o diff q)}")
     assert(q.size == NumAgg + NumWin + NumJoin + NumTok + NumFrame
-      + NumStream + NumSJoin)
+      + NumStream + NumSJoin + NumSJoinOuter)
     assert(q.count(_.startsWith("fuzz_sjoin_")) == NumSJoin)
+    assert(q.count(_.startsWith("fuzz_osjoin_")) == NumSJoinOuter)
     assert(q.count(_.startsWith("fuzz_agg_")) == NumAgg)
     assert(q.count(_.startsWith("fuzz_win_")) == NumWin)
     assert(q.count(_.startsWith("fuzz_join_")) == NumJoin)
@@ -147,6 +148,70 @@ class FuzzSpec extends SparkSpec {
         assert(got == want,
           s"$name diverged: ${FuzzQueries.describe(name)}")
         assert(want.nonEmpty, s"$name batch twin empty — degenerate shape")
+      } finally q.stop()
+    }
+  }
+
+  test("fuzz OUTER sjoin shapes: two-MemoryStream replay equals the batch twin") {
+    // the LEFT OUTER interval-join kind: unmatched anchors emit a null
+    // l_ts row, and in streaming that row only appears at state
+    // EVICTION — i.e. after the watermark proves no in-window left can
+    // still arrive. So the replay feeds the corpus chronologically,
+    // then a far-future sentinel pair (one event per side, surviving
+    // the type filters — a filtered sentinel never advances the
+    // watermark) to flush the tail evictions, and compares the emitted
+    // set's per-anchor aggregate (COUNT of non-null l_ts = 0 for
+    // unmatched) against the batch left-outer twin. Chronological feed
+    // order guarantees no real match is ever dropped as late: a null
+    // row for anchor A evicts only once watermark > A.ts, and every
+    // unfed left match has l_ts <= A.ts <= watermark < the next batch's
+    // min ts — contradiction.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, count, max}
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ordered = graft.ops.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[(Long, Timestamp, Long, String, Double)].collect()
+      .sortBy(e => (e._2.getTime, e._1))
+    val (b1, b2) = ordered.splitAt(ordered.length / 2)
+    val farFuture = ordered.map(_._2.getTime).max + 30L * 86400000L
+    (0 until FuzzQueries.NumSJoinOuter).foreach { i =>
+      val name = f"fuzz_osjoin_$i%03d"
+      val lStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val aStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      def side(st: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+        st.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+          .withWatermark("ts", FuzzQueries.sjoinOuterWatermarkDelay(i))
+      val plan = FuzzQueries.sjoinOuterPlan(i)(side(lStream), side(aStream))
+      val q = plan.writeStream.outputMode("append")
+        .format("memory").queryName(s"t_fz_osjoin_$i").start()
+      try {
+        val Seq(sentL, sentA) = FuzzQueries.sjoinOuterSentinels(i, farFuture)
+        Seq(b1.toSeq, b2.toSeq).foreach { b =>
+          lStream.addData(b); aStream.addData(b)
+          q.processAllAvailable()
+        }
+        // sentinel pair → watermark passes every real anchor → all
+        // remaining unmatched anchors evict their null rows
+        lStream.addData(Seq(sentL)); aStream.addData(Seq(sentA))
+        q.processAllAvailable()
+        val got = spark.table(s"t_fz_osjoin_$i")
+          .filter(col("anchor_id") =!= -1L)
+          .groupBy(col("anchor_id"), col("user_id"), col("anchor_ts"))
+          .agg(count(col("l_ts")).as("n_left"), max(col("l_ts")).as("last_left_ts"))
+          .collect().map(_.toSeq).toSet
+        val want = SparkEntry.queries(name)(spark, sf)
+          .collect().map(_.toSeq).toSet
+        assert(got == want,
+          s"$name diverged: ${FuzzQueries.describe(name)}")
+        // non-degenerate BOTH ways: the shape must exercise matches AND
+        // null emissions, else it never tests the outer semantics
+        assert(want.exists(r => r(3) == 0L),
+          s"$name has no unmatched anchor — outer path unexercised")
+        assert(want.exists(r => r(3) != 0L),
+          s"$name has no matched anchor — degenerate shape")
       } finally q.stop()
     }
   }

@@ -303,6 +303,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LEFT OUTER interval join: null row emits ONLY after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    // the watermark-driven null-emission semantics, pinned on a planted
+    // fixture: purchase 100 (user 1) HAS a click 30 min before it — the
+    // match emits immediately, inner-style; purchase 200 (user 2) has NO
+    // click in its 1h lookback — its null row may only emit once the
+    // watermark proves no qualifying click can still arrive (state
+    // eviction at watermark > purchase_ts). Both sides run the SAME
+    // intervalJoinOuterPlan the oracle-checked batch twin uses.
+    val cStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val pStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def raw(st: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+      st.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    def clickSide(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"))
+    def purchSide(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"))
+    val plan = graft.streaming.StreamingOps.intervalJoinOuterPlan(
+      clickSide(raw(cStream)).withWatermark("click_ts", "2 hours"),
+      purchSide(raw(pStream)).withWatermark("purchase_ts", "2 hours"))
+    val q = plan.writeStream.outputMode("append")
+      .format("memory").queryName("t_interval_join_outer").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    val fixture = Seq(
+      (1L, ts("2024-01-01 01:30:00"), 1L, "click", 1.0),
+      (100L, ts("2024-01-01 02:00:00"), 1L, "purchase", 1.0),
+      (200L, ts("2024-01-01 02:00:00"), 2L, "purchase", 1.0))
+    // far-future pair on DIFFERENT users so they cannot match each other
+    // (global watermark = min over sources, so BOTH sides must advance)
+    val flush = Seq(
+      (2L, ts("2024-01-01 12:00:00"), 77L, "click", 1.0),
+      (999L, ts("2024-01-01 12:00:00"), 88L, "purchase", 1.0))
+    try {
+      cStream.addData(fixture); pStream.addData(fixture)
+      q.processAllAvailable()
+      def rows() = spark.table("t_interval_join_outer")
+        .filter($"purchase_id" =!= 999L)
+        .collect().map(_.toSeq).toSet
+      val before = rows()
+      // matched row emits immediately; the unmatched anchor must NOT
+      // have emitted yet — watermark is 00:00, a click could still come
+      assert(before ==
+        Set(Seq(100L, 1L, ts("2024-01-01 02:00:00"), ts("2024-01-01 01:30:00"))),
+        s"pre-watermark emissions wrong: $before")
+      cStream.addData(flush); pStream.addData(flush)
+      q.processAllAvailable()
+      val after = rows()
+      // watermark now 10:00 > 02:00 → purchase 200's state evicts and
+      // the null row appears; the full set equals the batch twin's
+      val want = graft.streaming.StreamingOps.intervalJoinOuterPlan(
+        clickSide(fixture.toDF("event_id", "ts", "user_id", "event_type", "value")),
+        purchSide(fixture.toDF("event_id", "ts", "user_id", "event_type", "value")))
+        .collect().map(_.toSeq).toSet
+      assert(after == want, s"post-watermark emissions wrong: $after vs $want")
+      assert(after.contains(Seq(200L, 2L, ts("2024-01-01 02:00:00"), null)),
+        "unmatched anchor's null row missing after watermark passage")
+    } finally q.stop()
+  }
+
   test("streaming MinHash-signature dedup drops planted duplicate docs") {
     implicit val sqlCtx = spark.sqlContext
     // near-dup dedup in flight: signature = the same codegen'd
