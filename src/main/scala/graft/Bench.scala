@@ -47,6 +47,21 @@ object Bench {
     * after it lands. BASELINE.md "bench methodology" documents the
     * rule; queries at the 0.4 s floor never trigger regardless.
     */
+  val ADAPT_TRIGGER = 1.5
+  val ADAPT_FLOOR = 0.4
+  val MAX_EXTRA_TOTAL = 40
+
+  /** The adaptive re-pass decision, extracted pure so BenchSpec can pin
+    * it: re-pass iff every pass so far succeeded AND the current min
+    * still exceeds max(1.5 x anchor, the 0.4 s noise floor). Anchorless
+    * queries never re-pass (stay min-of-2). The caller bounds re-passes
+    * at 2 per query / MAX_EXTRA_TOTAL per run.
+    */
+  def repassNeeded(ps: Seq[Double], anchor: Option[Double]): Boolean =
+    anchor.exists { a =>
+      ps.forall(_ >= 0) && ps.min > math.max(a * ADAPT_TRIGGER, ADAPT_FLOOR)
+    }
+
   val anchors: Map[String, Double] = Map(
     // group 1 (27 headline queries, BENCH_r16 mins)
     "j_star_revenue_by_region" -> 0.80, "j_left_order_line_counts" -> 0.35,
@@ -81,7 +96,7 @@ object Bench {
     "ml_calibration_bins" -> 2.00, "graph_kcore" -> 2.30,
     "dedup_lsh_pr_eval" -> 1.90, "ml_logreg_gd" -> 0.65,
     "graph_assortativity" -> 1.60, "ml_als_factors" -> 3.35,
-    "dedup_cluster_reps_lsh" -> 2.10,
+    "dedup_cluster_reps_lsh" -> 1.80,
   )
 
   def main(args: Array[String]): Unit = {
@@ -162,20 +177,14 @@ object Bench {
     // that reproduces across 3-4 passes). `passes` arrays are
     // variable-length (2-4) — consumers must length-dispatch;
     // `extra_passes` in the JSON names each triggered query.
-    val ADAPT_TRIGGER = 1.5
-    val ADAPT_FLOOR = 0.4
-    val MAX_EXTRA_TOTAL = 40
     var extraUsed = 0
     def timeGroup(groupNames: Seq[String]) = {
       val raw = groupNames.map { name =>
         var ps = Seq(timeOne(name), timeOne(name))
-        anchors.get(name).foreach { a =>
-          val trig = math.max(a * ADAPT_TRIGGER, ADAPT_FLOOR)
-          var extra = 0
-          while (extra < 2 && extraUsed < MAX_EXTRA_TOTAL &&
-            ps.forall(_ >= 0) && ps.min > trig) {
-            ps = ps :+ timeOne(name); extra += 1; extraUsed += 1
-          }
+        var extra = 0
+        while (extra < 2 && extraUsed < MAX_EXTRA_TOTAL &&
+          repassNeeded(ps, anchors.get(name))) {
+          ps = ps :+ timeOne(name); extra += 1; extraUsed += 1
         }
         name -> ps
       }

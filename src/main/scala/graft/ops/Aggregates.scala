@@ -2342,15 +2342,22 @@ object Aggregates {
         sum(round($"n_h" * $"sd" * $"sd" * 1e9, 0).cast("long"))
           .as("twv_nano"))
         .withColumn("budget", expr("n_total div 10"))
+      // greatest(·, 1) guards the all-zero-sd degenerate corpus (every
+      // stratum constant ⇒ tw_nano = twv_nano = 0 ⇒ 0/0 NaN, whose cast
+      // diverges between engines — the same degenerate-design class
+      // a_power_analysis filters); on any real corpus the guard is
+      // inert (weights ≥ 1 nano). Allocations degrade to 0, de to 0.
       g.crossJoin(broadcast(tot))
         .withColumn("neyman_n", round($"budget" *
-          ($"w_nano".cast("double") / $"tw_nano"), 0).cast("long"))
+          ($"w_nano".cast("double") / greatest($"tw_nano", lit(1L))), 0)
+          .cast("long"))
         .withColumn("proportional_n", round($"budget" *
           ($"n_h".cast("double") / $"n_total"), 0).cast("long"))
         // explicit square, not pow(x, 2): libm pow is not ulp-portable
         .withColumn("mwbar", $"tw_nano".cast("double") / 1e9 / $"n_total")
         .withColumn("design_effect", round($"mwbar" * $"mwbar"
-          / ($"twv_nano".cast("double") / 1e9 / $"n_total"), 6))
+          / (greatest($"twv_nano", lit(1L)).cast("double") / 1e9 / $"n_total"),
+          6))
         .select($"event_type", $"n_h", round($"sd", 6).as("sd"),
           $"neyman_n", $"proportional_n", $"design_effect")
         .orderBy("event_type")
@@ -3924,14 +3931,19 @@ object Aggregates {
          |  (key_nano = kmax) AS selected
          |FROM w ORDER BY event_type""".stripMargin
     },
+    // ((x % 2) + 2) % 2 = Spark's pmod: DuckDB's bare % follows the
+    // dividend's sign, so a negative user_id would land in arm -1 in
+    // the oracle only. (a_did/a_cuped's bare % predates this; the
+    // generator's user_id is non-negative, but new arm-split oracles
+    // should use the sign-safe form.)
     "a_srm_check" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |a AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_arm0,
-        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_arm1
+        |    CAST(SUM(CASE WHEN ((user_id % 2) + 2) % 2 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_arm0,
+        |    CAST(SUM(CASE WHEN ((user_id % 2) + 2) % 2 = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_arm1
         |  FROM u),
         |c AS (
         |  SELECT *, ROUND(CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1)
@@ -4140,12 +4152,13 @@ object Aggregates {
         |  FROM wn),
         |f AS (
         |  SELECT event_type, n_h, sd,
-        |    CAST(ROUND(budget * (CAST(w_nano AS DOUBLE) / tw_nano), 0)
+        |    CAST(ROUND(budget * (CAST(w_nano AS DOUBLE)
+        |      / GREATEST(tw_nano, 1)), 0)
         |      AS BIGINT) AS neyman_n,
         |    CAST(ROUND(budget * (CAST(n_h AS DOUBLE) / n_total), 0)
         |      AS BIGINT) AS proportional_n,
         |    CAST(tw_nano AS DOUBLE) / 1e9 / n_total AS mwbar,
-        |    CAST(twv_nano AS DOUBLE) / 1e9 / n_total AS mwv
+        |    CAST(GREATEST(twv_nano, 1) AS DOUBLE) / 1e9 / n_total AS mwv
         |  FROM wn CROSS JOIN tot)
         |SELECT event_type, n_h, ROUND(sd, 6) AS sd, neyman_n,
         |  proportional_n, ROUND(mwbar * mwbar / mwv, 6) AS design_effect

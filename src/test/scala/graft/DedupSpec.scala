@@ -321,6 +321,25 @@ class DedupSpec extends SparkSpec {
     assert(lshPairs == exactPairs)
   }
 
+  test("LSH-fed leakage audit equals the exact-pair audit at the 0.8 gate") {
+    // round-17 composition closure (the audit analogue of the cluster
+    // test above): the production split_leakage_audit_lsh consumes the
+    // banded-LSH verified pairs; on this corpus every planted near-dup
+    // is exact (j = 1 collides in every band → LSH recall = 1 at the
+    // 0.8 gate), so the two audits must agree bit-for-bit. On a corpus
+    // with organic partial-overlap pairs the divergence is priced by
+    // dedup_lsh_pr_eval's S-curve, not a bug.
+    val viaLsh = SparkEntry.queries("split_leakage_audit_lsh")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val viaExact = SparkEntry.queries("split_leakage_audit")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaLsh == viaExact && viaLsh.nonEmpty)
+    // non-vacuous: at least one cross-split (leaking) cell must exist —
+    // the planted duplicates get re-keyed ids, which hash to arbitrary
+    // splits, so some pair must straddle a boundary
+    assert(viaLsh.exists(r => r(3) == true), "no leaking cell — audit vacuous")
+  }
+
   test("contamination report excludes benchmark docs and bounds ratios") {
     val rows = SparkEntry.queries("dedup_contamination")(spark, sf)
       .as[(Long, Long, Int, Double)].collect()

@@ -166,7 +166,7 @@ class RelationalSpec extends SparkSpec {
       "ml_adaboost_stumps", "ml_gbm_stumps", "privacy_rr_frequency",
       "a_did_estimator", "a_sprt_monitor", "a_power_analysis",
       "privacy_k_generalize", "stream_interval_join_outer",
-      "fuzz_osjoin_000",
+      "fuzz_osjoin_000", "split_leakage_audit_lsh",
       "mm_scene_cuts").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
