@@ -241,6 +241,7 @@ object MLOps {
     sampleInputCache.clear()
     modelCache.clear()
     emCache.clear()
+    emDistCache.clear()
     alsCache.clear()
   }
 
@@ -661,6 +662,122 @@ object MLOps {
       (phi, theta)
     })
 
+  /** The DISTRIBUTED sufficient-statistics LDA fit (round-17 — the
+    * fallback SCALE.md §"The single-partition LDA fit input" documents:
+    * "fit on fixed seeded hash-partitions with the EM sufficient
+    * statistics tree-reduced"). Same MAP-EM math as [[ldaEmState]] —
+    * identical init, E-step, micro-quantization, and smoothing — but
+    * executed in the imperative treeAggregate shape MLlib's own
+    * distributed trainers use: the corpus stays partitioned however it
+    * arrives; each round broadcasts φ (the K×V model, the ONLY global
+    * state), computes per-doc responsibilities locally (θ is per-doc
+    * state carried WITH the doc — never shuffled, never collected), and
+    * tree-reduces the word×topic sufficient statistics as exact longs.
+    * Long addition is commutative and associative, so the fit is
+    * PARTITION-COUNT-INVARIANT bit-for-bit — MLSpec asserts fit(1 part)
+    * == fit(7 parts) == the relational trainer's φ, and the query's
+    * oracle is ldaEmTopicsSql itself (three-way differential:
+    * treeAggregate fit == relational EM == DuckDB replay). The vocab
+    * index is the one collected object (cap-bounded ≤ 50k by emCounts'
+    * vocabulary limit — model-scale state, K×V longs ≈ 1.6 MB at the
+    * cap, the same class as every LDA implementation's φ matrix).
+    * Nothing in this path pins to one task: with P input partitions the
+    * E-step runs P-wide and the reduce is a tree.
+    */
+  private val emDistCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int), Array[(String, Array[Double])]]
+
+  def ldaEmPhiDist(s: SparkSession, d: String, k: Int = EmK,
+                   parts: Int = 0): Array[(String, Array[Double])] =
+    emDistCache.getOrElseUpdate((s, d, k, parts), {
+      import s.implicits._
+      val dw = emCounts(s, d)
+      // the one collected object: the cap-bounded vocabulary (sorted so
+      // the index layout is deterministic)
+      val vocab: Array[String] = dw.select($"word").distinct()
+        .orderBy($"word").as[String].collect()
+      val v = vocab.length
+      val idx: Map[String, Int] = vocab.zipWithIndex.toMap
+      val idxB = s.sparkContext.broadcast(idx)
+      // docs as (wordIdx, n) arrays + their per-doc θ state; list order
+      // within a doc is irrelevant (every downstream sum is exact-long
+      // and per-(word, k) terms are independent), so collect_list is safe
+      val base = dw.groupBy($"doc_id")
+        .agg(collect_list(struct($"word", $"n")).as("ws"))
+        .as[(Long, Seq[(String, Long)])]
+        .rdd.map { case (_, ws) =>
+          (ws.map { case (w, n) => (idxB.value(w), n) }.toArray,
+            Array.fill(k)(1.0 / k))
+        }
+      var docs = if (parts > 0) base.repartition(parts) else base
+      docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      // φ init: the exact hash recurrence ldaEmState uses, evaluated
+      // driver-side over the same vocabulary (per-topic normalization
+      // over an exact long sum)
+      var phi: Array[Array[Double]] = {
+        val wt = Array.tabulate(v, k)((w, j) =>
+          1000L + (graft.functions.PolyHash.hashString(vocab(w)) * 31
+            + j * 7919) % 997)
+        val colSum = Array.tabulate(k)(j => (0 until v).map(w => wt(w)(j)).sum)
+        Array.tabulate(v, k)((w, j) => wt(w)(j).toDouble / colSum(j).toDouble)
+      }
+      def halfUpMicro(x: Double): Long =
+        BigDecimal.valueOf(x * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      // per-doc wkm terms from the CURRENT (φ, θ): rl = θ_j·φ_wj, den =
+      // the same left-to-right fold the relational aggregate() uses,
+      // wkm = HALF_UP(n·(rl_j/den)·1e6) — bit-identical to the round()/
+      // cast chain in ldaEmState
+      def wkmOf(ws: Array[(Int, Long)], th: Array[Double],
+                ph: Array[Array[Double]]): Array[(Int, Array[Long])] =
+        ws.map { case (w, n) =>
+          val rl = Array.tabulate(k)(j => th(j) * ph(w)(j))
+          var den = 0.0
+          var j = 0
+          while (j < k) { den += rl(j); j += 1 }
+          (w, Array.tabulate(k)(j => halfUpMicro(n * (rl(j) / den))))
+        }
+      for (_ <- 1 to EmIters) {
+        val phB = s.sparkContext.broadcast(phi)
+        // M-step (φ): word×topic suff stats tree-reduced as exact longs —
+        // the partition-count-invariant merge
+        val suff = docs.treeAggregate(new Array[Long](v * k))(
+          (acc, doc) => {
+            wkmOf(doc._1, doc._2, phB.value).foreach { case (w, wk) =>
+              var j = 0
+              while (j < k) { acc(w * k + j) += wk(j); j += 1 }
+            }
+            acc
+          },
+          (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+        // M-step (θ): per-doc, local, from the same OLD-(φ, θ) wkm terms
+        val next = docs.map { case (ws, th) =>
+          val wk = wkmOf(ws, th, phB.value)
+          val num = Array.fill(k)(0L)
+          wk.foreach { case (_, a) =>
+            var j = 0
+            while (j < k) { num(j) += a(j); j += 1 }
+          }
+          val tot = num.sum
+          (ws, Array.tabulate(k)(j =>
+            (num(j) + EmAlphaMicro).toDouble
+              / (tot + k.toLong * EmAlphaMicro).toDouble))
+        }
+        next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        docs.unpersist(blocking = false)
+        docs = next
+        val topicSum = Array.tabulate(k)(j =>
+          (0 until v).map(w => suff(w * k + j)).sum)
+        phi = Array.tabulate(v, k)((w, j) =>
+          (suff(w * k + j) + EmBetaMicro).toDouble
+            / (topicSum(j) + v.toLong * EmBetaMicro).toDouble)
+      }
+      docs.unpersist(blocking = false)
+      vocab.zip(phi.map(identity))
+    })
+
   /** K-means config (ml_kmeans + its unrolled oracle). */
   val KmK = 8
   val KmIters = 3
@@ -808,6 +925,28 @@ object MLOps {
       val (phi, _) = ldaEmState(s, d)
       val w = Window.partitionBy($"k").orderBy(desc("p"), asc("word"))
       phi.select($"word", posexplode($"ph")).toDF("word", "k", "p")
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= TopWords)
+        .select($"k".cast("int").as("topic_id"), $"rank", $"word",
+          round($"p", 6).as("weight"))
+        .orderBy("topic_id", "rank")
+    }),
+
+    // The DISTRIBUTED-FIT fallback as a first-class query (round 17 —
+    // see ldaEmPhiDist): the same ranked topic table as lda_em_topics,
+    // produced by the treeAggregate sufficient-statistics fit instead
+    // of the relational chain. Shares lda_em_topics' ORACLE — the
+    // three-way differential (imperative distributed fit == relational
+    // EM == DuckDB replay) is the proof the fallback computes the same
+    // model; MLSpec additionally pins partition-count invariance
+    // (fit at 1 partition == fit at 7).
+    "lda_em_topics_dist" -> ((s, d) => {
+      import s.implicits._
+      val phi = ldaEmPhiDist(s, d)
+      val w = Window.partitionBy($"k").orderBy(desc("p"), asc("word"))
+      phi.toSeq.flatMap { case (word, ps) =>
+        ps.zipWithIndex.map { case (p, j) => (word, j, p) }
+      }.toDF("word", "k", "p")
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= TopWords)
         .select($"k".cast("int").as("topic_id"), $"rank", $"word",
@@ -2451,6 +2590,9 @@ object MLOps {
          |FROM sm GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "lda_em_topics" -> ldaEmTopicsSql,
+    // the distributed treeAggregate fit computes the identical model —
+    // one oracle serves both (the differential IS the claim)
+    "lda_em_topics_dist" -> ldaEmTopicsSql,
     // the artifact round-trip must reproduce the topics table exactly —
     // one oracle serves both
     "lda_em_save_load" -> ldaEmTopicsSql,

@@ -142,6 +142,40 @@ object StreamingOps {
         .orderBy("purchase_id")
     }),
 
+    // Exactly-once sink semantics, oracle-checked end to end: the corpus
+    // is split into four deterministic event-time "micro-batches"
+    // (epoch-day mod 4), each written through idempotentBatchSink, and
+    // then one batch is REPLAYED — the simulated at-least-once rerun.
+    // The re-read per-batch aggregate must equal the straight aggregate
+    // over events: if the replay duplicated rows the counts double and
+    // the oracle hash catches it. The spec drives the same sink through
+    // a real foreachBatch query with a manual replay; this entry makes
+    // the idempotence claim part of the every-round correctness gate.
+    "sink_exactly_once_batches" -> ((s, d) => {
+      import s.implicits._
+      val out = Tables.artifactDir("sink_exactly_once", d)
+      // clean slate: dynamic overwrite only replaces partitions the
+      // current write touches, so a stale directory from an earlier run
+      // (e.g. a different batch partitioning) must not leak into the scan
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(out), s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val ev = events(s, d)
+        .withColumn("bid", pmod(datediff(to_date($"ts"),
+          lit("1970-01-01").cast("date")), lit(4)))
+      (0 until 4).foreach { b =>
+        idempotentBatchSink(out)(
+          ev.filter($"bid" === b).drop("bid"), b.toLong)
+      }
+      // the at-least-once replay: batch 2 runs again with the same id
+      idempotentBatchSink(out)(ev.filter($"bid" === 2).drop("bid"), 2L)
+      s.read.parquet(out)
+        .groupBy($"batch_id".cast("long").as("batch_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 1e6, 0).cast("long")).as("sum_micro"))
+        .orderBy("batch_id")
+    }),
+
     // Session windows: 30-minute inactivity gap per user.
     "stream_session_windows" -> ((s, d) => {
       import s.implicits._
@@ -266,6 +300,36 @@ object StreamingOps {
     }),
   )
 
+  /** The batchId-keyed IDEMPOTENT OVERWRITE sink — the standard
+    * exactly-once-over-at-least-once production pattern (the txn shape
+    * Delta/Iceberg give a foreachBatch writer; reference anchor: the
+    * S8/S9 idempotent upsert semantics, pipelines.py:30-44). foreachBatch
+    * is at-least-once: after a failure the last uncommitted batch RERUNS
+    * with the SAME batchId, so a sink keyed on batchId that OVERWRITES
+    * its own partition turns the replay into a no-op — dynamic partition
+    * overwrite replaces exactly the batch_id=<bid> directory and touches
+    * nothing else. One function serves the streaming foreachBatch writer
+    * (StreamingSpec replays a batch after a simulated failure and proves
+    * the sink bit-identical) and the oracle-checked batch twin
+    * (`sink_exactly_once_batches` below, which performs a replay
+    * in-query and must still match the straight per-batch aggregate).
+    * At 100 TB: per-batch data lands partitioned; replacing one
+    * partition is a metadata swap + one batch rewrite, never a table
+    * rewrite.
+    */
+  def idempotentBatchSink(outDir: String)(df: DataFrame, batchId: Long): Unit = {
+    val sess = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = sess.conf.getOption(key)
+    sess.conf.set(key, "dynamic")
+    try df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+    finally prev match {
+      case Some(v) => sess.conf.set(key, v)
+      case None    => sess.conf.unset(key)
+    }
+  }
+
   /** The raw LEFT OUTER interval-join plan over a clicks frame
     * (`c_user`, `click_ts`) and a purchases frame (`user_id`,
     * `purchase_id`, `purchase_ts`) — ONE function builds both the batch
@@ -288,6 +352,17 @@ object StreamingOps {
         col("click_ts"))
 
   val oracles: Map[String, String] = Map(
+    // the straight per-batch aggregate: if the in-query replay ever
+    // duplicated rows, n/sum_micro double and the hash mismatches.
+    // ((x % 4) + 4) % 4 is the sign-safe pmod form (epoch days are
+    // positive here, but arm/batch-split oracles follow the convention).
+    "sink_exactly_once_batches" ->
+      """SELECT ((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |    % 4) + 4) % 4 AS batch_id,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_micro
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_interval_join_outer" ->
       """WITH c AS (
         |  SELECT user_id AS c_user, ts AS click_ts FROM events

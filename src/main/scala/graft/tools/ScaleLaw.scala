@@ -83,10 +83,27 @@ object ScaleLaw {
     * families could never be re-measured at another factor, and a typo'd
     * factor silently changed which queries ran). Unknown names fail loudly.
     */
+  /** The round-17 set (VERDICT r16 item #4): the end-to-end production
+    * dedup COMPOSITION — banded-LSH candidates → exact verify → star-CC
+    * → survivor pick (+ the per-source report on top). Each stage is
+    * individually scale-shaped, but the composition adds star-CC
+    * iterations whose round count grows with cluster DIAMETER — the one
+    * super-linear risk the per-stage laws can't see. The replica
+    * fixture preserves within-replica cluster topology exactly (N×
+    * disjoint copies of the same clusters), so diameter is constant and
+    * the predicted law is t(N) = c + m·N with the SAME iteration count
+    * at every N; a ratio far above the minhash family's would mean the
+    * CC stage (or its lineage) compounds with corpus size after all.
+    */
+  val FamiliesR17: Seq[String] = Seq(
+    "dedup_cluster_reps_lsh",
+    "pipeline_dedup_corpus")
+
   val FamilySets: Map[String, Seq[String]] = Map(
     "core" -> Families,
     "r15" -> Families30,
-    "r16" -> Families100)
+    "r16" -> Families100,
+    "r17" -> FamiliesR17)
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -15,6 +15,30 @@ class MLSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("distributed LDA fit equals the relational EM and is partition-count-invariant") {
+    // the round-17 fallback (SCALE.md "single-partition LDA fit input"):
+    // treeAggregate sufficient-statistics fit == relational EM trainer,
+    // row for row on the ranked topic table (which transitively gives
+    // it lda_em_topics' DuckDB oracle)...
+    val dist = SparkEntry.queries("lda_em_topics_dist")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val rel = SparkEntry.queries("lda_em_topics")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(dist == rel && dist.nonEmpty)
+    // ...and the φ model itself is bit-identical whether the corpus
+    // arrives in ONE partition or SEVEN: exact-long suff stats under a
+    // commutative tree-reduce make the merge order invisible, which is
+    // the property that lets the fit run P-wide instead of pinning to a
+    // single task
+    val p1 = graft.ops.MLOps.ldaEmPhiDist(spark, sf, graft.ops.MLOps.EmK, 1)
+    val p7 = graft.ops.MLOps.ldaEmPhiDist(spark, sf, graft.ops.MLOps.EmK, 7)
+    assert(p1.length == p7.length)
+    p1.zip(p7).foreach { case ((w1, a1), (w7, a7)) =>
+      assert(w1 == w7 && a1.sameElements(a7),
+        s"phi diverged at word $w1 across partition counts")
+    }
+  }
+
   test("LDA doc-topic histogram covers all docs") {
     val total = spark.read.parquet(s"$sf/documents.parquet").count()
     val sum = SparkEntry.queries("u5_lda_doc_topics")(spark, sf)

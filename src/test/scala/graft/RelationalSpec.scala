@@ -167,6 +167,7 @@ class RelationalSpec extends SparkSpec {
       "a_did_estimator", "a_sprt_monitor", "a_power_analysis",
       "privacy_k_generalize", "stream_interval_join_outer",
       "fuzz_osjoin_000", "split_leakage_audit_lsh",
+      "lda_em_topics_dist", "sink_exactly_once_batches",
       "mm_scene_cuts").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq

@@ -692,6 +692,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idempotent batchId-keyed sink: a replayed batch leaves the sink bit-identical") {
+    // the exactly-once-over-at-least-once pattern (VERDICT r16 item #6):
+    // foreachBatch legally re-runs the last uncommitted batch with the
+    // SAME batchId after a failure; a sink that overwrites its own
+    // batch_id partition makes that replay a no-op. Drive the REAL
+    // foreachBatch writer, then simulate the failure-rerun by invoking
+    // the same sink function again with the last (df, batchId) — the
+    // sink's contents must not change by a single row.
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_eo_sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_eo_ckpt").toString
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(graft.streaming.StreamingOps.idempotentBatchSink(out) _)
+      .start()
+    val (b1, b2) = batchEvents.splitAt(batchEvents.length / 2)
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    def snapshot() = spark.read.parquet(out)
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val before = snapshot()
+    // b1 → batch 0, b2 → batch 1 (one batch per addData +
+    // processAllAvailable); the failure-rerun delivers batch 1 AGAIN
+    val replayDf = b2.toSeq
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    graft.streaming.StreamingOps.idempotentBatchSink(out)(replayDf, 1L)
+    assert(snapshot() == before, "replayed batch changed the sink")
+    // and the sink holds exactly the fed rows — no duplication, no loss
+    assert(before.length == batchEvents.length)
+    val gotIds = before.map(_.head).toSet
+    assert(gotIds == batchEvents.map(_._1: Any).toSet)
+  }
+
   test("agg state survives a checkpointed restart (exactly-once recovery)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
