@@ -34,6 +34,53 @@ object Aggregates {
     */
   val SessionGapUs: Long = 86400L * 1000000L
 
+  /** BH multiple-testing config (a_bh_fdr): m hypotheses = the C(5,2)
+    * pairwise Welch tests over the pinned 5-type domain, FDR level α.
+    */
+  val BhAlpha = 0.05
+  val BhM = 10
+
+  /** The rank-indexed BH critical ladder: zcrit(k) = Φ⁻¹(1 − α·k/(2m)),
+    * k = 1..m — evaluated ONCE driver-side and injected verbatim into
+    * both renderings (the a_power_analysis constant pattern, extended
+    * to an array), so neither engine ever evaluates a normal CDF.
+    */
+  lazy val bhZCrit: Array[Double] =
+    Array.tabulate(BhM)(i => invPhi(1 - BhAlpha * (i + 1) / (2.0 * BhM)))
+
+  /** Inverse standard-normal CDF (Acklam's rational approximation,
+    * |relative error| < 1.15e-9 — far inside the 6dp rounding both
+    * engines apply before any comparison). Driver-side only; published
+    * algorithm and coefficients (P. J. Acklam, 2003).
+    */
+  private def invPhi(p: Double): Double = {
+    require(p > 0 && p < 1, s"invPhi domain: $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5
+      val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      -invPhi(1 - p) // symmetric upper tail — reuse the lower branch
+    }
+  }
+
   /** Exact global (or per-group) rank of `value` with no unpartitioned
     * window over the base table. Strategy: bin rows by floor(value) —
     * bin cardinality is bounded by the VALUE RANGE (~560 bins here), not
@@ -1003,6 +1050,51 @@ object Aggregates {
         .orderBy("type_a", "type_b")
     }),
 
+    // Benjamini-Hochberg FDR control over the m = C(5,2) = 10 pairwise
+    // Welch tests above — the multiple-testing correction every
+    // many-metric experiment dashboard needs (test 10 hypotheses at
+    // α = .05 uncorrected and ~40% of null experiments flag something).
+    // BH: sort p ascending, k* = max{k : p(k) ≤ α·k/m}, reject 1..k*.
+    // With the large-sample z approximation (n is in the thousands
+    // here; exact t only matters at tiny n — documented divergence from
+    // textbook small-sample BH), p(k) ≤ α·k/m ⟺ |t|(k) ≥
+    // Φ⁻¹(1 − α·k/(2m)), so the whole decision works on a LADDER of m
+    // injected normal quantiles (Acklam's inverse-CDF evaluated
+    // driver-side — the z_.975-style constant-injection pattern of
+    // a_power_analysis/a_sprt_monitor, extended to a rank-indexed
+    // array) and no CDF is ever evaluated in either engine. Ties in
+    // |t| break on the pair key. Scale: the welch moment pass + a
+    // 10-row ranked ladder.
+    "a_bh_fdr" -> ((s, d) => {
+      import s.implicits._
+      val zc = bhZCrit.toSeq
+      val g = events(s, d)
+        .withColumn("vm", round($"value" * 1e3, 0).cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"vm").as("sv"),
+          sum($"vm" * $"vm").as("ssv"))
+        .withColumn("m", $"sv" / 1e3 / $"n")
+        .withColumn("v",
+          ($"ssv" / 1e6 - ($"sv" / 1e3) * ($"sv" / 1e3) / $"n") / ($"n" - 1))
+      val a = g.select($"event_type".as("type_a"), $"n".as("na"),
+        $"m".as("ma"), $"v".as("va"))
+      val b = g.select($"event_type".as("type_b"), $"n".as("nb"),
+        $"m".as("mb"), $"v".as("vb"))
+      val wRank = Window.orderBy(desc("abs_t"), asc("type_a"), asc("type_b"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      a.join(b, $"type_a" < $"type_b")
+        .withColumn("abs_t", abs(round(($"ma" - $"mb")
+          / sqrt($"va" / $"na" + $"vb" / $"nb"), 6)))
+        .withColumn("rank", row_number().over(wRank))
+        .withColumn("zcrit", round(element_at(typedLit(zc), $"rank"), 6))
+        .withColumn("kstar",
+          max(when($"abs_t" >= $"zcrit", $"rank").otherwise(0)).over(wAll))
+        .select($"type_a", $"type_b", $"abs_t", $"rank", $"zcrit",
+          ($"rank" <= $"kstar").as("rejected"))
+        .orderBy("rank")
+    }),
+
     // Per-group OLS trend line — slope/intercept/r² of the daily event
     // count against the day number, per type (the "is this metric
     // drifting" readout). All five moment sums (k, Σx, Σy, Σxy, Σx²,
@@ -1948,6 +2040,39 @@ object Aggregates {
     // differ by an ulp and flip a floor. abs_err ships so the utility
     // curve (noise shrinking as eps grows) is directly queryable.
     // Scale: one count aggregate broadcast-crossed with a 5-row literal.
+    // PRIVACY BUDGET ACCOUNTING (Dwork-Rothblum-Vadhan FOCS'10 advanced
+    // composition vs basic sequential composition) — the calculator that
+    // turns the release family above into an operable budget: a daily
+    // release cadence (one (ε₀=0.1, δ₀=1e-8) release per corpus day, the
+    // production shape for a recurring private dashboard) accumulates
+    // ε_basic = k·ε₀ / δ = k·δ₀, while advanced composition spends a δ'
+    // = 1e-6 slack for ε_adv = ε₀·√(2k·ln(1/δ')) + k·ε₀·(e^{ε₀}−1) —
+    // sublinear in k, overtaking basic once √k outgrows the constants
+    // (k ≥ 35 at these parameters; the crossover is IN the output).
+    // Determinism: ln(1/δ') and e^{ε₀}−1 are injected JVM constants
+    // (the a_power_analysis pattern); the only runtime libm call is
+    // sqrt(k), which IEEE 754 requires correctly rounded in both
+    // engines; deltas stay exact NANO longs. Scale: one distinct-day
+    // aggregate; the k-ladder window is bounded by the calendar, not
+    // the corpus.
+    "privacy_dp_accounting" -> ((s, d) => {
+      import s.implicits._
+      val eps0 = 0.1
+      val c1 = math.sqrt(2 * math.log(1e6)) // √(2·ln(1/δ')), δ' = 1e-6
+      val em1 = math.expm1(eps0)            // e^{ε₀} − 1
+      val w = Window.orderBy($"day")
+      events(s, d).select(to_date($"ts").as("day")).distinct()
+        .withColumn("k", row_number().over(w))
+        .withColumn("eps_basic", round($"k" * lit(eps0), 6))
+        .withColumn("eps_advanced",
+          round(lit(eps0) * lit(c1) * sqrt($"k")
+            + $"k" * lit(eps0) * lit(em1), 6))
+        .withColumn("delta_nano", $"k" * 10L + 1000L)
+        .select($"k", $"day", $"eps_basic", $"eps_advanced", $"delta_nano",
+          ($"eps_advanced" < $"eps_basic").as("advanced_wins"))
+        .orderBy("k")
+    }),
+
     "privacy_dp_sweep" -> ((s, d) => {
       import s.implicits._
       val eps = Seq(0.25, 0.5, 1.0, 2.0, 4.0)
@@ -3544,6 +3669,43 @@ object Aggregates {
         |    ((va / na) * (va / na) / (na - 1)
         |      + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS df
         |FROM p ORDER BY type_a, type_b""".stripMargin,
+    // same welch moment chain; the zcrit ladder is the SAME JVM doubles
+    // the Spark side injects (full-precision toString round-trips), and
+    // both engines round it 6dp before the one comparison
+    "a_bh_fdr" -> {
+      val ladder = bhZCrit.mkString("[", ", ", "]")
+      s"""WITH g AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(vm) AS BIGINT) AS sv,
+         |    CAST(SUM(vm * vm) AS BIGINT) AS ssv
+         |  FROM (SELECT event_type,
+         |          CAST(ROUND(value * 1e3, 0) AS BIGINT) AS vm
+         |        FROM events)
+         |  GROUP BY 1),
+         |st AS (
+         |  SELECT event_type, n, sv / 1e3 / n AS m,
+         |    (ssv / 1e6 - (sv / 1e3) * (sv / 1e3) / n) / (n - 1) AS v
+         |  FROM g),
+         |p AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    ABS(ROUND((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6))
+         |      AS abs_t
+         |  FROM st a JOIN st b ON a.event_type < b.event_type),
+         |r AS (
+         |  SELECT type_a, type_b, abs_t,
+         |    CAST(row_number() OVER (ORDER BY abs_t DESC, type_a, type_b)
+         |      AS BIGINT) AS rank
+         |  FROM p),
+         |z AS (
+         |  SELECT *, ROUND(($ladder)[rank], 6) AS zcrit FROM r),
+         |k AS (
+         |  SELECT *, MAX(CASE WHEN abs_t >= zcrit THEN rank ELSE 0 END)
+         |    OVER () AS kstar
+         |  FROM z)
+         |SELECT type_a, type_b, abs_t, CAST(rank AS INTEGER) AS rank,
+         |  zcrit, (rank <= kstar) AS rejected
+         |FROM k ORDER BY rank""".stripMargin
+    },
     "w_trend_slope" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
@@ -3867,6 +4029,24 @@ object Aggregates {
          |SELECT event_type, n_true, noise,
          |  ROUND(n_true + noise, 6) AS n_dp
          |FROM r ORDER BY event_type""".stripMargin
+    },
+    "privacy_dp_accounting" -> {
+      val eps0 = 0.1
+      val c1 = math.sqrt(2 * math.log(1e6))
+      val em1 = math.expm1(eps0)
+      s"""WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+         |r AS (
+         |  SELECT day,
+         |    CAST(row_number() OVER (ORDER BY day) AS INTEGER) AS k
+         |  FROM days)
+         |SELECT k, day,
+         |  ROUND(k * $eps0, 6) AS eps_basic,
+         |  ROUND($eps0 * $c1 * sqrt(k) + k * $eps0 * $em1, 6)
+         |    AS eps_advanced,
+         |  CAST(k * 10 + 1000 AS BIGINT) AS delta_nano,
+         |  (ROUND($eps0 * $c1 * sqrt(k) + k * $eps0 * $em1, 6)
+         |    < ROUND(k * $eps0, 6)) AS advanced_wins
+         |FROM r ORDER BY k""".stripMargin
     },
     "privacy_dp_sweep" -> {
       // eps grid + alphas rendered ONCE in the JVM (exact decimal

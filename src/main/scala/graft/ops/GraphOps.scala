@@ -146,6 +146,50 @@ object GraphOps {
         .orderBy($"community", $"n_name")
     }),
 
+    // Newman MODULARITY of the LPA partition (Newman & Girvan 2004,
+    // eq. Q = Σ_c [I_c/T − (D_c/T)²] over the both-orientation edge
+    // table: T = total rows = 2m, I_c = intra-community rows, D_c =
+    // community degree sum) — the quality readout that turns
+    // graph_lpa_communities from "a labeling" into "a measured
+    // clustering" (Q > 0 ⟺ denser-than-random inside communities; the
+    // number every curation pipeline checks before trusting host
+    // clusters). All counts are exact longs off ONE pass over the
+    // bounded undirected core joined to the converged labels; q terms
+    // go micro-long before the cross-community sum so q_total is
+    // order-exact (the EM/DoReMi discipline). Corpus-scale cost is the
+    // edge aggregate feeding undCore; everything after runs on the
+    // 25-node graph.
+    "graph_modularity" -> ((s, d) => {
+      import s.implicits._
+      val und = undCore(s, d)
+      // re-derive (node, community) from the converged labeling via the
+      // nation dim (the LPA query returns names; modularity needs keys)
+      val nodeLab = queries("graph_lpa_communities")(s, d)
+        .join(nation(s, d).select($"n_nationkey".as("node"), $"n_name"),
+          "n_name")
+        .select($"node", $"community")
+      val withC = und
+        .join(nodeLab.toDF("a", "ca"), "a")
+        .join(nodeLab.toDF("b", "cb"), "b")
+      val t = withC.count() // 2m — bounded-graph scalar (S12 family)
+      val perC = withC.groupBy($"ca".as("community"))
+        .agg(count(lit(1)).as("deg_sum"),
+          sum(when($"ca" === $"cb", 1L).otherwise(0L)).as("intra_rows"))
+      val nNodes = nodeLab.groupBy($"community")
+        .agg(count(lit(1)).as("n_nodes"))
+      perC.join(nNodes, "community")
+        .withColumn("qm", round(($"intra_rows".cast("double") / t
+          - ($"deg_sum".cast("double") / t)
+            * ($"deg_sum".cast("double") / t)) * 1e6, 0).cast("long"))
+        .withColumn("q_total", round(
+          sum($"qm").over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+            .cast("double") / 1e6, 6))
+        .select($"community", $"n_nodes", $"intra_rows", $"deg_sum",
+          round($"qm".cast("double") / 1e6, 6).as("q_term"), $"q_total")
+        .orderBy("community")
+    }),
+
     // Degree/strength profile per nation: in/out degree and exact decimal
     // in/out strength over the trade graph — the graph-shape datasheet
     // (degree skew is what decides salting/orientation strategy at scale).
@@ -747,6 +791,54 @@ object GraphOps {
          |SELECT n_name, l$Iterations.label AS community
          |FROM nation JOIN l$Iterations ON n_nationkey = l$Iterations.node
          |ORDER BY community, n_name""".stripMargin
+    },
+    // same und + LPA round CTEs as the communities oracle, then the
+    // exact-long modularity arithmetic (q terms micro-quantized before
+    // the cross-community sum, mirroring the engine)
+    "graph_modularity" -> {
+      val rounds = (1 to Iterations).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT l.node, COALESCE(nl.newl, l.label) AS label
+           |  FROM l${i - 1} l LEFT JOIN (
+           |    SELECT a AS node, label AS newl FROM (
+           |      SELECT a, label,
+           |        row_number() OVER (PARTITION BY a
+           |          ORDER BY c DESC, label ASC) AS rn
+           |      FROM (
+           |        SELECT und.a, prev.label, COUNT(*) AS c
+           |        FROM und JOIN l${i - 1} prev ON und.b = prev.node
+           |        GROUP BY 1, 2))
+           |    WHERE rn = 1) nl ON l.node = nl.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $undCoreCteSql,
+         |l0 AS (SELECT n_nationkey AS node, n_nationkey AS label FROM nation),
+         |$rounds,
+         |nl AS (SELECT node, label AS community FROM l$Iterations),
+         |wc AS (
+         |  SELECT und.a, und.b, la.community AS ca, lb.community AS cb
+         |  FROM und JOIN nl la ON und.a = la.node
+         |           JOIN nl lb ON und.b = lb.node),
+         |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM wc),
+         |pc AS (
+         |  SELECT ca AS community, CAST(COUNT(*) AS BIGINT) AS deg_sum,
+         |    CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS intra_rows
+         |  FROM wc GROUP BY 1),
+         |nn AS (
+         |  SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |  FROM nl GROUP BY 1),
+         |qq AS (
+         |  SELECT pc.community, nn.n_nodes, pc.intra_rows, pc.deg_sum,
+         |    CAST(ROUND((CAST(intra_rows AS DOUBLE) / t
+         |      - (CAST(deg_sum AS DOUBLE) / t)
+         |        * (CAST(deg_sum AS DOUBLE) / t)) * 1e6, 0) AS BIGINT)
+         |      AS qm
+         |  FROM pc JOIN nn ON pc.community = nn.community
+         |  CROSS JOIN tt)
+         |SELECT community, n_nodes, intra_rows, deg_sum,
+         |  ROUND(CAST(qm AS DOUBLE) / 1e6, 6) AS q_term,
+         |  ROUND(CAST(SUM(qm) OVER () AS DOUBLE) / 1e6, 6) AS q_total
+         |FROM qq ORDER BY community""".stripMargin
     },
     "graph_degree_stats" ->
       s"""WITH e AS (

@@ -176,6 +176,32 @@ object StreamingOps {
         .orderBy("batch_id")
     }),
 
+    // Batch twin of the transformWithState TIMER op (AbandonedClicks):
+    // clicks the same user never followed with a purchase inside the
+    // next hour — a range-residual ANTI join (equi on user_id carries
+    // the shuffle, the interval prunes inside each key group). The
+    // timer rendering emits each abandoned click exactly when the
+    // watermark passes click_ts + 1h; StreamingSpec replays it through
+    // MemoryStream + RocksDB and asserts set-equality with this.
+    // Completes the interval triptych: inner join (matches), left
+    // outer (anchors with/without matches), timers (the complement,
+    // decided at deadline).
+    "stream_abandoned_clicks" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"),
+          $"ts".as("click_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+      clicks.join(purchases,
+          $"user_id" === $"p_user" &&
+            $"p_ts" > $"click_ts" &&
+            $"p_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"),
+          "left_anti")
+        .orderBy("click_id")
+    }),
+
     // Session windows: 30-minute inactivity gap per user.
     "stream_session_windows" -> ((s, d) => {
       import s.implicits._
@@ -363,6 +389,15 @@ object StreamingOps {
         |  CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
         |    AS sum_micro
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_abandoned_clicks" ->
+      """SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts
+        |FROM events c
+        |WHERE c.event_type = 'click'
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM events p
+        |    WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |      AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        |ORDER BY click_id""".stripMargin,
     "stream_interval_join_outer" ->
       """WITH c AS (
         |  SELECT user_id AS c_user, ts AS click_ts FROM events

@@ -168,6 +168,8 @@ class RelationalSpec extends SparkSpec {
       "privacy_k_generalize", "stream_interval_join_outer",
       "fuzz_osjoin_000", "split_leakage_audit_lsh",
       "lda_em_topics_dist", "sink_exactly_once_batches",
+      "a_bh_fdr", "privacy_dp_accounting", "graph_modularity",
+      "stream_abandoned_clicks",
       "mm_scene_cuts").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq

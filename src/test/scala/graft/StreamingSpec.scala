@@ -692,6 +692,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState timers: abandoned clicks emit at deadline and match the anti-join twin") {
+    // the Spark 4 arbitrary-stateful-processing v2 showcase
+    // (AbandonedClicks): per-click EVENT-TIME TIMERS decide "no purchase
+    // within the hour" exactly when the watermark passes click_ts + 1h.
+    // Requires the RocksDB state store; restore the provider after.
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val typed = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+      .as[(Long, Long, String, Timestamp)]
+    val q = graft.streaming.AbandonedClicks.plan(typed)
+      .toDF("user_id", "click_id", "click_ts_ms")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_abandoned").start()
+    try {
+      val ordered = batchEvents.sortBy(e => (e._2.getTime, e._1))
+      val (b1, b2) = ordered.splitAt(ordered.length / 2)
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      // mid-stream check: nothing whose deadline the watermark has NOT
+      // passed may have emitted (the timer contract)
+      val wm1 = b1.map(_._2.getTime).max - 3600000L
+      val early = spark.table("t_abandoned")
+        .select($"click_ts_ms").as[Long].collect()
+      assert(early.forall(_ + 3600000L <= wm1),
+        "a click emitted before the watermark passed its deadline")
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      // far-future purchase sentinel (user -1) flushes every timer
+      val sentinel = (-1L,
+        new Timestamp(ordered.map(_._2.getTime).max + 30L * 86400000L),
+        -1L, "purchase", 0.0)
+      stream.addData(Seq(sentinel)); q.processAllAvailable()
+      val got = spark.table("t_abandoned")
+        .select($"user_id", $"click_id", $"click_ts_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = SparkEntry.queries("stream_abandoned_clicks")(spark, sf)
+        .select($"user_id", $"click_id", unix_millis($"click_ts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"timer op diverged from the anti-join twin")
+      assert(got.nonEmpty, "no abandoned clicks — vacuous corpus")
+      // non-vacuous the other way too: some clicks WERE covered
+      val allClicks = batchEvents.count(_._4 == "click")
+      assert(got.size < allClicks, "every click abandoned — no coverage case")
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("idempotent batchId-keyed sink: a replayed batch leaves the sink bit-identical") {
     // the exactly-once-over-at-least-once pattern (VERDICT r16 item #6):
     // foreachBatch legally re-runs the last uncommitted batch with the
