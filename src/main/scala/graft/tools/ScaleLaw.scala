@@ -103,7 +103,12 @@ object ScaleLaw {
     "core" -> Families,
     "r15" -> Families30,
     "r16" -> Families100,
-    "r17" -> FamiliesR17)
+    "r17" -> FamiliesR17,
+    // the round-17 distributed LDA fit: per-doc E-step P-wide +
+    // tree-reduced exact-long suff stats — the fallback for the one
+    // single-partition compute; the law should read linear-in-corpus
+    // like the relational trainer's data term
+    "r17lda" -> Seq("lda_em_topics_dist"))
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -172,6 +172,7 @@ class PlanSpec extends SparkSpec {
     "privacy_dp_quantile",                           // 1-row lo/hi/n stats broadcast (psi-drift grid device)
     "corpus_unimax_weights",                         // 1-row capacity-total + 1-row waterfill-threshold broadcasts
     "a_neyman_alloc",                                // 1-row budget/weight-total broadcast over the per-stratum table
+    "a_bh_fdr",                                      // 5-row stats-table pair self-join (welch chain)
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.
@@ -238,6 +239,12 @@ class PlanSpec extends SparkSpec {
       "cumulative-rank window over the 1000-bin bounded value grid (corpus-independent domain)",
     "corpus_unimax_weights" ->
       "waterfilling rank/prefix windows over the per-SOURCE aggregate (fixed source domain)",
+    "a_bh_fdr" ->
+      "rank + kstar windows over the C(5,2) = 10-row pair table (fixed type domain)",
+    "privacy_dp_accounting" ->
+      "k-ladder row_number over the calendar-bounded distinct-day frame",
+    "graph_modularity" ->
+      "q_total sum window over the <= |V| per-community aggregate (bounded 25-node graph)",
   )
 
   test("unpartitioned windows only over provably bounded frames") {
