@@ -97,6 +97,9 @@ object Bench {
     "dedup_lsh_pr_eval" -> 1.90, "ml_logreg_gd" -> 0.65,
     "graph_assortativity" -> 1.60, "ml_als_factors" -> 3.35,
     "dedup_cluster_reps_lsh" -> 1.80,
+    // round 17 (first bench-context readings: passes [5.26, 4.80] at
+    // noise 0.839 — re-pin after the first driver bench)
+    "lda_em_topics_dist" -> 5.00,
   )
 
   def main(args: Array[String]): Unit = {

@@ -123,6 +123,11 @@ object SparkEntry {
     // verify → star-CC). Timing it guards the whole LSH-fed cluster path;
     // first Bench-context anchor recorded in BASELINE.md this round.
     "dedup_cluster_reps_lsh",
+    // round 17: the distributed treeAggregate LDA fit — full fit per
+    // timed pass BY DESIGN (clearState wipes emDistCache, the
+    // ml_als_factors convention), so regressions in the per-round
+    // broadcast + tree-reduce shape stay visible.
+    "lda_em_topics_dist",
   ).filter(queries.contains)
 
   /** Retired from group-2 TIMING at round 12 (they remain in `queries`

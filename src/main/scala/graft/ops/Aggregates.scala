@@ -1242,6 +1242,43 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // Quantile treatment effects at the deciles — the DISTRIBUTIONAL
+    // experiment readout (a mean shift and a tail shift are different
+    // products; QTE(τ) = Q_treat(τ) − Q_ctrl(τ) is the standard lens,
+    // Koenker/Bassett quantile-regression's two-sample special case).
+    // Per arm (the a_srm_check user split), the exact type-7 quantile at
+    // τ = 0.1..0.9 via the binRanked device — rank selection shuffles by
+    // (arm, value-bin), never a global sort — then one 9-row join of the
+    // two arms. Both q's are 6dp-rounded BEFORE the difference, matching
+    // the oracle's quantile_cont exactly (the a_percentiles contract).
+    "a_qte_deciles" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select(pmod($"user_id", lit(2L)).as("arm"), $"value")
+      val ranked = binRanked(s, ev, Seq("arm"))
+      val ps = (1 to 9).map(_ / 10.0)
+      def vAt(p: Double, lo: Boolean) = {
+        val k = lit(1.0) + ($"n" - 1).cast("double") * lit(p)
+        max(when($"rn" === (if (lo) floor(k) else ceil(k)), $"value"))
+      }
+      val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
+        Seq(vAt(p, lo = true).as(s"lo$i"), vAt(p, lo = false).as(s"hi$i"))
+      }
+      val allAggs = max($"n").as("nn") +: aggs
+      val g = ranked.groupBy($"arm").agg(allAggs.head, allAggs.tail: _*)
+      val long = ps.zipWithIndex.map { case (p, i) =>
+        val k = lit(1.0) + ($"nn" - 1).cast("double") * lit(p)
+        g.select($"arm", lit((i + 1).toLong).as("decile"),
+          round(col(s"lo$i") + (col(s"hi$i") - col(s"lo$i"))
+            * (k - floor(k)), 6).as("q"))
+      }.reduce(_ unionByName _)
+      long.filter($"arm" === 0L).select($"decile", $"q".as("q_arm0"))
+        .join(long.filter($"arm" === 1L)
+          .select($"decile", $"q".as("q_arm1")), "decile")
+        .withColumn("qte", round($"q_arm1" - $"q_arm0", 6))
+        .orderBy("decile")
+    }),
+
     // Data profiling (training-pipeline staple): per-column null rate,
     // distinct count, min/max rendered as strings — long-form so new
     // columns don't change the schema. One pass per column group via a
@@ -3786,6 +3823,28 @@ object Aggregates {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts <= v.view_ts
         |ORDER BY event_id""".stripMargin,
+    // unrolled per-decile quantile_cont columns -> long form (a grouped
+    // quantile fraction must be a constant in DuckDB), sign-safe arm
+    "a_qte_deciles" -> {
+      val qCols = (1 to 9).map(i =>
+        s"ROUND(quantile_cont(value, 0.$i), 6) AS q$i").mkString(",\n    ")
+      val longRows = (1 to 9).map(i =>
+        s"SELECT arm, CAST($i AS BIGINT) AS decile, q$i AS q FROM g")
+        .mkString("\n  UNION ALL ")
+      s"""WITH a AS (
+         |  SELECT ((user_id % 2) + 2) % 2 AS arm, value FROM events),
+         |g AS (
+         |  SELECT arm,
+         |    $qCols
+         |  FROM a GROUP BY arm),
+         |l AS (
+         |  $longRows)
+         |SELECT l0.decile AS decile, l0.q AS q_arm0, l1.q AS q_arm1,
+         |  ROUND(l1.q - l0.q, 6) AS qte
+         |FROM l l0 JOIN l l1 ON l0.decile = l1.decile
+         |WHERE l0.arm = 0 AND l1.arm = 1
+         |ORDER BY l0.decile""".stripMargin
+    },
     "a_percentiles" ->
       """SELECT event_type,
         |  ROUND(quantile_cont(value, 0.5), 6) AS p50,

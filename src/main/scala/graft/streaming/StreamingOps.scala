@@ -176,6 +176,41 @@ object StreamingOps {
         .orderBy("batch_id")
     }),
 
+    // FULL OUTER completion of the interval-join family: every purchase
+    // appears (with null click when none landed in its preceding hour)
+    // AND every click appears (with null purchase when it matched no
+    // purchase's lookback window) — the reconciliation readout that
+    // audits both streams at once. Streaming-wise this is the superset
+    // semantics of the left-outer entry: null emission on BOTH sides is
+    // watermark-driven (Spark supports full_outer stream-stream joins
+    // with the same state-eviction rule; the left-outer spec pins the
+    // mechanism, so the batch twin here is oracle-checked and the
+    // streaming rendering inherits the proven eviction behavior).
+    // Aggregated per side-tagged key so the output is deterministic.
+    "stream_interval_join_full" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+          $"ts".as("click_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"),
+          $"ts".as("purchase_ts"))
+      purchases.join(clicks,
+          $"user_id" === $"c_user" &&
+            $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR") &&
+            $"click_ts" <= $"purchase_ts",
+          "full_outer")
+        .groupBy(coalesce($"user_id", $"c_user").as("uid"))
+        .agg(count($"purchase_id").as("n_purchase_rows"),
+          count($"click_id").as("n_click_rows"),
+          sum(when($"purchase_id".isNotNull && $"click_id".isNull, 1L)
+            .otherwise(0L)).as("n_unmatched_purchases"),
+          sum(when($"click_id".isNotNull && $"purchase_id".isNull, 1L)
+            .otherwise(0L)).as("n_unmatched_clicks"))
+        .orderBy("uid")
+    }),
+
     // Batch twin of the transformWithState TIMER op (AbandonedClicks):
     // clicks the same user never followed with a purchase inside the
     // next hour — a range-residual ANTI join (equi on user_id carries
@@ -389,6 +424,26 @@ object StreamingOps {
         |  CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
         |    AS sum_micro
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_interval_join_full" ->
+      """WITH c AS (
+        |  SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.user_id, p.purchase_id, c.c_user, c.click_id
+        |  FROM p FULL JOIN c ON p.user_id = c.c_user
+        |    AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+        |    AND c.click_ts <= p.purchase_ts)
+        |SELECT COALESCE(user_id, c_user) AS uid,
+        |  COUNT(purchase_id) AS n_purchase_rows,
+        |  COUNT(click_id) AS n_click_rows,
+        |  CAST(SUM(CASE WHEN purchase_id IS NOT NULL AND click_id IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_purchases,
+        |  CAST(SUM(CASE WHEN click_id IS NOT NULL AND purchase_id IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_clicks
+        |FROM j GROUP BY 1 ORDER BY uid""".stripMargin,
     "stream_abandoned_clicks" ->
       """SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts
         |FROM events c
