@@ -108,7 +108,12 @@ object ScaleLaw {
     // tree-reduced exact-long suff stats — the fallback for the one
     // single-partition compute; the law should read linear-in-corpus
     // like the relational trainer's data term
-    "r17lda" -> Seq("lda_em_topics_dist"))
+    "r17lda" -> Seq("lda_em_topics_dist"),
+    // ANN at 100×: the index-probe story's biggest data term — IVF-PQ
+    // encode+probe (codebooks train once in the untimed warm-up, the
+    // Bench convention) and the sign-LSH bucket probe; both predicted
+    // linear in corpus vectors with query-side constants
+    "r17ann" -> Seq("ann_ivfpq_topk", "ann_lsh_topk"))
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
