@@ -10,16 +10,17 @@ package graft
   */
 class FuzzSpec extends SparkSpec {
   import graft.FuzzQueries.{NumAgg, NumWin, NumJoin, NumTok, NumFrame,
-    NumStream, NumSJoin, NumSJoinOuter}
+    NumStream, NumSJoin, NumSJoinOuter, NumExists}
 
   test("fuzz surface: every generated query has an oracle and vice versa") {
     val q = FuzzQueries.queries.keySet
     val o = FuzzQueries.oracleSql.keySet
     assert(q == o, s"query/oracle key drift: ${(q diff o) ++ (o diff q)}")
     assert(q.size == NumAgg + NumWin + NumJoin + NumTok + NumFrame
-      + NumStream + NumSJoin + NumSJoinOuter)
+      + NumStream + NumSJoin + NumSJoinOuter + NumExists)
     assert(q.count(_.startsWith("fuzz_sjoin_")) == NumSJoin)
     assert(q.count(_.startsWith("fuzz_osjoin_")) == NumSJoinOuter)
+    assert(q.count(_.startsWith("fuzz_exists_")) == NumExists)
     assert(q.count(_.startsWith("fuzz_agg_")) == NumAgg)
     assert(q.count(_.startsWith("fuzz_win_")) == NumWin)
     assert(q.count(_.startsWith("fuzz_join_")) == NumJoin)
@@ -38,7 +39,8 @@ class FuzzSpec extends SparkSpec {
     Seq("fuzz_agg_000", "fuzz_agg_037", "fuzz_agg_099",
       "fuzz_win_000", "fuzz_win_019", "fuzz_join_000",
       "fuzz_join_029", "fuzz_tok_000", "fuzz_tok_019",
-      "fuzz_frame_000", "fuzz_frame_019").foreach { name =>
+      "fuzz_frame_000", "fuzz_frame_019",
+      "fuzz_exists_000", "fuzz_exists_007").foreach { name =>
       val fn = FuzzQueries.queries(name)
       val a = fn(spark, sf).collect().map(_.toSeq).toSeq
       val b = fn(spark, sf).collect().map(_.toSeq).toSeq
