@@ -1242,6 +1242,44 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // Bayesian A/B readout in closed form — Beta-Binomial conjugacy
+    // (Beta(1,1) prior + binomial conversions ⇒ posterior
+    // Beta(1+c, 1+n−c)): per arm, the posterior MEAN, MAP, and SD of
+    // the purchase-conversion rate, plus the moment-matched normal
+    // approximation of P(treat > ctrl) reported as its z-SCORE
+    // (Δmean/√(var₀+var₁)) rather than a CDF value — the standard
+    // dashboard compromise that keeps both engines CDF-free (the
+    // a_bh_fdr ladder trick doesn't apply: this z is data-dependent).
+    // Everything is rational arithmetic over exact user counts; one
+    // distinct-user aggregate feeds the whole readout.
+    "a_bayes_ab" -> ((s, d) => {
+      import s.implicits._
+      val conv = events(s, d)
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .select(pmod($"user_id", lit(2L)).as("arm"), $"converted")
+        .groupBy($"arm")
+        .agg(count(lit(1)).as("n"), sum($"converted").as("c"))
+        .withColumn("alpha", ($"c" + 1L).cast("double"))
+        .withColumn("beta", ($"n" - $"c" + 1L).cast("double"))
+        .withColumn("post_mean", $"alpha" / ($"alpha" + $"beta"))
+        .withColumn("post_map", ($"alpha" - 1.0) / ($"alpha" + $"beta" - 2.0))
+        .withColumn("post_var", $"alpha" * $"beta"
+          / (($"alpha" + $"beta") * ($"alpha" + $"beta")
+            * ($"alpha" + $"beta" + 1.0)))
+      val a0 = conv.filter($"arm" === 0L).select($"n".as("n0"), $"c".as("c0"),
+        $"post_mean".as("m0"), $"post_map".as("map0"), $"post_var".as("v0"))
+      val a1 = conv.filter($"arm" === 1L).select($"n".as("n1"), $"c".as("c1"),
+        $"post_mean".as("m1"), $"post_map".as("map1"), $"post_var".as("v1"))
+      a0.crossJoin(a1)
+        .select($"n0", $"c0", round($"m0", 6).as("mean_arm0"),
+          round($"map0", 6).as("map_arm0"),
+          $"n1", $"c1", round($"m1", 6).as("mean_arm1"),
+          round($"map1", 6).as("map_arm1"),
+          round(($"m1" - $"m0") / sqrt($"v0" + $"v1"), 6).as("lift_z"))
+    }),
+
     // Quantile treatment effects at the deciles — the DISTRIBUTIONAL
     // experiment readout (a mean shift and a tail shift are different
     // products; QTE(τ) = Q_treat(τ) − Q_ctrl(τ) is the standard lens,
@@ -3823,6 +3861,33 @@ object Aggregates {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts <= v.view_ts
         |ORDER BY event_id""".stripMargin,
+    "a_bayes_ab" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT ((user_id % 2) + 2) % 2 AS arm,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
+        |  FROM u GROUP BY 1),
+        |p AS (
+        |  SELECT arm, n, c,
+        |    CAST(c + 1 AS DOUBLE) AS alpha, CAST(n - c + 1 AS DOUBLE) AS beta
+        |  FROM g),
+        |m AS (
+        |  SELECT arm, n, c,
+        |    alpha / (alpha + beta) AS pm,
+        |    (alpha - 1.0) / (alpha + beta - 2.0) AS mp,
+        |    alpha * beta / ((alpha + beta) * (alpha + beta)
+        |      * (alpha + beta + 1.0)) AS pv
+        |  FROM p)
+        |SELECT a0.n AS n0, a0.c AS c0,
+        |  ROUND(a0.pm, 6) AS mean_arm0, ROUND(a0.mp, 6) AS map_arm0,
+        |  a1.n AS n1, a1.c AS c1,
+        |  ROUND(a1.pm, 6) AS mean_arm1, ROUND(a1.mp, 6) AS map_arm1,
+        |  ROUND((a1.pm - a0.pm) / sqrt(a0.pv + a1.pv), 6) AS lift_z
+        |FROM m a0 CROSS JOIN m a1
+        |WHERE a0.arm = 0 AND a1.arm = 1""".stripMargin,
     // unrolled per-decile quantile_cont columns -> long form (a grouped
     // quantile fraction must be a constant in DuckDB), sign-safe arm
     "a_qte_deciles" -> {

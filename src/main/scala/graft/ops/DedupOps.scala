@@ -864,6 +864,31 @@ object DedupOps {
       leakageAudit(s, queries("dedup_minhash_lsh")(s, d).select($"d1", $"d2"))
     }),
 
+    // Dedup GATE SWEEP — the knob-design readout run before committing a
+    // Jaccard threshold corpus-wide: for τ ∈ {0.7, 0.8, 0.9}, how many
+    // near-dup pairs qualify, how many docs fall into clusters, and how
+    // many rows a min-id survivor pick would remove. One exact-verifier
+    // pass at the lowered 0.5 base (the pr_eval posture — at 100 TB this
+    // runs on a sampled stratum; the production path stays banded), then
+    // per-gate filters + CC on the (tiny, ∝ dup density) pair lists. The
+    // oracle replays three recursive-CTE closures, one per gate. Gate
+    // compares on the ROUNDED 6dp jaccard in both engines.
+    "dedup_gate_sweep" -> ((s, d) => {
+      import s.implicits._
+      val (e, sizes) = explodedShingles(s, d)
+      val base = jaccardPairs(s, e, sizes, 0.5).localCheckpoint()
+      Seq(0.7, 0.8, 0.9).map { g =>
+        val pairs = base.filter($"jaccard" >= g).select($"d1", $"d2")
+        val cc = connectedComponents(s, pairs).toDF("doc_id", "rep")
+        cc.agg(count(lit(1)).as("n_docs_in_clusters"),
+            sum(when($"doc_id" =!= $"rep", 1L).otherwise(0L))
+              .as("n_removed"))
+          .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+          .select(lit(g).as("gate"), $"n_pairs",
+            $"n_docs_in_clusters", $"n_removed")
+      }.reduce(_ unionByName _).orderBy("gate")
+    }),
+
     // Benchmark decontamination (the training-data op behind GPT-3/Pile
     // style "remove eval-set overlap"): a small benchmark suite (here the
     // deterministic doc_id % 97 == 0 subset) is reduced to its distinct
@@ -1682,6 +1707,44 @@ object DedupOps {
          |  FROM lshverified)
          |SELECT s1, s2, COUNT(*) AS n_pairs, (s1 <> s2) AS leaks
          |FROM sp GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
+    },
+    "dedup_gate_sweep" -> {
+      val gateBlocks = Seq("0.7", "0.8", "0.9").map { g =>
+        val t = g.replace(".", "")
+        s"""jp$t AS (
+           |  SELECT d1, d2 FROM jall WHERE jaccard >= $g),
+           |ed$t AS (SELECT d1 AS a, d2 AS b FROM jp$t
+           |         UNION SELECT d2, d1 FROM jp$t),
+           |reach$t(a, b) AS (
+           |  SELECT a, b FROM ed$t UNION SELECT a, a FROM ed$t
+           |  UNION
+           |  SELECT r.a, e2.b FROM reach$t r JOIN ed$t e2 ON r.b = e2.a),
+           |cc$t AS (
+           |  SELECT a AS doc_id, MIN(b) AS rep FROM reach$t GROUP BY a),
+           |row$t AS (
+           |  SELECT CAST($g AS DOUBLE) AS gate,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM jp$t) AS n_pairs,
+           |    CAST(COUNT(*) AS BIGINT) AS n_docs_in_clusters,
+           |    CAST(SUM(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_removed
+           |  FROM cc$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $shingleCte,
+         |jall AS (
+         |  SELECT d1, d2, jaccard FROM (
+         |    SELECT d1, d2,
+         |      ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+         |    FROM (
+         |      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         |      FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2) p
+         |    JOIN sz sa ON d1 = sa.doc_id
+         |    JOIN sz sb ON d2 = sb.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |$gateBlocks
+         |SELECT * FROM row07 UNION ALL SELECT * FROM row08
+         |UNION ALL SELECT * FROM row09
+         |ORDER BY gate""".stripMargin
     },
     "dedup_cluster_reps" -> clusterRepsSql,
     // the star-algorithm variant computes the SAME resolution — one

@@ -173,6 +173,8 @@ class PlanSpec extends SparkSpec {
     "corpus_unimax_weights",                         // 1-row capacity-total + 1-row waterfill-threshold broadcasts
     "a_neyman_alloc",                                // 1-row budget/weight-total broadcast over the per-stratum table
     "a_bh_fdr",                                      // 5-row stats-table pair self-join (welch chain)
+    "a_bayes_ab",                                    // 1-row per-arm posterior cross (report fan-in)
+    "dedup_gate_sweep",                              // 1-row cluster-agg x 1-row pair-count cross per gate
   )
 
   /** Queries allowed to run a WindowExec with an EMPTY partition spec.

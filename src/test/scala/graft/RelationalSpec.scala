@@ -170,7 +170,7 @@ class RelationalSpec extends SparkSpec {
       "lda_em_topics_dist", "sink_exactly_once_batches",
       "a_bh_fdr", "privacy_dp_accounting", "graph_modularity",
       "stream_abandoned_clicks", "stream_interval_join_full",
-      "a_qte_deciles",
+      "a_qte_deciles", "a_bayes_ab", "dedup_gate_sweep",
       "mm_scene_cuts").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
