@@ -41,11 +41,14 @@ object Bench {
     * group-2 head entries BENCH_r16's truncated tail didn't preserve.
     * These are TRIGGER thresholds, not judging anchors — slightly
     * generous is safe (a missed trigger just means min-of-2, the
-    * pre-round-17 behavior), so values are rounded UP a notch. A query
-    * with no entry (e.g. a future bench addition before its first
-    * driver reading) simply stays min-of-2; add its anchor the round
-    * after it lands. BASELINE.md "bench methodology" documents the
-    * rule; queries at the 0.4 s floor never trigger regardless.
+    * pre-round-17 behavior), so values are rounded UP a notch.
+    * `repassNeeded` tolerates an anchorless query (it stays plain
+    * min-of-2), but BenchSpec's meta-check requires every bench-group
+    * entry to carry a row here — when adding a bench entry, pin a
+    * PROVISIONAL anchor from a quiet TimeAll/local-bench reading in
+    * the same commit (the lda_em_topics_dist pattern) and re-pin after
+    * the first driver bench. BASELINE.md "bench methodology" documents
+    * the rule; queries at the 0.4 s floor never trigger regardless.
     */
   val ADAPT_TRIGGER = 1.5
   val ADAPT_FLOOR = 0.4
@@ -191,8 +194,16 @@ object Bench {
         }
         name -> ps
       }
+      // A query fails only if a STANDARD pass crashed; a crashed adaptive
+      // extra pass (running precisely under the contention that triggered
+      // it) must not convert two valid measurements into a reported
+      // failure — extra passes may only ever LOWER a min, so the min is
+      // taken over the passes that succeeded. (repassNeeded's
+      // forall(_ >= 0) guard already stops further re-passes after a
+      // crash.)
       val results = raw.map { case (name, ps) =>
-        name -> (if (ps.exists(_ < 0)) -1.0 else ps.min)
+        name -> (if (ps.take(2).exists(_ < 0)) -1.0
+        else ps.filter(_ >= 0).min)
       }
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -238,7 +249,7 @@ object Bench {
     val (total2, qs2, ps2, failed2, _, extras2) = timeGroup(names2)
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val noise = r3(math.max(calib1, calib2) / anchor)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_warm","queries":$qs,"passes":$ps,"failed":$failed,"extra_passes":$extras1,"total2":$total2,"queries2":$qs2,"passes2":$ps2,"failed2":$failed2,"extra_passes2":$extras2,"calib1":${r3(calib1)},"calib2":${r3(calib2)},"calib_anchor":$anchor,"noise_factor":$noise,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_adaptive","queries":$qs,"passes":$ps,"failed":$failed,"extra_passes":$extras1,"total2":$total2,"queries2":$qs2,"passes2":$ps2,"failed2":$failed2,"extra_passes2":$extras2,"calib1":${r3(calib1)},"calib2":${r3(calib2)},"calib_anchor":$anchor,"noise_factor":$noise,"sf":"$sfDir"}""")
     // Truncation-proof tail: the driver captures only the LAST 2000 chars
     // of output, and the full line above is well past that — in round 9
     // the group-1 per-query numbers fell off the front and per-query

@@ -740,6 +740,13 @@ object MLOps {
         }
       for (_ <- 1 to EmIters) {
         val phB = s.sparkContext.broadcast(phi)
+        // TWO passes over the persisted docs per round, each recomputing
+        // the per-doc wkm terms (both M-step inputs use the OLD (φ, θ),
+        // matching the relational round exactly). Measured trade-off: a
+        // single-pass variant that materialized wkm alongside θ (persist
+        // of nnz×K nested arrays) timed NO faster at sf0.1 — the
+        // serialization of the materialized terms costs about what the
+        // recompute does — so the simpler recompute form stays.
         // M-step (φ): word×topic suff stats tree-reduced as exact longs —
         // the partition-count-invariant merge
         val suff = docs.treeAggregate(new Array[Long](v * k))(
@@ -768,6 +775,13 @@ object MLOps {
         next.count()
         docs.unpersist(blocking = false)
         docs = next
+        // unpersist, NOT destroy: the persisted docs RDD's lineage still
+        // closes over phB (persist caches blocks but does not truncate
+        // lineage, and task serialization walks the closure chain), so
+        // destroy() would poison every later round on a cache miss.
+        // unpersist frees the executor copies; the driver-side value
+        // (K×V doubles) stays referencable for recomputation.
+        phB.unpersist(blocking = false)
         val topicSum = Array.tabulate(k)(j =>
           (0 until v).map(w => suff(w * k + j)).sum)
         phi = Array.tabulate(v, k)((w, j) =>

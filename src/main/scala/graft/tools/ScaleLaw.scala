@@ -78,11 +78,6 @@ object ScaleLaw {
     "dedup_substring_spans" // rolling 20-token window hashes: the token-firehose shuffle
   )
 
-  /** Named family sets — selected EXPLICITLY by the 4th CLI argument
-    * (round-15 advisor: keying the set off `factor == 10` meant the core
-    * families could never be re-measured at another factor, and a typo'd
-    * factor silently changed which queries ran). Unknown names fail loudly.
-    */
   /** The round-17 set (VERDICT r16 item #4): the end-to-end production
     * dedup COMPOSITION — banded-LSH candidates → exact verify → star-CC
     * → survivor pick (+ the per-source report on top). Each stage is
@@ -99,6 +94,11 @@ object ScaleLaw {
     "dedup_cluster_reps_lsh",
     "pipeline_dedup_corpus")
 
+  /** Named family sets — selected EXPLICITLY by the 4th CLI argument
+    * (round-15 advisor: keying the set off `factor == 10` meant the core
+    * families could never be re-measured at another factor, and a typo'd
+    * factor silently changed which queries ran). Unknown names fail loudly.
+    */
   val FamilySets: Map[String, Seq[String]] = Map(
     "core" -> Families,
     "r15" -> Families30,

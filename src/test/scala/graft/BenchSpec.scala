@@ -39,10 +39,12 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.repassNeeded(Seq(-1.0, 11.76), Some(3.31)))
   }
 
-  test("every bench-group query except future additions has an anchor") {
-    // the rule only protects anchored entries; this meta-check fails
-    // the build if a bench entry lands without its anchor row two
-    // rounds running (add the anchor from its first driver reading)
+  test("every bench-group query has an anchor") {
+    // the adaptive rule only protects anchored entries, so a bench
+    // entry must land WITH a (possibly provisional) anchor in the same
+    // commit — pin it from a quiet TimeAll/local-bench reading and
+    // re-pin after the first driver bench (the lda_em_topics_dist
+    // pattern; Bench.anchors' scaladoc states the workflow)
     val missing = (SparkEntry.benchQueries ++ SparkEntry.benchQueries2)
       .filterNot(Bench.anchors.contains)
     assert(missing.isEmpty, s"bench entries without anchors: $missing")
