@@ -65,6 +65,58 @@ object Bench {
       ps.forall(_ >= 0) && ps.min > math.max(a * ADAPT_TRIGGER, ADAPT_FLOOR)
     }
 
+  /** Host-speed scaling for the re-pass trigger (round 18): anchors are
+    * absolute seconds pinned on the driver profile, so on a uniformly
+    * slower host every anchored query would "breach" and silently burn
+    * the whole extra-pass budget with no burst present. The group's own
+    * calibration reading measures exactly that host-speed ratio, so the
+    * trigger compares against anchor x max(1, calib/calibAnchor). On
+    * the quiet driver (ratio ~1.0) behavior is unchanged; a 3x-slower
+    * dev laptop scales every threshold 3x and triggers only on bursts
+    * relative to ITS OWN speed. Never scales DOWN (a faster host keeps
+    * the pinned thresholds — generous triggers are safe, see anchors).
+    */
+  def anchorScale(calib: Double, calibAnchor: Double): Double =
+    math.max(1.0, calib / calibAnchor)
+
+  /** Pure deferred-re-pass scheduler (round 18) — extracted so BenchSpec
+    * can pin ordering and min semantics without a SparkSession. Takes
+    * the completed standard passes for a whole group, and re-passes
+    * still-breaching queries in up to two ROUNDS over the group (each
+    * round visits every pending query once, in group order), so a
+    * query's own re-passes are separated both by the rest of the group's
+    * standard passes AND by its peers' re-passes — the natural-backoff
+    * fix for BENCH_r17's emb_pca_power re-passing straight into its own
+    * burst. Returns (final pass arrays in original group order,
+    * extra passes used, budget-exhausted flag).
+    */
+  def deferredRepass(
+      standard: Seq[(String, Seq[Double])],
+      anchorOf: String => Option[Double],
+      run: String => Double,
+      budgetLeft: Int): (Seq[(String, Seq[Double])], Int, Boolean) = {
+    var raw = standard
+    var used = 0
+    var exhausted = false
+    var rounds = 0
+    var pending = raw.collect {
+      case (n, ps) if repassNeeded(ps, anchorOf(n)) => n
+    }.toSet
+    while (rounds < 2 && pending.nonEmpty && !exhausted) {
+      raw = raw.map { case (n, ps) =>
+        if (pending.contains(n)) {
+          if (used < budgetLeft) { used += 1; n -> (ps :+ run(n)) }
+          else { exhausted = true; n -> ps }
+        } else n -> ps
+      }
+      pending = raw.collect {
+        case (n, ps) if pending.contains(n) && repassNeeded(ps, anchorOf(n)) => n
+      }.toSet
+      rounds += 1
+    }
+    (raw, used, exhausted)
+  }
+
   val anchors: Map[String, Double] = Map(
     // group 1 (27 headline queries, BENCH_r16 mins)
     "j_star_revenue_by_region" -> 0.80, "j_left_order_line_counts" -> 0.35,
@@ -184,16 +236,30 @@ object Bench {
     // variable-length (2-4) — consumers must length-dispatch;
     // `extra_passes` in the JSON names each triggered query.
     var extraUsed = 0
-    def timeGroup(groupNames: Seq[String]) = {
-      val raw = groupNames.map { name =>
-        var ps = Seq(timeOne(name), timeOne(name))
-        var extra = 0
-        while (extra < 2 && extraUsed < MAX_EXTRA_TOTAL &&
-          repassNeeded(ps, anchors.get(name))) {
-          ps = ps :+ timeOne(name); extra += 1; extraUsed += 1
-        }
-        name -> ps
+    var extraBudgetExhausted = false
+    val anchor = calibAnchor(cpus.toInt)
+    // DEFERRED re-passes (round 18, replacing round 17's back-to-back
+    // ones): BENCH_r17's emb_pca_power [1.79, 1.53, 8.78, 5.66] showed
+    // extra passes running INTO the burst that triggered them — both
+    // re-passes landed in a worsening burst and bought nothing. Now all
+    // triggered names are queued and re-passed only AFTER the whole
+    // group finishes (seconds-to-minutes of natural backoff), in up to
+    // two rounds with every still-breaching query re-passed once per
+    // round (so a query's own re-passes are further separated by its
+    // peers'). Per-query cap (2) and the global MAX_EXTRA_TOTAL are
+    // unchanged; min semantics unchanged (min over all passes).
+    def timeGroup(groupNames: Seq[String], calibG: Double) = {
+      val scale = anchorScale(calibG, anchor)
+      val standard = groupNames.map { name =>
+        name -> Seq(timeOne(name), timeOne(name))
       }
+      // ADVICE r17: an exhausted budget on a mismatched-anchor host must
+      // be self-describing, not silent — flagged in the JSON.
+      val (raw, used, exhausted) = deferredRepass(
+        standard, n => anchors.get(n).map(_ * scale), timeOne,
+        MAX_EXTRA_TOTAL - extraUsed)
+      extraUsed += used
+      if (exhausted) extraBudgetExhausted = true
       // A query fails only if a STANDARD pass crashed; a crashed adaptive
       // extra pass (running precisely under the contention that triggered
       // it) must not convert two valid measurements into a reported
@@ -222,7 +288,6 @@ object Bench {
     // probe has its own codegen to JIT). calibN / anchor ≈ 1.0 on a
     // quiet host; BENCH_r10's contention mode would have shown ~1.4.
     // BASELINE.md documents the judging rule keyed off `noise_factor`.
-    val anchor = calibAnchor(cpus.toInt)
     def calibrate(): Double = {
       calibOnce(spark)
       (1 to 3).map { _ =>
@@ -239,17 +304,17 @@ object Bench {
     // queries were never touched by the group-1 warm-up, and an unwarmed
     // first family would bill one-time JIT/classload to its first query.
     val calib1 = calibrate()
-    val (total, qs, ps, failed, res1, extras1) = timeGroup(names)
+    val (total, qs, ps, failed, res1, extras1) = timeGroup(names, calib1)
     val names2 = SparkEntry.benchQueries2
     names2.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
     val calib2 = calibrate()
-    val (total2, qs2, ps2, failed2, _, extras2) = timeGroup(names2)
+    val (total2, qs2, ps2, failed2, _, extras2) = timeGroup(names2, calib2)
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val noise = r3(math.max(calib1, calib2) / anchor)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_adaptive","queries":$qs,"passes":$ps,"failed":$failed,"extra_passes":$extras1,"total2":$total2,"queries2":$qs2,"passes2":$ps2,"failed2":$failed2,"extra_passes2":$extras2,"calib1":${r3(calib1)},"calib2":${r3(calib2)},"calib_anchor":$anchor,"noise_factor":$noise,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_adaptive_deferred","queries":$qs,"passes":$ps,"failed":$failed,"extra_passes":$extras1,"total2":$total2,"queries2":$qs2,"passes2":$ps2,"failed2":$failed2,"extra_passes2":$extras2,"extra_budget_exhausted":$extraBudgetExhausted,"calib1":${r3(calib1)},"calib2":${r3(calib2)},"calib_anchor":$anchor,"noise_factor":$noise,"sf":"$sfDir"}""")
     // Truncation-proof tail: the driver captures only the LAST 2000 chars
     // of output, and the full line above is well past that — in round 9
     // the group-1 per-query numbers fell off the front and per-query

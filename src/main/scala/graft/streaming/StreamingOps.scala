@@ -182,10 +182,14 @@ object StreamingOps {
     // purchase's lookback window) — the reconciliation readout that
     // audits both streams at once. Streaming-wise this is the superset
     // semantics of the left-outer entry: null emission on BOTH sides is
-    // watermark-driven (Spark supports full_outer stream-stream joins
-    // with the same state-eviction rule; the left-outer spec pins the
-    // mechanism, so the batch twin here is oracle-checked and the
-    // streaming rendering inherits the proven eviction behavior).
+    // watermark-driven, with ASYMMETRIC eviction deadlines (a purchase's
+    // null row can emit once watermark > purchase_ts; a click's null row
+    // only once watermark > click_ts + 1h, the last purchase that could
+    // still claim it). Round 18: the streaming rendering no longer
+    // inherits the left-outer spec's evidence — StreamingSpec replays
+    // THIS plan (intervalJoinFullPlan, the same function as this batch
+    // twin) through two MemoryStreams and pins both null paths and
+    // their two different deadlines directly.
     // Aggregated per side-tagged key so the output is deterministic.
     "stream_interval_join_full" -> ((s, d) => {
       import s.implicits._
@@ -196,11 +200,7 @@ object StreamingOps {
       val purchases = ev.filter($"event_type" === "purchase")
         .select($"user_id", $"event_id".as("purchase_id"),
           $"ts".as("purchase_ts"))
-      purchases.join(clicks,
-          $"user_id" === $"c_user" &&
-            $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR") &&
-            $"click_ts" <= $"purchase_ts",
-          "full_outer")
+      intervalJoinFullPlan(clicks, purchases)
         .groupBy(coalesce($"user_id", $"c_user").as("uid"))
         .agg(count($"purchase_id").as("n_purchase_rows"),
           count($"click_id").as("n_click_rows"),
@@ -411,6 +411,29 @@ object StreamingOps {
         "left_outer")
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("click_ts"))
+
+  /** The raw FULL OUTER interval-join plan over a clicks frame
+    * (`c_user`, `click_id`, `click_ts`) and a purchases frame
+    * (`user_id`, `purchase_id`, `purchase_ts`) — ONE function builds
+    * both the oracle-checked batch twin and StreamingSpec's replay, so
+    * the two cannot drift (the intervalJoinOuterPlan discipline).
+    * BOTH sides are preserved, and the two null paths have DIFFERENT
+    * watermark deadlines: an unmatched purchase evicts once the
+    * watermark passes purchase_ts (no click in [ts-1h, ts] can still
+    * arrive), while an unmatched click evicts only once it passes
+    * click_ts + 1h (a purchase anywhere in [click_ts, click_ts+1h]
+    * could still claim it). The spec pins that asymmetry with a
+    * mid-watermark step where exactly one side's null row has emitted.
+    */
+  def intervalJoinFullPlan(clicks: DataFrame,
+                           purchases: DataFrame): DataFrame =
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") <= col("purchase_ts"),
+        "full_outer")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("c_user"), col("click_ts"))
 
   val oracles: Map[String, String] = Map(
     // the straight per-batch aggregate: if the in-query replay ever

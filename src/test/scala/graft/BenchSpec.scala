@@ -39,6 +39,57 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.repassNeeded(Seq(-1.0, 11.76), Some(3.31)))
   }
 
+  test("deferred re-passes run AFTER the whole group, in group order") {
+    // the r17 emb_pca_power lesson: re-passes must not run back-to-back
+    // into the burst that triggered them. Two queries breach; the
+    // scheduler must visit slow_a then slow_b (round 1), then again
+    // (round 2) — never slow_a twice in a row before slow_b's first.
+    val standard = Seq(
+      "fast" -> Seq(0.5, 0.5),
+      "slow_a" -> Seq(9.0, 9.0),
+      "slow_b" -> Seq(8.0, 8.0))
+    val anchorOf = Map("fast" -> 1.0, "slow_a" -> 1.0, "slow_b" -> 1.0)
+    var order = Vector.empty[String]
+    val (raw, used, exhausted) = Bench.deferredRepass(
+      standard, anchorOf.get, n => { order :+= n; 9.9 }, 40)
+    assert(order == Vector("slow_a", "slow_b", "slow_a", "slow_b"))
+    assert(used == 4 && !exhausted)
+    // group order and pass arrays preserved; fast never re-passed
+    assert(raw.map(_._1) == Seq("fast", "slow_a", "slow_b"))
+    assert(raw.toMap.apply("fast") == Seq(0.5, 0.5))
+    assert(raw.toMap.apply("slow_a") == Seq(9.0, 9.0, 9.9, 9.9))
+  }
+
+  test("deferred re-pass min semantics unchanged: a recovered pass ends it") {
+    val standard = Seq("q" -> Seq(9.0, 9.0))
+    var calls = 0
+    val (raw, used, _) = Bench.deferredRepass(
+      standard, _ => Some(1.0), _ => { calls += 1; 0.9 }, 40)
+    // first re-pass recovers the quiet min -> no second round for q
+    assert(calls == 1 && used == 1)
+    assert(raw.head._2 == Seq(9.0, 9.0, 0.9))
+    assert(raw.head._2.min == 0.9)
+  }
+
+  test("exhausted extra budget is flagged, not silent") {
+    val standard = Seq("a" -> Seq(9.0, 9.0), "b" -> Seq(9.0, 9.0))
+    val (_, used, exhausted) = Bench.deferredRepass(
+      standard, _ => Some(1.0), _ => 9.9, 1)
+    assert(used == 1 && exhausted)
+  }
+
+  test("anchor scale compensates a slower host but never a faster one") {
+    // 3x-slower host: calib 0.39 vs 0.13 anchor -> thresholds scale 3x
+    assert(math.abs(Bench.anchorScale(0.39, 0.13) - 3.0) < 1e-9)
+    // quiet driver (~1.0) and faster-than-anchor hosts: unscaled
+    assert(Bench.anchorScale(0.13, 0.13) == 1.0)
+    assert(Bench.anchorScale(0.07, 0.13) == 1.0)
+    // the ADVICE scenario: every query 3x over its pinned anchor on the
+    // slow host is IN BAND once scaled — no silent budget burn
+    val scaled = Some(3.31 * Bench.anchorScale(0.39, 0.13))
+    assert(!Bench.repassNeeded(Seq(9.9, 9.6), scaled))
+  }
+
   test("every bench-group query has an anchor") {
     // the adaptive rule only protects anchored entries, so a bench
     // entry must land WITH a (possibly provisional) anchor in the same

@@ -10,16 +10,17 @@ package graft
   */
 class FuzzSpec extends SparkSpec {
   import graft.FuzzQueries.{NumAgg, NumWin, NumJoin, NumTok, NumFrame,
-    NumStream, NumSJoin, NumSJoinOuter, NumExists}
+    NumStream, NumSJoin, NumSJoinOuter, NumExists, NumFSJoin}
 
   test("fuzz surface: every generated query has an oracle and vice versa") {
     val q = FuzzQueries.queries.keySet
     val o = FuzzQueries.oracleSql.keySet
     assert(q == o, s"query/oracle key drift: ${(q diff o) ++ (o diff q)}")
     assert(q.size == NumAgg + NumWin + NumJoin + NumTok + NumFrame
-      + NumStream + NumSJoin + NumSJoinOuter + NumExists)
+      + NumStream + NumSJoin + NumSJoinOuter + NumExists + NumFSJoin)
     assert(q.count(_.startsWith("fuzz_sjoin_")) == NumSJoin)
     assert(q.count(_.startsWith("fuzz_osjoin_")) == NumSJoinOuter)
+    assert(q.count(_.startsWith("fuzz_fsjoin_")) == NumFSJoin)
     assert(q.count(_.startsWith("fuzz_exists_")) == NumExists)
     assert(q.count(_.startsWith("fuzz_agg_")) == NumAgg)
     assert(q.count(_.startsWith("fuzz_win_")) == NumWin)
@@ -214,6 +215,67 @@ class FuzzSpec extends SparkSpec {
           s"$name has no unmatched anchor — outer path unexercised")
         assert(want.exists(r => r(3) != 0L),
           s"$name has no matched anchor — degenerate shape")
+      } finally q.stop()
+    }
+  }
+
+  test("fuzz FULL OUTER sjoin shapes: two-MemoryStream replay equals the batch twin") {
+    // the round-18 both-side null-emission kind: unmatched ANCHORS emit
+    // a null-left row at watermark > anchor_ts, and unmatched LEFTS emit
+    // a null-anchor row at watermark > l_ts + lookback — two different
+    // eviction deadlines on one operator (the hand-written
+    // stream_interval_join_full spec pins the asymmetry on a planted
+    // fixture; here 10 generated (type pair, lookback, watermark)
+    // configs replay the corpus through the same plan function the
+    // batch twin renders). Chronological feed + a far-future sentinel
+    // pair flush the tail evictions on BOTH sides; comparison is the
+    // shared per-user reconciliation aggregate.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{coalesce, col}
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ordered = graft.ops.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[(Long, Timestamp, Long, String, Double)].collect()
+      .sortBy(e => (e._2.getTime, e._1))
+    val (b1, b2) = ordered.splitAt(ordered.length / 2)
+    val farFuture = ordered.map(_._2.getTime).max + 30L * 86400000L
+    (0 until FuzzQueries.NumFSJoin).foreach { i =>
+      val name = f"fuzz_fsjoin_$i%03d"
+      val lStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val aStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      def side(st: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+        st.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+          .withWatermark("ts", FuzzQueries.sjoinFullWatermarkDelay(i))
+      val plan = FuzzQueries.sjoinFullPlan(i)(side(lStream), side(aStream))
+      val q = plan.writeStream.outputMode("append")
+        .format("memory").queryName(s"t_fz_fsjoin_$i").start()
+      try {
+        val Seq(sentL, sentA) = FuzzQueries.sjoinFullSentinels(i, farFuture)
+        Seq(b1.toSeq, b2.toSeq).foreach { b =>
+          lStream.addData(b); aStream.addData(b)
+          q.processAllAvailable()
+        }
+        lStream.addData(Seq(sentL)); aStream.addData(Seq(sentA))
+        q.processAllAvailable()
+        val got = FuzzQueries.sjoinFullAggregate(
+          spark.table(s"t_fz_fsjoin_$i")
+            .filter(coalesce(col("user_id"), col("l_user")) =!= -1L))
+          .collect().map(_.toSeq).toSet
+        val want = SparkEntry.queries(name)(spark, sf)
+          .collect().map(_.toSeq).toSet
+        assert(got == want,
+          s"$name diverged: ${FuzzQueries.describe(name)}")
+        // non-degenerate THREE ways: matches, unmatched anchors AND
+        // unmatched lefts must all occur, else a null path went untested
+        assert(want.exists(r => r(3).asInstanceOf[Long] > 0L),
+          s"$name has no unmatched anchor — anchor null path unexercised")
+        assert(want.exists(r => r(4).asInstanceOf[Long] > 0L),
+          s"$name has no unmatched left — left null path unexercised")
+        assert(want.exists(r => r(1).asInstanceOf[Long] > 0L &&
+          r(3).asInstanceOf[Long] < r(1).asInstanceOf[Long]),
+          s"$name has no matched pair — degenerate shape")
       } finally q.stop()
     }
   }

@@ -365,6 +365,88 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FULL OUTER interval join: each side's null row waits for ITS deadline") {
+    implicit val sqlCtx = spark.sqlContext
+    // round-18 item #1: the full-outer entry previously inherited the
+    // left-outer spec's eviction evidence; both-side null emission is a
+    // SUPERSET semantics with two different deadlines, pinned here
+    // directly on a planted fixture through the SAME
+    // intervalJoinFullPlan the oracle-checked batch twin uses:
+    //  - user 1: click 01:30 + purchase 02:00 → match emits immediately
+    //  - user 2: purchase 200 at 02:00, no click → null-click row may
+    //    emit once watermark > 02:00 (no in-range click can arrive)
+    //  - user 3: click 300 at 02:00, no purchase → null-purchase row may
+    //    emit only once watermark > 03:00 (= click_ts + 1h, the last
+    //    purchase that could still claim it)
+    // The mid step parks the watermark at 02:30 — BETWEEN the two
+    // deadlines — so exactly one null row (the purchase's) must have
+    // emitted and the click's must not: the asymmetry itself is the
+    // assertion, not just the final set.
+    val cStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val pStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def raw(st: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+      st.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    def clickSide(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+        $"ts".as("click_ts"))
+    def purchSide(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"))
+    val plan = graft.streaming.StreamingOps.intervalJoinFullPlan(
+      clickSide(raw(cStream)).withWatermark("click_ts", "2 hours"),
+      purchSide(raw(pStream)).withWatermark("purchase_ts", "2 hours"))
+    val q = plan.writeStream.outputMode("append")
+      .format("memory").queryName("t_interval_join_full").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    val fixture = Seq(
+      (1L, ts("2024-01-01 01:30:00"), 1L, "click", 1.0),
+      (100L, ts("2024-01-01 02:00:00"), 1L, "purchase", 1.0),
+      (200L, ts("2024-01-01 02:00:00"), 2L, "purchase", 1.0),
+      (300L, ts("2024-01-01 02:00:00"), 3L, "click", 1.0))
+    // watermark steppers on users the fixture never references (and on
+    // DIFFERENT users per side, so they cannot match each other);
+    // global watermark = min over sources, so BOTH sides must advance
+    val mid = Seq( // max ts 04:30 - 2h delay → watermark 02:30
+      (2L, ts("2024-01-01 04:30:00"), 77L, "click", 1.0),
+      (998L, ts("2024-01-01 04:30:00"), 88L, "purchase", 1.0))
+    val flush = Seq( // watermark 10:00 > every fixture deadline
+      (3L, ts("2024-01-01 12:00:00"), 77L, "click", 1.0),
+      (999L, ts("2024-01-01 12:00:00"), 88L, "purchase", 1.0))
+    val fixtureUsers = Set(1L, 2L, 3L)
+    try {
+      def rows() = spark.table("t_interval_join_full")
+        .filter(coalesce($"user_id", $"c_user").isin(fixtureUsers.toSeq: _*))
+        .collect().map(_.toSeq).toSet
+      cStream.addData(fixture); pStream.addData(fixture)
+      q.processAllAvailable()
+      // watermark 00:00: only the matched row may exist
+      val matched = Seq(100L, 1L, ts("2024-01-01 02:00:00"),
+        1L, 1L, ts("2024-01-01 01:30:00"))
+      assert(rows() == Set(matched), s"pre-watermark emissions wrong: ${rows()}")
+      cStream.addData(mid); pStream.addData(mid)
+      q.processAllAvailable()
+      // watermark 02:30: purchase 200's deadline (02:00) has passed →
+      // its null-click row is out; click 300's deadline (03:00) has NOT →
+      // its null-purchase row must still be held in state
+      val nullClick = Seq(200L, 2L, ts("2024-01-01 02:00:00"), null, null, null)
+      assert(rows() == Set(matched, nullClick),
+        s"mid-watermark asymmetry wrong: ${rows()}")
+      cStream.addData(flush); pStream.addData(flush)
+      q.processAllAvailable()
+      // watermark 10:00: click 300's null-purchase row evicts; the full
+      // fixture set now equals the batch twin's (same plan function)
+      val want = graft.streaming.StreamingOps.intervalJoinFullPlan(
+        clickSide(fixture.toDF("event_id", "ts", "user_id", "event_type", "value")),
+        purchSide(fixture.toDF("event_id", "ts", "user_id", "event_type", "value")))
+        .collect().map(_.toSeq).toSet
+      assert(rows() == want, s"post-watermark emissions wrong: ${rows()} vs $want")
+      assert(rows().contains(Seq(null, null, null, 300L, 3L, ts("2024-01-01 02:00:00"))),
+        "unmatched click's null-purchase row missing after its deadline")
+    } finally q.stop()
+  }
+
   test("streaming MinHash-signature dedup drops planted duplicate docs") {
     implicit val sqlCtx = spark.sqlContext
     // near-dup dedup in flight: signature = the same codegen'd
