@@ -145,16 +145,20 @@ object Bench {
     "lda_em_topics" -> 7.26, "retrieval_rrf_fusion" -> 1.70,
     "retrieval_mmr_rerank" -> 1.52, "retrieval_prf_expansion" -> 4.94,
     "scd2_status_history" -> 0.40, "dedup_source_overlap" -> 1.42,
-    "emb_pca_power" -> 0.95, "a_robust_stats" -> 1.16,
+    // emb_pca_power re-pinned round 18 (the r17 0.95 anchor sat exactly
+    // at the quiet min and its 1.5x trigger fired on ordinary spread;
+    // r18 builder bench read min 0.988 at noise 1.13)
+    "emb_pca_power" -> 1.05, "a_robust_stats" -> 1.16,
     "w_trend_theilsen" -> 0.45, "join_incremental_merge" -> 0.60,
     "a_ks_test" -> 0.90, "retrieval_maxscore_topk" -> 1.05,
     "ml_calibration_bins" -> 2.00, "graph_kcore" -> 2.30,
     "dedup_lsh_pr_eval" -> 1.90, "ml_logreg_gd" -> 0.65,
     "graph_assortativity" -> 1.60, "ml_als_factors" -> 3.35,
     "dedup_cluster_reps_lsh" -> 1.80,
-    // round 17 (first bench-context readings: passes [5.26, 4.80] at
-    // noise 0.839 — re-pin after the first driver bench)
-    "lda_em_topics_dist" -> 5.00,
+    // re-pinned round 18 from the builder bench (min 4.44 at noise
+    // 1.13; driver r17 read 5.21 under 1.245 noise) — rounded up a
+    // notch per the trigger-threshold convention
+    "lda_em_topics_dist" -> 4.80,
   )
 
   def main(args: Array[String]): Unit = {

@@ -39,6 +39,16 @@ object Aggregates {
     */
   val BhAlpha = 0.05
   val BhM = 10
+  // The ladder is rank-indexed 1..BhM, so the pairwise-test count MUST
+  // equal BhM — otherwise rank > BhM makes Spark's ANSI element_at
+  // throw while DuckDB's list index returns NULL and the engines
+  // DIVERGE instead of failing together (ADVICE r17). Tie the constant
+  // to the domain it derives from, so growing EventTypes without
+  // re-deriving the ladder fails at class-load, loudly, in both the
+  // query path and every spec; StatsSpec additionally pins the OBSERVED
+  // pair count from the data against BhM.
+  require(BhM == EventTypes.length * (EventTypes.length - 1) / 2,
+    s"BhM ($BhM) != C(${EventTypes.length}, 2) — re-derive the BH ladder")
 
   /** The rank-indexed BH critical ladder: zcrit(k) = Φ⁻¹(1 − α·k/(2m)),
     * k = 1..m — evaluated ONCE driver-side and injected verbatim into
@@ -2607,7 +2617,8 @@ object Aggregates {
     // canonical study; the panel estimator every experimentation /
     // policy stack reports next to the raw lift): effect =
     // (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) over the same
-    // deterministic arm assignment (user_id % 2) and 15-day period
+    // deterministic arm assignment (pmod(user_id, 2), sign-safe both
+    // renderings — the repo-wide convention since round 18) and 15-day
     // split as a_cuped_adjusted — the two readouts compose into one
     // experimentation suite on identical cells. One corpus pass
     // aggregates the four (arm, period) cells as exact micro-long sums;
@@ -2634,8 +2645,9 @@ object Aggregates {
     // experiments") — the pre-period covariate adjustment every large
     // experimentation platform applies before the t-test. Per user:
     // x = pre-period (first 15 days) total value, y = outcome-period
-    // total value, arm = user_id % 2 (the deterministic assignment
-    // stand-in). theta = cov(x, y)/var(x) over ALL users; the adjusted
+    // total value, arm = pmod(user_id, 2) (the deterministic assignment
+    // stand-in, sign-safe in both renderings per the repo-wide
+    // convention). theta = cov(x, y)/var(x) over ALL users; the adjusted
     // arm mean is computed on AGGREGATES (mean_y - theta*(mean_x -
     // mean_x_all)) rather than per-row adjusted values, so the whole
     // readout is one user-keyed aggregate + a <= 2-row reduction.
@@ -4476,7 +4488,7 @@ object Aggregates {
          |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
          |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
          |      AS BIGINT) AS np
-         |  FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+         |  FROM events WHERE ((user_id % 2) + 2) % 2 = 1 GROUP BY 1),
          |cum AS (
          |  SELECT day, CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
          |    CAST(SUM(np) OVER w AS BIGINT) AS cum_purchases
@@ -4502,7 +4514,7 @@ object Aggregates {
         |  FROM events),
         |d0 AS (SELECT MIN(day) AS d0 FROM ev),
         |cells AS (
-        |  SELECT user_id % 2 AS arm,
+        |  SELECT ((user_id % 2) + 2) % 2 AS arm,
         |    CASE WHEN day < d0 + 15 THEN 'pre' ELSE 'post' END AS period,
         |    CAST(COUNT(*) AS BIGINT) AS n_events,
         |    CAST(SUM(vm) AS BIGINT) AS sv
@@ -4536,7 +4548,7 @@ object Aggregates {
         |      AS x,
         |    CAST(SUM(CASE WHEN day >= d0 + 15 THEN vm ELSE 0 END) AS BIGINT)
         |      AS y,
-        |    user_id % 2 AS arm
+        |    ((user_id % 2) + 2) % 2 AS arm
         |  FROM ev CROSS JOIN d0 GROUP BY user_id),
         |gm AS (
         |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,

@@ -738,8 +738,11 @@ object MLOps {
           while (j < k) { den += rl(j); j += 1 }
           (w, Array.tabulate(k)(j => halfUpMicro(n * (rl(j) / den))))
         }
+      val phBs = scala.collection.mutable.ListBuffer
+        .empty[org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]
       for (_ <- 1 to EmIters) {
         val phB = s.sparkContext.broadcast(phi)
+        phBs += phB
         // TWO passes over the persisted docs per round, each recomputing
         // the per-doc wkm terms (both M-step inputs use the OLD (φ, θ),
         // matching the relational round exactly). Measured trade-off: a
@@ -789,6 +792,15 @@ object MLOps {
             / (topicSum(j) + v.toLong * EmBetaMicro).toDouble)
       }
       docs.unpersist(blocking = false)
+      // Mid-loop the broadcasts may only be UNPERSISTED (persisted-RDD
+      // lineage still closes over them — see the phB comment above), but
+      // HERE the fit is done and no RDD escapes: the cache stores the
+      // plain φ array, so nothing can ever trigger a recomputation that
+      // would need them. destroy() them all — per-fit driver memory no
+      // longer accretes across datasets/parts keys in a long session
+      // (ADVICE r17; emDistCache itself is wiped by MLOps.clear()).
+      phBs.foreach(_.destroy())
+      idxB.destroy()
       vocab.zip(phi.map(identity))
     })
 

@@ -14,11 +14,13 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
   * range-residual ANTI join; the inverse readout (purchases and the
   * clicks that preceded them) is the LEFT OUTER interval join — this op
   * completes the triptych with the TIMER rendering: the decision for a
-  * click becomes final exactly when the watermark passes click_ts + 1h
-  * (every in-range purchase must have arrived), which is precisely when
-  * its registered timer fires. Nothing else in Structured Streaming
-  * emits ON state expiry; flatMapGroupsWithState only reacts to input
-  * or group-timeout, not per-element deadlines.
+  * click becomes final once the watermark passes click_ts + 1h (every
+  * in-range purchase must have arrived), which is when its registered
+  * timer — pinned at click_ts + 1h + 1 ms so the boundary purchase is
+  * decided by construction, not by a Spark strictness convention —
+  * fires. Nothing else in Structured Streaming emits ON state expiry;
+  * flatMapGroupsWithState only reacts to input or group-timeout, not
+  * per-element deadlines.
   *
   * State per user: pending (click_id, click_ts) list + an in-horizon
   * purchase-ts list, both bounded by the 1h window + watermark delay
@@ -69,7 +71,15 @@ object AbandonedClicks {
       }
       if (newClicks.nonEmpty) {
         newClicks.foreach { case (_, ts) =>
-          getHandle.registerTimer(ts + WindowMs)
+          // +1 ms: the decision point is STRICTLY after the last
+          // admissible purchase timestamp (p_ts <= ts + WindowMs), so
+          // correctness never depends on Spark's strictness pairing
+          // between timer firing (watermark vs expiry) and late-row
+          // admission (row ts vs watermark) at the exact boundary
+          // (ADVICE r17): when this timer fires, watermark >= expiry
+          // > ts + WindowMs, so every boundary purchase is either in
+          // state already or late-beyond-watermark by contract.
+          getHandle.registerTimer(ts + WindowMs + 1)
         }
         pending.appendList(newClicks)
       }
@@ -94,7 +104,7 @@ object AbandonedClicks {
       val expiry = expiredTimerInfo.getExpiryTimeInMs
       val purch = purchases.get().toArray
       val (due, rest) = pending.get().toArray
-        .partition { case (_, ts) => ts + WindowMs <= expiry }
+        .partition { case (_, ts) => ts + WindowMs < expiry }
       pending.clear()
       if (rest.nonEmpty) pending.put(rest)
       // prune purchases EXACTLY against what can still need them: a

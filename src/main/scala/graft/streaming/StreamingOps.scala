@@ -378,18 +378,17 @@ object StreamingOps {
     * partition is a metadata swap + one batch rewrite, never a table
     * rewrite.
     */
-  def idempotentBatchSink(outDir: String)(df: DataFrame, batchId: Long): Unit = {
-    val sess = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = sess.conf.getOption(key)
-    sess.conf.set(key, "dynamic")
-    try df.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
-    finally prev match {
-      case Some(v) => sess.conf.set(key, v)
-      case None    => sess.conf.unset(key)
-    }
-  }
+  def idempotentBatchSink(outDir: String)(df: DataFrame, batchId: Long): Unit =
+    // dynamic overwrite as a WRITER-level option, not a session-conf
+    // mutate-and-restore (ADVICE r17: with concurrent queries on one
+    // session, another writer could observe 'dynamic' or have its own
+    // setting clobbered between set and restore) — Spark gives the
+    // per-write option precedence over the session conf, so only this
+    // write sees it.
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
 
   /** The raw LEFT OUTER interval-join plan over a clicks frame
     * (`c_user`, `click_ts`) and a purchases frame (`user_id`,

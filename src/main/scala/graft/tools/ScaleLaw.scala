@@ -113,7 +113,12 @@ object ScaleLaw {
     // encode+probe (codebooks train once in the untimed warm-up, the
     // Bench convention) and the sign-LSH bucket probe; both predicted
     // linear in corpus vectors with query-side constants
-    "r17ann" -> Seq("ann_ivfpq_topk", "ann_lsh_topk"))
+    "r17ann" -> Seq("ann_ivfpq_topk", "ann_lsh_topk"),
+    // round 18 (VERDICT r17 #4): the distributed LDA fit at 100× — the
+    // 10× point (ratio 1.80) pinned the orchestration constant; this
+    // point checks the claim that the V×K exact-long treeAggregate
+    // reduce doesn't become the bottleneck when the doc term is 100×
+    "r18lda" -> Seq("lda_em_topics_dist"))
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -127,9 +132,18 @@ object ScaleLaw {
     val families = FamilySets.getOrElse(setName, sys.error(
       s"unknown family set '$setName' (valid: ${FamilySets.keys.mkString(", ")})"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // Width policy (round 18, codifying the SCALE.md 16-wide anomaly):
+    // "auto" sizes spark.sql.shuffle.partitions per measured dataset via
+    // Scaling.sizeShuffleFor (partitions ∝ input bytes, floor = cpus) —
+    // the production posture, where 1× and 100× get DIFFERENT widths
+    // from one rule and nobody hand-tunes per scale point. A number
+    // pins a fixed width (the pre-round-18 protocol, kept so old rows
+    // stay reproducible); default is the fixed cpus width.
+    val widthMode = sys.env.getOrElse("SPARK_GRAFT_WIDTH", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        if (widthMode == "auto") cpus else widthMode)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
@@ -137,6 +151,11 @@ object ScaleLaw {
     spark.sparkContext.setLogLevel("ERROR")
 
     generateIfAbsent(spark, base, fx, factor)
+
+    def widthForDir(dir: String): Int =
+      if (widthMode == "auto")
+        graft.ops.Scaling.sizeShuffleFor(spark, dir, cpus.toInt)
+      else widthMode.toInt
 
     def clearState(): Unit = {
       graft.ops.DedupOps.clear()
@@ -164,8 +183,16 @@ object ScaleLaw {
       if (a < 0 || b < 0) -1.0 else math.min(a, b)
     }
 
+    // In auto mode the width is set PER DATASET, immediately before that
+    // dataset's timings — both sizes of one family then run at their own
+    // input-proportional width, the way a real cluster job would be
+    // configured per input. All base-side timings run first so the
+    // session-level width only changes once per dataset, not per query.
+    val w1 = widthForDir(base)
+    val t1s = families.map(name => name -> minOf2(name, base)).toMap
+    val wN = widthForDir(fx)
     val rows = families.map { name =>
-      val t1 = minOf2(name, base)
+      val t1 = t1s(name)
       val t10 = minOf2(name, fx)
       val ratio = if (t1 > 0 && t10 > 0) t10 / t1 else -1.0
       println(f"[scalelaw] $name%-32s t1=$t1%7.2f  tN=$t10%7.2f  ratio=$ratio%6.2f")
@@ -173,8 +200,9 @@ object ScaleLaw {
     }
     val json = rows.map { case (n, t1, t10, r) =>
       f""""$n":{"t1":$t1%.3f,"tN":$t10%.3f,"ratio":$r%.2f}"""
-    }.mkString("{\"metric\":\"scalelaw\",\"factor\":" + factor + ",\"queries\":{",
-      ",", "}}")
+    }.mkString("{\"metric\":\"scalelaw\",\"factor\":" + factor +
+      ",\"width_mode\":\"" + widthMode + "\",\"w1\":" + w1 +
+      ",\"wN\":" + wN + ",\"queries\":{", ",", "}}")
     println(json)
     spark.stop()
   }

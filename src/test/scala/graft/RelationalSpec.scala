@@ -171,12 +171,24 @@ class RelationalSpec extends SparkSpec {
       "a_bh_fdr", "privacy_dp_accounting", "graph_modularity",
       "stream_abandoned_clicks", "stream_interval_join_full",
       "a_qte_deciles", "a_bayes_ab", "dedup_gate_sweep",
-      "mm_scene_cuts").foreach { name =>
+      "mm_scene_cuts", "fuzz_fsjoin_000").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
       assert(a == b, s"$name not deterministic")
     }
+  }
+
+  test("a_bh_fdr tests exactly BhM hypotheses — the ladder covers every rank") {
+    // ADVICE r17: the zcrit ladder is rank-indexed 1..BhM; if the
+    // event_type domain in the DATA ever grew past EventTypes, rank >
+    // BhM would make Spark's ANSI element_at throw while DuckDB's list
+    // index returns NULL — engines diverging instead of failing
+    // together. The class-load require ties BhM to EventTypes; this
+    // pins the OBSERVED pairwise-test count against it.
+    val rows = SparkEntry.queries("a_bh_fdr")(spark, sf).collect()
+    assert(rows.length == graft.ops.Aggregates.BhM,
+      s"observed ${rows.length} pairwise tests, ladder has ${graft.ops.Aggregates.BhM}")
   }
 
   test("interleaved packing conserves tokens and leaves no empty sequences") {
