@@ -159,6 +159,10 @@ object Bench {
     // 1.13; driver r17 read 5.21 under 1.245 noise) — rounded up a
     // notch per the trigger-threshold convention
     "lda_em_topics_dist" -> 4.80,
+    // round 18 (provisional: first Bench-context passes [0.51, 0.45]
+    // at noise 1.37 — the 2.53 s TimeAll first-call was classload the
+    // bench warm-up absorbs; re-pin after the first driver bench)
+    "text_watermark_greenlist" -> 0.55,
   )
 
   def main(args: Array[String]): Unit = {

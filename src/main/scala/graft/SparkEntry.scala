@@ -128,6 +128,11 @@ object SparkEntry {
     // ml_als_factors convention), so regressions in the per-round
     // broadcast + tree-reduce shape stay visible.
     "lda_em_topics_dist",
+    // round 18: the watermark detector — the one round-18 op with a
+    // corpus-scale data term (bigram explode + per-doc lag window +
+    // hash-group over every token); provisional anchor pinned in the
+    // same commit per the Bench.anchors workflow.
+    "text_watermark_greenlist",
   ).filter(queries.contains)
 
   /** Retired from group-2 TIMING at round 12 (they remain in `queries`

@@ -2825,6 +2825,55 @@ object Aggregates {
             .as("conv_from_top"))
         .orderBy("stage")
     }),
+
+    // Mann-Whitney z over the experiment ARMS (round 18) — the
+    // nonparametric sibling of a_ttest_welch/a_cuped_adjusted on the
+    // same pmod(user_id, 2) split, completing the readout family with a
+    // distribution-free test statistic; distinct from `a_mann_whitney`
+    // (the click-vs-purchase U readout, no z): this one reports the
+    // tie-corrected normal-approximation z the monitoring stack
+    // thresholds on (Mann & Whitney 1947). Exactness device: ranks are
+    // computed over the MILLI-quantized values in HALF-UNITS — for a
+    // tie group of size t spanning cumulative positions (cum-t, cum],
+    // the shared average rank is cum - (t-1)/2, so 2·rank = 2·cum - t
+    // + 1 is an exact long for every group — and the rank-sum /
+    // tie-correction terms stay exact longs until the one final z
+    // division (sqrt is IEEE-correctly-rounded, portable across
+    // engines, the a_ttest_welch precedent). The rank table is over
+    // DISTINCT micro-values (one global-order window — the same
+    // inherent exact-test cost as a_percentiles' type-7 quantiles; at
+    // 100 TB you'd run this on the per-value partial-aggregated table,
+    // which is exactly what this plan does: the window input is the
+    // per-milli-bin aggregate, bounded by the VALUE RANGE (~1e6 bins
+    // for a [0,1000] metric), not the corpus — the binRanked whitelist
+    // argument, same as the sibling a_mann_whitney). Tie term Σ(t³−t)
+    // stays < 2^63 for tie groups to ~2M rows; the BhM-style
+    // loud-failure posture applies (ANSI overflow throws).
+    "a_mann_whitney_arms" -> ((s, d) => {
+      import s.implicits._
+      val v = events(s, d).select(pmod($"user_id", lit(2L)).as("arm"),
+        round($"value" * 1e3, 0).cast("long").as("vm"))
+      val byV = v.groupBy($"vm")
+        .agg(count(lit(1)).as("cnt"), sum($"arm").as("n1v"))
+      val w = Window.orderBy($"vm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byV.withColumn("cum", sum($"cnt").over(w))
+        .withColumn("rank2", lit(2L) * $"cum" - $"cnt" + lit(1L))
+        .agg(sum($"cnt").as("n"), sum($"n1v").as("n1"),
+          sum($"n1v" * $"rank2").as("r1_x2"),
+          sum($"cnt" * $"cnt" * $"cnt" - $"cnt").as("tie_term"))
+        .select($"n", ($"n" - $"n1").as("n0"), $"n1",
+          ($"r1_x2" - $"n1" * ($"n1" + 1L)).as("u1_x2"), $"tie_term")
+        // z from exact longs: U1 = u1_x2/2, mu = n0·n1/2,
+        // var = n0·n1/12 · ((n+1) − tie_term/(n(n−1)))
+        .withColumn("z", round(
+          (($"u1_x2".cast("double") / 2.0)
+            - ($"n0".cast("double") * $"n1" / 2.0)) /
+            sqrt($"n0".cast("double") * $"n1" / 12.0 *
+              (($"n" + 1L).cast("double") -
+                $"tie_term".cast("double") /
+                  ($"n".cast("double") * ($"n" - 1L)))), 6))
+    }),
   )
 
   /** DiD readout over the (arm, period, n_events, sv) cell frame — the
@@ -4688,5 +4737,40 @@ object Aggregates {
         |      ELSE ROUND(CAST(n3 AS DOUBLE) / n1, 6) END
         |  FROM n)
         |ORDER BY stage""".stripMargin,
+
+    // half-unit average ranks over the distinct micro-value table —
+    // every term an exact long until the final z (IEEE sqrt, portable)
+    "a_mann_whitney_arms" ->
+      """WITH v AS (
+        |  SELECT ((user_id % 2) + 2) % 2 AS arm,
+        |    CAST(ROUND(value * 1e3, 0) AS BIGINT) AS vm
+        |  FROM events),
+        |byv AS (
+        |  SELECT vm, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(arm) AS BIGINT) AS n1v
+        |  FROM v GROUP BY 1),
+        |r AS (
+        |  SELECT cnt, n1v,
+        |    CAST(2 * SUM(cnt) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+        |      - cnt + 1 AS BIGINT) AS rank2
+        |  FROM byv),
+        |agg AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(SUM(n1v) AS BIGINT) AS n1,
+        |    CAST(SUM(n1v * rank2) AS BIGINT) AS r1_x2,
+        |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+        |  FROM r),
+        |fin AS (
+        |  SELECT n, n - n1 AS n0, n1,
+        |    r1_x2 - n1 * (n1 + 1) AS u1_x2, tie_term
+        |  FROM agg)
+        |SELECT n, n0, n1, u1_x2, tie_term,
+        |  ROUND((CAST(u1_x2 AS DOUBLE) / 2.0
+        |      - CAST(n0 AS DOUBLE) * n1 / 2.0)
+        |    / sqrt(CAST(n0 AS DOUBLE) * n1 / 12.0
+        |      * (CAST(n + 1 AS DOUBLE)
+        |        - CAST(tie_term AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * (n - 1)))), 6) AS z
+        |FROM fin""".stripMargin,
   )
 }

@@ -371,6 +371,31 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
+    // SoftDeDup (round 18; He et al. 2024, "SoftDedup"): REWEIGHT
+    // duplicates instead of removing them — each doc's sampling weight
+    // is 1/|its exact-dup cluster|, so a cluster's total training mass
+    // equals one copy's and the pretraining loss stops over-counting
+    // duplicated text while keeping every byte available. The soft
+    // complement of dedup_exact's keep-first (same planted-dup fixture,
+    // so cluster sizes are non-trivial at every SF); micro-quantized
+    // floor weights keep the oracle exact (both engines floor:
+    // Spark `div`, DuckDB `//`). Scale: one md5 hash-group — the
+    // dedup_exact shuffle with a count fan-back instead of a survivor
+    // pick; nothing pairwise.
+    "corpus_softdedup_weights" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).select($"doc_id", $"text")
+      val dupes = docs.filter($"doc_id" % 100 === 0)
+        .select(($"doc_id" + 1000000).as("doc_id"), $"text")
+      val wc = Window.partitionBy($"h")
+      docs.union(dupes)
+        .withColumn("h", md5($"text"))
+        .withColumn("n_dups", count(lit(1)).over(wc))
+        .select($"doc_id", $"n_dups",
+          expr("1000000L div n_dups").as("weight_micro"))
+        .orderBy("doc_id")
+    }),
+
     // N-gram (3-shingle) Jaccard near-dup — exact verifier: candidates from
     // shared shingles, then inter/union ≥ 0.8.
     "dedup_ngram_jaccard" -> ((s, d) => {
@@ -1388,6 +1413,18 @@ object DedupOps {
         |SELECT doc_id, md5(text) AS h FROM all_docs
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) = 1
         |ORDER BY doc_id""".stripMargin,
+    "corpus_softdedup_weights" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 100 = 0),
+        |h AS (SELECT doc_id, md5(text) AS h FROM all_docs),
+        |c AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_dups
+        |  FROM h GROUP BY 1)
+        |SELECT doc_id, n_dups,
+        |  CAST(1000000 // n_dups AS BIGINT) AS weight_micro
+        |FROM h JOIN c USING (h) ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"WITH $shingleCte,\n$jaccardSql",
     "dedup_containment" ->

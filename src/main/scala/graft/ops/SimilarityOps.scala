@@ -295,7 +295,7 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = Map[String, Q](
     // Exact ANN baseline: top-5 cosine neighbors for the first 20 vectors.
     "ann_cosine_topk" -> ((s, d) => {
       import s.implicits._
@@ -458,7 +458,72 @@ object SimilarityOps {
     // fusion, which is rank-arithmetic on k·Q rows.
     "retrieval_rrf_fusion" -> ((s, d) => {
       import s.implicits._
-      val Depth = FusionDepth
+      fusionRankFrames(s, d)
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(RrfC) + $"lr"), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfC) + $"dr"), lit(0.0)))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"qdoc").orderBy(desc("rrf"), asc("doc_id"))))
+        .filter($"rank" <= TopK)
+        .select($"qdoc".as("query_doc"), $"rank", $"doc_id",
+          round($"rrf", 6).as("rrf_score"))
+        .orderBy("query_doc", "rank")
+    }),
+
+    // Rank-biased overlap (round 18; Webber, Moffat & Zobel 2010) —
+    // the list-similarity readout OVER the same two rankings the RRF
+    // entry fuses: how much do the lexical and dense retrievers AGREE,
+    // per query, under top-weighted geometric discounting? Truncated
+    // RBO at depth k rewrites per-ITEM: an item in both top-k lists at
+    // ranks (lr, dr) joins every agreement set A_d ∩ B_d from depth
+    // m = max(lr, dr) on, so its total contribution is
+    // W[m] = (1−p)·Σ_{d=m..k} p^{d−1}/d — a rank-indexed ladder
+    // evaluated ONCE driver-side and injected nano-quantized into both
+    // renderings (the bhZCrit device), making the sum an exact long in
+    // both engines. p = 0.9 (the paper's "top-heavy but not myopic"
+    // default; ~10 effective ranks). The retrieval-eval use: a LOW rbo
+    // says the two retrievers surface different evidence and fusion
+    // (the rrf entry) has something to gain; rbo ≈ 1 says dense adds
+    // nothing over BM25 for that query. Scale: rank-arithmetic on
+    // k·Q rows on top of the shared ranking frames.
+    "retrieval_rbo_agreement" -> ((s, d) => {
+      import s.implicits._
+      val wn = rboWeightNano.toSeq
+      fusionRankFrames(s, d)
+        .groupBy($"qdoc".as("query_doc"))
+        .agg(
+          sum(when($"lr".isNotNull && $"dr".isNotNull, 1L).otherwise(0L))
+            .as("n_common"),
+          sum(when($"lr".isNotNull && $"dr".isNotNull,
+            element_at(typedLit(wn), greatest($"lr", $"dr").cast("int")))
+            .otherwise(0L)).as("rbo_nano"))
+        .withColumn("rbo", round($"rbo_nano" / 1e9, 6))
+        .orderBy("query_doc")
+    }),
+  ) ++ queriesTail
+
+  /** RBO weight ladder W[1..FusionDepth]: W[m] = (1−p)·Σ_{d=m..k}
+    * p^{d−1}/d, nano-quantized — evaluated once driver-side (libm pow
+    * here is fine: the SAME literal array is injected into both
+    * renderings, so engine portability never enters).
+    */
+  val RboP = 0.9
+  lazy val rboWeightNano: Array[Long] = Array.tabulate(FusionDepth) { i =>
+    val m = i + 1
+    val w = (1 - RboP) *
+      (m to FusionDepth).map(dd => math.pow(RboP, dd - 1) / dd).sum
+    math.round(w * 1e9)
+  }
+
+  /** The (qdoc, doc_id, lr, dr) two-ranking frame — BM25 lexical top-k
+    * and dense cosine top-k per hash-sampled query doc, full-outer
+    * joined — shared by retrieval_rrf_fusion and retrieval_rbo_agreement
+    * so both readouts measure the SAME lists (one builder, the
+    * intervalJoinOuterPlan discipline).
+    */
+  private def fusionRankFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Depth = FusionDepth
       // Pinned: three consumers (query-term extraction, doc lengths, the
       // term-filtered tf pass) would each re-tokenize the corpus. Lazy —
       // materializes on the first action, so plan-only construction
@@ -508,18 +573,10 @@ object SimilarityOps {
         .select($"qdoc", $"vec_id".as("doc_id"), $"cos")
         .withColumn("dr", row_number().over(wd))
         .filter($"dr" <= Depth).select($"qdoc", $"doc_id", $"dr")
-      val fused = lex.join(dense, Seq("qdoc", "doc_id"), "full_outer")
-        .withColumn("rrf",
-          coalesce(lit(1.0) / (lit(RrfC) + $"lr"), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(RrfC) + $"dr"), lit(0.0)))
-      val wf = Window.partitionBy($"qdoc").orderBy(desc("rrf"), asc("doc_id"))
-      fused.withColumn("rank", row_number().over(wf))
-        .filter($"rank" <= TopK)
-        .select($"qdoc".as("query_doc"), $"rank", $"doc_id",
-          round($"rrf", 6).as("rrf_score"))
-        .orderBy("query_doc", "rank")
-    }),
+      lex.join(dense, Seq("qdoc", "doc_id"), "full_outer")
+  }
 
+  private lazy val queriesTail: Map[String, Q] = Map(
     // Cluster-balanced subset selection (the DataComp/SemDeDup curation
     // pattern): a uniform per-cluster quota over the trained k-means
     // cells, so the curated sample keeps the corpus's mode diversity
@@ -1516,7 +1573,48 @@ object SimilarityOps {
            |  ${dotSql("c.e", "q.e")} / (c.norm * q.norm) AS cos_exact
            |FROM f c JOIN n q ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id""".stripMargin)}""".stripMargin,
     "retrieval_rrf_fusion" ->
-      s"""WITH sw(word) AS (VALUES ${graft.functions.Lexicons.stopwordsEnSqlValues}),
+      s"""WITH $fusionRankCtesSql,
+         |fused AS (
+         |  SELECT COALESCE(l.qdoc, de.qdoc) AS qdoc,
+         |    COALESCE(l.doc_id, de.doc_id) AS doc_id,
+         |    COALESCE(1.0 / ($RrfC + l.lr), 0.0)
+         |      + COALESCE(1.0 / ($RrfC + de.dr), 0.0) AS rrf
+         |  FROM lex l FULL OUTER JOIN dense de
+         |    ON l.qdoc = de.qdoc AND l.doc_id = de.doc_id)
+         |SELECT query_doc, rank, doc_id, ROUND(rrf, 6) AS rrf_score FROM (
+         |  SELECT qdoc AS query_doc, doc_id, rrf,
+         |    row_number() OVER (PARTITION BY qdoc
+         |      ORDER BY rrf DESC, doc_id ASC) AS rank
+         |  FROM fused) WHERE rank <= $TopK
+         |ORDER BY query_doc, rank""".stripMargin,
+
+    // same two ranking lists, the injected W[max(lr,dr)] ladder summed
+    // as exact nanos per query; zero-overlap queries kept via LEFT JOIN
+    "retrieval_rbo_agreement" -> {
+      val ladder = rboWeightNano.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+      s"""WITH $fusionRankCtesSql,
+         |rbow(m, w) AS (VALUES $ladder),
+         |common AS (
+         |  SELECT l.qdoc, greatest(l.lr, de.dr) AS m
+         |  FROM lex l JOIN dense de
+         |    ON l.qdoc = de.qdoc AND l.doc_id = de.doc_id)
+         |SELECT qd.qdoc AS query_doc,
+         |  CAST(COUNT(c.m) AS BIGINT) AS n_common,
+         |  CAST(COALESCE(SUM(w.w), 0) AS BIGINT) AS rbo_nano,
+         |  ROUND(CAST(COALESCE(SUM(w.w), 0) AS BIGINT) / 1e9, 6) AS rbo
+         |FROM qd LEFT JOIN common c ON c.qdoc = qd.qdoc
+         |LEFT JOIN rbow w ON w.m = c.m
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+  ) ++ oraclesTail
+
+  /** The lex/dense top-k ranking CTE chain (ends with `qd`, `lex`,
+    * `dense` in scope) — the DuckDB twin of fusionRankFrames, shared by
+    * the rrf and rbo oracles.
+    */
+  private lazy val fusionRankCtesSql: String =
+      s"""sw(word) AS (VALUES ${graft.functions.Lexicons.stopwordsEnSqlValues}),
          |t AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
          |qd AS (
          |  SELECT doc_id AS qdoc FROM documents
@@ -1570,20 +1668,9 @@ object SimilarityOps {
          |      row_number() OVER (PARTITION BY qv.qdoc
          |        ORDER BY ${dotSql("n.e", "qv.qe")} / (n.norm * qv.qn) DESC,
          |          n.vec_id ASC) AS dr
-         |    FROM n JOIN qv ON n.vec_id <> qv.qdoc) WHERE dr <= $FusionDepth),
-         |fused AS (
-         |  SELECT COALESCE(l.qdoc, de.qdoc) AS qdoc,
-         |    COALESCE(l.doc_id, de.doc_id) AS doc_id,
-         |    COALESCE(1.0 / ($RrfC + l.lr), 0.0)
-         |      + COALESCE(1.0 / ($RrfC + de.dr), 0.0) AS rrf
-         |  FROM lex l FULL OUTER JOIN dense de
-         |    ON l.qdoc = de.qdoc AND l.doc_id = de.doc_id)
-         |SELECT query_doc, rank, doc_id, ROUND(rrf, 6) AS rrf_score FROM (
-         |  SELECT qdoc AS query_doc, doc_id, rrf,
-         |    row_number() OVER (PARTITION BY qdoc
-         |      ORDER BY rrf DESC, doc_id ASC) AS rank
-         |  FROM fused) WHERE rank <= $TopK
-         |ORDER BY query_doc, rank""".stripMargin,
+         |    FROM n JOIN qv ON n.vec_id <> qv.qdoc) WHERE dr <= $FusionDepth)""".stripMargin
+
+  private lazy val oraclesTail: Map[String, String] = Map(
     "sample_cluster_balanced" ->
       s"""WITH ${graft.ops.MLOps.kmeansCtesSql}
          |SELECT cid, rk, vec_id FROM (

@@ -2491,6 +2491,43 @@ object TextOps {
         .withColumn("kl", round($"kl_e9" / 1e9, 6))
         .orderBy("source")
     }),
+
+    // Watermark detection (round 18) — the Kirchenbauer et al. 2023
+    // green-list test, the training-data-curation filter for
+    // MODEL-GENERATED text (a watermarking LLM biases each token toward
+    // a "green" half of the vocabulary seeded by the previous token;
+    // the detector needs no model, only the seeding rule). Per token
+    // bigram (prev, tok): green iff hash(prev ‖ '#' ‖ tok) is even —
+    // the γ = 0.5 partition, the same parity-of-polynomial-hash device
+    // a_quantile_sketch's oracle replays. Per doc over T scored pairs
+    // with g green: z = (g − γT)/√(Tγ(1−γ)) = (2g − T)/√T; the paper
+    // flags z ≥ 4 (one-in-3e5 false-positive rate). Human text scores
+    // |z| ~ N(0,1) — the fixture corpus is all-human, so the readout is
+    // the z distribution and the flag column's all-false; TextOpsSpec
+    // plants a greedily-constructed watermarked doc and asserts it
+    // (and only it) trips the flag. Exactness: g and T are exact longs,
+    // z is one IEEE-sqrt division rounded 6dp. Scale: tokenize is
+    // map-only; the bigram lag is a per-doc window (shuffle on doc_id,
+    // state = one token); the rest is a hash-group — linear, no
+    // cross-doc anything.
+    "text_watermark_greenlist" -> ((s, d) => {
+      import s.implicits._
+      val tk = documents(s, d).select($"doc_id",
+        posexplode(tokens($"text")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      tk.withColumn("prev", lag($"tok", 1).over(w))
+        .filter($"prev".isNotNull)
+        .withColumn("green",
+          (graft.functions.PolyHash.poly_hash(
+            concat($"prev", lit("#"), $"tok")) % 2L === 0L).cast("long"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_scored"), sum($"green").as("n_green"))
+        .withColumn("z", round(
+          (lit(2.0) * $"n_green" - $"n_scored") /
+            sqrt($"n_scored".cast("double")), 6))
+        .withColumn("watermarked", $"z" >= 4.0)
+        .orderBy("doc_id")
+    }),
   )
 
   private val swVals = Lexicons.stopwordsEnSqlValues
@@ -3768,5 +3805,33 @@ object TextOps {
          |  CAST(SUM(term_e9) AS BIGINT) AS kl_e9,
          |  ROUND(CAST(SUM(term_e9) AS BIGINT) / 1e9, 6) AS kl
          |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // parity of the polynomial bigram hash, lag over positional unnest
+    "text_watermark_greenlist" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |p AS (
+         |  SELECT doc_id, unnest(toks) AS tok,
+         |    generate_subscripts(toks, 1) AS pos
+         |  FROM t),
+         |pr AS (
+         |  SELECT doc_id, tok,
+         |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM p),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${graft.ops.DedupOps.polyHashSql(
+               "prev || '#' || tok")} % 2 = 0
+         |      THEN 1 ELSE 0 END AS green
+         |  FROM pr WHERE prev IS NOT NULL),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+         |    CAST(SUM(green) AS BIGINT) AS n_green
+         |  FROM g GROUP BY 1)
+         |SELECT doc_id, n_scored, n_green,
+         |  ROUND((2.0 * n_green - n_scored) / sqrt(CAST(n_scored AS DOUBLE)),
+         |    6) AS z,
+         |  ROUND((2.0 * n_green - n_scored) / sqrt(CAST(n_scored AS DOUBLE)),
+         |    6) >= 4.0 AS watermarked
+         |FROM agg ORDER BY doc_id""".stripMargin,
   )
 }

@@ -118,7 +118,13 @@ object ScaleLaw {
     // 10× point (ratio 1.80) pinned the orchestration constant; this
     // point checks the claim that the V×K exact-long treeAggregate
     // reduce doesn't become the bottleneck when the doc term is 100×
-    "r18lda" -> Seq("lda_em_topics_dist"))
+    "r18lda" -> Seq("lda_em_topics_dist"),
+    // round-18 operator wave: the watermark detector is the only new op
+    // with a corpus-scale data term (bigram explode + per-doc window +
+    // hash-group — predicted linear in tokens); rbo rides the already-
+    // lawed BM25/dense ranking constants, softdedup the dedup_exact
+    // shuffle, mann-whitney the bounded bin table
+    "r18ops" -> Seq("text_watermark_greenlist"))
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -117,6 +117,7 @@ class PlanSpec extends SparkSpec {
     "lda_em_scan",                                   // scalar n_units join (cvPhi), once per k
     "ann_filtered_topk",                             // brute-force baseline (pre-filtered candidates)
     "retrieval_rrf_fusion",                          // dense side = brute-force baseline + scalar st join
+    "retrieval_rbo_agreement",                       // same fusionRankFrames core as retrieval_rrf_fusion
     "retrieval_mmr_rerank",                          // brute-force candidate gen (broadcast query side)
     "retrieval_prf_expansion",                       // scalar corpus-stats join (both BM25 passes)
     "ann_ivf_nprobe_sweep",                          // embeds the brute-force baseline + 4-row nprobe cross
@@ -197,6 +198,8 @@ class PlanSpec extends SparkSpec {
       "Lorenz cumulative window over the <= 1001 grid bins",
     "a_mann_whitney" ->
       "binRanked offset window over the per-integer-bin aggregate (cardinality = value range, not row count)",
+    "a_mann_whitney_arms" ->
+      "half-unit midrank window over the per-MILLI-bin aggregate (cardinality = value range x 1e3, not row count)",
     "f29b_equidepth_deciles" ->
       "binRanked offset window over the per-integer-bin aggregate",
     "corpus_curriculum_phases" ->

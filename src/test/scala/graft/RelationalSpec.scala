@@ -171,7 +171,9 @@ class RelationalSpec extends SparkSpec {
       "a_bh_fdr", "privacy_dp_accounting", "graph_modularity",
       "stream_abandoned_clicks", "stream_interval_join_full",
       "a_qte_deciles", "a_bayes_ab", "dedup_gate_sweep",
-      "mm_scene_cuts", "fuzz_fsjoin_000").foreach { name =>
+      "mm_scene_cuts", "fuzz_fsjoin_000", "a_mann_whitney_arms",
+      "text_watermark_greenlist", "corpus_softdedup_weights",
+      "retrieval_rbo_agreement").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -189,6 +191,52 @@ class RelationalSpec extends SparkSpec {
     val rows = SparkEntry.queries("a_bh_fdr")(spark, sf).collect()
     assert(rows.length == graft.ops.Aggregates.BhM,
       s"observed ${rows.length} pairwise tests, ladder has ${graft.ops.Aggregates.BhM}")
+  }
+
+  test("Mann-Whitney arm-z invariants: U in range, arms partition n") {
+    val r = SparkEntry.queries("a_mann_whitney_arms")(spark, sf).collect().head
+    val (n, n0, n1) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val u1x2 = r.getLong(3)
+    assert(n0 + n1 == n && n0 > 0 && n1 > 0)
+    // 0 <= U1 <= n0·n1 (attained only by total separation)
+    assert(u1x2 >= 0 && u1x2 <= 2 * n0 * n1, s"U out of range: $u1x2")
+    assert(!r.getDouble(5).isNaN)
+    // the value column is ~uniform noise split by user parity — the
+    // arms must NOT separate (|z| far under any rejection threshold)
+    assert(math.abs(r.getDouble(5)) < 4.0, s"z=${r.getDouble(5)}")
+  }
+
+  test("RBO agreement stays under the identical-lists identity") {
+    val maxNano = graft.ops.SimilarityOps.rboWeightNano.sum
+    SparkEntry.queries("retrieval_rbo_agreement")(spark, sf).collect()
+      .foreach { r =>
+        val (nc, nano) = (r.getLong(1), r.getLong(2))
+        assert(nano >= 0 && nano <= maxNano, s"rbo out of range: $nano")
+        assert((nc == 0) == (nano == 0L))
+        assert(nc <= graft.ops.SimilarityOps.FusionDepth)
+      }
+  }
+
+  test("softdedup weights: planted dup pairs get half mass, uniques full") {
+    val rows = SparkEntry.queries("corpus_softdedup_weights")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    // every planted dup (doc_id % 100 == 0 re-keyed +1e6) makes a
+    // cluster of exactly 2 unless the text collides with another doc
+    rows.filter(_._1 >= 1000000L).foreach { case (id, n, w) =>
+      assert(n >= 2, s"planted dup $id has cluster size $n")
+      assert(w == 1000000L / n)
+      assert(byId(id - 1000000L)._2 == n, "dup pair cluster sizes differ")
+    }
+    // total soft mass ≈ number of distinct texts (each cluster sums to
+    // ~1e6 micro, short only by the per-member floor remainder)
+    val clusters = rows.map(_._2).groupBy(identity).map {
+      case (n, xs) => xs.length / n
+    }.sum
+    val mass = rows.map(_._3).sum
+    assert(mass <= clusters * 1000000L &&
+      mass > clusters * 1000000L - rows.length,
+      s"soft mass $mass vs $clusters clusters")
   }
 
   test("interleaved packing conserves tokens and leaves no empty sequences") {

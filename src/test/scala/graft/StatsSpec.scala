@@ -20,6 +20,22 @@ class StatsSpec extends AnyFunSuite {
     zc.sliding(2).foreach { case Array(a, b) => assert(a > b) }
   }
 
+  test("RBO weight ladder: decreasing, and sums to the 1 - p^k identity") {
+    // Σ_{m=1..k} W[m] = (1-p)·Σ_{d=1..k} p^{d-1}/d · |{m ≤ d}| =
+    // (1-p)·Σ p^{d-1} = 1 - p^k — the truncated-RBO mass of two
+    // IDENTICAL lists, i.e. the attainable maximum. Pinning it checks
+    // the per-item rewrite W[m] = (1-p)Σ_{d≥m} p^{d-1}/d wholesale.
+    val w = graft.ops.SimilarityOps.rboWeightNano
+    val k = graft.ops.SimilarityOps.FusionDepth
+    val p = graft.ops.SimilarityOps.RboP
+    assert(w.length == k)
+    w.sliding(2).foreach { case Array(a, b) => assert(a > b) }
+    assert(w.last > 0)
+    val idealNano = math.round((1 - math.pow(p, k)) * 1e9)
+    assert(math.abs(w.sum - idealNano) <= k, // ±1 nano rounding per entry
+      s"ladder sum ${w.sum} vs identity $idealNano")
+  }
+
   test("advanced composition crosses below basic where the algebra says") {
     // eps0 = 0.1, delta' = 1e-6: advanced wins iff
     // 0.1·sqrt(2k·ln 1e6) + k·0.1·(e^0.1−1) < 0.1k  ⟺  k ≥ 35

@@ -727,6 +727,48 @@ class TextOpsSpec extends SparkSpec {
   // planted at the head of every EVEN doc.
   // ---------------------------------------------------------------
 
+  test("watermark detector flags a planted green-chain doc, and only it") {
+    // greedy construction of a WATERMARKED doc: pick each next token so
+    // the bigram hash lands green (parity 0) — exactly what a
+    // watermarking LLM's sampler does with its green-list bias turned
+    // all the way up (γ=0.5, δ→∞). T=40 all-green pairs → z = √40 ≈
+    // 6.3 > 4; an anti-chain (all red) must read z ≈ −6.3 and NOT flag
+    // (the test is one-sided); a normal doc sits |z| ~ 1.
+    val dir = "target/tmp/watermark_fixture"
+    def chain(parity: Long, n: Int): String = {
+      val toks = scala.collection.mutable.ListBuffer("wmseed")
+      while (toks.length <= n) {
+        val prev = toks.last
+        val next = (0 until 10000).map(k => s"tk$k").find(c =>
+          ((graft.functions.PolyHash.hashString(s"$prev#$c") % 2) + 2) % 2
+            == parity).get
+        toks += next
+      }
+      toks.mkString(" ")
+    }
+    val docs = Seq(
+      (1L, chain(0L, 40)), // watermarked: every pair green
+      (2L, chain(1L, 40)), // anti-chain: every pair red
+      (3L, (0 until 41).map(k => s"plain$k word$k").mkString(" ")))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fx"))
+      .withColumn("n_chars", length($"text"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("text_watermark_greenlist")(spark, dir)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(1L)._3 == rows(1L)._2, "green chain not fully green")
+    assert(rows(1L)._5, s"watermarked doc not flagged: z=${rows(1L)._4}")
+    assert(rows(1L)._4 > 6.0)
+    assert(rows(2L)._3 == 0L && !rows(2L)._5, "red chain misread")
+    assert(rows(2L)._4 < -6.0)
+    assert(!rows(3L)._5, s"plain doc false-flagged: z=${rows(3L)._4}")
+    // the live corpus is all-human: nothing at sf0.001 may trip the flag
+    val corpus = SparkEntry.queries("text_watermark_greenlist")(spark, sf)
+      .filter($"watermarked").count()
+    assert(corpus == 0L, s"$corpus human docs false-flagged at sf0.001")
+  }
+
   private lazy val heavyTailDir: String = {
     val dir = "target/tmp/heavytail_fixture"
     val V = 50000
