@@ -163,6 +163,9 @@ object Bench {
     // at noise 1.37 — the 2.53 s TimeAll first-call was classload the
     // bench warm-up absorbs; re-pin after the first driver bench)
     "text_watermark_greenlist" -> 0.55,
+    // round 18 wave 2 (provisional: RunOne warm pass 0.53 at local[32]
+    // sf0.1; re-pin after the first driver bench)
+    "dedup_paragraph_exact" -> 0.60,
   )
 
   def main(args: Array[String]): Unit = {

@@ -133,6 +133,10 @@ object SparkEntry {
     // hash-group over every token); provisional anchor pinned in the
     // same commit per the Bench.anchors workflow.
     "text_watermark_greenlist",
+    // round 18 wave 2: the CCNet paragraph-dedup pass — chunk explode +
+    // corpus-wide hash-partitioned survivor window + doc reassembly,
+    // the other new op with a corpus-scale data term.
+    "dedup_paragraph_exact",
   ).filter(queries.contains)
 
   /** Retired from group-2 TIMING at round 12 (they remain in `queries`

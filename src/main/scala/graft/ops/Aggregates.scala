@@ -2874,6 +2874,83 @@ object Aggregates {
                 $"tie_term".cast("double") /
                   ($"n".cast("double") * ($"n" - 1L)))), 6))
     }),
+
+    // One-way ANOVA F across the event-type groups (Fisher 1925) — the
+    // k-group generalization of a_ttest_welch, same exact-moments
+    // device: ONE corpus pass accumulates (n, Σvm, Σvm²) per group as
+    // exact milli-longs; each group's between-term (Σvm/1e3)²/n is then
+    // micro-quantized to a long BEFORE the k-element sum (the
+    // a_neyman_alloc ≤5-element-sum pattern — long addition is
+    // order-free where double addition is not), so SSB/SSW/F/η² are
+    // fixed-order double expressions over exact integers. Scale: the
+    // corpus pass is map-side partial-aggregated on 5 keys; everything
+    // after runs on a 5-row frame. (Milli not micro for the Σvm² long
+    // bound — the a_ttest_welch comment; at true 100 TB row counts the
+    // moment accumulators go DECIMAL.)
+    "a_anova_f" -> ((s, d) => {
+      import s.implicits._
+      val g = events(s, d)
+        .withColumn("vm", round($"value" * 1e3, 0).cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"vm").as("sv"),
+          sum($"vm" * $"vm").as("ssv"))
+        .withColumn("bt_micro",
+          round(($"sv" / 1e3) * ($"sv" / 1e3) / $"n" * 1e6, 0).cast("long"))
+      g.agg(count(lit(1)).as("k"), sum($"n").as("n_total"),
+          sum($"sv").as("s_all"), sum($"ssv").as("ss_all"),
+          sum($"bt_micro").as("bt_all"))
+        .withColumn("ssb",
+          $"bt_all" / 1e6 - ($"s_all" / 1e3) * ($"s_all" / 1e3) / $"n_total")
+        .withColumn("ssw", $"ss_all" / 1e6 - $"bt_all" / 1e6)
+        .select($"k", $"n_total", round($"ssb", 6).as("ssb"),
+          round($"ssw", 6).as("ssw"),
+          round(($"ssb" / ($"k" - 1L)) /
+            ($"ssw" / ($"n_total" - $"k")), 6).as("f_stat"),
+          round($"ssb" / ($"ssb" + $"ssw"), 6).as("eta_sq"))
+    }),
+
+    // TOST equivalence test on the pmod(user_id, 2) experiment arms
+    // (Schuirmann 1987) — the readout the t-test family can't give:
+    // affirmative evidence of NO meaningful difference (the
+    // launch-the-neutral-change decision), not mere absence of
+    // significance. Margin δ = 2% of the pooled mean; two one-sided z
+    // tests (large-sample normal approximation, the a_bh_fdr
+    // precedent): equivalent ⇔ t_lower ≥ z_.05 AND t_upper ≤ −z_.05.
+    // Same exact-moments device as a_ttest_welch — one corpus pass to
+    // (n, Σvm, Σvm²) per (type, arm) milli-longs; every double after is
+    // a fixed-order expression on the tiny 5-row pivot, and the flag
+    // compares the 6dp-ROUNDED statistics to the literal threshold so
+    // boundary behavior is pinned (the f19 convention).
+    "a_tost_equivalence" -> ((s, d) => {
+      import s.implicits._
+      val zcrit = 1.644854 // one-sided z at α = .05
+      val g = events(s, d)
+        .select($"event_type", pmod($"user_id", lit(2L)).as("arm"),
+          round($"value" * 1e3, 0).cast("long").as("vm"))
+        .groupBy($"event_type", $"arm")
+        .agg(count(lit(1)).as("n"), sum($"vm").as("sv"),
+          sum($"vm" * $"vm").as("ssv"))
+        .withColumn("m", $"sv" / 1e3 / $"n")
+        .withColumn("v",
+          ($"ssv" / 1e6 - ($"sv" / 1e3) * ($"sv" / 1e3) / $"n") / ($"n" - 1))
+      val a = g.filter($"arm" === 0L).select($"event_type", $"n".as("na"),
+        $"sv".as("sva"), $"m".as("ma"), $"v".as("va"))
+      val b = g.filter($"arm" === 1L).select($"event_type", $"n".as("nb"),
+        $"sv".as("svb"), $"m".as("mb"), $"v".as("vb"))
+      a.join(b, "event_type")
+        .withColumn("delta", ($"sva" + $"svb") / 1e3 / ($"na" + $"nb") * 0.02)
+        .withColumn("se", sqrt($"va" / $"na" + $"vb" / $"nb"))
+        .withColumn("t_lower", round(($"mb" - $"ma" + $"delta") / $"se", 6))
+        .withColumn("t_upper", round(($"mb" - $"ma" - $"delta") / $"se", 6))
+        .select($"event_type", $"na", $"nb",
+          round($"ma", 6).as("mean_a"), round($"mb", 6).as("mean_b"),
+          round($"mb" - $"ma", 6).as("diff"),
+          round($"delta", 6).as("delta"),
+          $"t_lower", $"t_upper",
+          when($"t_lower" >= zcrit && $"t_upper" <= -zcrit, 1L)
+            .otherwise(0L).as("equivalent"))
+        .orderBy("event_type")
+    }),
   )
 
   /** DiD readout over the (arm, period, n_events, sv) cell frame — the
@@ -4772,5 +4849,71 @@ object Aggregates {
         |        - CAST(tie_term AS DOUBLE)
         |          / (CAST(n AS DOUBLE) * (n - 1)))), 6) AS z
         |FROM fin""".stripMargin,
+    // per-group between-terms micro-quantized to BIGINT before the
+    // k-element sum; SSB/SSW/F/η² fixed-order doubles over exact longs
+    "a_anova_f" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(vm) AS BIGINT) AS sv,
+        |    CAST(SUM(vm * vm) AS BIGINT) AS ssv
+        |  FROM (SELECT event_type,
+        |          CAST(ROUND(value * 1e3, 0) AS BIGINT) AS vm
+        |        FROM events)
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT n, sv, ssv,
+        |    CAST(ROUND((sv / 1e3) * (sv / 1e3) / n * 1e6, 0) AS BIGINT)
+        |      AS bt_micro
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n) AS BIGINT) AS n_total,
+        |    CAST(SUM(sv) AS BIGINT) AS s_all,
+        |    CAST(SUM(ssv) AS BIGINT) AS ss_all,
+        |    CAST(SUM(bt_micro) AS BIGINT) AS bt_all
+        |  FROM b),
+        |f AS (
+        |  SELECT k, n_total,
+        |    bt_all / 1e6 - (s_all / 1e3) * (s_all / 1e3) / n_total AS ssb,
+        |    ss_all / 1e6 - bt_all / 1e6 AS ssw
+        |  FROM a)
+        |SELECT k, n_total, ROUND(ssb, 6) AS ssb, ROUND(ssw, 6) AS ssw,
+        |  ROUND((ssb / (k - 1)) / (ssw / (n_total - k)), 6) AS f_stat,
+        |  ROUND(ssb / (ssb + ssw), 6) AS eta_sq
+        |FROM f""".stripMargin,
+    // the 6dp-rounded one-sided statistics are what the flag compares
+    // to the z literal, so boundary behavior is engine-identical
+    "a_tost_equivalence" ->
+      """WITH g AS (
+        |  SELECT event_type, ((user_id % 2) + 2) % 2 AS arm,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(vm) AS BIGINT) AS sv,
+        |    CAST(SUM(vm * vm) AS BIGINT) AS ssv
+        |  FROM (SELECT event_type, user_id,
+        |          CAST(ROUND(value * 1e3, 0) AS BIGINT) AS vm FROM events)
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, arm, n, sv, sv / 1e3 / n AS m,
+        |    (ssv / 1e6 - (sv / 1e3) * (sv / 1e3) / n) / (n - 1) AS v
+        |  FROM g),
+        |p AS (
+        |  SELECT a.event_type, a.n AS na, b.n AS nb,
+        |    a.sv AS sva, b.sv AS svb, a.m AS ma, b.m AS mb,
+        |    a.v AS va, b.v AS vb
+        |  FROM st a JOIN st b ON a.event_type = b.event_type
+        |  WHERE a.arm = 0 AND b.arm = 1),
+        |f AS (
+        |  SELECT event_type, na, nb, ma, mb,
+        |    (sva + svb) / 1e3 / (na + nb) * 0.02 AS delta,
+        |    ROUND((mb - ma + (sva + svb) / 1e3 / (na + nb) * 0.02)
+        |      / sqrt(va / na + vb / nb), 6) AS t_lower,
+        |    ROUND((mb - ma - (sva + svb) / 1e3 / (na + nb) * 0.02)
+        |      / sqrt(va / na + vb / nb), 6) AS t_upper
+        |  FROM p)
+        |SELECT event_type, na, nb, ROUND(ma, 6) AS mean_a,
+        |  ROUND(mb, 6) AS mean_b, ROUND(mb - ma, 6) AS diff,
+        |  ROUND(delta, 6) AS delta, t_lower, t_upper,
+        |  CAST(CASE WHEN t_lower >= 1.644854 AND t_upper <= -1.644854
+        |    THEN 1 ELSE 0 END AS BIGINT) AS equivalent
+        |FROM f ORDER BY event_type""".stripMargin,
   )
 }

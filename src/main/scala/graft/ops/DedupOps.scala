@@ -396,6 +396,52 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
+    // PARAGRAPH-level exact dedup (the CCNet/RefinedWeb line-dedup pass,
+    // Wenzek et al. 2020 §3.1): duplicated paragraphs — boilerplate,
+    // syndicated blocks, repeated headers — are removed from every doc
+    // but their FIRST occurrence (global (doc_id, pid) order), and each
+    // doc is reassembled from its surviving paragraphs. Sub-document
+    // granularity is what doc-level dedup_exact structurally misses:
+    // two distinct articles sharing one syndicated block keep their
+    // prose and lose the block. Paragraph proxy: non-overlapping
+    // 10-token chunks (the corpus has no newlines; same fixed
+    // segmentation family as chunk_documents). Same planted-dup fixture
+    // as dedup_exact, so cross-doc duplicate paragraphs exist at every
+    // SF and the dup copies drain to empty. Scale: explode is map-only
+    // (×n_tokens/10); the survivor pick is ONE shuffle of the chunk
+    // table on its hash (the CCNet shuffle — linear in corpus tokens),
+    // reassembly is one groupBy(doc_id); nothing pairwise. The window
+    // partitions by the chunk hash, so it is corpus-wide-key-parallel,
+    // never a single-partition global sort.
+    "dedup_paragraph_exact" -> ((s, d) => {
+      import s.implicits._
+      val P = 10
+      val docs = documents(s, d).select($"doc_id", $"text")
+      val all = docs.union(docs.filter($"doc_id" % 100 === 0)
+        .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+      val paras = all
+        .select($"doc_id", TextOps.tokens($"text").as("tk"))
+        .withColumn("n", size($"tk"))
+        .filter($"n" >= 1)
+        .select($"doc_id", $"tk", $"n",
+          explode(sequence(lit(0),
+            floor(($"n" - 1) / P).cast("long"))).as("pid"))
+        .withColumn("ptxt", concat_ws(" ",
+          slice($"tk", ($"pid" * P + 1).cast("int"),
+            least(lit(P), $"n" - $"pid" * P).cast("int"))))
+        .select($"doc_id", $"pid", $"ptxt")
+      val w = Window.partitionBy(md5($"ptxt")).orderBy($"doc_id", $"pid")
+      paras.withColumn("rn", row_number().over(w))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(
+              when($"rn" === 1, struct($"pid", $"ptxt")))),
+            x => x("ptxt"))).as("kept_text"))
+        .orderBy("doc_id")
+    }),
+
     // N-gram (3-shingle) Jaccard near-dup — exact verifier: candidates from
     // shared shingles, then inter/union ≥ 0.8.
     "dedup_ngram_jaccard" -> ((s, d) => {
@@ -1425,6 +1471,34 @@ object DedupOps {
         |SELECT doc_id, n_dups,
         |  CAST(1000000 // n_dups AS BIGINT) AS weight_micro
         |FROM h JOIN c USING (h) ORDER BY doc_id""".stripMargin,
+    // COALESCE on the kept-text aggregate: a fully-drained doc keeps ''
+    // (Spark's concat_ws over an empty array), not NULL
+    "dedup_paragraph_exact" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 100 = 0),
+         |t AS (SELECT doc_id, ${TextOps.tokensSql} AS tk FROM all_docs),
+         |c AS (
+         |  SELECT doc_id, tk, len(tk) AS n,
+         |    unnest(generate_series(0, (len(tk) - 1) // 10)) AS pid
+         |  FROM t WHERE len(tk) >= 1),
+         |p AS (
+         |  SELECT doc_id, pid,
+         |    array_to_string(
+         |      tk[(pid*10+1):(pid*10 + LEAST(10, n - pid*10))], ' ') AS ptxt
+         |  FROM c),
+         |r AS (
+         |  SELECT doc_id, pid, ptxt, row_number() OVER (
+         |    PARTITION BY md5(ptxt) ORDER BY doc_id, pid) AS rn
+         |  FROM p)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  COALESCE(string_agg(ptxt, ' ' ORDER BY pid)
+         |    FILTER (WHERE rn = 1), '') AS kept_text
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"WITH $shingleCte,\n$jaccardSql",
     "dedup_containment" ->

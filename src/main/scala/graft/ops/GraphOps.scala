@@ -521,6 +521,47 @@ object GraphOps {
         .select($"scc_id", $"node", $"n_name", $"scc_size")
         .orderBy("scc_id", "node")
     }),
+
+    // Link prediction over the undirected core (Liben-Nowell &
+    // Kleinberg 2003): for every non-adjacent pair with ≥ 1 common
+    // neighbor, the three classic scores — common-neighbor count,
+    // neighborhood Jaccard |Γa∩Γb|/|Γa∪Γb|, and Adamic-Adar
+    // Σ_z 1/ln(deg z) (common neighbors discounted by their
+    // promiscuity; a common neighbor has deg ≥ 2 by construction, so
+    // ln never hits 0). Corpus-curation use: ranking likely-missing
+    // host-graph links prioritizes crawl frontiers. Exactness device:
+    // each 1/ln(deg z) term is nano-quantized to a long BEFORE the
+    // per-pair sum (long addition is order-free across partitionings —
+    // the a_neyman_alloc pattern), so only the display division is a
+    // double. Scale: wedge candidates are Σ_z deg(z)² over the
+    // |V|²-bounded edge aggregate — the graph_triangles bound; at web
+    // scale the standard cap is per-node neighbor lists truncated to
+    // top-k by weight before the wedge self-join, and the anti-join
+    // against the adjacency co-partitions on the pair key.
+    "graph_adamic_adar" -> ((s, d) => {
+      import s.implicits._
+      val und = undCore(s, d) // symmetrized (a, b)
+      val deg = und.groupBy($"a".as("node")).agg(count(lit(1)).as("deg"))
+      val wedges = und.select($"a".as("z"), $"b".as("x"))
+        .join(und.select($"a".as("z2"), $"b".as("y")),
+          $"z" === $"z2" && $"x" < $"y")
+        .select($"x", $"y", $"z")
+      val cand = wedges.join(und.select($"a".as("x"), $"b".as("y")),
+        Seq("x", "y"), "left_anti")
+      val aa = cand
+        .join(broadcast(deg.select($"node".as("z"), $"deg".as("degz"))), "z")
+        .withColumn("aa_nano",
+          round(lit(1e9) / log($"degz".cast("double")), 0).cast("long"))
+        .groupBy($"x", $"y")
+        .agg(count(lit(1)).as("common"), sum($"aa_nano").as("aa_nano"))
+      aa.join(broadcast(deg.select($"node".as("x"), $"deg".as("deg_x"))), "x")
+        .join(broadcast(deg.select($"node".as("y"), $"deg".as("deg_y"))), "y")
+        .select($"x", $"y", $"common", $"deg_x", $"deg_y",
+          round($"common" / ($"deg_x" + $"deg_y" - $"common"), 6)
+            .as("jaccard"),
+          round($"aa_nano" / 1e9, 6).as("adamic_adar"))
+        .orderBy("x", "y")
+    }),
   )
 
   /** Closure-squaring rounds for graph_scc: paths up to 2^SccRounds,
@@ -886,5 +927,32 @@ object GraphOps {
          |    SELECT unnest([x, y, z]) AS node FROM tri)
          |  GROUP BY 1) t ON n_nationkey = t.node
          |ORDER BY n_triangles DESC, n_name ASC""".stripMargin,
+    // per-z 1/ln(deg) terms nano-quantized to BIGINT before the
+    // per-pair sum — order-free addition, one display division
+    "graph_adamic_adar" ->
+      s"""WITH $undCoreCteSql,
+         |deg AS (
+         |  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM und GROUP BY 1),
+         |w AS (
+         |  SELECT e1.b AS x, e2.b AS y, e1.a AS z
+         |  FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b),
+         |cand AS (
+         |  SELECT x, y, z FROM w
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM und u WHERE u.a = w.x AND u.b = w.y)),
+         |aa AS (
+         |  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS common,
+         |    CAST(SUM(CAST(ROUND(1e9 / ln(CAST(dz.deg AS DOUBLE)), 0)
+         |      AS BIGINT)) AS BIGINT) AS aa_nano
+         |  FROM cand JOIN deg dz ON cand.z = dz.node
+         |  GROUP BY 1, 2)
+         |SELECT x, y, common, dx.deg AS deg_x, dy.deg AS deg_y,
+         |  ROUND(common / (dx.deg + dy.deg - common), 6) AS jaccard,
+         |  ROUND(aa_nano / 1e9, 6) AS adamic_adar
+         |FROM aa
+         |JOIN deg dx ON aa.x = dx.node
+         |JOIN deg dy ON aa.y = dy.node
+         |ORDER BY x, y""".stripMargin,
   )
 }

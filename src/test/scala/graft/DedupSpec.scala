@@ -502,4 +502,56 @@ class DedupSpec extends SparkSpec {
           "small-SF-invisible divergence class; use wideHashSql")
     }
   }
+
+  test("paragraph dedup: dup copies drain, originals keep every chunk once") {
+    val rows = SparkEntry.queries("dedup_paragraph_exact")(spark, sf)
+      .as[(Long, Long, Long, String)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    // chunk accounting: n_paras = ceil(tokens/10), kept_text re-splits
+    // to exactly 10·(n_kept−1) < tokens' ≤ 10·n_kept
+    rows.foreach { case (id, nParas, nKept, kept) =>
+      assert(nKept >= 0 && nKept <= nParas, s"doc $id: $nKept/$nParas")
+      val keptToks =
+        if (kept.isEmpty) 0 else kept.split(" ").count(_.nonEmpty)
+      assert(keptToks <= nKept * 10 &&
+        (nKept == 0 || keptToks > (nKept - 1) * 10),
+        s"doc $id: $keptToks tokens for $nKept kept chunks")
+    }
+    // every planted dup copy (re-keyed +1e6) repeats its original
+    // doc_id-ordered-first chunks verbatim, so it drains to empty
+    val drained = rows.filter(_._1 >= 1000000L)
+    assert(drained.nonEmpty, "planted-dup fixture missing")
+    drained.foreach { case (id, nParas, nKept, kept) =>
+      assert(nKept == 0 && kept.isEmpty, s"dup copy $id kept $nKept")
+      assert(byId(id - 1000000L)._2 == nParas, s"dup copy $id chunk count")
+    }
+    // exact local recompute of the whole pass (500 docs at this SF):
+    // same segmentation, same global (doc_id, pid) first-occurrence
+    // rule — output must match doc-for-doc, byte-for-byte. (Short LAST
+    // chunks collide across docs at this vocab — ~10% of originals
+    // legitimately lose their tail — so a ratio bar is the wrong spec;
+    // the recompute is the spec.)
+    val corpus = graft.ops.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val allDocs = (corpus ++ corpus.filter(_._1 % 100 == 0)
+      .map { case (id, t) => (id + 1000000L, t) }).sortBy(_._1)
+    val chunks = allDocs.flatMap { case (id, t) =>
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .grouped(10).zipWithIndex
+        .map { case (c, pid) => (id, pid.toLong, c.mkString(" ")) }
+    }
+    val firstOf = chunks.groupBy(_._3).view
+      .mapValues(cs => cs.map(c => (c._1, c._2)).min).toMap
+    val exp = chunks.groupBy(_._1).view.mapValues { cs =>
+      val kept = cs.filter(c => firstOf(c._3) == ((c._1, c._2)))
+        .sortBy(_._2)
+      (cs.length.toLong, kept.length.toLong,
+        kept.map(_._3).mkString(" "))
+    }.toMap
+    assert(rows.length == exp.size)
+    rows.foreach { case (id, nParas, nKept, kept) =>
+      assert(exp(id) == ((nParas, nKept, kept)),
+        s"doc $id: got ($nParas, $nKept, '$kept') vs ${exp(id)}")
+    }
+  }
 }

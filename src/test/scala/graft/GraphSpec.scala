@@ -288,4 +288,31 @@ class GraphSpec extends SparkSpec {
     // the component relation partitions the nodes: sizes sum to |V|
     assert(got.map(r => r._2 -> r._3).distinct.map(_._2).sum == n.toLong)
   }
+
+  test("Adamic-Adar matches a local recompute over the same core") {
+    val nbr = coreEdges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = nbr.view.mapValues(_.size.toLong).toMap
+    val exp = (for {
+      x <- nbr.keys; y <- nbr.keys
+      if x < y && !nbr(x).contains(y)
+      common = nbr(x) intersect nbr(y)
+      if common.nonEmpty
+    } yield {
+      // mirror the engine's nano-quantize-then-sum exactness device
+      val nano = common.toSeq.map(z =>
+        math.round(1e9 / math.log(deg(z).toDouble))).sum
+      (x, y) -> (common.size.toLong, nano)
+    }).toMap
+    val got = SparkEntry.queries("graph_adamic_adar")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(got.length == exp.size, s"${got.length} pairs vs ${exp.size}")
+    got.foreach { case (x, y, common, dx, dy, jac, aa) =>
+      val (ec, enano) = exp((x, y))
+      assert(common == ec && dx == deg(x) && dy == deg(y))
+      assert(common <= math.min(dx, dy))
+      assert(math.abs(jac - common.toDouble / (dx + dy - common)) < 1e-6)
+      assert(math.abs(aa - enano / 1e9) < 1e-6, s"($x,$y): $aa vs $enano")
+    }
+  }
 }

@@ -208,6 +208,8 @@ class PlanSpec extends SparkSpec {
       "sum/max windows over the per-SOURCE aggregate (fixed source domain)",
     "graph_assortativity" ->
       "undCore mean-weight threshold window over the |V|^2-bounded nation-level edge aggregate",
+    "graph_adamic_adar" ->
+      "same undCore edge-aggregate window (wedge/anti-join run on the bounded graph)",
     "graph_betweenness" ->
       "same undCore edge-aggregate window (BFS + |V|^3 term join all on the bounded graph)",
     "graph_lpa_communities" ->

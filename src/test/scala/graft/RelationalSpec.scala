@@ -173,7 +173,8 @@ class RelationalSpec extends SparkSpec {
       "a_qte_deciles", "a_bayes_ab", "dedup_gate_sweep",
       "mm_scene_cuts", "fuzz_fsjoin_000", "a_mann_whitney_arms",
       "text_watermark_greenlist", "corpus_softdedup_weights",
-      "retrieval_rbo_agreement").foreach { name =>
+      "retrieval_rbo_agreement", "a_anova_f", "a_tost_equivalence",
+      "graph_adamic_adar", "dedup_paragraph_exact").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -204,6 +205,41 @@ class RelationalSpec extends SparkSpec {
     // the value column is ~uniform noise split by user parity — the
     // arms must NOT separate (|z| far under any rejection threshold)
     assert(math.abs(r.getDouble(5)) < 4.0, s"z=${r.getDouble(5)}")
+  }
+
+  test("ANOVA F decomposition: SST = SSB + SSW and η² agrees with F") {
+    val r = SparkEntry.queries("a_anova_f")(spark, sf).collect().head
+    val (k, n) = (r.getLong(0), r.getLong(1))
+    val (ssb, ssw, f, eta) = (r.getDouble(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5))
+    assert(k == 5 && n > 0)
+    assert(ssb >= 0 && ssw > 0)
+    assert(eta >= 0 && eta < 1)
+    // F = (η²/(k−1)) / ((1−η²)/(N−k)) — same decomposition, two routes
+    val f2 = (eta / (k - 1)) / ((1 - eta) / (n - k))
+    assert(math.abs(f - f2) / math.max(f, 1e-9) < 1e-3, s"$f vs $f2")
+    // uniform noise split by event type — F must not scream (no real
+    // group effect in the fixture)
+    assert(f < 10.0, s"F=$f on a no-effect fixture")
+  }
+
+  test("TOST flags agree with their own rounded statistics") {
+    val rows = SparkEntry.queries("a_tost_equivalence")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (ma, mb, diff, delta) = (r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))
+      val (tl, tu, eq) = (r.getDouble(7), r.getDouble(8), r.getLong(9))
+      assert(delta > 0)
+      assert(math.abs(diff - (mb - ma)) < 2e-6)
+      assert(tl > tu, s"t_lower $tl <= t_upper $tu")
+      // the flag IS the rounded-statistics decision — pinned both ways
+      assert((eq == 1L) == (tl >= 1.644854 && tu <= -1.644854),
+        s"flag $eq vs ($tl, $tu)")
+      // arms are id-parity noise: the true difference is ~0, so the
+      // two one-sided statistics must straddle zero symmetrically-ish
+      assert(math.abs(diff) < delta * 50, s"diff $diff vs margin $delta")
+    }
   }
 
   test("RBO agreement stays under the identical-lists identity") {
