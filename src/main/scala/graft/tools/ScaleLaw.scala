@@ -124,7 +124,13 @@ object ScaleLaw {
     // hash-group — predicted linear in tokens); rbo rides the already-
     // lawed BM25/dense ranking constants, softdedup the dedup_exact
     // shuffle, mann-whitney the bounded bin table
-    "r18ops" -> Seq("text_watermark_greenlist"))
+    "r18ops" -> Seq("text_watermark_greenlist"),
+    // round-18 wave 2: the paragraph-dedup pass — chunk explode +
+    // corpus-wide hash-partitioned survivor window + reassembly, all
+    // predicted linear in tokens (the CCNet shuffle); the other wave-2
+    // ops ride already-lawed substrates (adamic_adar the bounded
+    // undCore aggregate, anova/tost the 5-key moments pass)
+    "r18b" -> Seq("dedup_paragraph_exact"))
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
