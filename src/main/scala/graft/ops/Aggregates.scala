@@ -2951,6 +2951,55 @@ object Aggregates {
             .otherwise(0L).as("equivalent"))
         .orderBy("event_type")
     }),
+
+    // Cochran-Mantel-Haenszel stratified 2×2 test (Mantel & Haenszel
+    // 1959): does the arm move the high-value rate CONTROLLING for
+    // day-of-week — the confounder-adjusted readout a pooled 2×2 gets
+    // wrong whenever traffic mix shifts across strata (Simpson's
+    // class). Strata = epoch-day dow (the a_seasonality_dow arithmetic
+    // — no engine dow convention involved), exposure = the
+    // pmod(user_id, 2) arm, outcome = milli-value > 50000 (~the
+    // corpus mean — splits every stratum non-degenerately at all SFs;
+    // the heavy tail keeps the rate well under half). Per
+    // stratum the 2×2 margins (n, r1, c1, a) are exact longs from ONE
+    // corpus pass partial-aggregated on ≤ 7 keys; E_k = r1·c1/n and
+    // V_k = (r1/n)(r0/n)·c1·c0/(n−1) are fixed-order doubles
+    // nano-quantized to longs BEFORE the ≤ 7-element sums (the
+    // a_neyman_alloc device), leaving one final z division. z² is the
+    // CMH χ² (1 df); the signed z keeps the direction.
+    "a_cmh_test" -> ((s, d) => {
+      import s.implicits._
+      val cells = events(s, d)
+        .select(
+          ((datediff(to_date($"ts"), lit("1970-01-01").cast("date")) + 4)
+            % 7).as("stratum"),
+          pmod($"user_id", lit(2L)).as("arm"),
+          (round($"value" * 1e3, 0).cast("long") > 50000L)
+            .cast("long").as("hit"))
+        .groupBy($"stratum")
+        .agg(count(lit(1)).as("n"), sum($"arm").as("r1"),
+          sum($"hit").as("c1"), sum($"arm" * $"hit").as("a"))
+        .withColumn("r0", $"n" - $"r1")
+        .withColumn("c0", $"n" - $"c1")
+        .withColumn("e_nano",
+          round($"r1".cast("double") * $"c1" / $"n" * 1e9, 0).cast("long"))
+        // greatest(n−1, 1): an n = 1 stratum (seen at sf0.001) has
+        // r1·r0 = 0, so V_k is exactly 0 whatever the denominator —
+        // the guard only dodges ANSI ÷0, never changes a value (the
+        // a_neyman_alloc greatest(tw_nano, 1) device)
+        .withColumn("v_nano", round(
+          ($"r1".cast("double") / $"n") * ($"r0".cast("double") / $"n") *
+            $"c1" * $"c0" / greatest($"n" - 1L, lit(1L)) * 1e9, 0)
+          .cast("long"))
+      cells.agg(count(lit(1)).as("k"), sum($"n").as("n_total"),
+          sum($"a").as("a_total"), sum($"e_nano").as("e_nano"),
+          sum($"v_nano").as("v_nano"))
+        .select($"k", $"n_total", $"a_total",
+          round($"e_nano" / 1e9, 6).as("expected"),
+          round($"v_nano" / 1e9, 6).as("variance"),
+          when($"v_nano" > 0L, round(($"a_total" - $"e_nano" / 1e9) /
+            sqrt($"v_nano" / 1e9), 6)).as("cmh_z"))
+    }),
   )
 
   /** DiD readout over the (arm, period, n_events, sv) cell frame — the
@@ -4915,5 +4964,44 @@ object Aggregates {
         |  CAST(CASE WHEN t_lower >= 1.644854 AND t_upper <= -1.644854
         |    THEN 1 ELSE 0 END AS BIGINT) AS equivalent
         |FROM f ORDER BY event_type""".stripMargin,
+    // per-stratum E/V nano-quantized to BIGINT before the <= 7-element
+    // sums; one final z division
+    "a_cmh_test" ->
+      """WITH cells AS (
+        |  SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(arm) AS BIGINT) AS r1,
+        |    CAST(SUM(hit) AS BIGINT) AS c1,
+        |    CAST(SUM(arm * hit) AS BIGINT) AS a
+        |  FROM (SELECT
+        |          (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |            + 4) % 7 AS stratum,
+        |          ((user_id % 2) + 2) % 2 AS arm,
+        |          CASE WHEN CAST(ROUND(value * 1e3, 0) AS BIGINT)
+        |            > 50000 THEN 1 ELSE 0 END AS hit
+        |        FROM events)
+        |  GROUP BY 1),
+        |q AS (
+        |  SELECT n, r1, c1, a, n - r1 AS r0, n - c1 AS c0 FROM cells),
+        |e AS (
+        |  SELECT n, a,
+        |    CAST(ROUND(CAST(r1 AS DOUBLE) * c1 / n * 1e9, 0) AS BIGINT)
+        |      AS e_nano,
+        |    CAST(ROUND((CAST(r1 AS DOUBLE) / n) * (CAST(r0 AS DOUBLE) / n)
+        |      * c1 * c0 / GREATEST(n - 1, 1) * 1e9, 0) AS BIGINT) AS v_nano
+        |  FROM q),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n) AS BIGINT) AS n_total,
+        |    CAST(SUM(a) AS BIGINT) AS a_total,
+        |    CAST(SUM(e_nano) AS BIGINT) AS e_nano,
+        |    CAST(SUM(v_nano) AS BIGINT) AS v_nano
+        |  FROM e)
+        |SELECT k, n_total, a_total,
+        |  ROUND(e_nano / 1e9, 6) AS expected,
+        |  ROUND(v_nano / 1e9, 6) AS variance,
+        |  CASE WHEN v_nano > 0 THEN
+        |    ROUND((a_total - e_nano / 1e9) / sqrt(v_nano / 1e9), 6)
+        |  ELSE NULL END AS cmh_z
+        |FROM agg""".stripMargin,
   )
 }

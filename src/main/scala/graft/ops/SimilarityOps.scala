@@ -500,6 +500,47 @@ object SimilarityOps {
         .withColumn("rbo", round($"rbo_nano" / 1e9, 6))
         .orderBy("query_doc")
     }),
+
+    // Kendall τ between the BM25 and dense rankings (round 18, wave 3)
+    // — the third agreement lens over the SAME shared ranking frames:
+    // RBO weights the top (geometric discount), τ weights every shared
+    // pair equally, so τ ≪ rbo flags tail-order disagreement the
+    // top-weighted readout hides (and vice versa). Restricted to docs
+    // in BOTH top-k lists, where ranks are distinct — so no tie terms
+    // and every count (concordant/discordant over ≤ C(k,2) = 190 pairs
+    // per query) is an exact long; the one division is τ_a =
+    // (C − D)/(n(n−1)/2), NULL when fewer than 2 shared docs. Scale:
+    // pair fan-out is k²-bounded PER QUERY — rank arithmetic on k·Q
+    // rows, independent of corpus size, like the rrf/rbo siblings.
+    "retrieval_tau_agreement" -> ((s, d) => {
+      import s.implicits._
+      val fr = fusionRankFrames(s, d)
+      val shared = fr.filter($"lr".isNotNull && $"dr".isNotNull)
+        .select($"qdoc", $"doc_id", $"lr", $"dr")
+      val p2 = shared.select($"qdoc".as("q2"), $"doc_id".as("d2"),
+        $"lr".as("l2"), $"dr".as("r2"))
+      val pairs = shared.join(p2, $"qdoc" === $"q2" && $"doc_id" < $"d2")
+        .groupBy($"qdoc")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(($"lr" - $"l2") * ($"dr" - $"r2") > 0, 1L)
+            .otherwise(0L)).as("concordant"),
+          sum(when(($"lr" - $"l2") * ($"dr" - $"r2") < 0, 1L)
+            .otherwise(0L)).as("discordant"))
+      fr.groupBy($"qdoc")
+        .agg(sum(when($"lr".isNotNull && $"dr".isNotNull, 1L)
+          .otherwise(0L)).as("n_common"))
+        .join(pairs, Seq("qdoc"), "left")
+        .select($"qdoc".as("query_doc"), $"n_common",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          coalesce($"concordant", lit(0L)).as("concordant"),
+          coalesce($"discordant", lit(0L)).as("discordant"),
+          when($"n_common" >= 2, round(
+            (coalesce($"concordant", lit(0L)) -
+              coalesce($"discordant", lit(0L))) /
+              (($"n_common" * ($"n_common" - 1)) / lit(2.0)), 6))
+            .as("kendall_tau"))
+        .orderBy("query_doc")
+    }),
   ) ++ queriesTail
 
   /** RBO weight ladder W[1..FusionDepth]: W[m] = (1−p)·Σ_{d=m..k}
@@ -1607,6 +1648,36 @@ object SimilarityOps {
          |LEFT JOIN rbow w ON w.m = c.m
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // concordant/discordant pair counts exact over the <= C(k,2)
+    // shared-doc pairs; one final division, NULL under 2 shared docs
+    "retrieval_tau_agreement" ->
+      s"""WITH $fusionRankCtesSql,
+         |shared AS (
+         |  SELECT l.qdoc, l.doc_id, l.lr, de.dr
+         |  FROM lex l JOIN dense de
+         |    ON l.qdoc = de.qdoc AND l.doc_id = de.doc_id),
+         |pr AS (
+         |  SELECT a.qdoc, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CASE WHEN (a.lr - b.lr) * (a.dr - b.dr) > 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         |    CAST(SUM(CASE WHEN (a.lr - b.lr) * (a.dr - b.dr) < 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+         |  FROM shared a JOIN shared b
+         |    ON a.qdoc = b.qdoc AND a.doc_id < b.doc_id
+         |  GROUP BY 1),
+         |cm AS (
+         |  SELECT qd.qdoc, CAST(COUNT(s.doc_id) AS BIGINT) AS n_common
+         |  FROM qd LEFT JOIN shared s ON s.qdoc = qd.qdoc GROUP BY 1)
+         |SELECT cm.qdoc AS query_doc, cm.n_common,
+         |  CAST(COALESCE(pr.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(pr.concordant, 0) AS BIGINT) AS concordant,
+         |  CAST(COALESCE(pr.discordant, 0) AS BIGINT) AS discordant,
+         |  CASE WHEN cm.n_common >= 2 THEN
+         |    ROUND((COALESCE(pr.concordant, 0) - COALESCE(pr.discordant, 0))
+         |      / (cm.n_common * (cm.n_common - 1) / 2.0), 6)
+         |  ELSE NULL END AS kendall_tau
+         |FROM cm LEFT JOIN pr ON pr.qdoc = cm.qdoc
+         |ORDER BY 1""".stripMargin,
   ) ++ oraclesTail
 
   /** The lex/dense top-k ranking CTE chain (ends with `qd`, `lex`,

@@ -174,7 +174,8 @@ class RelationalSpec extends SparkSpec {
       "mm_scene_cuts", "fuzz_fsjoin_000", "a_mann_whitney_arms",
       "text_watermark_greenlist", "corpus_softdedup_weights",
       "retrieval_rbo_agreement", "a_anova_f", "a_tost_equivalence",
-      "graph_adamic_adar", "dedup_paragraph_exact").foreach { name =>
+      "graph_adamic_adar", "dedup_paragraph_exact", "a_cmh_test",
+      "retrieval_tau_agreement").foreach { name =>
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect().map(_.toSeq).toSeq
       val b = q(spark, sf).collect().map(_.toSeq).toSeq
@@ -239,6 +240,43 @@ class RelationalSpec extends SparkSpec {
       // arms are id-parity noise: the true difference is ~0, so the
       // two one-sided statistics must straddle zero symmetrically-ish
       assert(math.abs(diff) < delta * 50, s"diff $diff vs margin $delta")
+    }
+  }
+
+  test("CMH margins are consistent and the null fixture does not reject") {
+    val r = SparkEntry.queries("a_cmh_test")(spark, sf).collect().head
+    val (k, n, a) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (e, v) = (r.getDouble(3), r.getDouble(4))
+    assert(k >= 1 && k <= 7, s"$k dow strata")
+    assert(a >= 0 && a <= n)
+    assert(e > 0 && v > 0)
+    // E is a sum of per-stratum r1·c1/n terms, each < its stratum n
+    assert(e < n)
+    // arm is id-parity noise: the adjusted association must be null
+    assert(!r.isNullAt(5) && math.abs(r.getDouble(5)) < 4.0,
+      s"cmh_z=${r.get(5)}")
+  }
+
+  test("Kendall tau pairs partition exactly and agree with RBO's commons") {
+    val taus = SparkEntry.queries("retrieval_tau_agreement")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val rbos = SparkEntry.queries("retrieval_rbo_agreement")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(taus.nonEmpty && taus.keySet == rbos.keySet)
+    taus.foreach { case (q, r) =>
+      val (nc, np, c, dis) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // same shared-doc count as the RBO readout over the same frames
+      assert(nc == rbos(q), s"query $q: n_common $nc vs rbo ${rbos(q)}")
+      assert(np == nc * (nc - 1) / 2)
+      // ranks are distinct within each list, so NO pair can tie:
+      // concordant + discordant exhausts the pair set
+      assert(c + dis == np, s"query $q: $c + $dis != $np")
+      if (nc >= 2) {
+        val tau = r.getDouble(5)
+        assert(tau >= -1.0 - 1e-9 && tau <= 1.0 + 1e-9)
+        assert(math.abs(tau - (c - dis).toDouble / np) < 1e-6)
+      } else assert(r.isNullAt(5))
     }
   }
 
