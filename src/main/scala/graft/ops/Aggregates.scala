@@ -39,6 +39,13 @@ object Aggregates {
     */
   val BhAlpha = 0.05
   val BhM = 10
+
+  /** One-sided z at α = .05 for the TOST equivalence bounds — defined
+    * once and INTERPOLATED into the SQL oracle (the bhZCrit injection
+    * device), so the two renderings cannot drift apart on the boundary
+    * constant their 6dp-rounded flags compare against.
+    */
+  val TostZ = 1.644854
   // The ladder is rank-indexed 1..BhM, so the pairwise-test count MUST
   // equal BhM — otherwise rank > BhM makes Spark's ANSI element_at
   // throw while DuckDB's list index returns NULL and the engines
@@ -2923,7 +2930,7 @@ object Aggregates {
     // boundary behavior is pinned (the f19 convention).
     "a_tost_equivalence" -> ((s, d) => {
       import s.implicits._
-      val zcrit = 1.644854 // one-sided z at α = .05
+      val zcrit = TostZ
       val g = events(s, d)
         .select($"event_type", pmod($"user_id", lit(2L)).as("arm"),
           round($"value" * 1e3, 0).cast("long").as("vm"))
@@ -2937,7 +2944,11 @@ object Aggregates {
         $"sv".as("sva"), $"m".as("ma"), $"v".as("va"))
       val b = g.filter($"arm" === 1L).select($"event_type", $"n".as("nb"),
         $"sv".as("svb"), $"m".as("mb"), $"v".as("vb"))
-      a.join(b, "event_type")
+      // FULL OUTER: an event_type whose users all land in one arm must
+      // surface as a NULL-statistics row (equivalent = 0), not vanish —
+      // a silently-dropped treatment group is invisible to the oracle
+      // compare because both engines would drop it identically
+      a.join(b, Seq("event_type"), "full_outer")
         .withColumn("delta", ($"sva" + $"svb") / 1e3 / ($"na" + $"nb") * 0.02)
         .withColumn("se", sqrt($"va" / $"na" + $"vb" / $"nb"))
         .withColumn("t_lower", round(($"mb" - $"ma" + $"delta") / $"se", 6))
@@ -4931,9 +4942,11 @@ object Aggregates {
         |  ROUND(ssb / (ssb + ssw), 6) AS eta_sq
         |FROM f""".stripMargin,
     // the 6dp-rounded one-sided statistics are what the flag compares
-    // to the z literal, so boundary behavior is engine-identical
+    // to the INJECTED TostZ constant, so boundary behavior is
+    // engine-identical; FULL JOIN keeps one-armed types visible as
+    // NULL-statistics rows (mirrors the Spark full_outer)
     "a_tost_equivalence" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT event_type, ((user_id % 2) + 2) % 2 AS arm,
         |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(vm) AS BIGINT) AS sv,
         |    CAST(SUM(vm * vm) AS BIGINT) AS ssv
@@ -4945,11 +4958,12 @@ object Aggregates {
         |    (ssv / 1e6 - (sv / 1e3) * (sv / 1e3) / n) / (n - 1) AS v
         |  FROM g),
         |p AS (
-        |  SELECT a.event_type, a.n AS na, b.n AS nb,
+        |  SELECT event_type, a.n AS na, b.n AS nb,
         |    a.sv AS sva, b.sv AS svb, a.m AS ma, b.m AS mb,
         |    a.v AS va, b.v AS vb
-        |  FROM st a JOIN st b ON a.event_type = b.event_type
-        |  WHERE a.arm = 0 AND b.arm = 1),
+        |  FROM (SELECT * FROM st WHERE arm = 0) a
+        |  FULL JOIN (SELECT * FROM st WHERE arm = 1) b
+        |    USING (event_type)),
         |f AS (
         |  SELECT event_type, na, nb, ma, mb,
         |    (sva + svb) / 1e3 / (na + nb) * 0.02 AS delta,
@@ -4961,7 +4975,7 @@ object Aggregates {
         |SELECT event_type, na, nb, ROUND(ma, 6) AS mean_a,
         |  ROUND(mb, 6) AS mean_b, ROUND(mb - ma, 6) AS diff,
         |  ROUND(delta, 6) AS delta, t_lower, t_upper,
-        |  CAST(CASE WHEN t_lower >= 1.644854 AND t_upper <= -1.644854
+        |  CAST(CASE WHEN t_lower >= $TostZ AND t_upper <= -$TostZ
         |    THEN 1 ELSE 0 END AS BIGINT) AS equivalent
         |FROM f ORDER BY event_type""".stripMargin,
     // per-stratum E/V nano-quantized to BIGINT before the <= 7-element

@@ -407,7 +407,10 @@ object DedupOps {
     // 10-token chunks (the corpus has no newlines; same fixed
     // segmentation family as chunk_documents). Same planted-dup fixture
     // as dedup_exact, so cross-doc duplicate paragraphs exist at every
-    // SF and the dup copies drain to empty. Scale: explode is map-only
+    // SF and the dup copies drain to empty (the +1e6 re-key shares the
+    // fixture-wide contract that real doc_ids stay under 1e6 — holds
+    // through the 100× scale corpus; a larger corpus bumps the offset
+    // in every fixture op together). Scale: explode is map-only
     // (×n_tokens/10); the survivor pick is ONE shuffle of the chunk
     // table on its hash (the CCNet shuffle — linear in corpus tokens),
     // reassembly is one groupBy(doc_id); nothing pairwise. The window

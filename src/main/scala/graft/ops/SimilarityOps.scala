@@ -1639,12 +1639,17 @@ object SimilarityOps {
          |common AS (
          |  SELECT l.qdoc, greatest(l.lr, de.dr) AS m
          |  FROM lex l JOIN dense de
-         |    ON l.qdoc = de.qdoc AND l.doc_id = de.doc_id)
-         |SELECT qd.qdoc AS query_doc,
+         |    ON l.qdoc = de.qdoc AND l.doc_id = de.doc_id),
+         |qs AS (
+         |  SELECT qdoc FROM lex UNION SELECT qdoc FROM dense)
+         |SELECT qs.qdoc AS query_doc,
          |  CAST(COUNT(c.m) AS BIGINT) AS n_common,
          |  CAST(COALESCE(SUM(w.w), 0) AS BIGINT) AS rbo_nano,
          |  ROUND(CAST(COALESCE(SUM(w.w), 0) AS BIGINT) / 1e9, 6) AS rbo
-         |FROM qd LEFT JOIN common c ON c.qdoc = qd.qdoc
+         |-- roster from the OBSERVED ranking frames (not qd): the Spark
+         |-- side groups fusionRankFrames rows, so a sampled query doc
+         |-- with an empty lex AND dense list must be absent BOTH sides
+         |FROM qs LEFT JOIN common c ON c.qdoc = qs.qdoc
          |LEFT JOIN rbow w ON w.m = c.m
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
@@ -1665,9 +1670,13 @@ object SimilarityOps {
          |  FROM shared a JOIN shared b
          |    ON a.qdoc = b.qdoc AND a.doc_id < b.doc_id
          |  GROUP BY 1),
+         |qs AS (
+         |  SELECT qdoc FROM lex UNION SELECT qdoc FROM dense),
          |cm AS (
-         |  SELECT qd.qdoc, CAST(COUNT(s.doc_id) AS BIGINT) AS n_common
-         |  FROM qd LEFT JOIN shared s ON s.qdoc = qd.qdoc GROUP BY 1)
+         |  -- roster from the observed frames, mirroring Spark's groupBy
+         |  -- over fusionRankFrames rows (see the rbo oracle note)
+         |  SELECT qs.qdoc, CAST(COUNT(s.doc_id) AS BIGINT) AS n_common
+         |  FROM qs LEFT JOIN shared s ON s.qdoc = qs.qdoc GROUP BY 1)
          |SELECT cm.qdoc AS query_doc, cm.n_common,
          |  CAST(COALESCE(pr.n_pairs, 0) AS BIGINT) AS n_pairs,
          |  CAST(COALESCE(pr.concordant, 0) AS BIGINT) AS concordant,
