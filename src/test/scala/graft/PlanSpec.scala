@@ -118,6 +118,7 @@ class PlanSpec extends SparkSpec {
     "ann_filtered_topk",                             // brute-force baseline (pre-filtered candidates)
     "retrieval_rrf_fusion",                          // dense side = brute-force baseline + scalar st join
     "retrieval_rbo_agreement",                       // same fusionRankFrames core as retrieval_rrf_fusion
+    "retrieval_tau_agreement",                       // same fusionRankFrames core (the pair join itself is equi on qdoc)
     "retrieval_mmr_rerank",                          // brute-force candidate gen (broadcast query side)
     "retrieval_prf_expansion",                       // scalar corpus-stats join (both BM25 passes)
     "ann_ivf_nprobe_sweep",                          // embeds the brute-force baseline + 4-row nprobe cross
