@@ -635,29 +635,47 @@ object MLOps {
         val resp = dw.join(theta, "doc_id").join(broadcast(phi), "word")
           .withColumn("rl", zip_with($"th", $"ph", (a, b) => a * b))
           .withColumn("den", aggregate($"rl", lit(0.0), (acc, x) => acc + x))
-          .select($"doc_id", $"word", $"n",
-            posexplode(transform($"rl", x => x / $"den")))
-          .toDF("doc_id", "word", "n", "k", "resp")
           // quantize per ROW (see scaladoc): summing exact longs is
           // order-insensitive, unlike summing doubles then rounding.
           // Only the M-step inputs survive into the checkpoint — n and
-          // the raw responsibility are dead past this point, and the
-          // materialized frame is nnz×K rows, the fit's biggest buffer.
-          .select($"doc_id", $"word", $"k",
-            round($"n" * $"resp" * 1e6, 0).cast("long").as("wkm"))
+          // the raw responsibility are dead past this point. Round 18:
+          // the K responsibilities stay an ARRAY column (wk) instead of
+          // posexploding to nnz×K rows — the checkpoint buffer shrinks
+          // K-fold in row count and both M-step aggregates read the
+          // array positionally, so no k column ever needs grouping.
+          // QRound.qroundLong is the bit-identical fast path for
+          // round(x*1e6, 0).cast("long") — this expression runs
+          // nnz×K times per round and was BigDecimal-bound.
+          .select($"doc_id", $"word",
+            array((0 until k).map(j => QRound.qroundLong(
+              $"n" * (element_at($"rl", j + 1) / $"den") * 1e6)): _*)
+              .as("wk"))
           .localCheckpoint()
-        phi = resp.groupBy($"word", $"k")
-          .agg(sum($"wkm").as("s"))
-          .withColumn("p", ($"s" + EmBetaMicro).cast("double") /
-            (sum($"s").over(Window.partitionBy($"k"))
-              + nVocab * EmBetaMicro).cast("double"))
-          .groupBy($"word").agg(kArr($"k", $"p").as("ph"))
-        theta = resp.groupBy($"doc_id", $"k")
-          .agg(sum($"wkm").as("s"))
-          .withColumn("p", ($"s" + EmAlphaMicro).cast("double") /
-            (sum($"s").over(Window.partitionBy($"doc_id"))
-              + k * EmAlphaMicro).cast("double"))
-          .groupBy($"doc_id").agg(kArr($"k", $"p").as("th"))
+        // Round 18: each M-step is ONE partial-aggregated shuffle —
+        // groupBy(word) / groupBy(doc_id) with a positional sum per
+        // topic — replacing the groupBy(word,k) + window-over-k +
+        // groupBy(word) three-exchange chain (the k-window forced all
+        // vocab×K rows through K≤4 tasks). The per-topic totals are the
+        // sums of the SAME exact longs in a different order, so every
+        // division sees bit-identical operands (MLSpec + the DuckDB
+        // oracle differential pin it).
+        val sumsK = (0 until k).map(j =>
+          sum(element_at($"wk", j + 1)).as(s"s$j"))
+        val wordS = resp.groupBy($"word").agg(sumsK.head, sumsK.tail: _*)
+        val totS = wordS.agg(
+          (0 until k).map(j => sum(col(s"s$j")).as(s"t$j")).head,
+          (0 until k).map(j => sum(col(s"s$j")).as(s"t$j")).tail: _*)
+        phi = wordS.crossJoin(broadcast(totS))
+          .select($"word", array((0 until k).map(j =>
+            (col(s"s$j") + EmBetaMicro).cast("double") /
+              (col(s"t$j") + nVocab * EmBetaMicro).cast("double")): _*)
+            .as("ph"))
+        theta = resp.groupBy($"doc_id").agg(sumsK.head, sumsK.tail: _*)
+          .select($"doc_id", array((0 until k).map(j =>
+            (col(s"s$j") + EmAlphaMicro).cast("double") /
+              ((0 until k).map(j2 => col(s"s$j2")).reduce(_ + _)
+                + k * EmAlphaMicro).cast("double")): _*)
+            .as("th"))
       }
       (phi, theta)
     })
@@ -722,9 +740,30 @@ object MLOps {
         val colSum = Array.tabulate(k)(j => (0 until v).map(w => wt(w)(j)).sum)
         Array.tabulate(v, k)((w, j) => wt(w)(j).toDouble / colSum(j).toDouble)
       }
-      def halfUpMicro(x: Double): Long =
-        BigDecimal.valueOf(x * 1e6)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      // Value-identical fast path for BigDecimal.valueOf(y).setScale(0,
+      // HALF_UP).toLong (round 18 — this ran once per (word, topic) per
+      // doc per pass and the BigDecimal.valueOf detour (Double.toString
+      // + decimal parse + object churn) dominated the fit's CPU). The
+      // slow path's only difference from plain half-up-on-the-double is
+      // that it rounds the SHORTEST DECIMAL REPRESENTATION of y, which
+      // differs from y by at most ulp(y)/2 — below 1e9 that is < 1.2e-7,
+      // so the two can only disagree when y lies within ~1e-7 of a
+      // half-integer boundary. The guard routes anything within 1e-5 of
+      // a boundary (100x margin, which also swallows the fp error of
+      // the floor/subtract probe itself) plus everything >= 1e9 (where
+      // ulp outgrows the band) to the exact BigDecimal path, so the
+      // result is bit-identical by construction, not by testing alone
+      // (MLSpec's dist==relational==oracle differential still pins it).
+      def halfUpMicro(x: Double): Long = {
+        val y = x * 1e6
+        val t = math.abs(y)
+        if (t < 1e9 && math.abs(t - math.floor(t) - 0.5) > 1e-5) {
+          val r = math.floor(t + 0.5).toLong
+          if (y < 0) -r else r
+        } else
+          BigDecimal.valueOf(y)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
       // per-doc wkm terms from the CURRENT (φ, θ): rl = θ_j·φ_wj, den =
       // the same left-to-right fold the relational aggregate() uses,
       // wkm = HALF_UP(n·(rl_j/den)·1e6) — bit-identical to the round()/
@@ -740,44 +779,49 @@ object MLOps {
         }
       val phBs = scala.collection.mutable.ListBuffer
         .empty[org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]
+      var persisted: org.apache.spark.rdd.RDD[_] = docs
       for (_ <- 1 to EmIters) {
         val phB = s.sparkContext.broadcast(phi)
         phBs += phB
-        // TWO passes over the persisted docs per round, each recomputing
-        // the per-doc wkm terms (both M-step inputs use the OLD (φ, θ),
-        // matching the relational round exactly). Measured trade-off: a
-        // single-pass variant that materialized wkm alongside θ (persist
-        // of nnz×K nested arrays) timed NO faster at sf0.1 — the
-        // serialization of the materialized terms costs about what the
-        // recompute does — so the simpler recompute form stays.
-        // M-step (φ): word×topic suff stats tree-reduced as exact longs —
-        // the partition-count-invariant merge
-        val suff = docs.treeAggregate(new Array[Long](v * k))(
-          (acc, doc) => {
-            wkmOf(doc._1, doc._2, phB.value).foreach { case (w, wk) =>
+        // ONE pass over the docs per round (round 18 — replacing the two
+        // passes that each recomputed the per-doc wkm terms): every
+        // partition computes its word×topic suff-stat PARTIAL and the
+        // per-doc θ update from the same wkm terms, emitting (updated
+        // docs, partial) once. Both M-step inputs still use the OLD
+        // (φ, θ), matching the relational round exactly, and the φ
+        // reduce is still a commutative exact-long tree merge over the
+        // per-partition partials — partition-count invariance and the
+        // dist==relational bit-equality are unchanged (MLSpec pins
+        // both). The earlier measured trade-off note concerned
+        // materializing the nnz×K wkm terms themselves; the partials
+        // here are K×V longs per partition (model-scale, ~1.6 MB at the
+        // vocab cap), which is why this form wins where that one lost.
+        val next = docs.mapPartitions { it =>
+          val acc = new Array[Long](v * k)
+          val out = it.map { case (ws, th) =>
+            val wk = wkmOf(ws, th, phB.value)
+            val num = new Array[Long](k)
+            wk.foreach { case (w, a) =>
               var j = 0
-              while (j < k) { acc(w * k + j) += wk(j); j += 1 }
+              while (j < k) { acc(w * k + j) += a(j); num(j) += a(j); j += 1 }
             }
-            acc
-          },
-          (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
-        // M-step (θ): per-doc, local, from the same OLD-(φ, θ) wkm terms
-        val next = docs.map { case (ws, th) =>
-          val wk = wkmOf(ws, th, phB.value)
-          val num = Array.fill(k)(0L)
-          wk.foreach { case (_, a) =>
-            var j = 0
-            while (j < k) { num(j) += a(j); j += 1 }
-          }
-          val tot = num.sum
-          (ws, Array.tabulate(k)(j =>
-            (num(j) + EmAlphaMicro).toDouble
-              / (tot + k.toLong * EmAlphaMicro).toDouble))
+            val tot = num.sum
+            (ws, Array.tabulate(k)(j =>
+              (num(j) + EmAlphaMicro).toDouble
+                / (tot + k.toLong * EmAlphaMicro).toDouble))
+          }.toArray
+          Iterator.single((out, acc))
         }
         next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        docs.unpersist(blocking = false)
-        docs = next
+        // materializes `next` (the one wkm pass) and tree-merges the
+        // cached partials — the second "pass" now reads K×V arrays, not
+        // the corpus
+        val suff = next.map(_._2).treeAggregate(new Array[Long](v * k))(
+          (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+          (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+        persisted.unpersist(blocking = false)
+        persisted = next
+        docs = next.flatMap(_._1.iterator)
         // unpersist, NOT destroy: the persisted docs RDD's lineage still
         // closes over phB (persist caches blocks but does not truncate
         // lineage, and task serialization walks the closure chain), so
@@ -791,7 +835,7 @@ object MLOps {
           (suff(w * k + j) + EmBetaMicro).toDouble
             / (topicSum(j) + v.toLong * EmBetaMicro).toDouble)
       }
-      docs.unpersist(blocking = false)
+      persisted.unpersist(blocking = false)
       // Mid-loop the broadcasts may only be UNPERSISTED (persisted-RDD
       // lineage still closes over them — see the phB comment above), but
       // HERE the fit is done and no RDD escapes: the cache stores the
@@ -2099,13 +2143,15 @@ object MLOps {
   private def alsTerms(r: DataFrame, fac: DataFrame, joinKey: String,
       groupKey: String, g1: String, g2: String): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
+    // QRound.qroundLong = bit-identical fast path for round(·,0).cast
+    // (five quantizations per rating row per half-step — BigDecimal-hot)
     r.join(fac, joinKey)
       .select(c(groupKey),
-        round((c(g1) * c(g1)) * 1e6, 0).cast("long").as("q11"),
-        round((c(g1) * c(g2)) * 1e6, 0).cast("long").as("q12"),
-        round((c(g2) * c(g2)) * 1e6, 0).cast("long").as("q22"),
-        round((c("r") * c(g1)) * 1e6, 0).cast("long").as("qb1"),
-        round((c("r") * c(g2)) * 1e6, 0).cast("long").as("qb2"))
+        QRound.qroundLong((c(g1) * c(g1)) * 1e6).as("q11"),
+        QRound.qroundLong((c(g1) * c(g2)) * 1e6).as("q12"),
+        QRound.qroundLong((c(g2) * c(g2)) * 1e6).as("q22"),
+        QRound.qroundLong((c("r") * c(g1)) * 1e6).as("qb1"),
+        QRound.qroundLong((c("r") * c(g2)) * 1e6).as("qb2"))
       .groupBy(c(groupKey)).agg(sum(c("q11")).as("a11"),
         sum(c("q12")).as("a12"), sum(c("q22")).as("a22"),
         sum(c("qb1")).as("b1"), sum(c("qb2")).as("b2"))

@@ -104,6 +104,7 @@ class PlanSpec extends SparkSpec {
     "u6_npmi_pairs", "u6_npmi_coherence",            // scalar n_docs join
     "u6_npmi_windowed",                              // scalar n_units join
     "lda_em_coherence",                              // scalar n_docs join (npmiPairs)
+    "lda_em_topics",                                 // 1-row per-topic-total broadcast (r18 M-step: replaced the window-over-k exchange chain)
     "text_bm25_topk",                                // scalar corpus-stats join
     "corpus_temperature_resample",                   // 1-row n_min broadcast
     "ann_recall_at_k",                               // embeds the brute-force baseline
