@@ -612,27 +612,41 @@ object MLOps {
       // re-shuffles across rounds
       val dw = emCounts(s, d)
         .repartition($"doc_id").localCheckpoint()
-      val nVocab = dw.select($"word").distinct().count()
-      val ks = 0 until k
-      var phi = dw.select($"word").distinct()
-        .select($"word", posexplode(array(ks.map(k =>
-          lit(1000L) + (graft.functions.PolyHash.poly_hash($"word") * 31
-            + k * 7919) % 997): _*)))
-        .toDF("word", "k", "wt")
-        .withColumn("p", $"wt".cast("double") /
-          sum($"wt").over(Window.partitionBy($"k")).cast("double"))
-        .groupBy($"word").agg(kArr($"k", $"p").as("ph"))
-        .localCheckpoint()
-      var theta = dw.select($"doc_id").distinct()
-        .select($"doc_id", array(ks.map(_ => lit(1.0 / k)): _*).as("th"))
-        .localCheckpoint()
+      // ONE distinct-word pass (round 18): nVocab, the φ0 seed weights
+      // and the per-topic seed totals all read this ≤50k-row checkpoint
+      // instead of scanning dw once each (the nVocab count and the φ0
+      // posexplode+window(k)+regroup chain were separate full passes).
+      val words = dw.select($"word").distinct().localCheckpoint()
+      val nVocab = words.count()
+      val seedW = (0 until k).map(j =>
+        lit(1000L) + (graft.functions.PolyHash.poly_hash($"word") * 31
+          + j * 7919) % 997)
+      // φ0 = seed / per-topic seed total, as an array column with the
+      // 1-row total broadcast back — the same exact-long operands the
+      // old window-over-k form divided, without the explode, the K≤4-
+      // partition window, or the re-group.
+      val w0tot = words.agg(
+        (0 until k).map(j => sum(seedW(j)).as(s"t$j")).head,
+        (0 until k).map(j => sum(seedW(j)).as(s"t$j")).tail: _*)
+      var phi = words.crossJoin(broadcast(w0tot))
+        .select($"word", array((0 until k).map(j =>
+          seedW(j).cast("double") / col(s"t$j").cast("double")): _*)
+          .as("ph"))
+      // θ0 is the CONSTANT 1/K array: round 1 attaches it as a literal
+      // column (round 18) — the old distinct-doc_id frame + join
+      // produced identical rows, since dw's doc set IS θ0's domain.
+      var theta: DataFrame = null
       for (_ <- 1 to EmIters) {
         // one E-step materialization per round: BOTH M-step aggregates
         // read the checkpointed responsibilities (the lazy form re-ran
         // the 3-way join per consumer — measured 2× the round cost), and
         // the checkpoint also truncates the cross-round lineage, so the
         // vocab- and doc-scale M-step frames can stay lazy.
-        val resp = dw.join(theta, "doc_id").join(broadcast(phi), "word")
+        val withTh =
+          if (theta == null)
+            dw.withColumn("th", array(Seq.fill(k)(lit(1.0 / k)): _*))
+          else dw.join(theta, "doc_id")
+        val resp = withTh.join(broadcast(phi), "word")
           .withColumn("rl", zip_with($"th", $"ph", (a, b) => a * b))
           .withColumn("den", aggregate($"rl", lit(0.0), (acc, x) => acc + x))
           // quantize per ROW (see scaladoc): summing exact longs is
@@ -662,9 +676,15 @@ object MLOps {
         val sumsK = (0 until k).map(j =>
           sum(element_at($"wk", j + 1)).as(s"s$j"))
         val wordS = resp.groupBy($"word").agg(sumsK.head, sumsK.tail: _*)
-        val totS = wordS.agg(
-          (0 until k).map(j => sum(col(s"s$j")).as(s"t$j")).head,
-          (0 until k).map(j => sum(col(s"s$j")).as(s"t$j")).tail: _*)
+        // per-topic totals straight off the checkpointed resp (round 18,
+        // second pass of the wave): Σ_words s_j == Σ_rows wk_j — the
+        // same exact longs — and reading resp directly avoids evaluating
+        // the vocab aggregate twice (once for φ's rows, once for totals)
+        val totS = resp.agg(
+          (0 until k).map(j =>
+            sum(element_at($"wk", j + 1)).as(s"t$j")).head,
+          (0 until k).map(j =>
+            sum(element_at($"wk", j + 1)).as(s"t$j")).tail: _*)
         phi = wordS.crossJoin(broadcast(totS))
           .select($"word", array((0 until k).map(j =>
             (col(s"s$j") + EmBetaMicro).cast("double") /
