@@ -301,23 +301,30 @@ object DedupOps {
       // (y, m_x) for y > x: each edge re-emitted from its smaller
       // endpoint, pointed at that endpoint's closed-neighborhood min;
       // y > x >= m, so the u > v orientation is preserved for free.
+      // Round 18: no .distinct() here — mSmall's min and the final
+      // distinct are both multiplicity-insensitive, |large| is bounded
+      // by the edge count either way, and dropping it removes one full
+      // exchange+dedup per round (set semantics unchanged).
       val large = sym.filter($"y" > $"x").join(mLarge, "x")
-        .select($"y".as("u"), $"m".as("v")).distinct()
+        .select($"y".as("u"), $"m".as("v"))
       val mSmall = large.groupBy($"u").agg(min($"v").as("m"))
       val small = large.join(mSmall, "u")
         .select($"v".as("node"), $"m")
         .union(mSmall.select($"u".as("node"), $"m"))
         .filter($"node" =!= $"m")
         .select($"node".as("u"), $"m".as("v"))
-        .distinct().localCheckpoint()
-      // converged ⟺ the small-star output is the same edge set; one
-      // full-outer-join count job (the |AΔB| = 2|A∪B|−|A|−|B| form cost
-      // three jobs per round)
-      changed = small.withColumn("sflag", lit(1))
+        .distinct()
+      // converged ⟺ the small-star output is the same edge set. Round
+      // 18: checkpoint the MERGED full-outer frame once — `changed` and
+      // the next round's edge set are both filters over this cache, so
+      // the round runs one materialization + one cached-count instead
+      // of a checkpoint job plus a second join job re-reading both
+      // sides (the |AΔB| = 2|A∪B|−|A|−|B| form cost three).
+      val merged = small.withColumn("sflag", lit(1))
         .join(edges.withColumn("eflag", lit(1)), Seq("u", "v"), "full")
-        .filter($"sflag".isNull || $"eflag".isNull)
-        .count()
-      edges = small
+        .localCheckpoint()
+      changed = merged.filter($"sflag".isNull || $"eflag".isNull).count()
+      edges = merged.filter($"sflag" === 1).select($"u", $"v")
       iters += 1
     }
     // O(log² n) convergence means the cap can only be hit by a broken

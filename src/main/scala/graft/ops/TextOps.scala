@@ -1038,16 +1038,26 @@ object TextOps {
         .filter(length($"word") >= 4 && !array_contains(stopwordArray, $"word"))
         .groupBy($"qdoc", $"word").agg(count(lit(1)).as("qtf"))
       val wq = Window.partitionBy($"qdoc").orderBy(desc("qtf"), asc("word"))
+      // round 18: ≤3·|queries| rows with FIVE consumers (both passes'
+      // term sets + broadcasts + the expansion anti-join), each of which
+      // re-ran the qdoc tokenize/window chain — pin once
       val qterms = qtf.withColumn("rk", row_number().over(wq))
         .filter($"rk" <= 3).select($"qdoc", $"word")
+        .localCheckpoint(false)
       val dl = t.select($"doc_id", size($"t").as("dl"))
       val st = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
       // One weighted-BM25 pass over a (qdoc, word, wt) term table; both
       // retrieval passes share this shape, differing only in the terms.
       def pass(terms: DataFrame): DataFrame = {
+        // round 18: pin the term-filtered tf table — it is hits-scale
+        // (≤50 terms), but BOTH consumers below (the df aggregate's
+        // broadcast build and the scored join) re-ran the corpus-wide
+        // token explode to produce it; each pass paid the firehose
+        // twice. One checkpoint = one explode per pass.
         val tf = t.select($"doc_id", explode($"t").as("word"))
           .join(broadcast(terms.select($"word").distinct()), "word")
           .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+          .localCheckpoint(false)
         val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
         tf.join(broadcast(terms), "word")
           .join(broadcast(df_), "word")
@@ -1075,6 +1085,10 @@ object TextOps {
         .withColumn("rk", row_number().over(
           Window.partitionBy($"qdoc").orderBy(desc("ftf"), asc("word"))))
         .filter($"rk" <= 2).select($"qdoc", $"word")
+        // round 18: ≤2·|queries| rows consumed by THREE plans (the
+        // pass-2 term set, its broadcast distinct, and the report
+        // string) — pin once instead of re-mining the feedback docs
+        .localCheckpoint(false)
       val allTerms = qterms.withColumn("wt", lit(2L))
         .union(expTerms.withColumn("wt", lit(1L)))
       val s2 = pass(allTerms)
