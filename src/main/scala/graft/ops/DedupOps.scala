@@ -604,15 +604,22 @@ object DedupOps {
         .join(sig.toDF("d2", "band", "key"), Seq("band", "key"))
         .filter($"d1" < $"d2")
         .select("d1", "d2").distinct()
+      // round 18: `cands` (band-collision join) and `marked` (the whole
+      // exact-verifier chain) each had TWO consumers — the recall
+      // buckets and the precision row — so the corpus-scale truth and
+      // candidate pipelines ran twice per query (JobProbe: jobSum 6.2 s
+      // for a 3.3 s wall). Pin both pair lists (∝ dup density).
+      val candsP = cands.localCheckpoint(false)
       val marked = truth
-        .join(cands.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
+        .join(candsP.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
         .na.fill(0L, Seq("hit"))
         .withColumn("bucket", least(floor($"jaccard" * 10), lit(9L)))
+        .localCheckpoint(false)
       val buckets = marked.groupBy($"bucket").agg(
           count(lit(1)).as("n_true"), sum($"hit").as("n_caught"))
         .withColumn("recall",
           round($"n_caught" / $"n_true".cast("double"), 6))
-      val overall = cands.agg(count(lit(1)).as("n_cand"))
+      val overall = candsP.agg(count(lit(1)).as("n_cand"))
         .crossJoin(marked.filter($"jaccard" >= 0.8)
           .agg(sum($"hit").as("n_gate_hits")))
         .withColumn("precision_at_gate",

@@ -390,6 +390,11 @@ object GraphOps {
         .withColumn("mw", avg($"uw").over(Window.partitionBy()))
         .filter(round($"uw", 6) > round($"mw", 6))
         .select($"a", $"b")
+        // round 18: three consumers (both wedge sides + the closure
+        // join) each embedded the full corpus edge-aggregate subtree —
+        // Catalyst optimized it 3x (JobProbe: 1.3 s of planning gap for
+        // a |V|-bounded query); one lazy pin keeps the plan linear
+        .localCheckpoint(false)
       val e1 = core.select($"a".as("x"), $"b".as("y"))
       val e2 = core.select($"a".as("y2"), $"b".as("z"))
       val wedges = e1.join(e2, $"y" === $"y2").select($"x", $"y", $"z")
@@ -414,7 +419,10 @@ object GraphOps {
     // table — no iteration, no corpus pass.
     "graph_assortativity" -> ((s, d) => {
       import s.implicits._
-      val und = undCore(s, d)
+      // round 18: und feeds the degree aggregate AND both sides of the
+      // pair join — un-pinned, the corpus edge-aggregate subtree was
+      // planned and (modulo ReuseExchange) run three times
+      val und = undCore(s, d).localCheckpoint(false)
       val deg = und.groupBy($"a").agg(count(lit(1)).as("deg"))
       val pairs = und
         .join(deg.toDF("a", "dx"), "a")
@@ -452,25 +460,35 @@ object GraphOps {
       // failure mode retrieval_mmr_rerank hit in round 10). Lazy, so
       // plan-only construction stays metadata-only.
       val und = undCore(s, d).localCheckpoint(false)
-      def peel(k: Int): DataFrame = {
+      // Round 18: BOTH peels (k=2, k=3) ride one iterated frame keyed by
+      // a `k` column — the two k's never interact (every join/group
+      // carries k), so membership per k is identical to two separate
+      // peels, while the round count the driver must PLAN halves from
+      // 24 to 12 (JobProbe: this query was ~50% Catalyst planning gap,
+      // one plan per sequential lazy checkpoint). The deg >= k
+      // threshold reads the k column directly.
+      val peeled = {
         var nodes = und.select($"a".as("node")).distinct()
+          .select($"node", explode(array(lit(2), lit(3))).as("kk"))
         for (_ <- 1 to PeelRounds) {
           // each round reads the previous node list TWICE — checkpoint
-          // the |V|-row state so lineage stays linear, not 2^rounds
+          // the state so lineage stays linear, not 2^rounds
           nodes = und
-            .join(nodes.select($"node".as("a")), Seq("a"), "left_semi")
-            .join(nodes.select($"node".as("b")), Seq("b"), "left_semi")
-            .groupBy($"a").agg(count(lit(1)).as("deg"))
-            .filter($"deg" >= k)
-            .select($"a".as("node"))
+            .join(nodes.select($"kk", $"node".as("a")), Seq("a"))
+            .join(nodes.select($"kk", $"node".as("b")), Seq("kk", "b"))
+            .groupBy($"kk", $"a").agg(count(lit(1)).as("deg"))
+            .filter($"deg" >= $"kk")
+            .select($"kk", $"a".as("node"))
             .localCheckpoint(false)
         }
         nodes
       }
       val deg = und.groupBy($"a").agg(count(lit(1)).as("deg"))
         .select($"a".as("node"), $"deg")
-      val c2 = peel(2).withColumn("in2", lit(true))
-      val c3 = peel(3).withColumn("in3", lit(true))
+      val c2 = peeled.filter($"kk" === 2).select($"node")
+        .withColumn("in2", lit(true))
+      val c3 = peeled.filter($"kk" === 3).select($"node")
+        .withColumn("in3", lit(true))
       nation(s, d).select($"n_nationkey".as("node"), $"n_name")
         .join(deg, Seq("node"), "left")
         .join(c2, Seq("node"), "left")

@@ -1862,7 +1862,10 @@ object TextOps {
     // test-doc scoring is |bins|-row arithmetic.
     "ml_calibration_bins" -> ((s, d) => {
       import s.implicits._
-      val bins = calibBins(s, d)
+      // round 18: the 10-row bin table has two consumers (the ece
+      // aggregate and the report rows) — un-pinned, the whole NB
+      // scoring corpus pass behind calibBins ran twice
+      val bins = calibBins(s, d).localCheckpoint(false)
       val ece = bins.agg(
           (sum(abs($"n_correct" * lit(1000000L) - $"sconf")) /
             (lit(1e6) * sum($"n_docs"))).as("e"))
