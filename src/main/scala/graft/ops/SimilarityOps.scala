@@ -581,13 +581,18 @@ object SimilarityOps {
           !array_contains(TextOps.stopwordArray, $"word"))
         .groupBy($"qdoc", $"word").agg(count(lit(1)).as("qtf"))
       val wq = Window.partitionBy($"qdoc").orderBy(desc("qtf"), asc("word"))
+      // round 18: ≤3·|queries| rows, two consumers — pin (the PRF fix)
       val qterms = qtf.withColumn("rk", row_number().over(wq))
         .filter($"rk" <= 3).select($"qdoc", $"word")
+        .localCheckpoint(false)
       val dl = t.select($"doc_id", size($"t").as("dl"))
       val st = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+      // round 18: hits-scale, but the df aggregate and the scored join
+      // each re-ran the corpus token explode to build it — pin
       val tf = t.select($"doc_id", explode($"t").as("word"))
         .join(broadcast(qterms.select($"word").distinct()), "word")
         .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false)
       val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
       val lexScore = tf.join(broadcast(qterms), "word")
         .join(broadcast(df_), "word")
@@ -614,7 +619,11 @@ object SimilarityOps {
         .select($"qdoc", $"vec_id".as("doc_id"), $"cos")
         .withColumn("dr", row_number().over(wd))
         .filter($"dr" <= Depth).select($"qdoc", $"doc_id", $"dr")
+      // round 18: k·Q rows with multiple readers (tau reads it twice in
+      // one query; every consumer re-built both retrieval sides
+      // otherwise) — pin the shared ranking frame itself
       lex.join(dense, Seq("qdoc", "doc_id"), "full_outer")
+        .localCheckpoint(false)
   }
 
   private lazy val queriesTail: Map[String, Q] = Map(

@@ -217,6 +217,8 @@ object TextOps {
       .withColumn("nano",
         round(exp(($"score" - $"smax").cast("double") / 1e6) * 1e9, 0)
           .cast("long"))
+      // round 18: den and the argmax row both read it — pin once
+      .localCheckpoint(false)
     val den = soft.groupBy($"doc_id").agg(sum($"nano").as("dn"))
     val wp = Window.partitionBy($"doc_id")
       .orderBy(desc("score"), asc("pred_cand"))
@@ -244,15 +246,22 @@ object TextOps {
     val train = docs.filter($"bucket" < 8)
     val test = docs.filter($"bucket" >= 8)
     val tw = train.select($"lang", explode($"t").as("word"))
+    // Round 18: ONE train-side tokenize+explode — classTotals, the
+    // vocab-size scalar and wl's word domain all derive from this
+    // pinned vocab-scale pair table (each previously re-ran the corpus
+    // explode: 4 tokenize passes for one model build). classTotals as
+    // Σ cwc and vocab as DISTINCT word over the aggregate are the same
+    // exact longs/sets the per-pass forms produced.
     val classCounts = tw.groupBy($"lang", $"word").agg(count(lit(1)).as("cwc"))
-    val classTotals = tw.groupBy($"lang").agg(count(lit(1)).as("nc"))
-    val vocabSize = tw.select($"word").distinct().count()
+      .localCheckpoint(false)
+    val classTotals = classCounts.groupBy($"lang").agg(sum($"cwc").as("nc"))
+    val vocabSize = classCounts.select($"word").distinct().count()
     val priors = train.groupBy($"lang").agg(count(lit(1)).as("ndc"))
       .crossJoin(broadcast(train.agg(count(lit(1)).as("nd"))))
       .select($"lang",
         round(log($"ndc".cast("double") / $"nd") * 1e6, 0)
           .cast("long").as("prior_micro"))
-    val wl = tw.select($"word").distinct()
+    val wl = classCounts.select($"word").distinct()
       .crossJoin(broadcast(classTotals))
       .join(classCounts, Seq("lang", "word"), "left")
       .na.fill(0L, Seq("cwc"))
@@ -271,6 +280,12 @@ object TextOps {
       .na.fill(0L, Seq("ssum"))
       .withColumn("score", $"ssum" + $"prior_micro")
       .select($"doc_id", $"true_lang", $"pred_cand", $"score")
+      // round 18: every consumer (softmax max-shift + denominator +
+      // argmax in calibBins/conformal, the confusion matrix in
+      // text_nb_classifier) reads the score table 2-4 times — pin the
+      // |test docs| × |classes| frame so the test-side scoring pass
+      // runs once
+      .localCheckpoint(false)
   }
 
   private[graft] def tokens(c: Column): Column =
