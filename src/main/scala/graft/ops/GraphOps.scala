@@ -233,16 +233,21 @@ object GraphOps {
     // a_hll_probe's machinery).
     "graph_harmonic" -> ((s, d) => {
       import s.implicits._
-      val und = undCore(s, d).localCheckpoint()
+      // round 18: LAZY checkpoints — each eager round checkpoint was a
+      // separate AQE job round-trip on a |V|2-bounded frame; lazy keeps
+      // the lineage truncation (each round still materializes exactly
+      // once, at first use) but lets the scheduler run the cascade
+      // without per-round driver barriers
+      val und = undCore(s, d).localCheckpoint(false)
       var dist = nation(s, d)
         .select($"n_nationkey".as("s"), $"n_nationkey".as("v"), lit(0).as("dd"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       for (r <- 1 to 4) {
         dist = dist.join(und, $"v" === $"a")
           .select($"s", $"b".as("v"), ($"dd" + 1).as("dd"))
           .union(dist)
           .groupBy($"s", $"v").agg(min($"dd").as("dd"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
       val h = dist.filter($"dd" > 0)
         .groupBy($"s").agg(
@@ -328,7 +333,8 @@ object GraphOps {
     "graph_hyperball" -> ((s, d) => {
       import s.implicits._
       val M = 16
-      val und = undCore(s, d).localCheckpoint()
+      // round 18: lazy checkpoints, same rationale as graph_harmonic
+      val und = undCore(s, d).localCheckpoint(false)
       val h = graft.functions.PolyHash.poly_hash($"v".cast("string"))
       // dense init: all 16 registers per node, the node's own hash slot
       // carrying its rho — densifying up front keeps every later round a
@@ -344,7 +350,7 @@ object GraphOps {
           $"jv", $"rhov")
         .withColumn("r", when($"j" === $"jv", $"rhov").otherwise(lit(0)))
         .select($"v", $"j", $"r")
-        .localCheckpoint()
+        .localCheckpoint(false)
       def estOf(rt: DataFrame, t: Int): DataFrame =
         rt.groupBy($"v").agg(
           sum(pow(lit(2.0), -$"r")).as("s"),
@@ -360,7 +366,7 @@ object GraphOps {
           .select($"b".as("v"), $"j", $"r")
           .union(regs)
           .groupBy($"v", $"j").agg(max($"r").as("r"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         ests = ests :+ estOf(regs, t)
       }
       val joined = ests.reduce((x, y) => x.join(y, "v"))

@@ -920,7 +920,10 @@ object TextOps {
       import s.implicits._
       val qTerms = Seq("spark", "table", "merge", "model", "stream")
       val K = 15
+      // round 18: dl, st and the term-filtered tf all branch off the
+      // tokenize — pin it so wtab's one materialization tokenizes once
       val t = documents(s, d).select($"doc_id", tokens($"text").as("t"))
+        .localCheckpoint(false)
       val dl = t.select($"doc_id", size($"t").as("dl"))
       val st = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
       val tf = t.select($"doc_id", explode($"t").as("word"))
@@ -982,7 +985,10 @@ object TextOps {
     // eval costs one term-filtered pass, never a corpus×corpus score.
     "text_bm25_eval" -> ((s, d) => {
       import s.implicits._
+      // round 18: same pins as the PRF/fusion BM25 cores — tokenize
+      // once, build the hits-scale tf once (df aggregate + scored join)
       val t = documents(s, d).select($"doc_id", tokens($"text").as("t"))
+        .localCheckpoint(false)
       val qdocs = documents(s, d)
         .filter(pmod(graft.functions.PolyHash.poly_hash(
           $"doc_id".cast("string")), lit(50L)) === 0)
@@ -994,11 +1000,13 @@ object TextOps {
       val wq = Window.partitionBy($"qdoc").orderBy(desc("qtf"), asc("word"))
       val qterms = qtf.withColumn("rk", row_number().over(wq))
         .filter($"rk" <= 3).select($"qdoc", $"word")
+        .localCheckpoint(false)
       val dl = t.select($"doc_id", size($"t").as("dl"))
       val st = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
       val tf = t.select($"doc_id", explode($"t").as("word"))
         .join(broadcast(qterms.select($"word").distinct()), "word")
         .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false)
       val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
       val scored = tf.join(broadcast(qterms), "word")
         .join(broadcast(df_), "word")
