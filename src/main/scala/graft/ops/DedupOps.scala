@@ -1379,9 +1379,14 @@ object DedupOps {
     "dedup_source_overlap" -> ((s, d) => {
       import s.implicits._
       val src = documents(s, d).select($"doc_id", $"source")
+      // round 18: the distinct per-source shingle set feeds the size
+      // marginals AND both self-join sides — un-pinned, the corpus-wide
+      // explode+distinct ran three times (ReuseExchange only dedupes
+      // the two identical join sides)
       val e = shingleFrame(s, d).join(src, "doc_id")
         .select($"source", explode($"xs").as("sh"))
         .distinct()
+        .localCheckpoint(false)
       val sizes = e.groupBy($"source").agg(count(lit(1)).as("sz"))
       e.toDF("src_a", "sh").join(e.toDF("src_b", "sh"), "sh")
         .filter($"src_a" < $"src_b")

@@ -552,13 +552,20 @@ object MLOps {
   private def emCounts(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = docTokens(s, d).select($"doc_id", explode($"toks").as("word"))
-    val vocab = toks.groupBy($"word")
-      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+    // Round 18: ONE pinned (doc_id, word) aggregate feeds both the
+    // vocabulary (tf = Σ n; df = rows per word — same values the
+    // groupBy+countDistinct produced, without the Expand doubling the
+    // token shuffle) and the returned counts. The old form tokenized
+    // and exploded the corpus twice — once for the vocab aggregate,
+    // once for the counts join.
+    val pair = toks.groupBy($"doc_id", $"word").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val vocab = pair.groupBy($"word")
+      .agg(sum($"n").as("tf"), count(lit(1)).as("df"))
       .filter($"df" >= 5)
       .orderBy(desc("tf"), asc("word")).limit(50000)
       .select("word")
-    toks.join(broadcast(vocab), "word")
-      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("n"))
+    pair.join(broadcast(vocab), "word").select($"doc_id", $"word", $"n")
   }
 
   /** (k, p) structs sorted by k → the k-ordered probability array; the
@@ -645,7 +652,12 @@ object MLOps {
         val withTh =
           if (theta == null)
             dw.withColumn("th", array(Seq.fill(k)(lit(1.0 / k)): _*))
-          else dw.join(theta, "doc_id")
+          // SHUFFLE_HASH (round 18): both sides arrive hash(doc_id)
+          // co-partitioned, so the only per-round join cost under the
+          // default sort-merge was SORTING nnz rows + doc-scale θ every
+          // round; a hash build on the θ side streams dw unsorted.
+          // Strategy hint only — join output is row-identical.
+          else dw.join(theta.hint("SHUFFLE_HASH"), "doc_id")
         val resp = withTh.join(broadcast(phi), "word")
           .withColumn("rl", zip_with($"th", $"ph", (a, b) => a * b))
           .withColumn("den", aggregate($"rl", lit(0.0), (acc, x) => acc + x))
@@ -2165,7 +2177,11 @@ object MLOps {
     import org.apache.spark.sql.functions.{col => c}
     // QRound.qroundLong = bit-identical fast path for round(·,0).cast
     // (five quantizations per rating row per half-step — BigDecimal-hot)
-    r.join(fac, joinKey)
+    // SHUFFLE_HASH on the factor side (round 18): the default
+    // sort-merge re-SORTED the ratings table every half-step (10 sorts
+    // per fit); hash-building the side-cardinality factor frame
+    // streams the ratings unsorted. Output row-identical.
+    r.join(fac.hint("SHUFFLE_HASH"), joinKey)
       .select(c(groupKey),
         QRound.qroundLong((c(g1) * c(g1)) * 1e6).as("q11"),
         QRound.qroundLong((c(g1) * c(g2)) * 1e6).as("q12"),
