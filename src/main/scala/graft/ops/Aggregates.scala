@@ -998,13 +998,18 @@ object Aggregates {
     "a_robust_stats" -> ((s, d) => {
       import s.implicits._
       val ev = events(s, d).select($"event_type", $"value")
+      // round 18: pin the ranked frame (quartiles, deviations and the
+      // outlier count each re-ran the whole exact-rank pass) and the
+      // 5-row quartile table (three consumers)
       val r1 = binRanked(s, ev, Seq("event_type"))
         .withColumn("vm", round($"value" * 1e3, 0).cast("long"))
+        .localCheckpoint(false)
       val qs = r1.groupBy($"event_type").agg(
         max($"n").as("n"),
         max(when($"rn" === expr("greatest((n + 1) div 4, 1)"), $"vm")).as("q1m"),
         max(when($"rn" === expr("(n + 1) div 2"), $"vm")).as("medm"),
         max(when($"rn" === expr("(3 * (n + 1)) div 4"), $"vm")).as("q3m"))
+        .localCheckpoint(false)
       val dev = r1.select($"event_type", $"vm")
         .join(broadcast(qs.select($"event_type", $"medm")), "event_type")
         .withColumn("dm", abs($"vm" - $"medm"))

@@ -1073,9 +1073,13 @@ object DedupOps {
             i => wideHash(concat_ws(" ", slice($"tk", i + 1, lit(W)))))))
         .toDF("doc_id", "p", "h")
         .localCheckpoint()
+      // round 18: pin — both pair-join sides consume it, and un-pinned
+      // each side re-ran the df aggregate (a countDistinct Expand over
+      // the cached window firehose) plus the bounding join
       val bounded = wins.join(
         wins.groupBy($"h").agg(countDistinct($"doc_id").as("df"))
           .filter($"df" >= 2 && $"df" <= 10).select($"h"), "h")
+        .localCheckpoint(false)
       val m = bounded.toDF("h", "d1", "p1")
         .join(bounded.toDF("h", "d2", "p2"), "h")
         .filter($"d1" < $"d2")
