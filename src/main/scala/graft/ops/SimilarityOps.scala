@@ -589,10 +589,7 @@ object SimilarityOps {
       val st = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
       // round 18: hits-scale, but the df aggregate and the scored join
       // each re-ran the corpus token explode to build it — pin
-      val tf = t.select($"doc_id", explode($"t").as("word"))
-        .join(broadcast(qterms.select($"word").distinct()), "word")
-        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false)
+      val tf = TextOps.termFilteredTf(t, qterms).localCheckpoint(false)
       val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
       val lexScore = tf.join(broadcast(qterms), "word")
         .join(broadcast(df_), "word")

@@ -291,6 +291,24 @@ object TextOps {
   private[graft] def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
 
+  /** The BM25-family building block (round 18 — factored out when the
+    * per-query copies got pinned behind localCheckpoints): the corpus
+    * token stream term-filtered to the query-term set and aggregated to
+    * (doc_id, word, tf). The 100 TB property lives HERE and PlanSpec
+    * pins it on this builder: the tiny term set must meet the exploded
+    * corpus as a BROADCAST hash join — without the hint the planner can
+    * shuffle the whole exploded corpus on `word`, the exact skew
+    * disaster a hot term triggers. Callers pin the (hits-scale) result
+    * with localCheckpoint(false) when more than one consumer reads it,
+    * which is also why the final query plans now show a Scan
+    * ExistingRDD where this join used to be visible.
+    */
+  private[graft] def termFilteredTf(t: DataFrame, terms: DataFrame): DataFrame =
+    t.select(col("doc_id"), explode(col("t")).as("word"))
+      .join(broadcast(terms.select("word").distinct()), "word")
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+
   /** U2 lemmatizer-lite (data_preparation.py:100-119 is WordNet-backed;
     * exact parity is out of scope per SURVEY §7.4 — this is the documented
     * rule-based approximation): English suffix stripping, same CASE chain
@@ -1003,10 +1021,7 @@ object TextOps {
         .localCheckpoint(false)
       val dl = t.select($"doc_id", size($"t").as("dl"))
       val st = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
-      val tf = t.select($"doc_id", explode($"t").as("word"))
-        .join(broadcast(qterms.select($"word").distinct()), "word")
-        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false)
+      val tf = termFilteredTf(t, qterms).localCheckpoint(false)
       val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
       val scored = tf.join(broadcast(qterms), "word")
         .join(broadcast(df_), "word")
@@ -1077,10 +1092,7 @@ object TextOps {
         // broadcast build and the scored join) re-ran the corpus-wide
         // token explode to produce it; each pass paid the firehose
         // twice. One checkpoint = one explode per pass.
-        val tf = t.select($"doc_id", explode($"t").as("word"))
-          .join(broadcast(terms.select($"word").distinct()), "word")
-          .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
-          .localCheckpoint(false)
+        val tf = termFilteredTf(t, terms).localCheckpoint(false)
         val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
         tf.join(broadcast(terms), "word")
           .join(broadcast(df_), "word")
