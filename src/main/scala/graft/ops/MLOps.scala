@@ -1989,10 +1989,14 @@ object MLOps {
       import s.implicits._
       val (r, states) = alsStates(s, d)
       val steps = states.zipWithIndex.map { case ((u, v), i) =>
-        val pe = r.join(u, "cust").join(v, "part")
-          .select(round((($"r" - ($"u1" * $"v1" + $"u2" * $"v2"))
-              * ($"r" - ($"u1" * $"v1" + $"u2" * $"v2"))) * 1e6, 0)
-            .cast("long").as("se_e6"))
+        // round 18: SHUFFLE_HASH both factor sides (sort-merge re-sorted
+        // the ratings per metric step) + QRound for the per-pair
+        // quantization — strategy/fast-path only, values identical
+        val pe = r.join(u.hint("SHUFFLE_HASH"), "cust")
+          .join(v.hint("SHUFFLE_HASH"), "part")
+          .select(QRound.qroundLong((($"r" - ($"u1" * $"v1" + $"u2" * $"v2"))
+              * ($"r" - ($"u1" * $"v1" + $"u2" * $"v2"))) * 1e6)
+            .as("se_e6"))
           .agg(count(lit(1)).as("n_pairs"), sum($"se_e6").as("se"))
         val un = u.agg(sum(round((abs($"u1") + abs($"u2")) * 1e6, 0)
           .cast("long")).as("su"))
