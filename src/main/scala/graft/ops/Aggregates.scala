@@ -347,8 +347,13 @@ object Aggregates {
     "a_cohort_retention" -> ((s, d) => {
       import s.implicits._
       val ev = events(s, d).select($"user_id", to_date($"ts").as("day"))
-      val cohort = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
-      ev.join(cohort, "user_id")
+      // round 18: cohort day as a window min — the aggregate+self-join
+      // form scanned events twice and shuffled both join sides; one
+      // user_id exchange now carries everything (same rows by
+      // definition: min(day) per user attached to each of that user's
+      // rows)
+      ev.withColumn("cohort_day",
+          min($"day").over(Window.partitionBy($"user_id")))
         .withColumn("day_offset", datediff($"day", $"cohort_day"))
         .groupBy($"cohort_day", $"day_offset")
         .agg(countDistinct($"user_id").as("n_active"))

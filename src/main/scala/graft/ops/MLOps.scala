@@ -568,13 +568,6 @@ object MLOps {
     pair.join(broadcast(vocab), "word").select($"doc_id", $"word", $"n")
   }
 
-  /** (k, p) structs sorted by k → the k-ordered probability array; the
-    * fixed element order is what makes the per-(doc,word) K-fold in the
-    * E-step bit-identical to the oracle's list_reduce.
-    */
-  private def kArr(k: Column, p: Column): Column =
-    transform(array_sort(collect_list(struct(k, p))), x => x.getField("p"))
-
   /** Fixed-iteration seeded MAP-EM for LDA (the smoothed-EM member of the
     * estimator family in Asuncion et al. 2009, "On Smoothing and Inference
     * for Topic Models"; reference anchor: topic_modeling.py:195-206 train,
