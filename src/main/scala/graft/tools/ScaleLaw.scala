@@ -130,7 +130,12 @@ object ScaleLaw {
     // predicted linear in tokens (the CCNet shuffle); the other wave-2
     // ops ride already-lawed substrates (adamic_adar the bounded
     // undCore aggregate, anova/tost the 5-key moments pass)
-    "r18b" -> Seq("dedup_paragraph_exact"))
+    "r18b" -> Seq("dedup_paragraph_exact"),
+    // round 19 (VERDICT r18 #9): u7_tfidf_top_terms at 100× — the 10×
+    // point (1.26) was constants-dominated; this pins the token-pass
+    // exponent behind the "restructure would pessimize shuffle bytes at
+    // 100 TB" claim with a data-term-dominated measurement
+    "r19" -> Seq("u7_tfidf_top_terms"))
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -18,16 +18,22 @@ class GraphSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(1) >= 0.15 / 25 - 1e-9))
   }
 
-  test("pagerank reuses the edge-aggregate exchange across iterations") {
+  test("pagerank computes the edge aggregate once, outside the iteration unroll") {
+    // Round 19: the r18 reliance on ReuseExchange was measured FALSE in
+    // the compiled plan (44 parquet scans — the window between aggregate
+    // and join breaks subtree identity; plans/r19/graph_pagerank_before).
+    // The transition table is now pinned (|V|²-bounded localCheckpoint),
+    // so the property that keeps the fact table to ONE scan at 100 TB is
+    // structural: the query plan reads the pinned RDD and contains NO
+    // fact-table scan at all — the single corpus aggregate runs inside
+    // the checkpoint materialization, independent of the iteration count.
     val df = graft.ops.GraphOps.queries("graph_pagerank")(spark, sf)
-    df.collect() // AQE only materializes ReusedExchange in the final plan
+    df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    // 4 iterations reference the same transition subtree; exchange reuse
-    // must collapse the identical edge aggregates so the lineitem scan
-    // count stays independent of the iteration count.
-    val reuses = "ReusedExchange".r.findAllIn(plan).length +
-      "ReusedQueryStage".r.findAllIn(plan).length
-    assert(reuses >= 3, s"expected >=3 reused exchange/stage nodes, got $reuses\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"pinned transition table is gone\n$plan")
+    assert(!plan.contains("lineitem"),
+      s"fact-table scan re-appeared inside the iteration unroll\n$plan")
   }
 
   /** The thresholded undirected core, reconstructed exactly as the
