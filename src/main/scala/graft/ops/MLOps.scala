@@ -618,13 +618,15 @@ object MLOps {
       // doc_id, and theta arrives hash-partitioned on doc_id from its own
       // groupBy — a checkpoint preserves partitioning, so dw never
       // re-shuffles across rounds
+      // round 19: lazy checkpoints (first use materializes; eager cost
+      // one extra driver job each — and one per EM round for wk below)
       val dw = emCounts(s, d)
-        .repartition($"doc_id").localCheckpoint()
+        .repartition($"doc_id").localCheckpoint(false)
       // ONE distinct-word pass (round 18): nVocab, the φ0 seed weights
       // and the per-topic seed totals all read this ≤50k-row checkpoint
       // instead of scanning dw once each (the nVocab count and the φ0
       // posexplode+window(k)+regroup chain were separate full passes).
-      val words = dw.select($"word").distinct().localCheckpoint()
+      val words = dw.select($"word").distinct().localCheckpoint(false)
       val nVocab = words.count()
       val seedW = (0 until k).map(j =>
         lit(1000L) + (graft.functions.PolyHash.poly_hash($"word") * 31
@@ -677,7 +679,7 @@ object MLOps {
             array((0 until k).map(j => QRound.qroundLong(
               $"n" * (element_at($"rl", j + 1) / $"den") * 1e6)): _*)
               .as("wk"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         // Round 18: each M-step is ONE partial-aggregated shuffle —
         // groupBy(word) / groupBy(doc_id) with a positional sum per
         // topic — replacing the groupBy(word,k) + window-over-k +

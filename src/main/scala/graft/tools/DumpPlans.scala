@@ -53,7 +53,7 @@ object DumpPlans {
       "text_dsir_weights" ->
         "DSIR weights: one bigram explode, both bucket counts from a single window, one doc aggregate",
       "graph_pagerank" ->
-        "PageRank: per-iteration rank-edge join + partial agg over the pinned |V|^2-bounded transition table (one fact scan, round 19)",
+        "PageRank: per-iteration rank-edge join + partial agg; edge aggregates dedupe at RUNTIME via AQE stage reuse (one fact scan executed; compile plan shows 4 copies)",
       "ml_kmeans" ->
         "k-means: broadcast-model map-side assignment (fold + array_min), one (cid,pos) partial-aggregated update shuffle",
       "dedup_semantic" ->

@@ -18,22 +18,23 @@ class GraphSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(1) >= 0.15 / 25 - 1e-9))
   }
 
-  test("pagerank computes the edge aggregate once, outside the iteration unroll") {
-    // Round 19: the r18 reliance on ReuseExchange was measured FALSE in
-    // the compiled plan (44 parquet scans — the window between aggregate
-    // and join breaks subtree identity; plans/r19/graph_pagerank_before).
-    // The transition table is now pinned (|V|²-bounded localCheckpoint),
-    // so the property that keeps the fact table to ONE scan at 100 TB is
-    // structural: the query plan reads the pinned RDD and contains NO
-    // fact-table scan at all — the single corpus aggregate runs inside
-    // the checkpoint materialization, independent of the iteration count.
+  test("pagerank reuses the edge-aggregate exchange across iterations") {
+    // Round 19 note: this is a RUNTIME property only — the compiled plan
+    // carries four full aggregate copies (plans/r19/graph_pagerank_before
+    // has 44 parquet scans and no ReusedExchange; the out-strength window
+    // between aggregate and join breaks compile-time subtree reuse), and
+    // AQE's stage dedup is what collapses them at execution. A
+    // localCheckpoint pin of the transition table was tried and measured
+    // ~40% slower same-window (materialization barrier + stat-less
+    // ExistingRDD joins), so the runtime-reuse form stays — and this
+    // assertion is the only thing standing between the 4-iteration unroll
+    // and four fact scans at 100 TB.
     val df = graft.ops.GraphOps.queries("graph_pagerank")(spark, sf)
-    df.collect()
+    df.collect() // AQE only materializes ReusedExchange in the final plan
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ExistingRDD"),
-      s"pinned transition table is gone\n$plan")
-    assert(!plan.contains("lineitem"),
-      s"fact-table scan re-appeared inside the iteration unroll\n$plan")
+    val reuses = "ReusedExchange".r.findAllIn(plan).length +
+      "ReusedQueryStage".r.findAllIn(plan).length
+    assert(reuses >= 3, s"expected >=3 reused exchange/stage nodes, got $reuses\n$plan")
   }
 
   /** The thresholded undirected core, reconstructed exactly as the
